@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
+
+Column names are aliased identically on both sides; double aggregates are
+rounded to 2 decimals on BOTH sides so the order-insensitive value hash is
+stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +14,65 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.functions import stable
+from real_time_data_pipeline_spark.schemas import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship: 1h tumbling window x user_id -> count/sum/avg over events.
+
+    Reference semantics: src/spark/transaction_processor.py:282-294.
+    Money aggregates use exact integer-cents arithmetic (stable.py) so the
+    DuckDB oracle hashes identically.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("window"), "user_id")
+        .agg(
+            F.count("event_id").alias("transaction_count"),
+            stable.sum_money("value", "total_amount"),
+            stable.avg_money("value", "avg_amount", "COUNT(event_id)"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "transaction_count",
+            "total_amount",
+            "avg_amount",
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_windowed_agg(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "windowed_agg": _q_windowed_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from real_time_data_pipeline_spark.functions.stable import (
+        avg_money_sql,
+        sum_money_sql,
+    )
+
+    return {
+        "windowed_agg": f"""
+            SELECT
+              CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+              user_id,
+              count(event_id) AS transaction_count,
+              {sum_money_sql('value')} AS total_amount,
+              {avg_money_sql('value', 'COUNT(event_id)')} AS avg_amount
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same parquet directory, then
+compares row count, sorted-by-name schema, and an order-insensitive value
+hash.  Usage:
+
+    python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from real_time_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], col_order: list[int]) -> str:
+    lines = sorted(
+        "|".join(_norm_cell(row[i]) for i in col_order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = [f.name.lower() for f in sdf.schema.fields]
+        sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+        shash = value_hash([tuple(r) for r in srows], sorder)
+        if name not in oracles:
+            print(f"{name:35s} rows={len(srows):7d}  (rows-only, no oracle)")
+            continue
+        ddf = con.sql(oracles[name])
+        drows = ddf.fetchall()
+        dcols = [c.lower() for c in ddf.columns]
+        dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        dhash = value_hash(drows, dorder)
+        ok_rows = len(srows) == len(drows)
+        ok_schema = sorted(scols) == sorted(dcols)
+        ok_hash = shash == dhash
+        status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        schema_desc = "ok" if ok_schema else f"{sorted(scols)} vs {sorted(dcols)}"
+        print(
+            f"{name:35s} {status}  rows {len(srows)}/{len(drows)}"
+            f"  schema={schema_desc}  hash {shash}/{dhash}"
+        )
+        if status == "FAIL" and not ok_hash and ok_rows and ok_schema:
+            # show a few mismatching lines to debug
+            sset = sorted("|".join(_norm_cell(tuple(r)[i]) for i in sorder) for r in srows)
+            dset = sorted("|".join(_norm_cell(r[i]) for i in dorder) for r in drows)
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            for a, b in diff:
+                print(f"    spark: {a}\n    duck : {b}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
