@@ -53,9 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "windowed_agg": _q_windowed_agg,
-    }
+    from real_time_data_pipeline_spark.queries import all_queries
+
+    out = {"windowed_agg": _q_windowed_agg}
+    out.update(all_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -63,8 +65,9 @@ def oracle_sql() -> dict[str, str]:
         avg_money_sql,
         sum_money_sql,
     )
+    from real_time_data_pipeline_spark.queries import all_oracles
 
-    return {
+    out = {
         "windowed_agg": f"""
             SELECT
               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -76,3 +79,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+    out.update(all_oracles())
+    return out

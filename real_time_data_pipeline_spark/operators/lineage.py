@@ -1,0 +1,82 @@
+"""Lineage tracking (SURVEY.md §2.7).
+
+The reference inserts one SQLAlchemy row per record per stage
+(src/utils/data_lineage.py:82-157) into a 12-column `data_lineage` table
+and reads it back per transaction_id ordered by processing_timestamp
+(data_lineage.py:159-199).  Here lineage is derived as a DataFrame (one
+row per input record) and appended to a parquet table partitioned by
+processing_stage — batched, distributed writes instead of per-row inserts.
+
+Record hashes use sha2(to_json(struct(alphabetical fields)), 256),
+canonicalizing key order the way the reference's json.dumps(sort_keys=True)
+does (data_lineage.py:201-217).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.functions.scalar import record_hash
+
+PROCESS_VERSION = "1.0"  # reference data_lineage.py default
+
+
+def lineage_records(
+    df: DataFrame,
+    stage: str,
+    process_name: str,
+    source_system: str = "engine",
+    id_col: str = "transaction_id",
+    status_col: str | None = None,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """L1: derive one lineage row per input record (12-column schema of
+    reference data_lineage.py:61-76)."""
+    cols = hash_cols or [c for c, t in df.dtypes if t in ("string", "double", "bigint", "int")]
+    h = record_hash(cols)
+    status = (
+        F.when(F.col(status_col), "success").otherwise("failure")
+        if status_col
+        else F.lit("success")
+    )
+    return df.select(
+        F.expr("uuid()").alias("lineage_id"),
+        F.col(id_col).alias("transaction_id"),
+        F.lit(source_system).alias("source_system"),
+        F.current_timestamp().alias("source_timestamp"),
+        F.lit(stage).alias("processing_stage"),
+        F.current_timestamp().alias("processing_timestamp"),
+        F.lit(process_name).alias("process_name"),
+        F.lit(PROCESS_VERSION).alias("process_version"),
+        h.alias("input_record_hash"),
+        h.alias("output_record_hash"),
+        status.alias("status"),
+        F.to_json(F.struct(F.lit(stage).alias("stage"))).alias("metadata"),
+    )
+
+
+def append_lineage(records: DataFrame, path: str) -> None:
+    """L1 sink: append to the lineage table, partitioned by stage so
+    per-stage scans prune (reference indexes transaction_id instead,
+    data_lineage.py:73-76)."""
+    records.write.mode("append").partitionBy("processing_stage").parquet(path)
+
+
+def get_transaction_lineage(spark, path: str, transaction_id: str) -> DataFrame:
+    """L2: point lookup, time-ordered (reference data_lineage.py:159-199)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("transaction_id") == transaction_id)
+        .orderBy("processing_timestamp")
+    )
+
+
+def track_processing_step(
+    df: DataFrame, path: str, stage: str, process_name: str, **kw
+) -> DataFrame:
+    """L4: convenience wrapper — derive + append lineage, pass `df`
+    through unchanged (mirrors reference track_processing_step,
+    data_lineage.py:224-260)."""
+    append_lineage(lineage_records(df, stage, process_name, **kw), path)
+    return df

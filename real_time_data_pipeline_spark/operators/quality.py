@@ -1,0 +1,153 @@
+"""Declarative data-quality expectations compiled to Spark predicates.
+
+The reference expresses data quality as a Great Expectations suite — a
+list of (column, expectation_type, kwargs) rules built at
+src/validation/transaction_validator.py:61-141 and declared in
+src/config/validation_config.yml:26-59 — then evaluates it one
+single-row pandas DataFrame per record (validator.py:153-161).  That is
+the slowest possible shape; semantics are identical when the rules are
+compiled once into Spark Column predicates and evaluated columnar over the
+whole batch, so that's what this module does.
+
+Failure messages mirror validator.py:171-174: "Failed {type}: {kwargs}".
+
+Scale: compile once per suite (driver side), evaluate as whole-stage
+codegen.  The uniqueness expectation is the only one needing a shuffle;
+it uses a window count over the key rather than a self-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Expectation:
+    """One rule: (column, expectation_type, kwargs) — the reference's tiny
+    declarative predicate language (SURVEY.md §2.6)."""
+
+    column: str
+    expectation_type: str
+    kwargs: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def failure_message(self) -> str:
+        return f"Failed {self.expectation_type}: {self.kwargs or self.column}"
+
+
+# The reference's 8-expectation transaction suite
+# (validator.py:61-141 + validation_config.yml:26-45).
+TRANSACTION_SUITE = [
+    Expectation("transaction_id", "not_null"),
+    Expectation("transaction_id", "unique"),
+    Expectation("account_id", "not_null"),
+    Expectation("transaction_type", "not_null"),
+    Expectation(
+        "transaction_type",
+        "in_set",
+        {"value_set": ["deposit", "withdrawal", "transfer", "payment", "refund"]},
+    ),
+    Expectation("amount", "between", {"min_value": 0.01, "max_value": 1_000_000.00}),
+    Expectation("currency", "in_set", {"value_set": ["USD", "EUR", "GBP", "JPY", "CAD", "AUD"]}),
+    Expectation("status", "in_set", {"value_set": ["pending", "completed", "failed", "rejected"]}),
+    Expectation("timestamp", "parseable_timestamp"),  # validation_config.yml:42-43
+]
+
+# Declared-only accounts suite (validation_config.yml:47-59).
+ACCOUNT_SUITE = [
+    Expectation("account_id", "not_null"),
+    Expectation("account_id", "unique"),
+    Expectation(
+        "account_type",
+        "in_set",
+        {"value_set": ["checking", "savings", "credit", "loan", "investment"]},
+    ),
+    Expectation("customer_id", "not_null"),
+]
+
+
+def compile_expectation(exp: Expectation) -> Column:
+    """Expectation → boolean Column (true = row passes).
+
+    Row-level semantics match GE's defaults: null passes in_set/between/
+    parseable checks (GE skips nulls there; not_null is the null gate).
+    `unique` is row-level false for every row of a duplicated key.
+    """
+    c = F.col(exp.column)
+    t = exp.expectation_type
+    if t == "not_null":
+        return c.isNotNull()
+    if t == "unique":
+        return F.count("*").over(Window.partitionBy(exp.column)) == 1
+    if t == "in_set":
+        return c.isNull() | c.isin(exp.kwargs["value_set"])
+    if t == "between":
+        return c.isNull() | c.between(exp.kwargs["min_value"], exp.kwargs["max_value"])
+    if t == "parseable_timestamp":
+        return c.isNull() | F.try_to_timestamp(c).isNotNull()
+    raise ValueError(f"unknown expectation_type: {t}")
+
+
+def compile_suite(suite: list[Expectation]) -> tuple[Column, Column]:
+    """Suite → (valid: Column<bool>, errors: Column<array<string>>).
+
+    `valid` is the AND of all expectations; `errors` collects the failure
+    message of each failed expectation (format mirrors
+    validator.py:171-174).
+    """
+    preds = [(compile_expectation(e), e.failure_message) for e in suite]
+    valid = preds[0][0]
+    for p, _ in preds[1:]:
+        valid = valid & p
+    errors = F.filter(
+        F.array(*[F.when(~p, F.lit(msg)) for p, msg in preds]),
+        lambda x: x.isNotNull(),
+    )
+    return valid, errors
+
+
+def apply_suite(
+    df: DataFrame,
+    suite: list[Expectation],
+    valid_col: str = "dq_valid",
+    errors_col: str = "dq_errors",
+) -> DataFrame:
+    """Attach suite verdict columns to every row (vectorized twin of
+    reference validate_transaction, validator.py:143-185)."""
+    valid, errors = compile_suite(suite)
+    return df.withColumn(valid_col, valid).withColumn(errors_col, errors)
+
+
+def suite_metrics(df: DataFrame, suite: list[Expectation]) -> DataFrame:
+    """Per-expectation pass/fail counts for a batch — the engine-side
+    version of GE's validation result summary (validator.py:197-218),
+    computed in ONE aggregate pass (no per-rule scans)."""
+    # Materialize each predicate as a boolean column first: window-based
+    # expectations (unique) are not allowed inside aggregate functions.
+    flags = df.select(
+        *[compile_expectation(e).alias(f"p_{i}") for i, e in enumerate(suite)]
+    )
+    aggs = []
+    for i, _ in enumerate(suite):
+        p = F.col(f"p_{i}")
+        aggs.append(F.sum(F.when(p, 1).otherwise(0)).alias(f"pass_{i}"))
+        aggs.append(F.sum(F.when(~p, 1).otherwise(0)).alias(f"fail_{i}"))
+    wide = flags.agg(F.count("*").alias("total"), *aggs)
+    rows = []
+    for i, e in enumerate(suite):
+        rows.append(
+            F.struct(
+                F.lit(e.column).alias("column"),
+                F.lit(e.expectation_type).alias("expectation_type"),
+                F.col(f"pass_{i}").alias("n_pass"),
+                F.col(f"fail_{i}").alias("n_fail"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("m"))
+        .select("m.*")
+    )

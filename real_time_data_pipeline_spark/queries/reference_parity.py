@@ -1,0 +1,397 @@
+"""Reference-parity queries (SURVEY.md §2) mapped onto the driver testdata.
+
+The reference's domain is banking transactions; the driver's stream table
+is `events` (event_id, ts, user_id, event_type, value, props).  Mapping
+(FIXTURES.md §5): ts≈event_time, user_id≈account_id, value≈amount,
+event_type≈transaction_type.  Every query here has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.functions.stable import (
+    avg_money_sql,
+    sum_money_sql,
+)
+from real_time_data_pipeline_spark.operators import aggregates
+from real_time_data_pipeline_spark.schemas import load_table
+
+EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+
+# P5 category thresholds mapped onto event types (reference
+# transaction_processor.py:256-265 uses 1000/500/100 for
+# deposit/withdrawal/payment; purchase/click/view are the analogues here).
+CATEGORY_CASE_SQL = """
+    CASE
+      WHEN event_type = 'purchase' THEN
+        CASE WHEN value > 100 THEN 'large_purchase' ELSE 'regular_purchase' END
+      WHEN event_type = 'click' THEN
+        CASE WHEN value > 50 THEN 'large_click' ELSE 'regular_click' END
+      WHEN event_type = 'view' THEN
+        CASE WHEN value > 10 THEN 'large_view' ELSE 'regular_view' END
+      ELSE event_type
+    END
+"""
+
+VALID_SQL = (
+    "event_id IS NOT NULL AND user_id IS NOT NULL AND "
+    "event_type IS NOT NULL AND value IS NOT NULL AND value > 0"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- A1 tumbling variant is the flagship in __spark_entry__ ---
+
+
+def q_sliding_window_agg(spark, sf_dir):
+    """A3 (declared-only in reference, spark_config.yml:36-37): 1h window
+    sliding every 30min."""
+    df = _events(spark, sf_dir)
+    return (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("window"), "user_id")
+        .agg(
+            F.count("event_id").alias("transaction_count"),
+            F.expr(sum_money_sql("value")).alias("total_amount"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "transaction_count",
+            "total_amount",
+        )
+    )
+
+
+def q_validate(spark, sf_dir):
+    """P3/P4: validity predicate + conditional label (reference
+    transaction_processor.py:218-243)."""
+    df = _events(spark, sf_dir)
+    is_valid = F.expr(VALID_SQL)
+    return df.select(
+        "event_id",
+        is_valid.alias("is_valid"),
+        F.when(is_valid, "valid").otherwise("invalid").alias("validation_result"),
+    )
+
+
+def q_categorize(spark, sf_dir):
+    """P5: nested CASE categorization (reference
+    transaction_processor.py:256-265)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr(CATEGORY_CASE_SQL).alias("transaction_category"),
+    )
+
+
+def q_validation_summary(spark, sf_dir):
+    """A5: batch validation rollup (reference validator.py:197-218).
+    success_rate as exact integer basis points / 100."""
+    df = _events(spark, sf_dir)
+    return df.agg(
+        F.count("*").alias("total"),
+        F.sum(F.expr(f"CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END")).alias("valid_count"),
+        F.sum(F.expr(f"CASE WHEN {VALID_SQL} THEN 0 ELSE 1 END")).alias("invalid_count"),
+        F.expr(
+            f"CAST(FLOOR((2e0 * 10000 * SUM(CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END)"
+            f" + COUNT(*)) / (2e0 * COUNT(*))) AS BIGINT) / 1e2"
+        ).alias("success_rate"),
+    )
+
+
+def q_dq_suite_metrics(spark, sf_dir):
+    """§2.6: expectation suite compiled to predicates, per-expectation
+    pass/fail counts over events."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        Expectation,
+        suite_metrics,
+    )
+
+    suite = [
+        Expectation("event_id", "not_null"),
+        Expectation("event_id", "unique"),
+        Expectation("user_id", "not_null"),
+        Expectation("event_type", "in_set", {"value_set": EVENT_TYPES}),
+        Expectation("value", "between", {"min_value": 0.01, "max_value": 1_000_000.0}),
+    ]
+    return suite_metrics(_events(spark, sf_dir), suite)
+
+
+def q_uniqueness_violations(spark, sf_dir):
+    """A6: keys appearing more than once (GE unique expectation,
+    validator.py:79-84) — l_orderkey over lineitem has natural dups."""
+    return aggregates.uniqueness_violations(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
+
+
+def q_enrich_join(spark, sf_dir):
+    """J1/J2: fact→dimension broadcast enrichment chain
+    (orders→customer→nation→region stands in for
+    transactions→accounts→customers, reference transaction.py:97-110)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "c_mktsegment",
+                F.col("n_name").alias("nation_name"),
+                F.col("r_name").alias("region_name"))
+    )
+    return orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "nation_name", "region_name"
+    )
+
+
+def q_self_join(spark, sf_dir):
+    """J3: self-link (reference_id→transaction_id analogue): each lineitem
+    linked to the next line of the same order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nxt = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_linenumber").alias("r_linenumber"),
+        F.col("l_quantity").alias("next_quantity"),
+    )
+    return li.join(
+        nxt,
+        (li.l_orderkey == nxt.r_orderkey)
+        & (li.l_linenumber + 1 == nxt.r_linenumber),
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "next_quantity")
+
+
+def q_monthly_rollup(spark, sf_dir):
+    """A7: transaction_summary (year, month, key) rollup
+    (spark_config.yml:62,68-69)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.expr(sum_money_sql("value")).alias("total_amount"),
+            F.expr(avg_money_sql("value")).alias("avg_amount"),
+        )
+    )
+
+
+def q_session_agg(spark, sf_dir):
+    """N5: session windows (30 min gap) per user via built-in
+    session_window; money-stable sum."""
+    df = _events(spark, sf_dir)
+    return (
+        df.groupBy(
+            F.session_window("ts", "30 minutes").alias("session"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(sum_money_sql("value")).alias("total_value"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_scalar_functions(spark, sf_dir):
+    """F1-F11 smoke: timestamp parts, ISO formatting, concat hash
+    (sha256), initcap — all cross-checkable in DuckDB."""
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.initcap("event_type").alias("title_type"),
+        F.sha2(F.concat_ws("|", F.col("event_id").cast("string"), "event_type"), 256).alias("row_hash"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """S4/S5 serde: parse the props JSON column with an explicit schema
+    (from_json, reference transaction_processor.py:167)."""
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.from_json("props", "k int").getField("k").alias("k"),
+    )
+
+
+def q_dead_letter(spark, sf_dir):
+    """S10 (declared-only, kafka_config.yml:28-30): route records failing
+    validation to a dead-letter output — here the filter side."""
+    df = _events(spark, sf_dir)
+    return df.filter(~F.expr(VALID_SQL) | (F.col("event_type") == "error")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_alerts(spark, sf_dir):
+    """S11 (declared-only, kafka_config.yml:25): alert stream — large
+    purchases (the banking.alerts analogue)."""
+    df = _events(spark, sf_dir)
+    return df.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT) / 1e2").alias("value"),
+        F.lit("large_purchase").alias("alert_type"),
+    )
+
+
+QUERIES = {
+    "sliding_window_agg": q_sliding_window_agg,
+    "validate": q_validate,
+    "categorize": q_categorize,
+    "validation_summary": q_validation_summary,
+    "dq_suite_metrics": q_dq_suite_metrics,
+    "uniqueness_violations": q_uniqueness_violations,
+    "enrich_join": q_enrich_join,
+    "self_join": q_self_join,
+    "monthly_rollup": q_monthly_rollup,
+    "session_agg": q_session_agg,
+    "scalar_functions": q_scalar_functions,
+    "json_extract": q_json_extract,
+    "dead_letter": q_dead_letter,
+    "alerts": q_alerts,
+}
+
+
+ORACLES = {
+    # Sliding windows: each event belongs to the two 30-min-aligned
+    # windows [floor30(ts), +1h) and [floor30(ts)-30m, +1h).
+    "sliding_window_agg": f"""
+        WITH shifted AS (
+          SELECT
+            CAST(to_timestamp(floor(epoch(ts)/1800)*1800 - 1800*s.off) AS TIMESTAMP)
+              AS window_start,
+            user_id, event_id, value
+          FROM events, (SELECT unnest([0,1]) AS off) s
+        )
+        SELECT window_start, user_id,
+               count(event_id) AS transaction_count,
+               {sum_money_sql('value')} AS total_amount
+        FROM shifted GROUP BY 1,2
+    """,
+    "validate": f"""
+        SELECT event_id,
+               ({VALID_SQL}) AS is_valid,
+               CASE WHEN {VALID_SQL} THEN 'valid' ELSE 'invalid' END AS validation_result
+        FROM events
+    """,
+    "categorize": f"""
+        SELECT event_id, event_type, {CATEGORY_CASE_SQL} AS transaction_category
+        FROM events
+    """,
+    "validation_summary": f"""
+        SELECT count(*) AS total,
+               SUM(CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END) AS valid_count,
+               SUM(CASE WHEN {VALID_SQL} THEN 0 ELSE 1 END) AS invalid_count,
+               CAST(FLOOR((2e0 * 10000 * SUM(CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END)
+                 + COUNT(*)) / (2e0 * COUNT(*))) AS BIGINT) / 1e2 AS success_rate
+        FROM events
+    """,
+    "dq_suite_metrics": """
+        WITH flags AS (
+          SELECT
+            (event_id IS NOT NULL) AS p0,
+            (count(*) OVER (PARTITION BY event_id) = 1) AS p1,
+            (user_id IS NOT NULL) AS p2,
+            (event_type IS NULL OR event_type IN ('click','purchase','error','signup','view')) AS p3,
+            (value IS NULL OR value BETWEEN 0.01 AND 1000000.0) AS p4
+          FROM events
+        )
+        SELECT 'event_id' AS column, 'not_null' AS expectation_type,
+               SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS n_pass, SUM(CASE WHEN p0 THEN 0 ELSE 1 END) AS n_fail FROM flags
+        UNION ALL
+        SELECT 'event_id', 'unique', SUM(CASE WHEN p1 THEN 1 ELSE 0 END), SUM(CASE WHEN p1 THEN 0 ELSE 1 END) FROM flags
+        UNION ALL
+        SELECT 'user_id', 'not_null', SUM(CASE WHEN p2 THEN 1 ELSE 0 END), SUM(CASE WHEN p2 THEN 0 ELSE 1 END) FROM flags
+        UNION ALL
+        SELECT 'event_type', 'in_set', SUM(CASE WHEN p3 THEN 1 ELSE 0 END), SUM(CASE WHEN p3 THEN 0 ELSE 1 END) FROM flags
+        UNION ALL
+        SELECT 'value', 'between', SUM(CASE WHEN p4 THEN 1 ELSE 0 END), SUM(CASE WHEN p4 THEN 0 ELSE 1 END) FROM flags
+    """,
+    "uniqueness_violations": """
+        SELECT l_orderkey, count(*) AS n FROM lineitem
+        GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+    "enrich_join": """
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+               n_name AS nation_name, r_name AS region_name
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    "self_join": """
+        SELECT l1.l_orderkey, l1.l_linenumber, l1.l_quantity,
+               l2.l_quantity AS next_quantity
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_linenumber + 1 = l2.l_linenumber
+    """,
+    "monthly_rollup": f"""
+        SELECT year(ts) AS year, month(ts) AS month, user_id,
+               count(*) AS transaction_count,
+               {sum_money_sql('value')} AS total_amount,
+               {avg_money_sql('value')} AS avg_amount
+        FROM events GROUP BY 1,2,3
+    """,
+    # Gaps-and-islands sessionization == Spark session_window for batch.
+    "session_agg": f"""
+        WITH marked AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CASE WHEN CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE OR
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), sessions AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM marked
+        )
+        SELECT MIN(ts) AS session_start, user_id,
+               count(*) AS n_events,
+               {sum_money_sql('value')} AS total_value
+        FROM sessions GROUP BY user_id, session_no
+    """,
+    "scalar_functions": """
+        SELECT event_id,
+               year(ts) AS year, month(ts) AS month, day(ts) AS day,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+               concat(upper(substr(event_type,1,1)), lower(substr(event_type,2))) AS title_type,
+               sha256(concat_ws('|', CAST(event_id AS VARCHAR), event_type)) AS row_hash
+        FROM events
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+    """,
+    "dead_letter": f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE NOT ({VALID_SQL}) OR event_type = 'error'
+    """,
+    "alerts": """
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) / 1e2 AS value,
+               'large_purchase' AS alert_type
+        FROM events WHERE event_type = 'purchase' AND value > 150
+    """,
+}

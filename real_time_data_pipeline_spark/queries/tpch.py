@@ -1,0 +1,211 @@
+"""TPC-H-style analytical queries over the driver testdata.
+
+These are the bench headliners: scan→filter→join→agg plans that exercise
+predicate pushdown, broadcast joins, and partial aggregation — the shapes
+that dominate at 100 TB.  Q1/Q3/Q5 adapted to the testdata's column subset
+(TESTDATA.md; the tables have fewer columns than real TPC-H).
+
+Money arithmetic via functions/stable.py so the DuckDB oracle hashes
+identically (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.functions.stable import (
+    avg_money_sql,
+    cents_sql,
+    sum_money_sql,
+)
+from real_time_data_pipeline_spark.schemas import load_table
+
+# revenue item: extendedprice * (1 - discount), computed in doubles
+# identically on both engines, then cents-rounded before summing.
+REVENUE = "l_extendedprice * (1e0 - l_discount)"
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: pricing summary report over lineitem.
+
+    One scan + one partial/final hash aggregate on a low-cardinality key —
+    at scale this is shuffle-light (a few output rows per map task).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(sum_money_sql("l_quantity")).alias("sum_qty"),
+            F.expr(sum_money_sql("l_extendedprice")).alias("sum_base_price"),
+            F.expr(sum_money_sql(REVENUE)).alias("sum_disc_price"),
+            F.expr(avg_money_sql("l_quantity")).alias("avg_qty"),
+            F.expr(avg_money_sql("l_extendedprice")).alias("avg_price"),
+            F.expr(avg_money_sql("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: top-10 unshipped orders by revenue.
+
+    customer is broadcast (bounded dim); orders⋈lineitem shuffles on
+    o_orderkey.  Deterministic top-k via full tie-break (revenue desc,
+    orderkey asc).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (adapted): revenue by nation where customer and supplier
+    share the nation; region/nation/supplier/customer all broadcast."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("revenue"))
+    )
+
+
+def q_order_ranking(spark, sf_dir):
+    """Analytic window functions (absent from the reference; part of the
+    engine's inherited surface): rank orders per customer by totalprice."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) / 1e2").alias("o_totalprice"),
+        F.row_number().over(w).alias("price_rank"),
+    ).filter(F.col("price_rank") <= 3)
+
+
+def q_rollup_cube(spark, sf_dir):
+    """Grouping-set rollup (inherited surface): order counts by
+    (status, priority) with subtotals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations (inherited surface): customers with orders above
+    400k EXCEPT those in the AUTOMOBILE segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return big.subtract(auto)
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q_pricing_summary,
+    "tpch_q3_shipping_priority": q_shipping_priority,
+    "tpch_q5_local_supplier_volume": q_local_supplier_volume,
+    "order_ranking": q_order_ranking,
+    "rollup_counts": q_rollup_cube,
+    "set_ops": q_set_ops,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sum_money_sql('l_quantity')} AS sum_qty,
+               {sum_money_sql('l_extendedprice')} AS sum_base_price,
+               {sum_money_sql(REVENUE)} AS sum_disc_price,
+               {avg_money_sql('l_quantity')} AS avg_qty,
+               {avg_money_sql('l_extendedprice')} AS avg_price,
+               {avg_money_sql('l_discount')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               SUM({cents_sql(REVENUE)}) / 1e2 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5_local_supplier_volume": f"""
+        SELECT n_name AS nation,
+               SUM({cents_sql(REVENUE)}) / 1e2 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """,
+    "order_ranking": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) / 1e2 AS o_totalprice,
+               price_rank
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+          FROM orders
+        ) WHERE price_rank <= 3
+    """,
+    "rollup_counts": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "set_ops": """
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+}
