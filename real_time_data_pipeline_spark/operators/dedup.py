@@ -1,0 +1,369 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its only dedup-adjacent piece is the GE uniqueness
+expectation, src/validation/transaction_validator.py:79-84); this module is
+the north-star extension tier (SURVEY.md §2.9 N1).
+
+Operators:
+  exact_dedup           — hash groupBy on content key (N1)
+  ngram_shingles        — word n-gram shingling (building block)
+  ngram_jaccard_pairs   — EXACT near-dup pairs by Jaccard over shingle sets
+  minhash_signatures    — MinHash sketch per doc (xxhash64 permutations)
+  minhash_lsh_candidates— banded LSH bucket join → candidate pairs
+  simhash               — 64-bit SimHash per doc
+  simhash_near_pairs    — near-dup pairs by Hamming distance band join
+  embedding_near_dup    — cosine near-dup over an embedding column
+
+Scale design (the point of this module):
+- Everything is expression-level (split/transform/aggregate/xxhash64) —
+  whole-stage codegen, zero Python in the hot path.
+- The EXACT jaccard pair join explodes doc x shingle and self-joins on the
+  shingle; at 100 TB that join is only viable after LSH pruning, so the
+  intended pipeline is minhash_lsh_candidates (cheap, banded) →
+  ngram_jaccard_pairs semantics applied to the candidate set (the
+  `verify` flag) — classic candidate-verify.
+- MinHash bands shuffle (band_idx, band_hash) keys only; bucket skew
+  (a shingle shared by millions of docs) is bounded by `max_bucket` which
+  drops degenerate buckets the way production dedup pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, key_cols: list[str], keep_min_col: str) -> DataFrame:
+    """N1: exact dedup — one surviving row id per distinct key.
+
+    Deterministic policy: keep the minimum `keep_min_col` (stable across
+    engines/runs, unlike dropDuplicates' arbitrary-first).  One hash
+    aggregate; partial map-side combine keeps the shuffle small.
+    """
+    return df.groupBy(*key_cols).agg(F.min(keep_min_col).alias(keep_min_col))
+
+
+# ------------------------------------------------------------- shingles
+
+def tokens_col(text_col: str) -> F.Column:
+    """Lowercased whitespace tokens (normalize runs of whitespace)."""
+    return F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+
+
+def shingles_col(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as array<string> (JVM-side
+    transform over a token slice; no UDF)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-duplicate pairs: Jaccard(shingles(a), shingles(b)) >= t,
+    id_a < id_b.
+
+    Plan: explode (doc, shingle) → self-join on shingle → count common
+    shingles per pair → join back the per-doc shingle counts.  Exact but
+    join-heavy: at scale run it on LSH candidates, not the full corpus.
+    Jaccard is emitted in exact basis points (integer arithmetic) so the
+    DuckDB oracle hashes identically.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    ).persist()
+    # Shingles are distinct per doc, so |shingles| == exploded row count:
+    # the tokenizer runs once and sizes fall out of the same table that
+    # feeds the pair join (persisted — three consumers).
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("id").alias("id_a"), "shingle")
+    b = ex.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr("CAST(FLOOR(1e4 * n_common / (n_a + n_b - n_common)) AS BIGINT)"),
+        )
+        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard_bp")
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash sketch: sig[i] = min over shingles of xxhash64(shingle, i).
+
+    xxhash64 with the permutation index as an extra hashed column gives
+    `num_perm` independent-enough hash families without any UDF.
+
+    Shape: explode shingles once, then one hash-aggregate computing all
+    `num_perm` mins.  (The tempting nested-transform form —
+    transform(sequence(0,N), i -> array_min(transform(shingles, hash))) —
+    is catastrophically slow: Catalyst inlines the whole shingle pipeline
+    into every permutation branch and higher-order functions are
+    interpreted, so the tokenizer re-runs num_perm times per row.  The
+    explode+agg form runs the tokenizer once and keeps the per-permutation
+    work inside codegen'd hash aggregation; partial map-side combine means
+    the shuffle carries one num_perm-wide row per doc per partition.)
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    )
+    # sequence() elements are INT, so hash the permutation index as INT too
+    # (xxhash64 is type-sensitive) to keep signatures stable across shapes.
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = ex.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Banded LSH candidate pairs (id_a < id_b).
+
+    rows = bands x rows_per_band; a pair collides if any band's sub-
+    signature matches exactly.  With num_perm=64, bands=16 (4 rows/band),
+    the S-curve midpoint is ~ (1/16)^(1/4) ≈ 0.5 Jaccard.
+
+    Buckets larger than `max_bucket` are dropped (degenerate content);
+    this bounds the quadratic within-bucket pair blow-up at scale.
+    If `verify_threshold` is set, candidates are verified with exact
+    Jaccard (candidate-verify, the 100 TB-safe shape).
+    """
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.get(F.col("signature"), b * rpb + j).cast("string")
+                                    for j in range(rpb)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    # Persist the tiny banded table (bands rows x 3 longs per doc): it is
+    # consumed by both sides of the bucket self-join, and recomputing it
+    # would re-run the signature aggregation.  At 100 TB the signature
+    # table would be materialized to storage at exactly this point.
+    banded = banded.persist()
+
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    pruned = banded.join(
+        bucket_sizes.filter(F.col("bucket_n").between(2, max_bucket)),
+        ["band_idx", "band_hash"],
+    )
+    l = pruned.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    r = pruned.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    cands = (
+        l.join(r, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is not None:
+        exact = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
+        cands = cands.join(exact, ["id_a", "id_b"], "inner")
+    return cands
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash over distinct tokens: bit j of the fingerprint is 1 iff the
+    sum over tokens of sign(bit j of xxhash64(token)) is positive.  The
+    fingerprint is emitted as a 16-hex-char string (MSB first).
+
+    Shape: explode distinct tokens once → xxhash64 per token (codegen'd)
+    → one hash-aggregate with `bits` conditional-sum vote columns → fold
+    votes to hex nibbles driver-declared, executor-evaluated.  (A nested
+    transform/aggregate expression form re-runs the interpreted tokenizer
+    per bit — see minhash_signatures docstring; same pathology.)
+    Docs whose token array is empty produce no exploded rows and drop out,
+    matching "no content → no fingerprint"."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    bit = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(bits)
+    ]
+    hexchars = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    nibbles = [
+        F.get(
+            hexchars,
+            bit[bits - 4 * k - 4]
+            + bit[bits - 4 * k - 3] * 2
+            + bit[bits - 4 * k - 2] * 4
+            + bit[bits - 4 * k - 1] * 8,
+        )
+        for k in range(bits // 4)
+    ]
+    return agg.select("id", F.concat_ws("", *nibbles).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Band join: split the 16-hex fingerprint into (max_hamming+1) blocks;
+    by pigeonhole any pair within the distance budget shares at least one
+    exact block → join on (block_idx, block), verify Hamming exactly.
+    This is the standard scalable SimHash join (no all-pairs)."""
+    nblocks = max_hamming + 1
+    blk = 16 // nblocks
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nblocks - 1)),
+                lambda b: F.struct(
+                    b.alias("block_idx"),
+                    F.substring(
+                        F.col("simhash"), b * blk + 1, blk
+                    ).alias("block"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.block_idx", "b.block")
+    # Both sides of the block self-join read this; persist so the vote
+    # aggregation runs once (fingerprints are ~24 bytes/doc — tiny).
+    banded = banded.persist()
+    l = banded.select("block_idx", "block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    r = banded.select("block_idx", "block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # exact hamming over hex nibbles via bit_count of XOR per nibble
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.bit_count(
+            F.conv(F.substring("sh_a", i, 1), 16, 10).cast("long")
+            .bitwiseXOR(F.conv(F.substring("sh_b", i, 1), 16, 10).cast("long"))
+        ),
+    )
+    return (
+        l.join(r, ["block_idx", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------- embedding near-dup
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    probe_filter: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    Computes in DOUBLE with a sequential fold so the result is IEEE-
+    reproducible across engines.  All-pairs is quadratic: `probe_filter`
+    restricts the left side (e.g. "vec_id % 20 = 0") the way a production
+    run would restrict to new arrivals; for full-corpus near-dup at scale
+    use LSH bucketing first (similarity.random_hyperplane_buckets).
+    """
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # Norms are computed once per vector BEFORE the pair join (computing
+    # them per-pair doubles the interpreted higher-order-function work on
+    # the quadratic side).  Same float expression → same IEEE result.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    left = base.filter(probe_filter) if probe_filter else base
+    l = left.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
+    r = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
+    pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.withColumn("cos_bp", F.floor(F.lit(1e4) * cos).cast("bigint"))
+        .filter(F.col("cos_bp") >= int(threshold * 10000))
+        .select("id_a", "id_b", "cos_bp")
+    )

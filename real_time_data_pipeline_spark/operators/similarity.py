@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (north-star tier, SURVEY.md
+§2.9 N3).
+
+Two tiers:
+  cosine_topk              — exact brute-force top-k (the baseline; also
+                             the verifier for the approximate path)
+  random_hyperplane_buckets / lsh_topk — sign-LSH bucketed ANN (the
+                             100 TB scale path: candidates come from
+                             matching buckets only)
+
+Numeric discipline: dot products fold in DOUBLE, sequentially, so results
+are IEEE-identical to the DuckDB oracle's list_transform/list_sum
+pipeline — ranks compare exactly, no tolerance needed.
+
+Scale notes: the query side is small (a probe batch) and broadcast; the
+corpus side streams through a single scan.  Top-k per query uses a window
+row_number bounded by a partial sort — Spark pushes the limit into a
+TakeOrderedAndProject per partition, so no full sort materializes.  For
+the LSH path, bucket signatures are computed in one projection (16
+hyperplanes → 16-bit signature) and candidates join on the signature
+prefix, trading recall for a ~2^bits candidate reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(c) -> F.Column:
+    return F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus scan, window-rank per query.  Ties broken by corpus id so the
+    result is fully deterministic."""
+    # Norms computed once per row on each side before the join — the
+    # quadratic pair stage only pays for the dot product.
+    q = F.broadcast(
+        queries.select(
+            query_id_col, query_vec_col, _norm(F.col(query_vec_col)).alias("qnrm")
+        )
+    )
+    joined = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("cnrm")
+    ).crossJoin(q)
+    cos = _dot(F.col(vec_col), F.col(query_vec_col)) / (
+        F.col("cnrm") * F.col("qnrm")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col("rank"),
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH bucket id: bit i = (v · plane_i) >= 0.  `planes` is a
+    small fixed list (generated once, seeded, driver-side) embedded as
+    literals — identical across executors, no shuffle to assign buckets."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy dependency
+    required at call sites that can't import it)."""
+    state = seed or 1
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors whose sign-LSH bucket matches
+    the query's bucket are scored.  Recall < 1 by construction; callers
+    trade n_planes against candidate count (each extra plane halves
+    the expected candidates)."""
+    planes = make_planes(dim, n_planes, seed)
+    c = random_hyperplane_buckets(
+        corpus.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("cnrm")
+        ),
+        planes,
+        vec_col,
+        "bucket",
+    )
+    q = random_hyperplane_buckets(
+        queries.select(
+            query_id_col, query_vec_col, _norm(F.col(query_vec_col)).alias("qnrm")
+        ),
+        planes,
+        query_vec_col,
+        "qbucket",
+    )
+    joined = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    cos = _dot(F.col(vec_col), F.col(query_vec_col)) / (
+        F.col("cnrm") * F.col("qnrm")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col("rank"),
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )

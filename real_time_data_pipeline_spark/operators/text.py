@@ -1,0 +1,139 @@
+"""Text analysis for training-data pipelines (north-star tier, SURVEY.md
+§2.9 N4): language ID, quality scoring, token counting, fingerprinting,
+term frequency.
+
+All operators are expression-only (split/aggregate/regexp/sha2) — no
+Python UDFs — so they run inside whole-stage codegen and scale linearly
+with the scan.  Each has a DuckDB-expressible twin for the oracle
+(queries/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier.  Real corpora would use larger profiles (or a model
+# via pandas_udf); the mechanism — per-language token-overlap scoring,
+# argmax with deterministic tie-break — is the same.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "den", "von", "ist", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "est"],
+}
+
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: char/token counts, avg token length (exact
+    integer basis points), punctuation count, stopword count."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    total_tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.floor(F.lit(100) * total_tok_chars / n_tokens).cast("bigint").alias("avg_token_len_c"),
+        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).alias("n_stopwords"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,100]: rewards reasonable length and
+    stopword presence — the standard cheap pre-filter before expensive
+    model-based scoring.  Integer arithmetic end-to-end (oracle-stable).
+
+      score = min(40, n_tokens) + min(30, 100*stopwords/tokens)
+              + (30 if 20 <= avg_token_len_c/100 <= 8 else scaled)
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    len_component = F.least(F.lit(40), n_tokens)
+    stop_component = F.least(F.lit(30), F.floor(F.lit(100) * n_stop / n_tokens).cast("int"))
+    # token-length sanity: 3..8 chars average is "natural"
+    total_tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    avg_len_c = F.floor(F.lit(100) * total_tok_chars / n_tokens)
+    len_ok = (avg_len_c >= 300) & (avg_len_c <= 800)
+    shape_component = F.when(len_ok, F.lit(30)).otherwise(F.lit(10))
+    return df.select(
+        F.col(id_col),
+        (len_component + stop_component + shape_component).cast("bigint").alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = |tokens ∩ profile| per
+    language, argmax with alphabetical tie-break, 'und' when all zero."""
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    langs = sorted(STOPWORDS)
+    out = df.select(F.col(id_col), *[scores[l].alias(f"score_{l}") for l in langs])
+    # argmax over materialized scores; iterating reverse-alphabetically
+    # with >= makes the alphabetically-first language win ties, and the
+    # s > 0 guard keeps all-zero rows at 'und'.
+    pred = F.lit("und")
+    score = F.lit(0)
+    for lang in reversed(langs):
+        s = F.col(f"score_{lang}")
+        cond = (s >= score) & (s > 0)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        score = F.when(cond, s).otherwise(score)
+    return out.select(id_col, *[f"score_{l}" for l in langs], pred.alias("predicted_lang"))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting three ways: whitespace tokens, alnum regex tokens
+    (BPE-ish pre-tokenization), and a chars/4 BPE-count estimate."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z0-9]+"), 0)).alias("n_alnum_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: sha256 of normalized text (exact-dup key) and
+    min-of-shingle-hashes (MinHash-1, order-invariant near-dup key).
+
+    Explode + hash-aggregate instead of array_min(transform(...)): sha2
+    runs codegen'd per exploded shingle and min() folds in the aggregate
+    (lexicographic string min == array_min on the hash strings).  Every doc
+    has >= 1 shingle (shingles_col pads short docs), so no rows drop."""
+    from real_time_data_pipeline_spark.operators.dedup import shingles_col
+
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    ex = df.select(
+        F.col(id_col),
+        F.sha2(norm, 256).alias("content_hash"),
+        F.explode(shingles_col(text_col, 3)).alias("shingle"),
+    )
+    return ex.groupBy(id_col, "content_hash").agg(
+        F.min(F.sha2("shingle", 256)).alias("min_shingle_hash")
+    ).select(id_col, "content_hash", "min_shingle_hash")
+
+
+def term_frequency(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus term frequency: explode tokens → count per term.  Partial
+    aggregation makes the shuffle carry one row per distinct term per
+    partition (vocab-bounded, not corpus-bounded)."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+        .filter(F.col("term_count") >= min_count)
+    )

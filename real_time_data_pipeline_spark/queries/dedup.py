@@ -1,6 +1,136 @@
-"""Deduplication query surface (filled by operators/dedup.py milestone)."""
+"""Deduplication queries over the `documents`/`embeddings`/`lineitem`
+testdata, with DuckDB oracles.
+
+The DuckDB shingle pipeline mirrors operators/dedup.py token/shingle
+construction exactly (lower → trim → collapse whitespace → split on ' ' →
+n-gram slices → distinct); any divergence there breaks the value hash, so
+both sides are defined next to each other in this module.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import dedup
+from real_time_data_pipeline_spark.schemas import load_table
+
+# DuckDB twins of operators/dedup.tokens_col / shingles_col (3-gram).
+DUCK_TOKENS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+DUCK_SHINGLES = f"""
+  list_distinct(list_transform(
+    range(1, greatest(len({DUCK_TOKENS}) - 2, 1) + 1),
+    i -> array_to_string(({DUCK_TOKENS})[i:i+2], ' ')))
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """N1 exact dedup: one surviving doc_id per distinct normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = docs.select(
+        F.concat_ws(" ", dedup.tokens_col("text")).alias("norm_text"), "doc_id"
+    )
+    return dedup.exact_dedup(normalized, ["norm_text"], "doc_id").select(
+        "doc_id"
+    )
+
+
+def q_dedup_exact_lineitem(spark, sf_dir):
+    """N1 on a fact table: first line number per order (hash groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup.exact_dedup(li, ["l_orderkey"], "l_linenumber")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidates verified at Jaccard>=0.8 (candidate-verify).
+
+    num_perm=128/bands=32 puts the miss probability for a true 0.8-Jaccard
+    pair at (1-0.8^4)^32 ≈ 5e-8, so the verified output equals the exact
+    oracle with overwhelming probability."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_perm=128, bands=32,
+        verify_threshold=0.8,
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard_bp")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding cosine near-dup pairs (threshold 0.4 fits this corpus's
+    similarity distribution; production near-dup would use ~0.95)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 over 64 bits).  No oracle —
+    xxhash64 isn't available in DuckDB; correctness is pinned by unit
+    tests against handcrafted near-identical docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_lineitem": q_dedup_exact_lineitem,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_simhash": q_dedup_simhash,  # rows-only
+}
+
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) AS jaccard_bp
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text
+          FROM documents
+        ) GROUP BY norm_text
+    """,
+    "dedup_exact_lineitem": """
+        SELECT l_orderkey, min(l_linenumber) AS l_linenumber
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "dedup_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(FLOOR(1e4 *
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               ) AS BIGINT) AS cos_bp
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND CAST(FLOOR(1e4 *
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               ) AS BIGINT) >= 4000
+    """,
+}

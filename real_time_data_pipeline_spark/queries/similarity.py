@@ -1,6 +1,65 @@
-"""Similarity-search query surface (filled by operators/similarity.py milestone)."""
+"""Similarity-search queries over `embeddings`, with DuckDB oracles.
+
+The oracle computes cosine with the same sequential-double pipeline as
+operators/similarity (list_transform + list_sum vs zip_with + aggregate),
+so cos basis points and ranks match exactly.  The approximate LSH variant
+is rows-only (recall pinned by a unit test against the exact path).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import similarity
+from real_time_data_pipeline_spark.schemas import load_table
+
+N_QUERIES = 5  # vectors 0..4 probe the corpus
+K = 10
+
+
+def _corpus_and_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, queries
+
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for the 5 probe vectors."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return similarity.cosine_topk(emb, queries, k=K)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-10 (rows-only; recall vs exact is
+    unit-tested)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return similarity.lsh_topk(emb, queries, k=K, n_planes=6, dim=64)
+
+
+QUERIES = {
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
+}
+
+_COS = """
+  list_sum(list_transform(list_zip(c.embedding, q.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+  (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+   sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+ORACLES = {
+    "ann_bruteforce_topk": f"""
+        SELECT query_id, rank, neighbor_id, cos_bp FROM (
+          SELECT q.vec_id AS query_id,
+                 c.vec_id AS neighbor_id,
+                 CAST(FLOOR(1e4 * ({_COS})) AS BIGINT) AS cos_bp,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ({_COS}) DESC, c.vec_id ASC) AS rank
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+        ) WHERE rank <= {K}
+    """,
+}

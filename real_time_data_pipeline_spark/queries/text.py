@@ -1,6 +1,128 @@
-"""Text-analysis query surface (filled by operators/text.py milestone)."""
+"""Text-analysis queries over `documents`, with DuckDB oracles.
+
+The stopword profiles and token normalization are shared with
+operators/text.py; the DuckDB SQL mirrors them expression-for-expression.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from real_time_data_pipeline_spark.operators import text as T
+from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_stats(spark, sf_dir):
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return T.language_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return T.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_term_frequency(spark, sf_dir):
+    return T.term_frequency(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality_score": q_quality_score,
+    "text_language_id": q_language_id,
+    "text_token_counts": q_token_counts,
+    "text_doc_fingerprint": q_doc_fingerprint,
+    "text_term_frequency": q_term_frequency,
+}
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+_SCORES = {
+    lang: f"len(list_intersect(list_distinct({DUCK_TOKENS}), {_stop_list(lang)}))"
+    for lang in sorted(T.STOPWORDS)
+}
+
+# argmax with alphabetical tie-break, 'und' when all scores are zero —
+# mirrors operators/text.language_id's reversed-when chain.
+_ARGMAX = f"""
+    CASE
+      WHEN {_SCORES['de']} > 0 OR {_SCORES['en']} > 0 OR {_SCORES['es']} > 0 OR {_SCORES['fr']} > 0 THEN
+        CASE
+          WHEN {_SCORES['de']} >= {_SCORES['en']} AND {_SCORES['de']} >= {_SCORES['es']} AND {_SCORES['de']} >= {_SCORES['fr']} THEN 'de'
+          WHEN {_SCORES['en']} >= {_SCORES['es']} AND {_SCORES['en']} >= {_SCORES['fr']} THEN 'en'
+          WHEN {_SCORES['es']} >= {_SCORES['fr']} THEN 'es'
+          ELSE 'fr'
+        END
+      ELSE 'und'
+    END
+"""
+
+ORACLES = {
+    "text_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({DUCK_TOKENS}) AS n_tokens,
+               CAST(FLOOR(100 * list_sum(list_transform({DUCK_TOKENS}, t -> length(t)))
+                    / len({DUCK_TOKENS})) AS BIGINT) AS avg_token_len_c,
+               len(list_filter({DUCK_TOKENS}, t -> list_contains({_stop_list('en')}, t))) AS n_stopwords
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               CAST(
+                 least(40, len({DUCK_TOKENS}))
+                 + least(30, CAST(FLOOR(100 * len(list_filter({DUCK_TOKENS}, t -> list_contains({_stop_list('en')}, t)))
+                        / len({DUCK_TOKENS})) AS INT))
+                 + CASE WHEN FLOOR(100 * list_sum(list_transform({DUCK_TOKENS}, t -> length(t))) / len({DUCK_TOKENS}))
+                        BETWEEN 300 AND 800 THEN 30 ELSE 10 END
+               AS BIGINT) AS quality_score
+        FROM documents
+    """,
+    "text_language_id": f"""
+        SELECT doc_id,
+               {_SCORES['de']} AS score_de,
+               {_SCORES['en']} AS score_en,
+               {_SCORES['es']} AS score_es,
+               {_SCORES['fr']} AS score_fr,
+               {_ARGMAX} AS predicted_lang
+        FROM documents
+    """,
+    "text_token_counts": f"""
+        SELECT doc_id,
+               len({DUCK_TOKENS}) AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents
+    """,
+    "text_doc_fingerprint": f"""
+        SELECT doc_id,
+               sha256(array_to_string({DUCK_TOKENS}, ' ')) AS content_hash,
+               list_min(list_transform(
+                 list_distinct(list_transform(
+                   range(1, greatest(len({DUCK_TOKENS}) - 2, 1) + 1),
+                   i -> array_to_string(({DUCK_TOKENS})[i:i+2], ' '))),
+                 s -> sha256(s))) AS min_shingle_hash
+        FROM documents
+    """,
+    "text_term_frequency": f"""
+        SELECT term, count(*) AS term_count FROM (
+          SELECT unnest({DUCK_TOKENS}) AS term FROM documents
+        ) GROUP BY term
+    """,
+}

@@ -106,6 +106,14 @@ TESTDATA_TABLES = [
 ]
 
 
+# Tables whose downstream operators are CPU-heavy per row (tokenization,
+# shingling, vector math).  Their testdata files are single-row-group
+# parquet, which Spark cannot split below one task; fan the scan out to
+# cluster parallelism so per-row work uses every core.  At 100 TB a scan
+# already yields thousands of splits and this is a no-op.
+_COMPUTE_HEAVY_TABLES = {"documents", "embeddings"}
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one driver testdata table as a DataFrame.
 
@@ -122,4 +130,9 @@ def load_table(spark, sf_dir: str, name: str):
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _COMPUTE_HEAVY_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
