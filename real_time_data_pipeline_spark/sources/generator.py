@@ -45,24 +45,23 @@ def _pick(options: list[str], r: F.Column) -> F.Column:
     return expr
 
 
-def synthetic_transactions(
-    spark: SparkSession,
-    n: int,
+def transactions_from_ids(
+    ids: DataFrame,
     seed: int = 42,
     now: str = "2024-01-31 00:00:00",
     n_accounts: int = 100,
     n_customers: int = 50,
-    partitions: int | None = None,
 ) -> DataFrame:
-    """Generate `n` transactions matching the reference generator's
-    distributions.  Deterministic for a given (n, seed, now)."""
+    """Map a DataFrame with an ``id`` bigint column (batch ``spark.range``
+    or the streaming ``rate`` source's ``value``) to full transaction rows
+    with the reference generator's distributions."""
     # Materialize the random streams in their own projection FIRST:
     # rand() is non-deterministic, so conditional branches referencing a
     # shared rand expression would otherwise desynchronize per row
     # (Catalyst deliberately does not collapse projects across
     # non-deterministic expressions, so this two-step shape is safe).
     names = ["acct", "cust", "type", "amt", "ts", "status", "src", "merch", "cat", "mid"]
-    df = spark.range(0, n, numPartitions=partitions).select(
+    df = ids.select(
         "id", *[F.rand(seed + i).alias(f"_r_{k}") for i, k in enumerate(names)]
     )
     r = {k: F.col(f"_r_{k}") for k in names}
@@ -111,6 +110,26 @@ def synthetic_transactions(
         F.lit(None).cast("string").alias("data_source"),
         F.lit(None).cast("string").alias("batch_id"),
         F.lit(None).cast("array<string>").alias("validation_errors"),
+    )
+
+
+def synthetic_transactions(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    now: str = "2024-01-31 00:00:00",
+    n_accounts: int = 100,
+    n_customers: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Generate `n` transactions matching the reference generator's
+    distributions.  Deterministic for a given (n, seed, now)."""
+    return transactions_from_ids(
+        spark.range(0, n, numPartitions=partitions),
+        seed=seed,
+        now=now,
+        n_accounts=n_accounts,
+        n_customers=n_customers,
     )
 
 

@@ -1,0 +1,85 @@
+"""The reference's streaming DAG, assembled from the batch operators
+(SURVEY.md §3 entry point 1; reference src/spark/transaction_processor.py:146-216).
+
+``build_dag`` is pure: Kafka-shaped frame in → named DataFrames out, so
+the identical logic runs under ``spark.read`` in tests/oracles and under
+``spark.readStream`` in production.  ``start_pipeline`` binds the outputs
+to sinks:
+
+    source (kafka | file | rate)
+      → parse (S4)  → validate (P3/P4) → enrich (P5)
+      ├─ enriched    → kafka/parquet sink, append        [reference sink A]
+      ├─ aggregates  → console/memory, complete          [reference sink B]
+      ├─ dead_letter → side sink (S10, declared-only in reference)
+      └─ alerts      → side sink (S11, declared-only in reference)
+
+The reference starts sinks A and B as independent queries reading Kafka
+twice; we keep that behavior (standard Structured Streaming — each query
+tracks its own offsets) and note the parse stage is re-executed per query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from real_time_data_pipeline_spark.operators import aggregates, transforms
+
+
+@dataclass
+class PipelineConfig:
+    """Knobs mirroring reference spark_config.yml (streaming section)."""
+
+    window_duration: str = "1 hour"      # spark_config.yml uses 1h in code
+    slide: str | None = None             # 60s/30s sliding declared variant
+    watermark: str = "30 minutes"        # transaction_processor.py:283
+    alert_amount_threshold: float = 10_000.0  # banking.alerts (S11)
+    ts_col: str = "event_time"
+    key_col: str = "account_id"
+    value_col: str = "amount"
+    extra: dict = field(default_factory=dict)
+
+
+def build_dag(raw: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+    """Kafka-shaped (key, value) frame → the four output DataFrames.
+
+    Works identically for batch and streaming inputs — the streaming-only
+    piece (watermark) is a no-op under batch execution."""
+    cfg = cfg or PipelineConfig()
+    parsed = transforms.parse_kafka_payload(raw)
+    validated = transforms.validate(parsed)
+    enriched = transforms.enrich(validated)
+    aggs = aggregates.windowed_agg(
+        enriched,
+        ts_col=cfg.ts_col,
+        key_col=cfg.key_col,
+        value_col=cfg.value_col,
+        window_duration=cfg.window_duration,
+        slide=cfg.slide,
+        watermark=cfg.watermark,
+    )
+    return {
+        "enriched": enriched,
+        "aggregates": aggs,
+        "dead_letter": enriched.filter(~F.col("is_valid")),
+        "alerts": enriched.filter(
+            F.col("is_valid") & (F.col(cfg.value_col) > cfg.alert_amount_threshold)
+        ),
+    }
+
+
+def start_pipeline(
+    raw: DataFrame,
+    sink_factories: dict[str, callable],
+    cfg: PipelineConfig | None = None,
+) -> list[StreamingQuery]:
+    """Bind DAG outputs to sinks and start the queries.
+
+    ``sink_factories`` maps output name → fn(DataFrame) -> StreamingQuery;
+    outputs without a factory are not started (the reference only wires
+    sink A and B; dead_letter/alerts are opt-in)."""
+    dag = build_dag(raw, cfg)
+    return [make(dag[name]) for name, make in sink_factories.items() if name in dag]

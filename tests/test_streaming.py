@@ -1,0 +1,220 @@
+"""Streaming semantics tests (SURVEY.md §5.3).
+
+Deterministic inputs via the file JSON-lines source with
+``maxFilesPerTrigger=1`` + ``availableNow`` trigger: files process in
+mtime order, one micro-batch each, then the query drains and stops — so
+watermark advancement between batches is reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources, stateful
+from real_time_data_pipeline_spark.operators import transforms
+
+
+def _txn(txn_id: str, ts: str, amount: float = 100.0, account: str = "ACC000001"):
+    return {
+        "transaction_id": txn_id,
+        "account_id": account,
+        "customer_id": "CUST000001",
+        "transaction_type": "deposit",
+        "amount": amount,
+        "currency": "USD",
+        "timestamp": ts,
+        "status": "completed",
+    }
+
+
+def _write_ordered_files(dirpath: str, batches: list[list[dict]]) -> None:
+    """One JSON-lines file per micro-batch, mtimes strictly increasing so
+    the file source processes them in order."""
+    os.makedirs(dirpath, exist_ok=True)
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        p = os.path.join(dirpath, f"batch_{i:03d}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def _run_stream(df, out: list, available_now: bool = True):
+    q = (
+        df.writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """The same DAG produces identical enriched rows in batch and
+    streaming (the engine's core design invariant)."""
+    rows = [
+        _txn("T1", "2024-01-01T10:00:00", 1500.0),
+        _txn("T2", "2024-01-01T10:30:00", 50.0),
+        _txn("T3", "2024-01-01T11:00:00", None),  # invalid: null amount
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+
+    stream_raw = sources.file_json_source(spark, d)
+    out: list = []
+    dag = pipeline.build_dag(stream_raw)
+    _run_stream(
+        dag["enriched"].drop("ingestion_time"), out
+    )  # ingestion_time is wall-clock
+
+    batch_raw = spark.read.text(d).select(
+        F.get_json_object("value", "$.account_id").alias("key"), "value"
+    )
+    expected = pipeline.build_dag(batch_raw)["enriched"].drop("ingestion_time").collect()
+
+    key = lambda r: r.transaction_id
+    assert sorted(out, key=key) == sorted(expected, key=key)
+
+
+def test_dead_letter_and_alerts_routing(spark, tmp_path):
+    """S10/S11: invalid rows route to dead_letter, large valid amounts to
+    alerts, and the main output keeps everything."""
+    rows = [
+        _txn("OK1", "2024-01-01T10:00:00", 100.0),
+        _txn("BAD1", "2024-01-01T10:01:00", -5.0),
+        _txn("BIG1", "2024-01-01T10:02:00", 50_000.0),
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+    dag = pipeline.build_dag(sources.file_json_source(spark, d))
+
+    dead: list = []
+    alerts: list = []
+    _run_stream(dag["dead_letter"], dead)
+    _run_stream(dag["alerts"], alerts)
+
+    assert [r.transaction_id for r in dead] == ["BAD1"]
+    assert [r.transaction_id for r in alerts] == ["BIG1"]
+
+
+def test_windowed_agg_drops_late_rows(spark, tmp_path):
+    """A1/A2: a row older than the watermark is dropped; closed windows
+    emit exactly once in append mode (reference transaction_processor.py:282-294)."""
+    batches = [
+        # batch 0: two rows in the 10:00 window -> watermark 10:15 after it
+        [_txn("T1", "2024-01-01T10:15:00"), _txn("T2", "2024-01-01T10:45:00")],
+        # batch 1: filler — Spark applies the late-row filter with a
+        # one-batch lag (the filter watermark trails the eviction
+        # watermark), so a spacer batch is needed before the raised
+        # watermark is in force for filtering
+        [_txn("FILL", "2024-01-01T10:50:00")],
+        # batch 2: late row at 08:30 — filter watermark (10:15) is past
+        # its window end (09:00), so it must be dropped
+        [_txn("LATE", "2024-01-01T08:30:00")],
+        # batches 3-4: advance the watermark to flush closed windows
+        [_txn("T3", "2024-01-01T12:30:00")],
+        [_txn("T4", "2024-01-01T14:30:00")],
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, batches)
+
+    raw = sources.file_json_source(spark, d, max_files_per_trigger=1)
+    cfg = pipeline.PipelineConfig(watermark="30 minutes")
+    aggs = pipeline.build_dag(raw, cfg)["aggregates"]
+    out: list = []
+    _run_stream(aggs, out)
+
+    by_window = {r.window_start.isoformat(): r.transaction_count for r in out}
+    # 10:00 window closed with T1+T2+FILL; the late 08:30 row was dropped
+    assert by_window.get("2024-01-01T10:00:00") == 3
+    assert "2024-01-01T08:00:00" not in by_window
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """N1 streaming: duplicate transaction_id in a later micro-batch is
+    dropped while its key is inside the watermark."""
+    batches = [
+        [_txn("D1", "2024-01-01T10:00:00"), _txn("D2", "2024-01-01T10:01:00")],
+        [_txn("D1", "2024-01-01T10:02:00"), _txn("D3", "2024-01-01T10:03:00")],
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, batches)
+
+    raw = sources.file_json_source(spark, d, max_files_per_trigger=1)
+    parsed = transforms.parse_kafka_payload(raw)
+    deduped = stateful.stream_dedup(parsed, ["transaction_id"])
+    out: list = []
+    _run_stream(deduped, out)
+
+    ids = sorted(r.transaction_id for r in out)
+    assert ids == ["D1", "D2", "D3"]
+
+
+def test_running_totals_state_accumulates(spark, tmp_path):
+    """N6: applyInPandasWithState folds state across micro-batches."""
+    batches = [
+        [_txn("S1", "2024-01-01T10:00:00", 10.0), _txn("S2", "2024-01-01T10:01:00", 20.0)],
+        [_txn("S3", "2024-01-01T10:02:00", 30.0)],
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, batches)
+
+    raw = sources.file_json_source(spark, d, max_files_per_trigger=1)
+    parsed = transforms.parse_kafka_payload(raw)
+    totals = stateful.running_totals(parsed)
+
+    seen: list = []
+    q = (
+        totals.writeStream.foreachBatch(lambda b, _i: seen.extend(b.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = seen[-1]
+    assert final.account_id == "ACC000001"
+    assert final.n_txns == 3
+    assert final.total_amount == pytest.approx(60.0)
+
+
+def test_partitioned_parquet_sink_layout(spark, tmp_path):
+    """S9: warehouse sink writes year=/month=/day= Hive layout derived
+    from event_time (spark_config.yml:65-69)."""
+    rows = [
+        _txn("P1", "2024-01-15T10:00:00"),
+        _txn("P2", "2024-02-20T11:00:00"),
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+
+    raw = sources.file_json_source(spark, d)
+    parsed = transforms.parse_kafka_payload(raw)
+    out_dir = str(tmp_path / "warehouse")
+    q = sinks.partitioned_parquet_sink(
+        parsed, out_dir, str(tmp_path / "ckpt"), ts_col="event_time"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    written = spark.read.parquet(out_dir)
+    assert sorted(
+        (r.year, r.month, r.day)
+        for r in written.select("year", "month", "day").collect()
+    ) == [(2024, 1, 15), (2024, 2, 20)]
+    # partition pruning: a day-filtered read should list only one directory
+    assert os.path.isdir(os.path.join(out_dir, "year=2024", "month=1", "day=15"))
+
+
+def test_rate_synthetic_source_schema(spark):
+    """S8: rate-driven generator emits Kafka-shaped (key, value JSON)."""
+    df = sources.rate_synthetic_source(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["key", "value"]
