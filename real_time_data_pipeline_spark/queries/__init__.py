@@ -21,13 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_data_pipeline_spark.queries import (
     dedup,
+    multimodal,
     reference_parity,
     similarity,
     text,
     tpch,
 )
 
-_MODULES = [reference_parity, tpch, dedup, text, similarity]
+_MODULES = [reference_parity, tpch, dedup, text, similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

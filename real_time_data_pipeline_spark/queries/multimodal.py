@@ -1,0 +1,97 @@
+"""Multimodal queries over `documents`, with DuckDB oracles.
+
+Synthetic media are closed-form in (doc_id, length(text)) — see
+operators/multimodal.py — so DuckDB verifies the Spark-side
+binary-synthesis → Arrow transfer → mapInPandas decode round-trip by
+computing the expected metadata/statistics directly, without touching
+bytes.  A batching/offset/schema bug in the plumbing shows up as a value
+mismatch here.
+"""
+
+from __future__ import annotations
+
+from real_time_data_pipeline_spark.operators import multimodal as M
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_image_decode(spark, sf_dir):
+    imgs = M.attach_fake_image(_docs(spark, sf_dir))
+    return M.decode_image(imgs)
+
+
+def q_image_downsample(spark, sf_dir):
+    imgs = M.attach_fake_image(_docs(spark, sf_dir))
+    return M.decode_image(M.downsample_image(imgs, factor=2))
+
+
+def q_audio_stats(spark, sf_dir):
+    audio = M.attach_fake_audio(_docs(spark, sf_dir))
+    return M.audio_stats(audio)
+
+
+def q_frame_sample(spark, sf_dir):
+    audio = M.attach_fake_audio(_docs(spark, sf_dir))
+    return M.frame_sample(audio, frame_bytes=16, every=4)
+
+
+QUERIES = {
+    "mm_image_decode": q_image_decode,
+    "mm_image_downsample": q_image_downsample,
+    "mm_audio_stats": q_audio_stats,
+    "mm_frame_sample": q_frame_sample,
+}
+
+# Closed forms (operators/multimodal.py synthesis):
+#   image: w = 4 + len%29, h = 4 + (7*len)%23, pixel[i] = (id*31+i*17)%256
+#   audio: n = 50 + len%100, sample[i] = (id*13+i*7)%256 - 128
+_W = "(4 + length(text) % 29)"
+_H = "(4 + (7 * length(text)) % 23)"
+_N_AUDIO = "(50 + length(text) % 100)"
+
+ORACLES = {
+    "mm_image_decode": f"""
+        SELECT doc_id,
+               CAST({_W} AS INT) AS width,
+               CAST({_H} AS INT) AS height,
+               CAST({_W} * {_H} AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(range(0, {_W} * {_H}),
+                    i -> (doc_id * 31 + i * 17) % 256)) AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+    # nearest-neighbor downsample by 2: kept pixel (x,y) maps to source
+    # index 2*y*w + 2*x
+    "mm_image_downsample": f"""
+        SELECT doc_id,
+               CAST({_W} // 2 AS INT) AS width,
+               CAST({_H} // 2 AS INT) AS height,
+               CAST(({_W} // 2) * ({_H} // 2) AS BIGINT) AS n_pixels,
+               CAST(list_sum(flatten(list_transform(range(0, {_H} // 2),
+                    y -> list_transform(range(0, {_W} // 2),
+                         x -> (doc_id * 31 + (2 * y * {_W} + 2 * x) * 17) % 256))))
+                    AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+    "mm_audio_stats": f"""
+        SELECT doc_id,
+               CAST({_N_AUDIO} AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, {_N_AUDIO}),
+                    i -> abs((doc_id * 13 + i * 7) % 256 - 128))) AS BIGINT)
+                    AS abs_amplitude_sum
+        FROM documents
+    """,
+    # frames of 16 bytes over the audio payload, every 4th kept; first
+    # byte of kept frame k is sample index 64*k
+    "mm_frame_sample": f"""
+        SELECT doc_id,
+               CAST({_N_AUDIO} // 16 AS INT) AS n_frames,
+               CAST(CEIL(({_N_AUDIO} // 16) / 4.0) AS INT) AS n_sampled,
+               list_transform(range(0, CAST(CEIL(({_N_AUDIO} // 16) / 4.0) AS INT)),
+                    k -> CAST((doc_id * 13 + 64 * k * 7) % 256 AS INT))
+                    AS sampled_first_bytes
+        FROM documents
+    """,
+}

@@ -1,0 +1,151 @@
+"""Unit tests for the north-star dedup / similarity / text operators
+(the oracle covers value parity on real testdata; these pin semantics on
+handcrafted edges: near-identical docs, recall of the approximate paths,
+tie-breaks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # exact dup of 1
+            (3, base.replace("lazy", "sleepy")),        # near-dup of 1
+            (4, "completely different content about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min(spark, near_dup_docs):
+    normalized = near_dup_docs.select(
+        F.concat_ws(" ", dedup.tokens_col("text")).alias("k"), "doc_id"
+    )
+    out = dedup.exact_dedup(normalized, ["k"], "doc_id")
+    survivors = sorted(r.doc_id for r in out.collect())
+    assert survivors == [1, 3, 4]  # doc 2 collapsed into doc 1
+
+
+def test_jaccard_finds_near_dups_only(near_dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(near_dup_docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got          # exact dup -> jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # one-word change
+    assert not any(4 in p for p in got)     # unrelated doc never pairs
+
+
+def test_minhash_lsh_recall_vs_exact(near_dup_docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            near_dup_docs, num_perm=64, bands=32
+        ).collect()
+    }
+    # 32 bands of 2 rows: P(miss | J>=0.5) <= (1-0.5^2)^32 ~ 1e-4
+    assert exact <= cands
+
+
+def test_simhash_distance_ordering(near_dup_docs):
+    """Identical docs get identical fingerprints; a near-dup is closer
+    than an unrelated doc.  (Absolute distances on short docs are noisy —
+    a one-token change flips every bit whose vote margin it covers — so
+    the test pins the ordering, not a fixed budget.)"""
+    fp = {r.id: r.simhash for r in dedup.simhash(near_dup_docs).collect()}
+
+    def ham(a, b):
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(fp[a], fp[b])
+        )
+
+    assert ham(1, 2) == 0
+    assert ham(1, 3) < ham(1, 4)
+    # the banded join at a permissive budget must surface the exact dup
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(near_dup_docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_embedding_near_dup_threshold(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # ~parallel to 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup(vecs, threshold=0.95).collect()}
+    assert out == {(1, 2)}
+
+
+def test_cosine_topk_rank_and_ties(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(10, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = similarity.cosine_topk(corpus, queries, k=2).collect()
+    assert [r.neighbor_id for r in out] == [10, 1]  # cos 0.707, then tie by id
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_lsh_topk_subset_of_exact_scores(spark, sf_dir):
+    """Approximate results are a subset of the corpus with exact cosines:
+    every (query, neighbor, cos_bp) in LSH output must appear in the
+    brute-force ranking with the same score."""
+    from real_time_data_pipeline_spark.queries.similarity import (
+        q_ann_bruteforce_topk,
+        q_ann_lsh_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_bp
+        for r in q_ann_bruteforce_topk(spark.sparkSession if hasattr(spark, "sparkSession") else spark, sf_dir)
+        .collect()
+    }
+    # exact holds only top-10; LSH neighbors outside it are fine — check
+    # score agreement where they overlap
+    for r in q_ann_lsh_topk(spark, sf_dir).collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert exact[(r.query_id, r.neighbor_id)] == r.cos_bp
+
+
+def test_language_id_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "el gato es de la casa y es feliz"),
+            (3, "zzz qqq www"),  # no stopwords at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_quality_score_components(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    [r] = text.quality_score(df).collect()
+    # 9 tokens -> len component 9; 3 'the'-type stopwords... recompute:
+    # stopwords present: the, over(the? no) -> 'the' x2 => floor(100*2/9)=22
+    # avg token len = floor(100*35/9) = 388 -> in [300,800] -> +30
+    assert r.quality_score == 9 + 22 + 30
