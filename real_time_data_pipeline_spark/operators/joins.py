@@ -58,3 +58,78 @@ def link_references(txns: DataFrame) -> DataFrame:
     return left.join(
         right, F.col("t1.reference_id") == F.col("t2.ref_transaction_id"), "inner"
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with the
+    same key and right_ts <= left_ts (left-join semantics: no match →
+    nulls).  Not in the reference; the standard time-series enrichment
+    operator (DuckDB ASOF JOIN, pandas merge_asof, kdb aj).
+
+    Spark-first shape — union + running last_value instead of a per-key
+    UDF or a range self-join:
+
+      1. Tag both sides and union on (key, ts): one dataset, right rows
+         sorting before left rows at equal timestamps (<= semantics).
+      2. One window pass per key ordered by (ts, tag): ``last(col,
+         ignorenulls=True)`` carries the most recent right values forward.
+      3. Keep left rows.
+
+    Cost: a single shuffle on `key` + one sort per partition — the same
+    lower bound a dedicated as-of merge would pay, with no quadratic
+    candidate pairs at any point, so it scales to arbitrarily long
+    histories.  Skewed keys fall to AQE; `tolerance` (an INTERVAL string)
+    bounds how stale a match may be, which is also what keeps state
+    bounded in a streaming adaptation.
+    """
+    from pyspark.sql import Window
+
+    rcols = right_cols or [c for c in right.columns if c != key and c != right_ts]
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_tag", F.lit(1))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in rcols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1)
+    if tolerance:
+        stale = F.col("_asof_ts") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("_") and not c.startswith("asof_")],
+            F.when(stale, None).otherwise(F.col("_asof_ts")).alias("asof_ts"),
+            *[
+                F.when(stale, None).otherwise(F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in rcols
+            ],
+        )
+    else:
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("_") and not c.startswith("asof_")],
+            F.col("_asof_ts").alias("asof_ts"),
+            *[F.col(f"asof_{c}") for c in rcols],
+        )
+    return out

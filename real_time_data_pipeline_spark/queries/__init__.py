@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_data_pipeline_spark.queries import (
     dedup,
+    joins_ext,
+    lineage_q,
     multimodal,
     reference_parity,
     similarity,
@@ -28,7 +30,7 @@ from real_time_data_pipeline_spark.queries import (
     tpch,
 )
 
-_MODULES = [reference_parity, tpch, dedup, text, similarity, multimodal]
+_MODULES = [reference_parity, tpch, joins_ext, lineage_q, dedup, text, similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,98 @@
+"""Extended join-shape queries: as-of, semi, anti — with DuckDB oracles.
+
+The as-of oracle uses DuckDB's native ``ASOF LEFT JOIN``, which pins our
+union + running-last implementation (operators/joins.asof_join) against an
+independent engine's definition of the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.joins import asof_join
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+def q_asof_join(spark, sf_dir):
+    """For every click event, the latest error event by the same user at
+    or before the click (classic time-series enrichment)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id"), "value"
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["error_event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("last_error_ts"),
+        F.col("asof_error_event_id").alias("last_error_event_id"),
+        F.floor(F.coalesce(F.col("asof_value"), F.lit(0.0)) * 100).cast("bigint").alias("last_error_value_c"),
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """Orders having at least one returned lineitem (left-semi), counted
+    by priority.  Semi-join shuffles only the keys — no row multiplication
+    on orders with many matching lineitems."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    hit = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers who never placed a large (>300k) order (left-anti),
+    counted by market segment — the gap-audit join shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300_000
+    )
+    orphans = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return orphans.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+}
+
+ORACLES = {
+    "asof_join": """
+        SELECT c.event_id,
+               c.user_id,
+               c.ts,
+               e.ts AS last_error_ts,
+               e.event_id AS last_error_event_id,
+               CAST(FLOOR(COALESCE(e.value, 0) * 100) AS BIGINT) AS last_error_value_c
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+    "semi_join": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "anti_join": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+    """,
+}

@@ -1,0 +1,66 @@
+"""Lineage queries (SURVEY.md §2.7 L1-L4) over the events stream mapped
+as transactions.
+
+``lineage_records`` emits uuid() and current_timestamp() (reference
+data_lineage.py:114,131), so the full record surface is rows-only; the
+deterministic projection (stage × status counts over a two-stage
+receive→validate pipeline) is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.lineage import lineage_records
+from real_time_data_pipeline_spark.queries.reference_parity import VALID_SQL
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+def _two_stage_lineage(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_valid", F.expr(VALID_SQL)
+    )
+    receive = lineage_records(
+        ev, "receive", "etl_pipeline", id_col="event_id",
+        hash_cols=["event_id", "user_id", "event_type"],
+    )
+    validate = lineage_records(
+        ev, "validate", "etl_pipeline", id_col="event_id", status_col="is_valid",
+        hash_cols=["event_id", "user_id", "event_type"],
+    )
+    return receive.unionByName(validate)
+
+
+def q_lineage_records(spark, sf_dir):
+    """L1: full 12-column lineage surface for a two-stage pipeline.
+    Rows-only (uuid + wall-clock timestamps are non-deterministic)."""
+    return _two_stage_lineage(spark, sf_dir)
+
+
+def q_lineage_summary(spark, sf_dir):
+    """L1/L4 deterministic projection: records per (stage, status)."""
+    return (
+        _two_stage_lineage(spark, sf_dir)
+        .groupBy("processing_stage", "status")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+QUERIES = {
+    "lineage_records": q_lineage_records,  # rows-only
+    "lineage_summary": q_lineage_summary,
+}
+
+ORACLES = {
+    "lineage_summary": f"""
+        SELECT 'receive' AS processing_stage, 'success' AS status,
+               count(*) AS n_records
+        FROM events
+        UNION ALL
+        SELECT 'validate' AS processing_stage,
+               CASE WHEN {VALID_SQL} THEN 'success' ELSE 'failure' END AS status,
+               count(*) AS n_records
+        FROM events
+        GROUP BY 2
+    """,
+}

@@ -149,3 +149,31 @@ def test_quality_score_components(spark):
     # stopwords present: the, over(the? no) -> 'the' x2 => floor(100*2/9)=22
     # avg token len = floor(100*35/9) = 388 -> in [300,800] -> +30
     assert r.quality_score == 9 + 22 + 30
+
+
+def test_asof_join_semantics(spark):
+    from real_time_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", "2024-01-01 10:00:00"), (2, "A", "2024-01-01 12:00:00"),
+         (3, "B", "2024-01-01 10:00:00")],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 09:00:00", 1.0),   # before both A rows
+         ("A", "2024-01-01 11:30:00", 2.0),   # between them
+         ("A", "2024-01-01 12:00:00", 3.0),   # exactly at left ts -> <= matches
+         ("B", "2024-01-01 11:00:00", 9.0)],  # after B's only left row
+        "k string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {r.id: r for r in asof_join(left, right, key="k", right_cols=["v"]).collect()}
+    assert out[1].asof_v == 1.0          # latest at-or-before 10:00
+    assert out[2].asof_v == 3.0          # equal timestamp matches (<=)
+    assert out[3].asof_v is None         # no right row at or before -> null
+
+    tol = {r.id: r for r in asof_join(
+        left, right, key="k", right_cols=["v"], tolerance="30 minutes"
+    ).collect()}
+    assert tol[1].asof_v is None         # 09:00 match is staler than 30min
+    assert tol[2].asof_v == 3.0
