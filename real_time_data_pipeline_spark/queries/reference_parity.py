@@ -253,8 +253,21 @@ def q_alerts(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """N2: HyperLogLog approximate distinct users/types per event_type vs
+    exact.  Rows-only: DuckDB's approx_count_distinct uses a different HLL
+    implementation so values can't hash-match; the unit test pins the
+    approximation against the exact count at rsd=0.05 instead."""
+    df = _events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 QUERIES = {
     "sliding_window_agg": q_sliding_window_agg,
+    "approx_distinct": q_approx_distinct,  # rows-only
     "validate": q_validate,
     "categorize": q_categorize,
     "validation_summary": q_validation_summary,

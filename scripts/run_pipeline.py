@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Pipeline entry point — the engine's twin of the reference's
+scripts/run_pipeline.py (modes, reference run_pipeline.py:283-284).
+
+Modes:
+  generate  — write `--num` synthetic transactions as JSON-lines files
+              into `--data-dir` (the file-source inbox), `--batch-size`
+              rows per file (reference producer thread,
+              run_pipeline.py:103-134, distributed instead of
+              row-at-a-time).
+  stream    — run the full streaming DAG over `--source`
+              (file | rate | kafka): enriched rows to the warehouse
+              parquet sink, windowed aggregates to console, dead-letter
+              and alerts to side parquet sinks (reference EP1 two-sink
+              DAG + the declared-only S9/S10/S11 sinks).
+  batch     — run the same DAG once over the files already in
+              `--data-dir` with spark.read and print summaries (the
+              reference's consumer path, vectorized).
+
+Kafka mode needs a broker (`--bootstrap-servers`); file/rate modes run
+self-contained.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.session import get_spark
+from real_time_data_pipeline_spark.sources.generator import synthetic_transactions
+from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources
+
+
+def cmd_generate(args) -> None:
+    spark = get_spark("generate")
+    txns = synthetic_transactions(spark, args.num, seed=args.seed)
+    n_files = max(1, args.num // args.batch_size)
+    (
+        txns.select(F.to_json(F.struct(*txns.columns)).alias("value"))
+        .repartition(n_files)
+        .write.mode("append")
+        .text(args.data_dir)
+    )
+    print(f"wrote {args.num} transactions to {args.data_dir} (~{n_files} files)")
+
+
+def _make_source(spark, args):
+    if args.source == "file":
+        return sources.file_json_source(spark, args.data_dir)
+    if args.source == "rate":
+        return sources.rate_synthetic_source(spark, rows_per_second=args.rate)
+    return sources.kafka_source(spark, args.bootstrap_servers, args.topic)
+
+
+def cmd_stream(args) -> None:
+    spark = get_spark("stream")
+    raw = _make_source(spark, args)
+    cfg = pipeline.PipelineConfig(watermark=args.watermark)
+    out = args.out_dir
+    queries = pipeline.start_pipeline(
+        raw,
+        {
+            "enriched": lambda df: sinks.partitioned_parquet_sink(
+                df, f"{out}/warehouse", f"{out}/ckpt/warehouse"
+            ),
+            "aggregates": lambda df: sinks.console_sink(
+                df, output_mode="complete", trigger_seconds=args.trigger
+            ),
+            "dead_letter": lambda df: sinks.partitioned_parquet_sink(
+                df, f"{out}/dead_letter", f"{out}/ckpt/dead_letter"
+            ),
+            "alerts": lambda df: sinks.partitioned_parquet_sink(
+                df, f"{out}/alerts", f"{out}/ckpt/alerts"
+            ),
+        },
+        cfg,
+    )
+    print(f"started {len(queries)} streaming queries; Ctrl-C to stop")
+    for q in queries:
+        q.awaitTermination()
+
+
+def cmd_batch(args) -> None:
+    spark = get_spark("batch")
+    raw = spark.read.text(args.data_dir).select(
+        F.get_json_object("value", "$.account_id").alias("key"), "value"
+    )
+    dag = pipeline.build_dag(raw, pipeline.PipelineConfig(watermark=args.watermark))
+    n = dag["enriched"].count()
+    bad = dag["dead_letter"].count()
+    alerts = dag["alerts"].count()
+    print(f"processed {n} rows: {bad} dead-lettered, {alerts} alerts")
+    dag["aggregates"].orderBy(F.desc("transaction_count")).show(20, truncate=False)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["generate", "stream", "batch"], required=True)
+    p.add_argument("--data-dir", default="data/inbox")
+    p.add_argument("--out-dir", default="data/out")
+    p.add_argument("--num", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--source", choices=["file", "rate", "kafka"], default="file")
+    p.add_argument("--rate", type=int, default=100)
+    p.add_argument("--topic", default="banking.transactions.raw")
+    p.add_argument("--bootstrap-servers", default="localhost:9092")
+    p.add_argument("--watermark", default="30 minutes")
+    p.add_argument("--trigger", type=int, default=10)
+    args = p.parse_args()
+    {"generate": cmd_generate, "stream": cmd_stream, "batch": cmd_batch}[args.mode](args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -177,3 +177,12 @@ def test_asof_join_semantics(spark):
     ).collect()}
     assert tol[1].asof_v is None         # 09:00 match is staler than 30min
     assert tol[2].asof_v == 3.0
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        q_approx_distinct,
+    )
+
+    for r in q_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users)
