@@ -81,6 +81,80 @@ def cosine_topk(
     )
 
 
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k via blocked matrix multiply — the vectorized scale
+    path.  The probe set is collected driver-side (it is a bounded query
+    batch — the one place a collect is correct by design) and closed over;
+    each corpus partition streams through ``mapInPandas`` doing one numpy
+    GEMM per Arrow batch and emitting only its local top-k per query, so
+    the shuffle to the final ranking carries ≤ k·|queries| rows per
+    partition regardless of corpus size.
+
+    Numerically: numpy pairwise summation ≠ the sequential fold of
+    :func:`cosine_topk`, so scores can differ in the last ulp — ranks are
+    identical except for exact ties at the boundary.  Registered
+    rows-only; the unit test pins neighbor-set equality vs the exact path.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = (
+        f"{query_id_col} long, neighbor_id long, cos double"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch, n_queries)
+            take = min(k + 1, len(ids))  # +1 in case self is in the batch
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                idx = np.argpartition(-S[:, j], take - 1)[:take]
+                for i in idx:
+                    if ids[i] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_n.append(int(ids[i]))
+                    out_c.append(float(S[i, j]))
+            yield pd.DataFrame(
+                {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "rank",
+            "neighbor_id",
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     planes: list[list[float]],

@@ -31,6 +31,14 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=K)
 
 
+def q_ann_gemm_topk(spark, sf_dir):
+    """Blocked-GEMM exact top-10 (rows-only: numpy summation order differs
+    from the sequential fold in the last ulp; neighbor sets pinned to the
+    exact path by unit test)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return similarity.cosine_topk_gemm(emb, queries, k=K)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-10 (rows-only; recall vs exact is
     unit-tested)."""
@@ -40,6 +48,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_gemm_topk": q_ann_gemm_topk,  # rows-only
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
 }
 

@@ -186,3 +186,24 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
 
     for r in q_approx_distinct(spark, sf_dir).collect():
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users)
+
+
+def test_gemm_topk_matches_exact_neighbors(spark, sf_dir):
+    from real_time_data_pipeline_spark.queries.similarity import (
+        _corpus_and_queries,
+    )
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, queries, k=10).collect()
+    gemm = similarity.cosine_topk_gemm(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    gemm_sets = {}
+    for r in gemm:
+        gemm_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert exact_sets == gemm_sets
+    # scores agree to within 1 basis point (ulp-level summation diffs)
+    ge = {(r.query_id, r.neighbor_id): r.cos_bp for r in gemm}
+    for r in exact:
+        assert abs(ge[(r.query_id, r.neighbor_id)] - r.cos_bp) <= 1
