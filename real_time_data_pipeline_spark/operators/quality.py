@@ -70,6 +70,28 @@ ACCOUNT_SUITE = [
 ]
 
 
+def suite_from_config(rules: list[dict]) -> list[Expectation]:
+    """Build a suite from declarative config rows (config/engine.yml
+    `validation.suites.*`; shape mirrors reference
+    validation_config.yml:26-59: column / expectation_type / kwargs).
+    Accepts the reference's GE-flavored type names as aliases."""
+    aliases = {
+        "dateutil_parseable": "parseable_timestamp",
+        "expect_column_values_to_not_be_null": "not_null",
+        "expect_column_values_to_be_unique": "unique",
+        "expect_column_values_to_be_in_set": "in_set",
+        "expect_column_values_to_be_between": "between",
+        "expect_column_values_to_be_dateutil_parseable": "parseable_timestamp",
+    }
+    out = []
+    for r in rules:
+        t = r["expectation_type"]
+        out.append(
+            Expectation(r["column"], aliases.get(t, t), r.get("kwargs") or {})
+        )
+    return out
+
+
 def compile_expectation(exp: Expectation) -> Column:
     """Expectation → boolean Column (true = row passes).
 

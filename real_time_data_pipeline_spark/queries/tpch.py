@@ -99,6 +99,46 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: forecast revenue change — pure filter + global agg; the
+    pushdown showcase (all three predicates reach the parquet scan, two
+    columns read)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(f"SUM({cents_sql('l_extendedprice * l_discount')}) / 1e2").alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 (adapted): top-20 customers by revenue lost to returns.
+    lineitem filter cuts the fact side before the join; customer/nation
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_order_ranking(spark, sf_dir):
     """Analytic window functions (absent from the reference; part of the
     engine's inherited surface): rank orders per customer by totalprice."""
@@ -146,6 +186,8 @@ QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
     "tpch_q3_shipping_priority": q_shipping_priority,
     "tpch_q5_local_supplier_volume": q_local_supplier_volume,
+    "tpch_q6_forecast_revenue": q_forecast_revenue,
+    "tpch_q10_returned_items": q_returned_items,
     "order_ranking": q_order_ranking,
     "rollup_counts": q_rollup_cube,
     "set_ops": q_set_ops,
@@ -187,6 +229,27 @@ ORACLES = {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY n_name
+    """,
+    "tpch_q6_forecast_revenue": f"""
+        SELECT SUM({cents_sql('l_extendedprice * l_discount')}) / 1e2 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name AS nation,
+               SUM({cents_sql(REVENUE)}) / 1e2 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
     """,
     "order_ranking": """
         SELECT o_orderkey, o_custkey,

@@ -42,6 +42,18 @@ class PipelineConfig:
     value_col: str = "amount"
     extra: dict = field(default_factory=dict)
 
+    @classmethod
+    def from_config(cls, cfg) -> "PipelineConfig":
+        """Build from a config.Config tree (config/engine.yml shape)."""
+        return cls(
+            window_duration=cfg.get("streaming.window_duration", "1 hour"),
+            slide=cfg.get("streaming.sliding_interval"),
+            watermark=cfg.get("streaming.watermark_delay", "30 minutes"),
+            alert_amount_threshold=float(
+                cfg.get("alerts.amount_threshold", 10_000.0)
+            ),
+        )
+
 
 def build_dag(raw: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
     """Kafka-shaped (key, value) frame → the four output DataFrames.

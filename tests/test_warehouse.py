@@ -1,0 +1,88 @@
+"""Physical-layout tests: partition pruning and bucketed shuffle-free
+joins — assertions are on the PLAN, not just the values, because the plan
+is the feature."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark import warehouse
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    warehouse.write_partitioned(orders, out, "o_orderdate", mode="overwrite")
+
+    read = spark.read.parquet(out).filter(
+        (F.col("year") == 1995) & (F.col("month") == 3)
+    )
+    # plan check: the partition predicates reach the scan as
+    # PartitionFilters (directory pruning, not data filtering)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "(year" in plan and "(month" in plan
+    # semantic check: filtered read equals source-side filter
+    expected = orders.filter(
+        (F.year("o_orderdate") == 1995) & (F.month("o_orderdate") == 3)
+    ).count()
+    assert read.count() == expected
+    # physical check: only year=1995/month=3 directories are listed
+    assert os.path.isdir(os.path.join(out, "year=1995", "month=3"))
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, sf_dir, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bwh LOCATION '{loc}'")
+    warehouse.write_bucketed(
+        load_table(spark, sf_dir, "orders"), "bwh.orders_b", "o_custkey", 8
+    )
+    warehouse.write_bucketed(
+        load_table(spark, sf_dir, "customer"), "bwh.customer_b", "c_custkey", 8
+    )
+    yield "bwh"
+    spark.sql("DROP DATABASE bwh CASCADE")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucket_db):
+    """Joining two tables bucketed 8-ways on the join key must produce a
+    SortMergeJoin with NO Exchange on either side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = warehouse.bucketed(spark, "bwh.orders_b")
+        c = warehouse.bucketed(spark, "bwh.customer_b")
+        joined = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        # values still correct vs the unbucketed join
+        expected = {
+            (r.c_mktsegment, r["count"])
+            for r in spark.table("bwh.orders_b")
+            .join(
+                spark.table("bwh.customer_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .count()
+            .collect()
+        }
+        got = {(r.c_mktsegment, r["count"]) for r in joined.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_agg_skips_exchange(spark, bucket_db):
+    """groupBy on the bucket key reuses the bucket distribution — no
+    Exchange before the aggregate."""
+    o = warehouse.bucketed(spark, "bwh.orders_b")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
