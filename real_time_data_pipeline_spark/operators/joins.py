@@ -60,6 +60,35 @@ def link_references(txns: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, replicate the other.
+
+    AQE's skew-join split (on in session.py) handles most skew at runtime;
+    this explicit form is for the cases AQE can't fix — a single hot key
+    whose rows exceed one executor even after splitting, or engines/
+    versions without AQE.  Each fact row gets a random salt in [0, salt);
+    the smaller side is replicated `salt` times (explode of a literal
+    range — no Python), and the join key becomes (key, salt), spreading a
+    hot key over `salt` reducers.
+
+    Use when: |dim| * salt still fits comfortably in the shuffle (the
+    replication is the price).  The fact side is never replicated.
+    """
+    salted_facts = facts.withColumn(
+        "_salt", (F.rand(seed=0) * salt).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_facts.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

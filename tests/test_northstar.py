@@ -207,3 +207,26 @@ def test_gemm_topk_matches_exact_neighbors(spark, sf_dir):
     ge = {(r.query_id, r.neighbor_id): r.cos_bp for r in gemm}
     for r in exact:
         assert abs(ge[(r.query_id, r.neighbor_id)] - r.cos_bp) <= 1
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from real_time_data_pipeline_spark.operators.joins import salted_join
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment").count().collect()
+    )
+    salted = (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            customer.withColumnRenamed("c_custkey", "custkey"),
+            "custkey", salt=4,
+        )
+        .groupBy("c_mktsegment").count().collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }

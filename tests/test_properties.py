@@ -1,0 +1,170 @@
+"""Property-based tests (hypothesis): engine operators vs independent
+pure-Python reference implementations on randomized inputs.
+
+Example counts are kept small (Spark job per example is the cost driver);
+each property batches all generated cases into ONE DataFrame so a run is
+a handful of Spark jobs, not hundreds.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import dedup
+from real_time_data_pipeline_spark.operators.joins import asof_join
+
+# --- tokenizer/shingle invariants ------------------------------------
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\t\n"), min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_tokens(s: str) -> list[str]:
+    """Pure-Python twin of dedup.tokens_col."""
+    import re
+
+    return re.sub(r"\s+", " ", s.strip()).lower().split(" ")
+
+
+def py_shingles(s: str, n: int = 3) -> list[str]:
+    toks = py_tokens(s)
+    out, seen = [], set()
+    for i in range(max(len(toks) - n, 0) + 1):
+        sh = " ".join(toks[i : i + n])
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts)
+def test_shingles_match_python_reference(spark, batch):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.sh)
+        for r in df.select(
+            "doc_id", dedup.shingles_col("text", 3).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(batch):
+        assert got[i] == py_shingles(t, 3), f"text={t!r}"
+
+
+# --- exact jaccard pairs vs brute force ------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=30),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_pairs_match_bruteforce(spark, batch):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard_bp
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    import math
+
+    for a in range(len(batch)):
+        for b in range(a + 1, len(batch)):
+            sa, sb = set(py_shingles(batch[a])), set(py_shingles(batch[b]))
+            common = len(sa & sb)
+            if common == 0:
+                assert (a, b) not in got
+            else:
+                expect = math.floor(1e4 * common / (len(sa) + len(sb) - common))
+                assert got.get((a, b)) == expect
+
+
+# --- as-of join vs brute force ---------------------------------------
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # key
+        st.integers(0, 100),          # left ts (seconds)
+    ),
+    min_size=1,
+    max_size=12,
+)
+rights = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 100),
+        st.floats(0, 1000, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # one right row per (key, ts)
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events, rights)
+def test_asof_join_matches_bruteforce(spark, ls, rs):
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(ls)], "id long, k long, sec long"
+    ).select("id", "k", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rs], "k long, sec long, v double"
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("ts"), "v")
+
+    got = {
+        r.id: r.asof_v
+        for r in asof_join(left, right, key="k", right_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(ls):
+        cands = [(rt, v) for rk, rt, v in rs if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, f"left={ls} right={rs} id={i}"
+
+
+# --- serde round trip -------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(codec="ascii", exclude_characters='"\\\x00'), min_size=1, max_size=10),
+            st.one_of(st.none(), st.floats(0.01, 1e6, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_to_json_from_json_roundtrip(spark, rows):
+    """S5/S4/P7: to_json drops null fields; from_json restores the schema
+    with nulls — the None-dropping wire behavior of the reference's
+    to_dict (transaction.py:40-67)."""
+    df = spark.createDataFrame(rows, "transaction_id string, amount double")
+    round_trip = df.select(
+        "transaction_id",
+        "amount",
+        F.to_json(F.struct("transaction_id", "amount")).alias("j"),
+    ).select(
+        "transaction_id",
+        "amount",
+        "j",
+        F.from_json("j", "transaction_id string, amount double").alias("d"),
+    )
+    for r in round_trip.collect():
+        payload = json.loads(r.j)
+        if r.amount is None:
+            assert "amount" not in payload  # null dropped on the wire
+        assert r.d.transaction_id == r.transaction_id
+        assert r.d.amount == r.amount

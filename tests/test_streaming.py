@@ -218,3 +218,32 @@ def test_rate_synthetic_source_schema(spark):
     df = sources.rate_synthetic_source(spark, rows_per_second=10)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["key", "value"]
+
+
+def test_start_pipeline_binds_sinks(spark, tmp_path):
+    """start_pipeline wires DAG outputs to sink factories and starts
+    queries (memory sinks stand in for kafka/console)."""
+    rows = [
+        _txn("M1", "2024-01-01T10:00:00", 100.0),
+        _txn("M2", "2024-01-01T10:30:00", -1.0),
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+    raw = sources.file_json_source(spark, d)
+
+    queries = pipeline.start_pipeline(
+        raw,
+        {
+            "enriched": lambda df: sinks.memory_sink(df, "mem_enriched"),
+            "dead_letter": lambda df: sinks.memory_sink(df, "mem_dead"),
+        },
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM mem_enriched").collect()[0][0] == 2
+        dead = spark.sql("SELECT transaction_id FROM mem_dead").collect()
+        assert [r.transaction_id for r in dead] == ["M2"]
+    finally:
+        for q in queries:
+            q.stop()
