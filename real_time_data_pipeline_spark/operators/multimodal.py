@@ -152,6 +152,8 @@ def downsample_image(
     is itself decodable, proving byte-level round-trips survive the Arrow
     boundary."""
 
+    import numpy as np
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, outs = [], []
@@ -160,15 +162,17 @@ def downsample_image(
                 if b[:2] != SMF_MAGIC:
                     continue
                 w, h = struct.unpack(">II", b[2:SMF_HEADER_LEN])
-                payload = b[SMF_HEADER_LEN:]
                 nw, nh = max(1, w // factor), max(1, h // factor)
-                out = bytearray(SMF_MAGIC)
-                out += struct.pack(">II", nw, nh)
-                for y in range(nh):
-                    row = payload[y * factor * w : y * factor * w + w]
-                    out += bytes(row[x * factor] for x in range(nw))
+                # numpy strided view: pixel grid → every `factor`-th row
+                # and column, cropped to the output size
+                grid = np.frombuffer(
+                    b, dtype=np.uint8, count=w * h, offset=SMF_HEADER_LEN
+                ).reshape(h, w)
+                small = grid[::factor, ::factor][:nh, :nw]
                 ids.append(doc_id)
-                outs.append(bytes(out))
+                outs.append(
+                    SMF_MAGIC + struct.pack(">II", nw, nh) + small.tobytes()
+                )
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "content": pd.Series(outs, dtype=object)})
 

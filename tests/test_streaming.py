@@ -247,3 +247,65 @@ def test_start_pipeline_binds_sinks(spark, tmp_path):
     finally:
         for q in queries:
             q.stop()
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint/restart resume: a restarted query (same checkpoint)
+    re-reads nothing — every input row lands in the sink exactly once
+    across the two runs."""
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        raw = sources.file_json_source(spark, d)
+        parsed = transforms.parse_kafka_payload(raw)
+        q = (
+            parsed.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_ordered_files(d, [[_txn("R1", "2024-01-01T10:00:00"),
+                              _txn("R2", "2024-01-01T10:01:00")]])
+    run_once()
+    # a new file arrives after the first run fully stopped; the restarted
+    # query must process only it
+    with open(os.path.join(d, "later.json"), "w") as f:
+        f.write(json.dumps(_txn("R3", "2024-01-01T10:05:00")) + "\n")
+    run_once()
+
+    ids = sorted(
+        r.transaction_id for r in spark.read.parquet(out).collect()
+    )
+    assert ids == ["R1", "R2", "R3"]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """N5 streaming: session windows close per key once the watermark
+    passes session end + gap."""
+    batches = [
+        [_txn("A1", "2024-01-01T10:00:00"), _txn("A2", "2024-01-01T10:10:00")],
+        [_txn("B1", "2024-01-01T12:00:00")],
+        [_txn("C1", "2024-01-01T14:00:00")],
+        [_txn("D1", "2024-01-01T16:00:00")],
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, batches)
+
+    raw = sources.file_json_source(spark, d, max_files_per_trigger=1)
+    parsed = transforms.parse_kafka_payload(raw)
+    sessions = stateful.sessionize(
+        parsed, ts_col="event_time", key_col="account_id", value_col="amount",
+        gap="30 minutes", watermark="30 minutes",
+    )
+    out: list = []
+    _run_stream(sessions, out)
+
+    by_start = {r.session_start.isoformat(): r.n_events for r in out}
+    assert by_start.get("2024-01-01T10:00:00") == 2  # A1+A2 merged session
+    assert by_start.get("2024-01-01T12:00:00") == 1
