@@ -217,8 +217,31 @@ def minhash_lsh_candidates(
         .distinct()
     )
     if verify_threshold is not None:
-        exact = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
-        cands = cands.join(exact, ["id_a", "id_b"], "inner")
+        # Candidate-verify: compute exact Jaccard ONLY for candidate
+        # pairs — join each side's shingle set onto the (small) candidate
+        # list and intersect.  Never runs the full O(pairs) shingle
+        # self-join; verify cost is |candidates| x shingle-set size, which
+        # is what makes the LSH path viable at 100 TB.
+        sh = df.select(
+            F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
+        )
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        cands = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("n_a", F.size("sh_a"))
+            .withColumn("n_b", F.size("sh_b"))
+            .withColumn(
+                "jaccard_bp",
+                F.expr(
+                    "CAST(FLOOR(1e4 * n_common / (n_a + n_b - n_common)) AS BIGINT)"
+                ),
+            )
+            .filter(F.col("jaccard_bp") >= int(verify_threshold * 10000))
+            .select("id_a", "id_b", "n_common", "jaccard_bp")
+        )
     return cands
 
 
