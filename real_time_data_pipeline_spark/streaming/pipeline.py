@@ -83,6 +83,40 @@ def build_dag(raw: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, Da
     }
 
 
+class TransformChain:
+    """S7: the reference's consumer processor chain, vectorized.
+
+    The reference registers per-record callbacks
+    (``TransactionConsumer.add_processor``, reference
+    src/kafka/transaction_consumer.py:77-85) applied to each message in
+    order (lines 102-104).  Here a processor is a pure
+    ``DataFrame → DataFrame`` transform; the chain composes them and runs
+    the SAME composition in batch (directly) or streaming (per
+    micro-batch via foreachBatch) — whole batches, never row-at-a-time.
+    """
+
+    def __init__(self) -> None:
+        self._processors: list = []
+
+    def add_processor(self, fn) -> "TransformChain":
+        """Register fn(DataFrame) -> DataFrame; returns self for chaining."""
+        self._processors.append(fn)
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for fn in self._processors:
+            df = fn(df)
+        return df
+
+    def foreach_batch(self, sink) -> callable:
+        """Wrap as a foreachBatch function: sink(transformed_batch, id)."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            sink(self.apply(batch), batch_id)
+
+        return _fn
+
+
 def start_pipeline(
     raw: DataFrame,
     sink_factories: dict[str, callable],

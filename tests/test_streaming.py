@@ -309,3 +309,42 @@ def test_streaming_session_windows(spark, tmp_path):
     by_start = {r.session_start.isoformat(): r.n_events for r in out}
     assert by_start.get("2024-01-01T10:00:00") == 2  # A1+A2 merged session
     assert by_start.get("2024-01-01T12:00:00") == 1
+
+
+def test_transform_chain_batch_and_stream(spark, tmp_path):
+    """S7: the registered processor chain yields identical results applied
+    batch-side and per micro-batch."""
+    from real_time_data_pipeline_spark.operators import transforms as T
+
+    chain = (
+        pipeline.TransformChain()
+        .add_processor(T.validate)
+        .add_processor(T.enrich)
+    )
+    rows = [_txn("C1", "2024-01-01T10:00:00", 2000.0),
+            _txn("C2", "2024-01-01T10:01:00", -1.0)]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+
+    batch = chain.apply(
+        T.parse_kafka_payload(
+            spark.read.text(d).select(F.lit(None).alias("key"), "value")
+        )
+    ).drop("ingestion_time")
+    expected = {(r.transaction_id, r.is_valid, r.transaction_category)
+                for r in batch.collect()}
+
+    got: list = []
+    parsed = T.parse_kafka_payload(sources.file_json_source(spark, d))
+    q = (
+        parsed.writeStream.foreachBatch(
+            chain.foreach_batch(lambda b, _i: got.extend(
+                b.drop("ingestion_time").collect()))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.transaction_id, r.is_valid, r.transaction_category)
+            for r in got} == expected
+    assert ("C1", True, "large_deposit") in expected
