@@ -347,6 +347,62 @@ def simhash_near_pairs(
 
 # ---------------------------------------------------- embedding near-dup
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH bucketed embedding near-dup — the 100 TB path.
+
+    Vectors are bucketed by the sign pattern against `n_planes` random
+    hyperplanes (similarity.random_hyperplane_buckets); only same-bucket
+    pairs are scored, cutting the candidate count ~2^n_planes at the cost
+    of recall (a near-dup pair straddling a hyperplane is missed — for
+    cos >= 0.95 the miss probability per plane is acos(.95)/pi ≈ 0.10).
+    Output schema and scoring expression match :func:`embedding_near_dup`
+    exactly, so results are a recall-subset of the exact operator with
+    identical cos_bp values (property-tested)."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        make_planes,
+        random_hyperplane_buckets,
+    )
+
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    planes = make_planes(dim, n_planes, seed)
+    base = random_hyperplane_buckets(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        ),
+        planes,
+        "v",
+        "bucket",
+    )
+    l = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
+    r = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.withColumn("cos_bp", F.floor(F.lit(1e4) * cos).cast("bigint"))
+        .filter(F.col("cos_bp") >= int(threshold * 10000))
+        .select("id_a", "id_b", "cos_bp")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

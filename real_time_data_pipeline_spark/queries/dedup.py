@@ -67,6 +67,15 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Sign-LSH bucketed near-dup (rows-only: recall-subset of the exact
+    operator, pinned by unit test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=6
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3 over 64 bits).  No oracle —
     xxhash64 isn't available in DuckDB; correctness is pinned by unit
@@ -81,6 +90,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only
     "dedup_simhash": q_dedup_simhash,  # rows-only
 }
 

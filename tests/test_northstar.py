@@ -230,3 +230,23 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert {(r.c_mktsegment, r["count"]) for r in plain} == {
         (r.c_mktsegment, r["count"]) for r in salted
     }
+
+
+def test_embedding_lsh_subset_of_exact(spark, sf_dir):
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_bp
+        for r in dedup.embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_bp
+        for r in dedup.embedding_near_dup_lsh(
+            emb, threshold=0.4, dim=64, n_planes=6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)          # recall subset, no false positives
+    for k, v in lsh.items():
+        assert exact[k] == v               # identical scores
+    assert len(lsh) > 0                    # finds a meaningful fraction
