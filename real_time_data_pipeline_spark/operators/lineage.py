@@ -56,6 +56,49 @@ def lineage_records(
     )
 
 
+def transform_lineage(
+    df_in: DataFrame,
+    df_out: DataFrame,
+    stage: str,
+    process_name: str,
+    id_col: str = "transaction_id",
+    in_hash_cols: list[str] | None = None,
+    out_hash_cols: list[str] | None = None,
+    source_system: str = "engine",
+) -> DataFrame:
+    """L1 for a transform step: input_record_hash from the pre-transform
+    row, output_record_hash from the post-transform row (the reference
+    hashes both payloads per step, data_lineage.py:127-129,201-217).
+
+    One broadcast-free equi-join on the record id; both hash columns are
+    computed scan-side before the join so only (id, hash) pairs shuffle.
+    """
+
+    def hashes(df: DataFrame, cols: list[str] | None, alias: str) -> DataFrame:
+        cs = cols or [
+            c for c, t in df.dtypes if t in ("string", "double", "bigint", "int")
+        ]
+        return df.select(F.col(id_col).alias("_id"), record_hash(cs).alias(alias))
+
+    ih = hashes(df_in, in_hash_cols, "input_record_hash")
+    oh = hashes(df_out, out_hash_cols, "output_record_hash")
+    joined = ih.join(oh, "_id")
+    return joined.select(
+        F.expr("uuid()").alias("lineage_id"),
+        F.col("_id").alias("transaction_id"),
+        F.lit(source_system).alias("source_system"),
+        F.current_timestamp().alias("source_timestamp"),
+        F.lit(stage).alias("processing_stage"),
+        F.current_timestamp().alias("processing_timestamp"),
+        F.lit(process_name).alias("process_name"),
+        F.lit(PROCESS_VERSION).alias("process_version"),
+        "input_record_hash",
+        "output_record_hash",
+        F.lit("success").alias("status"),
+        F.to_json(F.struct(F.lit(stage).alias("stage"))).alias("metadata"),
+    )
+
+
 def append_lineage(records: DataFrame, path: str) -> None:
     """L1 sink: append to the lineage table, partitioned by stage so
     per-stage scans prune (reference indexes transaction_id instead,
