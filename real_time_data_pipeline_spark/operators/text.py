@@ -29,19 +29,41 @@ STOPWORDS = {
 EN_STOPWORDS = STOPWORDS["en"]
 
 
+def _token_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared explode + hash-aggregate over tokens.
+
+    Expression-level forms (size/filter/aggregate over the token array)
+    would inline the tokenizer into every consumer — 4 interpreted
+    re-tokenizations per row (see operators/dedup.minhash_signatures for
+    the pathology).  One explode runs it once; the aggregate is codegen'd
+    with map-side combine.  tokens_col never yields an empty array (empty
+    text → [""]), so no rows drop."""
+    ex = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    return ex.groupBy(id_col, "n_chars").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("tok")).alias("total_tok_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(EN_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stopwords"),
+    )
+
+
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats: char/token counts, avg token length (exact
-    integer basis points), punctuation count, stopword count."""
-    toks = tokens_col(text_col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    total_tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    return df.select(
+    integer basis points), stopword count."""
+    agg = _token_agg(df, id_col, text_col)
+    return agg.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.floor(F.lit(100) * total_tok_chars / n_tokens).cast("bigint").alias("avg_token_len_c"),
-        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).alias("n_stopwords"),
+        F.col("n_chars"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(F.lit(100) * F.col("total_tok_chars") / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("avg_token_len_c"),
+        F.col("n_stopwords").cast("int").alias("n_stopwords"),
     )
 
 
@@ -51,19 +73,18 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     model-based scoring.  Integer arithmetic end-to-end (oracle-stable).
 
       score = min(40, n_tokens) + min(30, 100*stopwords/tokens)
-              + (30 if 20 <= avg_token_len_c/100 <= 8 else scaled)
+              + (30 if 3.00 <= avg_token_len <= 8.00 else 10)
     """
-    toks = tokens_col(text_col)
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    agg = _token_agg(df, id_col, text_col)
+    n_tokens = F.col("n_tokens").cast("int")
     len_component = F.least(F.lit(40), n_tokens)
-    stop_component = F.least(F.lit(30), F.floor(F.lit(100) * n_stop / n_tokens).cast("int"))
-    # token-length sanity: 3..8 chars average is "natural"
-    total_tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    avg_len_c = F.floor(F.lit(100) * total_tok_chars / n_tokens)
+    stop_component = F.least(
+        F.lit(30), F.floor(F.lit(100) * F.col("n_stopwords") / n_tokens).cast("int")
+    )
+    avg_len_c = F.floor(F.lit(100) * F.col("total_tok_chars") / n_tokens)
     len_ok = (avg_len_c >= 300) & (avg_len_c <= 800)
     shape_component = F.when(len_ok, F.lit(30)).otherwise(F.lit(10))
-    return df.select(
+    return agg.select(
         F.col(id_col),
         (len_component + stop_component + shape_component).cast("bigint").alias("quality_score"),
     )
@@ -71,14 +92,21 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: score = |tokens ∩ profile| per
-    language, argmax with alphabetical tie-break, 'und' when all zero."""
-    toks = F.array_distinct(tokens_col(text_col))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in STOPWORDS.items()
-    }
+    language, argmax with alphabetical tie-break, 'und' when all zero.
+    One explode over DISTINCT tokens + one aggregate with a count per
+    language profile (tokenizer runs once, not once per language)."""
     langs = sorted(STOPWORDS)
-    out = df.select(F.col(id_col), *[scores[l].alias(f"score_{l}") for l in langs])
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
+    )
+    out = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(STOPWORDS[lang]), 1).otherwise(0))
+            .cast("int")
+            .alias(f"score_{lang}")
+            for lang in langs
+        ]
+    )
     # argmax over materialized scores; iterating reverse-alphabetically
     # with >= makes the alphabetically-first language win ties, and the
     # s > 0 guard keeps all-zero rows at 'und'.
