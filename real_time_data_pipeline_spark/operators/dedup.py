@@ -286,7 +286,16 @@ def simhash(
         )
         for k in range(bits // 4)
     ]
-    return agg.select("id", F.concat_ws("", *nibbles).alias("simhash"))
+    # also fold the bits into ONE long (bit j at position j; bit 63 wraps
+    # to the sign bit, which is fine — only XOR/bit_count consume it):
+    # Hamming distance then costs a single bit_count(a ^ b) per pair
+    # instead of 16 per-nibble string conversions.
+    fp_long = bit[0].cast("long")
+    for j in range(1, bits):
+        fp_long = fp_long + F.shiftleft(bit[j].cast("long"), j)
+    return agg.select(
+        "id", F.concat_ws("", *nibbles).alias("simhash"), fp_long.alias("simhash_long")
+    )
 
 
 def simhash_near_pairs(
@@ -306,38 +315,30 @@ def simhash_near_pairs(
     sh = simhash(df, id_col, text_col)
     banded = sh.select(
         "id",
-        "simhash",
+        "simhash_long",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nblocks - 1)),
-                lambda b: F.struct(
-                    b.alias("block_idx"),
-                    F.substring(
-                        F.col("simhash"), b * blk + 1, blk
-                    ).alias("block"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring(F.col("simhash"), b * blk + 1, blk).alias("block"),
+                    )
+                    for b in range(nblocks)
+                ]
             )
         ).alias("b"),
-    ).select("id", "simhash", "b.block_idx", "b.block")
+    ).select("id", "simhash_long", "b.block_idx", "b.block")
     # Both sides of the block self-join read this; persist so the vote
     # aggregation runs once (fingerprints are ~24 bytes/doc — tiny).
     banded = banded.persist()
-    l = banded.select("block_idx", "block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    r = banded.select("block_idx", "block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    # exact hamming over hex nibbles via bit_count of XOR per nibble
-    ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(16)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.bit_count(
-            F.conv(F.substring("sh_a", i, 1), 16, 10).cast("long")
-            .bitwiseXOR(F.conv(F.substring("sh_b", i, 1), 16, 10).cast("long"))
-        ),
-    )
+    l = banded.select("block_idx", "block", F.col("id").alias("id_a"), F.col("simhash_long").alias("fp_a"))
+    r = banded.select("block_idx", "block", F.col("id").alias("id_b"), F.col("simhash_long").alias("fp_b"))
+    # exact hamming: one bit_count over the XOR of the long fingerprints
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         l.join(r, ["block_idx", "block"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "fp_a", "fp_b")
         .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
