@@ -63,7 +63,19 @@ def build_dag(raw: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, Da
     cfg = cfg or PipelineConfig()
     parsed = transforms.parse_kafka_payload(raw)
     validated = transforms.validate(parsed)
-    enriched = transforms.enrich(validated)
+    enriched = transforms.enrich(validated).observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("n_invalid"),
+        F.sum(
+            F.when(F.col("amount") > cfg.alert_amount_threshold, 1).otherwise(0)
+        ).alias("n_alert_sized"),
+    )
+    # observe(): per-micro-batch metrics computed inside the existing
+    # pass (no extra scan/aggregation job); they surface in each
+    # StreamingQueryProgress.observedMetrics["dq"] for monitoring — the
+    # engine-native version of the reference's "Monitoring" metric
+    # categories (reference README.md:104-110).
     aggs = aggregates.windowed_agg(
         enriched,
         ts_col=cfg.ts_col,
@@ -80,6 +92,29 @@ def build_dag(raw: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, Da
         "alerts": enriched.filter(
             F.col("is_valid") & (F.col(cfg.value_col) > cfg.alert_amount_threshold)
         ),
+    }
+
+
+def route_for_retry(
+    failed: DataFrame, max_attempts: int = 3, attempt_col: str = "retry_attempt"
+) -> dict[str, DataFrame]:
+    """S10 retry escalation (reference declares retry + dead-letter topics,
+    kafka_config.yml:28-30, but never implements the loop).
+
+    Splits failed rows into ``retry`` (attempt counter bumped; route back
+    to the retry topic/inbox) and ``dead`` (attempts exhausted; route to
+    the terminal dead-letter sink).  The attempt counter rides the record
+    itself — no state store needed, which is what keeps the loop safe on
+    an unbounded stream."""
+    attempts = (
+        F.col(attempt_col).cast("int")
+        if attempt_col in failed.columns
+        else F.lit(0)
+    )
+    stamped = failed.withColumn(attempt_col, F.coalesce(attempts, F.lit(0)) + 1)
+    return {
+        "retry": stamped.filter(F.col(attempt_col) <= max_attempts),
+        "dead": stamped.filter(F.col(attempt_col) > max_attempts),
     }
 
 

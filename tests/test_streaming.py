@@ -348,3 +348,57 @@ def test_transform_chain_batch_and_stream(spark, tmp_path):
     assert {(r.transaction_id, r.is_valid, r.transaction_category)
             for r in got} == expected
     assert ("C1", True, "large_deposit") in expected
+
+
+def test_observed_dq_metrics_surface_in_progress(spark, tmp_path):
+    """df.observe metrics ride the existing micro-batch pass and appear
+    in StreamingQueryProgress.observedMetrics (no extra aggregation job)."""
+    rows = [
+        _txn("O1", "2024-01-01T10:00:00", 100.0),
+        _txn("O2", "2024-01-01T10:01:00", -3.0),       # invalid
+        _txn("O3", "2024-01-01T10:02:00", 60_000.0),   # alert-sized
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+
+    dag = pipeline.build_dag(sources.file_json_source(spark, d))
+    q = (
+        dag["enriched"].writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["dq"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("dq")
+    ]
+    assert metrics, f"no dq metrics in progress: {q.recentProgress}"
+    total = {
+        "n_rows": sum(m["n_rows"] for m in metrics),
+        "n_invalid": sum(m["n_invalid"] for m in metrics),
+        "n_alert_sized": sum(m["n_alert_sized"] for m in metrics),
+    }
+    assert total == {"n_rows": 3, "n_invalid": 1, "n_alert_sized": 1}
+
+
+def test_retry_escalation_to_dead_letter(spark):
+    """S10 retry loop: failed rows cycle through the retry route with a
+    per-record attempt counter until exhausted, then land in dead."""
+    failed = spark.createDataFrame(
+        [("F1", -1.0)], "transaction_id string, amount double"
+    )
+    routed = pipeline.route_for_retry(failed, max_attempts=2)
+    assert routed["retry"].count() == 1 and routed["dead"].count() == 0
+
+    # simulate the loop: feed the retry output back in until exhaustion
+    current = routed["retry"]
+    hops = 1
+    while current.count() and hops < 10:
+        routed = pipeline.route_for_retry(current, max_attempts=2)
+        current = routed["retry"]
+        hops += 1
+    assert hops == 3                      # attempts 1, 2, then exhausted
+    assert routed["dead"].count() == 1
+    [r] = routed["dead"].collect()
+    assert r.retry_attempt == 3
