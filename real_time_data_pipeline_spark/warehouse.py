@@ -18,7 +18,10 @@ plain `.parquet(path)` writes cannot record bucket metadata.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.functions.scalar import partition_cols
 
@@ -31,6 +34,39 @@ def write_partitioned(
     df.select("*", *partition_cols(ts_col)).write.partitionBy(
         "year", "month", "day"
     ).mode(mode).parquet(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = ("year", "month", "day"),
+) -> int:
+    """Small-files compaction for a date-partitioned parquet table.
+
+    Streaming micro-batch sinks leave one file per trigger per partition;
+    at 100 TB that means millions of tiny files and scan planning that
+    takes longer than the scan.  This rewrites the table with
+    ``repartition(n, partition cols)`` where n is sized from the table's
+    on-disk bytes / target file size, using dynamic partition overwrite so
+    only rewritten partitions are replaced.  Returns the output file-group
+    count.  Run it as the periodic maintenance job (per closed day at
+    scale — pass a day-filtered path for that)."""
+    df = spark.read.parquet(path)
+    total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n = max(1, int(total_bytes / target_file_bytes) + 1)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n, *[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
 
 
 def write_bucketed(

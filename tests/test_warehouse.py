@@ -86,3 +86,37 @@ def test_bucketed_agg_skips_exchange(spark, bucket_db):
     agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction bin-packs many tiny files down to ~one per partition,
+    keeps every row, and the partition layout survives."""
+    import pathlib
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_frag")
+    # month-partitioned table fragmented by 40 concurrent writers
+    (
+        orders.repartition(40)
+        .select("*", F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month"))
+        .write.partitionBy("year", "month")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    n_partitions = len(list(pathlib.Path(out).glob("year=*/month=*")))
+    n_before = len(list(pathlib.Path(out).rglob("*.parquet")))
+    rows_before = spark.read.parquet(out).count()
+    assert n_before > 10 * n_partitions  # genuinely fragmented
+
+    warehouse.compact_partitioned(
+        spark, out, target_file_bytes=64 * 1024 * 1024,
+        partition_by=("year", "month"),
+    )
+
+    n_after = len(list(pathlib.Path(out).rglob("*.parquet")))
+    after = spark.read.parquet(out)
+    assert after.count() == rows_before
+    # floor is one file per partition directory; allow a little slack
+    assert n_after <= 2 * n_partitions
+    # layout survives: pruned reads still work
+    assert after.filter((F.col("year") == 1995) & (F.col("month") == 1)).count() > 0
