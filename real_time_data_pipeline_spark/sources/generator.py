@@ -137,21 +137,32 @@ def synthetic_accounts(
     spark: SparkSession, n_accounts: int = 100, n_customers: int = 50, seed: int = 7
 ) -> DataFrame:
     """Accounts dimension (FIXTURES.md §2; reference declares the entity at
-    validation_config.yml:47-59 / transaction.py:97-110)."""
-    df = spark.range(1, n_accounts + 1)
+    validation_config.yml:47-59 / transaction.py:97-110).
+
+    Random streams are materialized in their own projection first — the
+    same non-determinism discipline as transactions_from_ids: a rand()
+    referenced from multiple when-branches can advance between branch
+    evaluations (observed as NULL fall-through when the dim is evaluated
+    inside a streaming micro-batch plan)."""
+    df = spark.range(1, n_accounts + 1).select(
+        "id", F.rand(seed).alias("_r_type"), F.rand(seed + 1).alias("_r_status")
+    )
     return df.select(
         F.concat(F.lit("ACC"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("account_id"),
         F.concat(F.lit("CUST"), F.lpad(((F.col("id") - 1) % n_customers + 1).cast("string"), 6, "0")).alias("customer_id"),
-        _pick(["checking", "savings", "credit", "loan", "investment"], F.rand(seed)).alias("account_type"),
-        _pick(["active", "active", "active", "frozen", "closed"], F.rand(seed + 1)).alias("account_status"),
+        _pick(["checking", "savings", "credit", "loan", "investment"], F.col("_r_type")).alias("account_type"),
+        _pick(["active", "active", "active", "frozen", "closed"], F.col("_r_status")).alias("account_status"),
     )
 
 
 def synthetic_customers(spark: SparkSession, n_customers: int = 50, seed: int = 11) -> DataFrame:
-    """Customers dimension (FIXTURES.md §3)."""
-    df = spark.range(1, n_customers + 1)
+    """Customers dimension (FIXTURES.md §3).  Same rand-materialization
+    discipline as synthetic_accounts."""
+    df = spark.range(1, n_customers + 1).select(
+        "id", F.rand(seed).alias("_r_seg")
+    )
     return df.select(
         F.concat(F.lit("CUST"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("customer_id"),
         F.concat(F.lit("Customer "), F.col("id").cast("string")).alias("name"),
-        _pick(["retail", "premium", "business"], F.rand(seed)).alias("segment"),
+        _pick(["retail", "premium", "business"], F.col("_r_seg")).alias("segment"),
     )

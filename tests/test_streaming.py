@@ -402,3 +402,29 @@ def test_retry_escalation_to_dead_letter(spark):
     assert routed["dead"].count() == 1
     [r] = routed["dead"].collect()
     assert r.retry_attempt == 3
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """J1 in streaming mode (the reference's explicit TODO at
+    transaction_processor.py:267): a static broadcast dimension joined
+    onto each micro-batch."""
+    from real_time_data_pipeline_spark.operators.joins import enrich_with_accounts
+    from real_time_data_pipeline_spark.sources.generator import synthetic_accounts
+
+    rows = [_txn("J1", "2024-01-01T10:00:00", 100.0, account="ACC000001"),
+            _txn("J2", "2024-01-01T10:01:00", 100.0, account="ACC000042")]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+
+    accounts = synthetic_accounts(spark)  # static dim
+    parsed = transforms.parse_kafka_payload(sources.file_json_source(spark, d))
+    enriched = enrich_with_accounts(parsed, accounts)
+    assert enriched.isStreaming
+
+    out: list = []
+    _run_stream(enriched, out)
+    got = {r.transaction_id: r for r in out}
+    assert got["J1"].account_type in {"checking", "savings", "credit", "loan", "investment"}
+    assert got["J2"].account_status in {"active", "frozen", "closed"}
+    # customer_id backfilled from the account record is non-null
+    assert all(r.customer_id is not None for r in out)
