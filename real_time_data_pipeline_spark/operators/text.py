@@ -165,3 +165,18 @@ def term_frequency(
         .agg(F.count("*").alias("term_count"))
         .filter(F.col("term_count") >= min_count)
     )
+
+
+def doc_frequency(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-term document frequency (docs containing the term) and
+    collection frequency (total occurrences) — the exact-integer inputs
+    to any TF-IDF / filtering scheme.  One explode feeds both aggregates:
+    cf counts all rows, df counts distinct docs (partial aggregation
+    keeps the distinct bounded by vocab x docs-per-partition)."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
+    return ex.groupBy("term").agg(
+        F.countDistinct("id").alias("doc_freq"),
+        F.count("*").alias("collection_freq"),
+    )

@@ -39,6 +39,10 @@ def q_term_frequency(spark, sf_dir):
     return T.term_frequency(_docs(spark, sf_dir))
 
 
+def q_doc_frequency(spark, sf_dir):
+    return T.doc_frequency(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
@@ -46,6 +50,7 @@ QUERIES = {
     "text_token_counts": q_token_counts,
     "text_doc_fingerprint": q_doc_fingerprint,
     "text_term_frequency": q_term_frequency,
+    "text_doc_frequency": q_doc_frequency,
 }
 
 
@@ -123,6 +128,14 @@ ORACLES = {
     "text_term_frequency": f"""
         SELECT term, count(*) AS term_count FROM (
           SELECT unnest({DUCK_TOKENS}) AS term FROM documents
+        ) GROUP BY term
+    """,
+    "text_doc_frequency": f"""
+        SELECT term,
+               count(DISTINCT doc_id) AS doc_freq,
+               count(*) AS collection_freq
+        FROM (
+          SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
         ) GROUP BY term
     """,
 }
