@@ -139,6 +139,96 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (adapted): share of revenue from PROMO parts.
+
+    Conditional aggregation over a lineitem⋈part join; part is a bounded
+    dimension → broadcast, so the fact side never shuffles.  The percent
+    is computed from two exact integer cent-sums with floor division so
+    Spark and DuckDB agree bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {cents_sql(REVENUE)} "
+                "ELSE 0 END)"
+            ).alias("_promo"),
+            F.expr(f"SUM({cents_sql(REVENUE)})").alias("_total"),
+        )
+        .select(
+            F.expr("CAST(FLOOR(1e6 * _promo / _total) AS BIGINT) / 1e4").alias(
+                "promo_pct"
+            ),
+            F.expr("_promo / 1e2").alias("promo_revenue"),
+            F.expr("_total / 1e2").alias("total_revenue"),
+        )
+    )
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (adapted): customers whose orders total > 300 quantity.
+
+    The HAVING-filtered lineitem aggregate runs FIRST (shuffle on
+    l_orderkey carries one bigint per group), cutting the fact side to a
+    sliver before it joins orders; customer broadcasts.  At 100 TB the
+    pre-aggregation is the difference between shuffling 100 TB and
+    shuffling the ~1% of orders that pass the threshold.
+    """
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.expr(f"SUM({cents_sql('l_quantity')}) / 1e2").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) / 1e2").alias(
+                "o_totalprice"
+            ),
+            "sum_qty",
+        )
+    )
+
+
+def q_priority_ship_lag(spark, sf_dir):
+    """TPC-H Q4 (adapted to available columns): orders per priority having
+    at least one line item shipped >60 days after the order date.
+
+    EXISTS → left-semi join.  The non-equi part of the predicate
+    (l_shipdate > o_orderdate + 60d) rides on the equi-join on orderkey,
+    so this stays a hash semi-join, not a nested-loop.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 def q_order_ranking(spark, sf_dir):
     """Analytic window functions (absent from the reference; part of the
     engine's inherited surface): rank orders per customer by totalprice."""
@@ -188,6 +278,9 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": q_local_supplier_volume,
     "tpch_q6_forecast_revenue": q_forecast_revenue,
     "tpch_q10_returned_items": q_returned_items,
+    "tpch_q14_promo_revenue": q_promo_revenue,
+    "tpch_q18_large_volume_customers": q_large_volume_customers,
+    "tpch_q4_priority_ship_lag": q_priority_ship_lag,
     "order_ranking": q_order_ranking,
     "rollup_counts": q_rollup_cube,
     "set_ops": q_set_ops,
@@ -229,6 +322,43 @@ ORACLES = {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY n_name
+    """,
+    "tpch_q14_promo_revenue": f"""
+        SELECT CAST(FLOOR(1e6 * _promo / _total) AS BIGINT) / 1e4 AS promo_pct,
+               _promo / 1e2 AS promo_revenue,
+               _total / 1e2 AS total_revenue
+        FROM (
+          SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {cents_sql(REVENUE)}
+                          ELSE 0 END) AS _promo,
+                 SUM({cents_sql(REVENUE)}) AS _total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+        )
+    """,
+    "tpch_q18_large_volume_customers": f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) / 1e2 AS o_totalprice,
+               sum_qty
+        FROM (
+          SELECT l_orderkey, SUM({cents_sql('l_quantity')}) / 1e2 AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM({cents_sql('l_quantity')}) / 1e2 > 300
+        ) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "tpch_q4_priority_ship_lag": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
     """,
     "tpch_q6_forecast_revenue": f"""
         SELECT SUM({cents_sql('l_extendedprice * l_discount')}) / 1e2 AS revenue,
