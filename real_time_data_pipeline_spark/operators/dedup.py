@@ -355,18 +355,22 @@ def embedding_near_dup_lsh(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 6,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Sign-LSH bucketed embedding near-dup — the 100 TB path.
+    """Multi-table sign-LSH embedding near-dup — the 100 TB path.
 
-    Vectors are bucketed by the sign pattern against `n_planes` random
-    hyperplanes (similarity.random_hyperplane_buckets); only same-bucket
-    pairs are scored, cutting the candidate count ~2^n_planes at the cost
-    of recall (a near-dup pair straddling a hyperplane is missed — for
-    cos >= 0.95 the miss probability per plane is acos(.95)/pi ≈ 0.10).
-    Output schema and scoring expression match :func:`embedding_near_dup`
-    exactly, so results are a recall-subset of the exact operator with
-    identical cos_bp values (property-tested)."""
+    `n_tables` independent hash tables, each bucketing vectors by the sign
+    pattern against `n_planes` random hyperplanes
+    (similarity.random_hyperplane_buckets); only same-bucket-same-table
+    pairs are scored.  Candidate count per table drops ~2^n_planes; a true
+    pair at angle θ collides in one table with prob (1-θ/π)^n_planes, and
+    OR-ing tables amplifies recall to 1-(1-p)^n_tables (e.g. cos≥0.95,
+    6 planes, 4 tables → 0.95 recall vs 0.53 for a single table).
+    Duplicate candidates from multiple tables collapse via a distinct on
+    the (deterministic) scored pair, so output schema and cos_bp values
+    match :func:`embedding_near_dup` exactly — results are a recall-subset
+    of the exact operator (property-tested)."""
     from real_time_data_pipeline_spark.operators.similarity import (
         make_planes,
         random_hyperplane_buckets,
@@ -382,25 +386,31 @@ def embedding_near_dup_lsh(
             lambda acc, v: acc + v,
         )
 
-    planes = make_planes(dim, n_planes, seed)
-    base = random_hyperplane_buckets(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("nrm"),
-        ),
-        planes,
-        "v",
-        "bucket",
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
-    l = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
-    r = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
-    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    # One bucket column per table (cheap JVM-side exprs), then explode to
+    # (table, bucket) keys so all tables join in ONE shuffle.
+    buckets = []
+    for t in range(n_tables):
+        planes = make_planes(dim, n_planes, seed + 7919 * t)
+        base = random_hyperplane_buckets(base, planes, "v", f"_b{t}")
+        buckets.append(F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt")))
+    keyed = base.select(
+        "id", "v", "nrm", F.explode(F.array(*buckets)).alias("k")
+    ).select("id", "v", "nrm", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
+
+    l = keyed.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
+    r = keyed.select("tbl", "bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
+    pairs = l.join(r, ["tbl", "bkt"]).filter(F.col("id_a") < F.col("id_b"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cos_bp", F.floor(F.lit(1e4) * cos).cast("bigint"))
         .filter(F.col("cos_bp") >= int(threshold * 10000))
         .select("id_a", "id_b", "cos_bp")
+        .distinct()
     )
 
 

@@ -68,11 +68,16 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """Sign-LSH bucketed near-dup (rows-only: recall-subset of the exact
-    operator, pinned by unit test)."""
+    """Multi-table sign-LSH bucketed near-dup (rows-only: recall-subset of
+    the exact operator, pinned by unit test).
+
+    4 planes x 8 OR-ed tables: at this corpus's loose threshold (cos 0.4,
+    angle 66°) per-table collision is ~0.16 → ~0.75 recall; at the
+    production near-dup threshold (cos 0.95) the same config exceeds 0.99
+    recall while scoring ~2^4x fewer pairs per table than brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_lsh(
-        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=6
+        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=4, n_tables=8
     )
 
 

@@ -243,10 +243,12 @@ def test_embedding_lsh_subset_of_exact(spark, sf_dir):
     lsh = {
         (r.id_a, r.id_b): r.cos_bp
         for r in dedup.embedding_near_dup_lsh(
-            emb, threshold=0.4, dim=64, n_planes=6
+            emb, threshold=0.4, dim=64, n_planes=4, n_tables=8
         ).collect()
     }
     assert set(lsh) <= set(exact)          # recall subset, no false positives
     for k, v in lsh.items():
         assert exact[k] == v               # identical scores
-    assert len(lsh) > 0                    # finds a meaningful fraction
+    # 4 planes x 8 OR-ed tables → per-pair collision ≥ 1-(1-p)^8 with
+    # p=(1-θ/π)^4; at cos 0.4 that is ~0.75 expected recall.
+    assert len(lsh) >= len(exact) // 2
