@@ -238,3 +238,99 @@ def lsh_topk(
             F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-Flat approximate top-k — the inverted-file scale path.
+
+    Coarse quantizer: `n_cells` centroids chosen deterministically as the
+    corpus vectors with the smallest xxhash64(id, seed) (TakeOrdered —
+    one pass, no shuffle of vector payloads; a k-means refinement would
+    drop in here without changing the plan shape).  Every corpus vector
+    is assigned to its nearest centroid by cosine in one Arrow-batched
+    ``mapInPandas`` pass (numpy argmax against the 16×dim centroid
+    matrix); at 100 TB the (id → cell) assignment is the partition key
+    you'd persist the corpus under, so a probe reads nprobe/n_cells of
+    the data.  Each query probes its `nprobe` nearest cells; candidates
+    join on cell (queries broadcast) and are scored with the same
+    sequential-fold cosine as :func:`cosine_topk`, so scores of returned
+    neighbors are bit-identical to the exact path.  With
+    nprobe == n_cells this IS brute force (recall 1.0, unit-tested);
+    recall degrades gracefully as nprobe shrinks.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    Cm = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    Cm = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(Vn @ Cm.T, axis=1).astype("int32")
+            yield pdf
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    probe_q = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ Cm.T
+        for cell in np.argsort(-sims)[: min(nprobe, n_cells)]:
+            probe_q.append((int(r[0]), int(cell)))
+    probes = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(q, c) for q, c in probe_q], f"{query_id_col} long, cell int"
+        ).join(
+            queries.select(
+                query_id_col,
+                query_vec_col,
+                _norm(F.col(query_vec_col)).alias("qnrm"),
+            ),
+            query_id_col,
+        )
+    )
+
+    joined = assigned.withColumn("cnrm", _norm(F.col(vec_col))).join(probes, "cell")
+    cos = _dot(F.col(vec_col), F.col(query_vec_col)) / (
+        F.col("cnrm") * F.col("qnrm")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col("rank"),
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )

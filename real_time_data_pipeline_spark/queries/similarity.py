@@ -46,10 +46,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=K, n_planes=6, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-10: 16 deterministic coarse cells, 4
+    probed per query (rows-only; returned-neighbor scores are
+    bit-identical to the exact path, recall unit-tested — at scale the
+    cell assignment becomes the storage partition key so a probe reads
+    nprobe/n_cells of the corpus)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return similarity.ivf_topk(emb, queries, k=K, n_cells=16, nprobe=4)
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_gemm_topk": q_ann_gemm_topk,  # rows-only
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
+    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only
 }
 
 _COS = """

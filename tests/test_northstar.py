@@ -252,3 +252,35 @@ def test_embedding_lsh_subset_of_exact(spark, sf_dir):
     # 4 planes x 8 OR-ed tables → per-pair collision ≥ 1-(1-p)^8 with
     # p=(1-θ/π)^4; at cos 0.4 that is ~0.75 expected recall.
     assert len(lsh) >= len(exact) // 2
+
+
+def test_ivf_topk_full_probe_equals_exact(spark, sf_dir):
+    """nprobe == n_cells probes every inverted list, so IVF must reproduce
+    the brute-force ranking exactly (same fold ⇒ same cos_bp, same rank);
+    at nprobe=4/16 recall stays useful and every returned score is still
+    bit-exact vs the brute-force pipeline."""
+    from real_time_data_pipeline_spark.operators import similarity
+    from real_time_data_pipeline_spark.queries.similarity import (
+        _corpus_and_queries,
+    )
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_bp)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_bp)
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, n_cells=16, nprobe=16
+        ).collect()
+    }
+    assert full == exact
+
+    exact_scores = {(q, n): c for (q, _), (n, c) in exact.items()}
+    approx = similarity.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    hits = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact_scores)
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert exact_scores[(r.query_id, r.neighbor_id)] == r.cos_bp
+    assert hits >= len(exact_scores) // 4  # nprobe=4/16 keeps useful recall
