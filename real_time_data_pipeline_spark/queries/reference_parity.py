@@ -312,8 +312,8 @@ ORACLES = {
     """,
     "validation_summary": f"""
         SELECT count(*) AS total,
-               SUM(CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END) AS valid_count,
-               SUM(CASE WHEN {VALID_SQL} THEN 0 ELSE 1 END) AS invalid_count,
+               CAST(SUM(CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
+               CAST(SUM(CASE WHEN {VALID_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS invalid_count,
                CAST(FLOOR((2e0 * 10000 * SUM(CASE WHEN {VALID_SQL} THEN 1 ELSE 0 END)
                  + COUNT(*)) / (2e0 * COUNT(*))) AS BIGINT) / 1e2 AS success_rate
         FROM events
@@ -329,15 +329,20 @@ ORACLES = {
           FROM events
         )
         SELECT 'event_id' AS column, 'not_null' AS expectation_type,
-               SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS n_pass, SUM(CASE WHEN p0 THEN 0 ELSE 1 END) AS n_fail FROM flags
+               CAST(SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN p0 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail FROM flags
         UNION ALL
-        SELECT 'event_id', 'unique', SUM(CASE WHEN p1 THEN 1 ELSE 0 END), SUM(CASE WHEN p1 THEN 0 ELSE 1 END) FROM flags
+        SELECT 'event_id', 'unique', CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
         UNION ALL
-        SELECT 'user_id', 'not_null', SUM(CASE WHEN p2 THEN 1 ELSE 0 END), SUM(CASE WHEN p2 THEN 0 ELSE 1 END) FROM flags
+        SELECT 'user_id', 'not_null', CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN p2 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
         UNION ALL
-        SELECT 'event_type', 'in_set', SUM(CASE WHEN p3 THEN 1 ELSE 0 END), SUM(CASE WHEN p3 THEN 0 ELSE 1 END) FROM flags
+        SELECT 'event_type', 'in_set', CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN p3 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
         UNION ALL
-        SELECT 'value', 'between', SUM(CASE WHEN p4 THEN 1 ELSE 0 END), SUM(CASE WHEN p4 THEN 0 ELSE 1 END) FROM flags
+        SELECT 'value', 'between', CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN p4 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
     """,
     "uniqueness_violations": """
         SELECT l_orderkey, count(*) AS n FROM lineitem

@@ -22,6 +22,58 @@ from real_time_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_INT_DUCK = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def canon_spark_type(simple: str) -> str:
+    """Collapse a Spark ``simpleString`` type to a cross-engine class.
+
+    The driver's hash is type-aware: DuckDB ``SUM(int)`` yields HUGEINT
+    (int128) which is NOT the same class as Spark's BIGINT, so the classes
+    here must keep hugeint distinct while collapsing widths that both
+    engines agree on (all <=64-bit ints are one class, floats are one
+    class, timestamp tz/unit variants are one class).
+    """
+    s = simple.strip()
+    if s.startswith("array<") and s.endswith(">"):
+        return f"list<{canon_spark_type(s[6:-1])}>"
+    if s in _INT_SPARK:
+        return "int"
+    if s in ("double", "float"):
+        return "float"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "boolean":
+        return "bool"
+    return s
+
+
+def canon_duck_type(name: str) -> str:
+    s = str(name).strip()
+    if s.endswith("[]"):
+        return f"list<{canon_duck_type(s[:-2])}>"
+    u = s.upper()
+    if u in _INT_DUCK:
+        return "int"
+    if u == "HUGEINT":
+        return "hugeint"
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u in ("VARCHAR", "TEXT"):
+        return "string"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "BLOB":
+        return "binary"
+    return s.lower()
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -40,11 +92,19 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
-def value_hash(rows: list[tuple], col_order: list[int]) -> str:
+def value_hash(rows: list[tuple], col_order: list[int], canon_types: list[str]) -> str:
+    """Order-insensitive hash over (canonical dtypes, values).
+
+    The dtype signature is hashed first so a value-identical result with a
+    different type class (e.g. DuckDB HUGEINT vs Spark BIGINT) fails, the
+    same way the driver's type-aware hash does.
+    """
+    h = hashlib.sha256()
+    h.update("|".join(canon_types[i] for i in col_order).encode())
+    h.update(b"\n--\n")
     lines = sorted(
         "|".join(_norm_cell(row[i]) for i in col_order) for row in rows
     )
-    h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
@@ -68,16 +128,18 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = [f.name.lower() for f in sdf.schema.fields]
+        stypes = [canon_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields]
         sorder = sorted(range(len(scols)), key=lambda i: scols[i])
-        shash = value_hash([tuple(r) for r in srows], sorder)
+        shash = value_hash([tuple(r) for r in srows], sorder, stypes)
         if name not in oracles:
             print(f"{name:35s} rows={len(srows):7d}  (rows-only, no oracle)")
             continue
         ddf = con.sql(oracles[name])
+        dtypes = [canon_duck_type(t) for t in ddf.types]
         drows = ddf.fetchall()
         dcols = [c.lower() for c in ddf.columns]
         dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        dhash = value_hash(drows, dorder)
+        dhash = value_hash(drows, dorder, dtypes)
         ok_rows = len(srows) == len(drows)
         ok_schema = sorted(scols) == sorted(dcols)
         ok_hash = shash == dhash
@@ -85,6 +147,11 @@ def main() -> int:
         if status == "FAIL":
             failures += 1
         schema_desc = "ok" if ok_schema else f"{sorted(scols)} vs {sorted(dcols)}"
+        if ok_schema and not ok_hash:
+            st = [stypes[i] for i in sorder]
+            dt = [dtypes[i] for i in dorder]
+            if st != dt:
+                schema_desc = f"dtypes {st} vs {dt}"
         print(
             f"{name:35s} {status}  rows {len(srows)}/{len(drows)}"
             f"  schema={schema_desc}  hash {shash}/{dhash}"
