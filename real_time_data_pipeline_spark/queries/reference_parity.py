@@ -131,9 +131,16 @@ def q_uniqueness_violations(spark, sf_dir):
 
 
 def q_enrich_join(spark, sf_dir):
-    """J1/J2: fact→dimension broadcast enrichment chain
-    (orders→customer→nation→region stands in for
-    transactions→accounts→customers, reference transaction.py:97-110)."""
+    """J1/J2: fact→dimension enrichment chain (orders→customer→nation→
+    region stands in for transactions→accounts→customers, reference
+    transaction.py:97-110).
+
+    nation/region are bounded dims → broadcast hints.  customer stands
+    in for the accounts table and SCALES with SF, so the enriched dim
+    carries no hint — autoBroadcastJoinThreshold/AQE picks broadcast at
+    small SF and a shuffled join at 100 TB.  (The banking-schema
+    accounts/customers dims in operators/joins.py stay hinted: those
+    are bounded by business design.)"""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -145,7 +152,7 @@ def q_enrich_join(spark, sf_dir):
                 F.col("n_name").alias("nation_name"),
                 F.col("r_name").alias("region_name"))
     )
-    return orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left").select(
+    return orders.join(dim, orders.o_custkey == dim.c_custkey, "left").select(
         "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "nation_name", "region_name"
     )
 

@@ -50,9 +50,12 @@ def q_pricing_summary(spark, sf_dir):
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3: top-10 unshipped orders by revenue.
 
-    customer is broadcast (bounded dim); orders⋈lineitem shuffles on
-    o_orderkey.  Deterministic top-k via full tie-break (revenue desc,
-    orderkey asc).
+    customer SCALES with SF, so no broadcast hint: a hint overrides
+    autoBroadcastJoinThreshold and AQE cannot demote it, which OOMs at
+    large SF.  Unhinted, the threshold/AQE picks BroadcastHashJoin at
+    small SF (verified via .explain) and sort-merge at 100 TB.
+    orders⋈lineitem shuffles on o_orderkey.  Deterministic top-k via
+    full tie-break (revenue desc, orderkey asc).
     """
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -64,7 +67,7 @@ def q_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1995-03-15")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -77,7 +80,13 @@ def q_shipping_priority(spark, sf_dir):
 
 def q_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 (adapted): revenue by nation where customer and supplier
-    share the nation; region/nation/supplier/customer all broadcast."""
+    share the nation.
+
+    Only the genuinely bounded dims (nation: 25 rows, region: 5 rows)
+    carry broadcast hints.  customer and supplier scale with SF, so
+    their join strategy is left to autoBroadcastJoinThreshold/AQE —
+    broadcast at small SF, sort-merge/shuffled-hash at 100 TB.
+    """
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -86,9 +95,9 @@ def q_local_supplier_volume(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -122,15 +131,15 @@ def q_forecast_revenue(spark, sf_dir):
 
 def q_returned_items(spark, sf_dir):
     """TPC-H Q10 (adapted): top-20 customers by revenue lost to returns.
-    lineitem filter cuts the fact side before the join; customer/nation
-    broadcast."""
+    lineitem filter cuts the fact side before the join; nation (25 rows)
+    broadcasts by hint, customer (SF-scaling) by threshold/AQE only."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("revenue"))
@@ -142,10 +151,11 @@ def q_returned_items(spark, sf_dir):
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 (adapted): share of revenue from PROMO parts.
 
-    Conditional aggregation over a lineitem⋈part join; part is a bounded
-    dimension → broadcast, so the fact side never shuffles.  The percent
-    is computed from two exact integer cent-sums with floor division so
-    Spark and DuckDB agree bit-for-bit.
+    Conditional aggregation over a lineitem⋈part join.  part scales
+    with SF (sf10k ≈ 2B rows), so no broadcast hint — the threshold/AQE
+    picks broadcast at small SF and a shuffled join at 100 TB.  The
+    percent is computed from two exact integer cent-sums with floor
+    division so Spark and DuckDB agree bit-for-bit.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -153,7 +163,7 @@ def q_promo_revenue(spark, sf_dir):
     )
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.expr(
                 f"SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {cents_sql(REVENUE)} "
@@ -176,9 +186,10 @@ def q_large_volume_customers(spark, sf_dir):
 
     The HAVING-filtered lineitem aggregate runs FIRST (shuffle on
     l_orderkey carries one bigint per group), cutting the fact side to a
-    sliver before it joins orders; customer broadcasts.  At 100 TB the
-    pre-aggregation is the difference between shuffling 100 TB and
-    shuffling the ~1% of orders that pass the threshold.
+    sliver before it joins orders; customer (SF-scaling) joins by
+    threshold/AQE choice, no hint.  At 100 TB the pre-aggregation is
+    the difference between shuffling 100 TB and shuffling the ~1% of
+    orders that pass the threshold.
     """
     big = (
         load_table(spark, sf_dir, "lineitem")
@@ -190,7 +201,7 @@ def q_large_volume_customers(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "c_custkey",
