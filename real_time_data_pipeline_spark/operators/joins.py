@@ -122,43 +122,56 @@ def asof_join(
     from pyspark.sql import Window
 
     rcols = right_cols or [c for c in right.columns if c != key and c != right_ts]
-    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_tag", F.lit(1))
+
+    # Injected temp columns carry a suffix no user column contains, and the
+    # final projection names exactly the original left columns — so a user
+    # column called `_x` or `asof_note` survives untouched (output columns
+    # `asof_ts`/`asof_<rcol>` remain the documented naming contract).
+    sfx, n = "__aj0", 0
+    all_cols = list(left.columns) + list(right.columns)
+    while any(sfx in c for c in all_cols):
+        n += 1
+        sfx = f"__aj{n}"
+    ts_c, tag_c, rts_c = f"ts{sfx}", f"tag{sfx}", f"rts{sfx}"
+    rval = {c: f"rv{i}{sfx}" for i, c in enumerate(rcols)}
+    carried_ts, carried_val = f"cts{sfx}", {c: f"cv{i}{sfx}" for i, c in enumerate(rcols)}
+    left_cols = list(left.columns)
+
+    l = left.withColumn(ts_c, F.col(left_ts)).withColumn(tag_c, F.lit(1))
     r = right.select(
         F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_tag"),
-        F.col(right_ts).alias("_r_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(right_ts).alias(ts_c),
+        F.lit(0).alias(tag_c),
+        F.col(right_ts).alias(rts_c),
+        *[F.col(c).alias(rval[c]) for c in rcols],
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_tag")
+        .orderBy(ts_c, tag_c)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_asof_ts"),
+        F.last(rts_c, ignorenulls=True).over(w).alias(carried_ts),
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            F.last(rval[c], ignorenulls=True).over(w).alias(carried_val[c])
             for c in rcols
         ],
     )
-    out = carried.filter(F.col("_tag") == 1)
+    out = carried.filter(F.col(tag_c) == 1)
     if tolerance:
-        stale = F.col("_asof_ts") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *[c for c in out.columns if not c.startswith("_") and not c.startswith("asof_")],
-            F.when(stale, None).otherwise(F.col("_asof_ts")).alias("asof_ts"),
+        stale = F.col(carried_ts) < F.col(ts_c) - F.expr(f"INTERVAL {tolerance}")
+        return out.select(
+            *left_cols,
+            F.when(stale, None).otherwise(F.col(carried_ts)).alias("asof_ts"),
             *[
-                F.when(stale, None).otherwise(F.col(f"asof_{c}")).alias(f"asof_{c}")
+                F.when(stale, None).otherwise(F.col(carried_val[c])).alias(f"asof_{c}")
                 for c in rcols
             ],
         )
-    else:
-        out = out.select(
-            *[c for c in out.columns if not c.startswith("_") and not c.startswith("asof_")],
-            F.col("_asof_ts").alias("asof_ts"),
-            *[F.col(f"asof_{c}") for c in rcols],
-        )
-    return out
+    return out.select(
+        *left_cols,
+        F.col(carried_ts).alias("asof_ts"),
+        *[F.col(carried_val[c]).alias(f"asof_{c}") for c in rcols],
+    )

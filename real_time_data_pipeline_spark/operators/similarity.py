@@ -113,9 +113,11 @@ def cosine_topk_gemm(
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
-    out_schema = (
-        f"{query_id_col} long, neighbor_id long, cos double"
-    )
+    # Output id types follow the input schemas — hardcoding `long` would
+    # silently break string/int32 ids.
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_t}, neighbor_id {cid_t}, cos double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,7 +135,7 @@ def cosine_topk_gemm(
                     if ids[i] == qid:
                         continue
                     out_q.append(qid)
-                    out_n.append(int(ids[i]))
+                    out_n.append(ids[i])
                     out_c.append(float(S[i, j]))
             yield pd.DataFrame(
                 {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
@@ -293,20 +295,26 @@ def ivf_topk(
             pdf["cell"] = np.argmax(Vn @ Cm.T, axis=1).astype("int32")
             yield pdf
 
+    # Pass-through columns keep their input types (an array<double> corpus
+    # must not be truncated to float32 — scores are documented bit-identical
+    # to the exact path).
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    cvec_t = corpus.schema[vec_col].dataType.simpleString()
     assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, {vec_col} array<float>, cell int"
+        assign, f"{id_col} {cid_t}, {vec_col} {cvec_t}, cell int"
     )
 
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
     qrows = queries.select(query_id_col, query_vec_col).collect()
     probe_q = []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
         sims = (qv / np.linalg.norm(qv)) @ Cm.T
         for cell in np.argsort(-sims)[: min(nprobe, n_cells)]:
-            probe_q.append((int(r[0]), int(cell)))
+            probe_q.append((r[0], int(cell)))
     probes = F.broadcast(
         queries.sparkSession.createDataFrame(
-            [(q, c) for q, c in probe_q], f"{query_id_col} long, cell int"
+            probe_q, f"{query_id_col} {qid_t}, cell int"
         ).join(
             queries.select(
                 query_id_col,

@@ -179,6 +179,29 @@ def test_asof_join_semantics(spark):
     assert tol[2].asof_v == 3.0
 
 
+def test_asof_join_preserves_adversarial_column_names(spark):
+    """User columns named `_x` / `asof_note` / `_ts` must survive the join
+    (round-1 bug: the final projection filtered by startswith('_')/
+    startswith('asof_') and silently dropped them)."""
+    from real_time_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", "2024-01-01 10:00:00", "u1", "n1", "t1")],
+        "id long, k string, ts string, _x string, asof_note string, _ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 09:00:00", 1.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    for tol in (None, "2 hours"):
+        [r] = asof_join(
+            left, right, key="k", right_cols=["v"], tolerance=tol
+        ).collect()
+        assert r["_x"] == "u1" and r["asof_note"] == "n1" and r["_ts"] == "t1"
+        assert r["asof_v"] == 1.0
+        assert r["asof_ts"] is not None
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     from real_time_data_pipeline_spark.queries.reference_parity import (
         q_approx_distinct,
@@ -284,3 +307,38 @@ def test_ivf_topk_full_probe_equals_exact(spark, sf_dir):
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert exact_scores[(r.query_id, r.neighbor_id)] == r.cos_bp
     assert hits >= len(exact_scores) // 4  # nprobe=4/16 keeps useful recall
+
+
+def test_similarity_schemas_follow_input_types(spark):
+    """gemm/ivf mapInPandas output schemas must derive from the input
+    schema (round-1 bug: hardcoded `long`/`array<float>` truncated
+    array<double> corpora and broke non-bigint ids)."""
+    from real_time_data_pipeline_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:3]], "query_id int, query_vec array<double>"
+    )
+
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_bp)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    ivf = similarity.ivf_topk(corpus, queries, k=5, n_cells=4, nprobe=4)
+    assert dict(ivf.dtypes)["neighbor_id"] == "int"
+    ivf_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_bp) for r in ivf.collect()
+    }
+    # full probe + double-preserving schema ⇒ bit-identical to exact
+    assert ivf_rows == exact
+
+    gemm = similarity.cosine_topk_gemm(corpus, queries, k=5)
+    assert dict(gemm.dtypes)["neighbor_id"] == "int"
+    gemm_sets = {}
+    for r in gemm.collect():
+        gemm_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact_sets = {}
+    for (q, _), (n, _c) in exact.items():
+        exact_sets.setdefault(q, set()).add(n)
+    assert gemm_sets == exact_sets
