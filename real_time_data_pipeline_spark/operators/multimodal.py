@@ -39,42 +39,71 @@ SMF_HEADER_LEN = 10
 # ------------------------------------------------------------ synthesis
 
 def attach_fake_image(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
 ) -> DataFrame:
-    """Derive a deterministic SMF image per row, JVM-side.
+    """Derive a deterministic SMF image per row.
 
     width  = 4 + (len(text) mod 29)
     height = 4 + (7*len(text) mod 23)
     pixel[i] = (doc_id*31 + i*17) mod 256
 
-    Built with hex-string concat → unhex so generation is pure Spark SQL
-    (codegen, no Python).  ``media_type`` and metadata mirror how a real
-    ingest would carry MIME type + probe data alongside the bytes."""
-    n = F.length(text_col)
-    width = (F.lit(4) + n % 29).cast("int")
-    height = (F.lit(4) + (n * 7) % 23).cast("int")
-    npix = width * height
-    pixel_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), npix - 1),
-            lambda i: F.lpad(
-                F.hex((F.col(id_col) * 31 + i * 17) % 256), 2, "0"
-            ),
-        ),
-        "",
+    Payload bytes are built numpy-side inside mapInPandas: only
+    (id, text length) crosses the Arrow boundary, and each row's pixels
+    come from one vectorized arange — an earlier JVM-side variant built
+    per-pixel hex strings through interpreted nested HOFs, which
+    Catalyst's project-collapse re-evaluates per element (~1,000
+    interpreted lambda evals per row; the repo's PLANS.md lesson).
+    ``media_type`` and metadata mirror how a real ingest would carry
+    MIME type + probe data alongside the bytes.
+
+    Pass ``len_col`` when the caller already computed the text length
+    (e.g. before a fan-out repartition, so the exchange carries 12
+    bytes/row instead of the full text — projections don't push below an
+    explicit repartition)."""
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    src = (
+        df.select(F.col(id_col), F.col(len_col).alias("n"))
+        if len_col
+        else df.select(F.col(id_col), F.length(text_col).alias("n"))
     )
-    header_hex = F.concat(
-        F.lit(SMF_MAGIC.hex().upper()),
-        F.lpad(F.hex(width), 8, "0"),
-        F.lpad(F.hex(height), 8, "0"),
-    )
-    return df.select(
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, ws, hs = [], [], [], []
+            for doc_id, n in zip(pdf[id_col], pdf["n"]):
+                n = int(n)
+                w, h = 4 + n % 29, 4 + (7 * n) % 23
+                pix = (
+                    (int(doc_id) * 31 + np.arange(w * h, dtype=np.int64) * 17)
+                    % 256
+                ).astype(np.uint8)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                outs.append(
+                    SMF_MAGIC + struct.pack(">II", w, h) + pix.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "content": pd.Series(outs, dtype=object),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        gen, f"{id_col} {id_t}, content binary, width int, height int"
+    ).select(
         F.col(id_col),
-        F.unhex(F.concat(header_hex, pixel_hex)).alias("content"),
+        "content",
         F.lit("image/x-smf").alias("media_type"),
-        F.struct(
-            width.alias("width"), height.alias("height")
-        ).alias("media_meta"),
+        F.struct("width", "height").alias("media_meta"),
     )
 
 
@@ -190,23 +219,51 @@ def downsample_image(
 # ---------------------------------------------------------------- audio
 
 def attach_fake_audio(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
 ) -> DataFrame:
     """Deterministic fake PCM track: n_samples = 50 + len(text) mod 100,
-    sample[i] = (doc_id*13 + i*7) mod 256 − 128 (int8)."""
-    n = (F.lit(50) + F.length(text_col) % 100).cast("int")
-    sample_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.lpad(F.hex((F.col(id_col) * 13 + i * 7) % 256), 2, "0"),
-        ),
-        "",
+    sample[i] = (doc_id*13 + i*7) mod 256 − 128 (int8).
+
+    Same mapInPandas-synthesis and ``len_col`` rationale as
+    :func:`attach_fake_image`."""
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    src = (
+        df.select(F.col(id_col), F.col(len_col).alias("n"))
+        if len_col
+        else df.select(F.col(id_col), F.length(text_col).alias("n"))
     )
-    return df.select(
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, ns = [], [], []
+            for doc_id, n in zip(pdf[id_col], pdf["n"]):
+                k = 50 + int(n) % 100
+                samples = (
+                    (int(doc_id) * 13 + np.arange(k, dtype=np.int64) * 7) % 256
+                ).astype(np.uint8)
+                ids.append(doc_id)
+                ns.append(k)
+                outs.append(samples.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "content": pd.Series(outs, dtype=object),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        gen, f"{id_col} {id_t}, content binary, n_samples int"
+    ).select(
         F.col(id_col),
-        F.unhex(sample_hex).alias("content"),
+        "content",
         F.lit("audio/x-pcm8").alias("media_type"),
-        F.struct(n.alias("n_samples")).alias("media_meta"),
+        F.struct("n_samples").alias("media_meta"),
     )
 
 

@@ -10,31 +10,46 @@ mismatch here.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_time_data_pipeline_spark.operators import multimodal as M
-from real_time_data_pipeline_spark.schemas import load_table
 
 
-def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+def _doc_lengths(spark, sf_dir):
+    """Narrow (doc_id, text length) BEFORE the fan-out repartition.
+
+    documents.parquet is single-row-group, so the scan is one task; the
+    mapInPandas synthesis/decode work needs every core.  Computing the
+    length first means the fan-out exchange carries ~12 bytes/row instead
+    of the full text (projections do not push below an explicit
+    repartition).  At 100 TB the scan already yields thousands of splits
+    and the repartition branch is never taken."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def q_image_decode(spark, sf_dir):
-    imgs = M.attach_fake_image(_docs(spark, sf_dir))
+    imgs = M.attach_fake_image(_doc_lengths(spark, sf_dir), len_col="n")
     return M.decode_image(imgs)
 
 
 def q_image_downsample(spark, sf_dir):
-    imgs = M.attach_fake_image(_docs(spark, sf_dir))
+    imgs = M.attach_fake_image(_doc_lengths(spark, sf_dir), len_col="n")
     return M.decode_image(M.downsample_image(imgs, factor=2))
 
 
 def q_audio_stats(spark, sf_dir):
-    audio = M.attach_fake_audio(_docs(spark, sf_dir))
+    audio = M.attach_fake_audio(_doc_lengths(spark, sf_dir), len_col="n")
     return M.audio_stats(audio)
 
 
 def q_frame_sample(spark, sf_dir):
-    audio = M.attach_fake_audio(_docs(spark, sf_dir))
+    audio = M.attach_fake_audio(_doc_lengths(spark, sf_dir), len_col="n")
     return M.frame_sample(audio, frame_bytes=16, every=4)
 
 
