@@ -144,6 +144,103 @@ def apply_suite(
     return df.withColumn(valid_col, valid).withColumn(errors_col, errors)
 
 
+def validation_results(
+    df: DataFrame, suite: list[Expectation], run_id: str
+) -> DataFrame:
+    """Per-run validation-results artifact (reference
+    transaction_validator.py:228-256 ``save_validation_results`` persists
+    one JSON summary per run; at engine scale the artifact is a *table*:
+    one row per expectation, denormalized with the run rollup, keyed by
+    ``run_id`` so runs partition cleanly).
+
+    Columns: run_id, column, expectation_type, n_pass, n_fail, total,
+    valid_rows, invalid_rows, success_rate_bp (integer basis points,
+    half-up — float rates don't hash stably cross-engine).  Everything is
+    computed in ONE aggregate pass over the batch."""
+    flags = df.select(
+        *[compile_expectation(e).alias(f"p_{i}") for i, e in enumerate(suite)]
+    )
+    all_valid = F.col("p_0")
+    for i in range(1, len(suite)):
+        all_valid = all_valid & F.col(f"p_{i}")
+    aggs = [
+        F.count("*").alias("total"),
+        F.sum(F.when(all_valid, 1).otherwise(0)).cast("long").alias("valid_rows"),
+    ]
+    for i, _ in enumerate(suite):
+        p = F.col(f"p_{i}")
+        aggs.append(F.sum(F.when(p, 1).otherwise(0)).alias(f"pass_{i}"))
+        aggs.append(F.sum(F.when(~p, 1).otherwise(0)).alias(f"fail_{i}"))
+    wide = flags.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(e.column).alias("column"),
+            F.lit(e.expectation_type).alias("expectation_type"),
+            F.col(f"pass_{i}").alias("n_pass"),
+            F.col(f"fail_{i}").alias("n_fail"),
+        )
+        for i, e in enumerate(suite)
+    ]
+    return wide.select(
+        F.lit(run_id).alias("run_id"),
+        F.explode(F.array(*rows)).alias("m"),
+        "total",
+        "valid_rows",
+        (F.col("total") - F.col("valid_rows")).alias("invalid_rows"),
+        F.expr(
+            "CASE WHEN total = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(FLOOR((2e0 * 10000 * valid_rows + total) / (2e0 * total)) AS BIGINT) END"
+        ).alias("success_rate_bp"),
+    ).select(
+        "run_id",
+        "m.*",
+        "total",
+        "valid_rows",
+        "invalid_rows",
+        "success_rate_bp",
+    )
+
+
+def save_validation_results(
+    df: DataFrame, suite: list[Expectation], base_path: str, run_id: str
+) -> str:
+    """Persist one run's artifact under ``base_path/run_id=<run_id>``
+    (the engine twin of reference validator.py:228-256, which writes
+    ``validation_results_<ts>.json`` per run).
+
+    ``overwrite`` of the run's own partition directory makes re-running a
+    run_id idempotent — the property the streaming sink relies on.  The
+    artifact is ≤ |suite| rows, so one file per run (like the reference's
+    one JSON per run)."""
+    out = validation_results(df, suite, run_id).drop("run_id")
+    path = f"{base_path}/run_id={run_id}"
+    out.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def validation_results_sink(
+    df: DataFrame,
+    suite: list[Expectation],
+    base_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin: one artifact partition per micro-batch via
+    foreachBatch.  foreachBatch is at-least-once; the per-batch partition
+    overwrite in :func:`save_validation_results` makes replays land on
+    the same ``run_id=batch_<id>`` directory, so the artifact table stays
+    exactly-once.  Returns a started StreamingQuery."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        save_validation_results(batch, suite, base_path, f"batch_{batch_id:012d}")
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def suite_metrics(df: DataFrame, suite: list[Expectation]) -> DataFrame:
     """Per-expectation pass/fail counts for a batch — the engine-side
     version of GE's validation result summary (validator.py:197-218),

@@ -122,6 +122,26 @@ def q_dq_suite_metrics(spark, sf_dir):
     return suite_metrics(_events(spark, sf_dir), suite)
 
 
+def q_validation_results(spark, sf_dir):
+    """Validation-results artifact (reference validator.py:228-256
+    ``save_validation_results``): per-run, per-expectation results plus
+    the run rollup — exactly the DataFrame the persistence path writes,
+    so this oracle also covers what lands on disk."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        Expectation,
+        validation_results,
+    )
+
+    suite = [
+        Expectation("event_id", "not_null"),
+        Expectation("event_id", "unique"),
+        Expectation("user_id", "not_null"),
+        Expectation("event_type", "in_set", {"value_set": EVENT_TYPES}),
+        Expectation("value", "between", {"min_value": 0.01, "max_value": 1_000_000.0}),
+    ]
+    return validation_results(_events(spark, sf_dir), suite, run_id="run-001")
+
+
 def q_uniqueness_violations(spark, sf_dir):
     """A6: keys appearing more than once (GE unique expectation,
     validator.py:79-84) — l_orderkey over lineitem has natural dups."""
@@ -279,6 +299,7 @@ QUERIES = {
     "categorize": q_categorize,
     "validation_summary": q_validation_summary,
     "dq_suite_metrics": q_dq_suite_metrics,
+    "validation_results": q_validation_results,
     "uniqueness_violations": q_uniqueness_violations,
     "enrich_join": q_enrich_join,
     "self_join": q_self_join,
@@ -350,6 +371,44 @@ ORACLES = {
         UNION ALL
         SELECT 'value', 'between', CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT),
                CAST(SUM(CASE WHEN p4 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+    """,
+    "validation_results": """
+        WITH flags AS (
+          SELECT
+            (event_id IS NOT NULL) AS p0,
+            (count(*) OVER (PARTITION BY event_id) = 1) AS p1,
+            (user_id IS NOT NULL) AS p2,
+            (event_type IS NULL OR event_type IN ('click','purchase','error','signup','view')) AS p3,
+            (value IS NULL OR value BETWEEN 0.01 AND 1000000.0) AS p4
+          FROM events
+        ), tot AS (
+          SELECT count(*) AS total,
+                 CAST(SUM(CASE WHEN p0 AND p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
+          FROM flags
+        ), rules AS (
+          SELECT 'event_id' AS column, 'not_null' AS expectation_type,
+                 CAST(SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                 CAST(SUM(CASE WHEN p0 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail FROM flags
+          UNION ALL
+          SELECT 'event_id', 'unique', CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 'user_id', 'not_null', CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN p2 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 'event_type', 'in_set', CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN p3 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 'value', 'between', CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN p4 THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+        )
+        SELECT 'run-001' AS run_id, rules.column, rules.expectation_type,
+               rules.n_pass, rules.n_fail, tot.total, tot.valid_rows,
+               tot.total - tot.valid_rows AS invalid_rows,
+               CASE WHEN tot.total = 0 THEN CAST(0 AS BIGINT) ELSE
+                 CAST(FLOOR((2e0 * 10000 * tot.valid_rows + tot.total)
+                   / (2e0 * tot.total)) AS BIGINT) END AS success_rate_bp
+        FROM rules, tot
     """,
     "uniqueness_violations": """
         SELECT l_orderkey, count(*) AS n FROM lineitem

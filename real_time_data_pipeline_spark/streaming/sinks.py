@@ -65,6 +65,63 @@ def memory_sink(
     )
 
 
+def _publish_staged_batch(
+    spark, staging: str, dest: str, n_levels: int, batch_id: int
+) -> None:
+    """Move staged part files into the final partition layout under
+    deterministic batch-derived names (``b<batch_id>-<i>.parquet``).
+
+    Any files a previous (crashed) attempt of the SAME batch already
+    published are deleted first, so replaying a batch replaces exactly
+    its own files and never touches other batches' — this is what turns
+    at-least-once foreachBatch into an exactly-once warehouse.  Uses the
+    Hadoop FileSystem API, so it works on any HDFS-compatible store; the
+    two globs are one namenode listing each per micro-batch."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(dest).getFileSystem(hconf)
+    tag = f"b{batch_id:012d}"
+    part_glob = "/*" * n_levels
+
+    for st in fs.globStatus(Path(dest + part_glob + f"/{tag}-*.parquet")) or []:
+        fs.delete(st.getPath(), False)
+
+    staged = sorted(
+        fs.globStatus(Path(staging + part_glob + "/part-*.parquet")) or [],
+        key=lambda s: str(s.getPath()),
+    )
+    for i, st in enumerate(staged):
+        src = st.getPath()
+        # partition subpath = the n_levels dirs between staging root and file
+        parts = str(src).split("/")[-(n_levels + 1) : -1]
+        dst_dir = Path(dest + "/" + "/".join(parts))
+        fs.mkdirs(dst_dir)
+        dst = Path(str(dst_dir) + f"/{tag}-{i:05d}.parquet")
+        if not fs.rename(src, dst):
+            raise IOError(f"publish rename failed: {src} -> {dst}")
+    fs.delete(Path(staging), True)
+
+
+def warehouse_write_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    ts_col: str = "event_time",
+    partition_by: tuple[str, ...] = ("year", "month", "day"),
+) -> None:
+    """One micro-batch (or batch-backfill chunk) into the warehouse:
+    stage under ``path/_staging/b<batch_id>`` (underscore prefix = hidden
+    from Spark's file index), then atomically publish per-file.  Safe to
+    re-run with the same batch_id."""
+    spark = batch.sparkSession
+    staging = f"{path}/_staging/b{batch_id:012d}"
+    batch.select("*", *partition_cols(ts_col)).write.partitionBy(
+        *partition_by
+    ).mode("overwrite").parquet(staging)
+    _publish_staged_batch(spark, staging, path, len(partition_by), batch_id)
+
+
 def partitioned_parquet_sink(
     df: DataFrame,
     path: str,
@@ -77,12 +134,15 @@ def partitioned_parquet_sink(
     partition columns don't exist in the schema and must be derived).
 
     Storage-partition pruning then makes day-ranged batch queries skip
-    irrelevant files — the 100 TB table layout."""
+    irrelevant files — the 100 TB table layout.
 
-    def write_batch(batch: DataFrame, _batch_id: int) -> None:
-        batch.select("*", *partition_cols(ts_col)).write.partitionBy(
-            *partition_by
-        ).mode("append").parquet(path)
+    Idempotent under foreachBatch's at-least-once contract: each batch is
+    staged then published under deterministic batch-derived file names
+    (see :func:`warehouse_write_batch`), so a crash between the parquet
+    write and the checkpoint commit cannot duplicate rows on restart."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        warehouse_write_batch(batch, batch_id, path, ts_col, partition_by)
 
     return (
         df.writeStream.foreachBatch(write_batch)

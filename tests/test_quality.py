@@ -100,3 +100,66 @@ def test_unknown_expectation_raises():
 
     with pytest.raises(ValueError):
         quality.compile_expectation(Expectation("x", "expect_magic"))
+
+
+def test_validation_results_artifact(spark, tmp_path):
+    """Reference validator.py:228-256 save_validation_results: per-run
+    artifact with rollup, persisted under run_id= and re-runnable
+    idempotently."""
+    rows = [
+        GOOD,
+        ("T2", None, "deposit", 10.0, "USD", "pending", "2024-01-01T00:00:00"),
+        ("T2", "A3", "fee", -5.0, "USD", "pending", "2024-01-01T00:00:00"),
+    ]
+    df = _rows(spark, rows)
+    art = quality.validation_results(df, TRANSACTION_SUITE, "run-x")
+    got = {(r.column, r.expectation_type): r for r in art.collect()}
+    assert len(got) == len(TRANSACTION_SUITE)
+    r = got[("account_id", "not_null")]
+    assert (r.n_pass, r.n_fail) == (2, 1)
+    assert r.total == 3 and r.valid_rows == 1 and r.invalid_rows == 2
+    # 1/3 → 3333.33… bp, half-up → 3333
+    assert r.success_rate_bp == 3333
+    # T2 duplicated → unique fails for both its rows
+    assert got[("transaction_id", "unique")].n_fail == 2
+
+    base = str(tmp_path / "validation_results")
+    quality.save_validation_results(df, TRANSACTION_SUITE, base, "run-x")
+    quality.save_validation_results(df, TRANSACTION_SUITE, base, "run-x")  # replay
+    quality.save_validation_results(df, TRANSACTION_SUITE, base, "run-y")
+    back = spark.read.parquet(base)
+    assert back.count() == 2 * len(TRANSACTION_SUITE)  # replay did not duplicate
+    assert sorted(
+        r.run_id for r in back.select("run_id").distinct().collect()
+    ) == ["run-x", "run-y"]
+
+
+def test_validation_results_streaming_sink(spark, tmp_path):
+    """Streaming twin: one artifact partition per micro-batch via
+    foreachBatch, exactly-once on the artifact table."""
+    import json as _json
+    import os
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    with open(os.path.join(d, "b0.json"), "w") as f:
+        for row in (GOOD, ("T2", None, "deposit", 10.0, "USD", "pending",
+                           "2024-01-01T00:00:00")):
+            f.write(_json.dumps(dict(zip(
+                ("transaction_id", "account_id", "transaction_type", "amount",
+                 "currency", "status", "timestamp"), row))) + "\n")
+
+    stream = spark.readStream.schema(SCHEMA).json(d)
+    base = str(tmp_path / "artifacts")
+    q = quality.validation_results_sink(
+        stream, TRANSACTION_SUITE, base, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(base)
+    assert back.count() == len(TRANSACTION_SUITE)
+    r = back.filter("column = 'account_id' AND expectation_type = 'not_null'").first()
+    assert (r.n_pass, r.n_fail, r.total, r.valid_rows) == (1, 1, 2, 1)
+    assert r.run_id.startswith("batch_")

@@ -428,3 +428,44 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     assert got["J2"].account_status in {"active", "frozen", "closed"}
     # customer_id backfilled from the account record is non-null
     assert all(r.customer_id is not None for r in out)
+
+
+def test_warehouse_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (crash between
+    parquet write and checkpoint commit) must not duplicate warehouse
+    rows. The stage-and-publish writer names files deterministically per
+    batch, so a replay replaces exactly its own files."""
+    rows = [
+        _txn("W1", "2024-01-15T10:00:00"),
+        _txn("W2", "2024-02-20T11:00:00"),
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+    raw = sources.file_json_source(spark, d)
+    parsed = transforms.parse_kafka_payload(raw)
+    out = str(tmp_path / "wh")
+
+    q = sinks.partitioned_parquet_sink(parsed, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+
+    # replay batch 0 directly (same batch_id) — count must not change
+    replay_df = spark.createDataFrame(
+        first.drop("year", "month", "day").collect(), first.drop("year", "month", "day").schema
+    )
+    sinks.warehouse_write_batch(replay_df, 0, out)
+    again = spark.read.parquet(out)
+    assert again.count() == 2
+
+    # a NEW batch id appends
+    sinks.warehouse_write_batch(
+        replay_df.limit(1), 1, out
+    )
+    assert spark.read.parquet(out).count() == 3
+    # staging dir cleaned up and hidden from readers
+    import os
+    assert not os.listdir(os.path.join(out, "_staging")) if os.path.isdir(
+        os.path.join(out, "_staging")) else True
