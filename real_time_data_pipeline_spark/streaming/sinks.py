@@ -16,6 +16,18 @@ from real_time_data_pipeline_spark.functions.scalar import partition_cols
 from real_time_data_pipeline_spark.operators.transforms import to_kafka_payload
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """Writer options for S2 as a pure dict (unit-testable without a
+    broker; see streaming/sources.kafka_source_options)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -28,9 +40,7 @@ def kafka_sink(
     return (
         to_kafka_payload(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_dir))
         .outputMode("append")
         .start()
     )

@@ -23,6 +23,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Reader options for S1 as a pure dict, so the plumbing is
+    unit-testable without a broker (the broker-gated integration test
+    then proves the same dict against a live cluster)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # fail fast on truncated topics instead of silently dropping data
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -35,15 +56,15 @@ def kafka_source(
     ``maxOffsetsPerTrigger`` bounds micro-batch size — at production rates
     this is the backpressure knob that keeps batch duration under the
     trigger interval."""
-    reader = (
+    return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_source_options(
+                bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+            )
+        )
+        .load()
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()
 
 
 def file_json_source(
