@@ -457,3 +457,93 @@ def embedding_near_dup(
         .filter(F.col("cos_bp") >= int(threshold * 10000))
         .select("id_a", "id_b", "cos_bp")
     )
+
+
+# --------------------------------------------- end-to-end cleaning pass
+
+def near_dup_verdicts(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    jaccard_threshold: float = 0.8,
+    cos_threshold: float = 0.95,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    embedding_scale_path: bool = False,
+    **lsh_kw,
+) -> DataFrame:
+    """The full LLM-data-cleaning dedup pass as ONE verdict table: for
+    every document, the union of three independent near-dup signals plus
+    the final keep/drop decision.
+
+      - ``is_exact_dup``     — normalized text identical to a lower-id doc
+      - ``is_minhash_dup``   — higher-id member of a verified MinHash-LSH
+                               pair at Jaccard >= ``jaccard_threshold``
+      - ``is_embedding_dup`` — higher-id member of an embedding-cosine
+                               pair at cos >= ``cos_threshold``
+      - ``keep``             — no signal fired (the canonical survivor of
+                               each pair/group is the MINIMUM id, the
+                               standard greedy LSH-dedup rule)
+
+    ``embedding_scale_path=True`` swaps the quadratic exact cosine pass
+    for multi-table sign-LSH (``embedding_near_dup_lsh``, extra kwargs
+    forwarded) — the 100 TB configuration; the result is then a
+    recall-subset of the exact verdicts (property-tested).
+
+    Scale shape: each signal reduces to a small distinct id set (bounded
+    by the duplicate count, a tiny fraction of the corpus), and the three
+    flag joins are doc_id-keyed left joins against those sets — at scale
+    AQE broadcasts them, so the verdict assembly adds no extra shuffle of
+    the corpus itself."""
+    norm_text = F.concat_ws(" ", tokens_col(text_col))
+    survivors = (
+        docs.select(norm_text.alias("_norm"), F.col(id_col))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .withColumn("_survivor", F.lit(True))
+    )
+    mh_dup = (
+        minhash_lsh_candidates(
+            docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+            verify_threshold=jaccard_threshold,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_mh", F.lit(True))
+    )
+    if embedding_scale_path:
+        epairs = embedding_near_dup_lsh(
+            emb, vec_id_col, vec_col, threshold=cos_threshold, **lsh_kw
+        )
+    else:
+        epairs = embedding_near_dup(emb, vec_id_col, vec_col, threshold=cos_threshold)
+    emb_dup = (
+        epairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_emb", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(survivors, id_col, "left")
+        .join(mh_dup, id_col, "left")
+        .join(emb_dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("_survivor").isNull().alias("is_exact_dup"),
+            F.coalesce(F.col("_mh"), F.lit(False)).alias("is_minhash_dup"),
+            F.coalesce(F.col("_emb"), F.lit(False)).alias("is_embedding_dup"),
+        )
+        .withColumn(
+            "keep",
+            ~(
+                F.col("is_exact_dup")
+                | F.col("is_minhash_dup")
+                | F.col("is_embedding_dup")
+            ),
+        )
+    )

@@ -89,6 +89,32 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end LLM-data-cleaning pass: per-document verdict unioning
+    exact, MinHash-LSH (verified), and embedding-cosine near-dup signals
+    (documents + embeddings joined on doc_id == vec_id).  Oracle-checked:
+    the verified MinHash output equals the exact-Jaccard oracle w.h.p.
+    (miss prob ~5e-8/pair at 128 perm / 32 bands), the other signals are
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4
+    )
+
+
+def q_dedup_pipeline_lsh(spark, sf_dir):
+    """Same pass with the embedding signal on the sign-LSH scale path
+    (rows-only: LSH recall < 1 at this corpus's loose cos-0.4 threshold;
+    property test pins verdicts as a subset of the exact pipeline's)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_lineitem": q_dedup_exact_lineitem,
@@ -97,6 +123,8 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only
     "dedup_simhash": q_dedup_simhash,  # rows-only
+    "dedup_pipeline": q_dedup_pipeline,
+    "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # rows-only
 }
 
 _JACCARD_ORACLE = f"""
@@ -118,7 +146,56 @@ _JACCARD_ORACLE = f"""
     WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
 """
 
+# DuckDB twin of the embedding-cosine pair predicate (dedup_embedding).
+_COS_BP = """
+    CAST(FLOOR(1e4 *
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    ) AS BIGINT)
+"""
+
+_PIPELINE_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jdups AS (
+      SELECT DISTINCT id_b FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
+    ),
+    edups AS (
+      SELECT DISTINCT b.vec_id AS id_b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id AND {_COS_BP} >= 4000
+    ),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text
+        FROM documents
+      ) GROUP BY norm_text
+    )
+    SELECT d.doc_id,
+           d.doc_id NOT IN (SELECT doc_id FROM survivors) AS is_exact_dup,
+           d.doc_id IN (SELECT id_b FROM jdups) AS is_minhash_dup,
+           d.doc_id IN (SELECT id_b FROM edups) AS is_embedding_dup,
+           NOT (d.doc_id NOT IN (SELECT doc_id FROM survivors)
+                OR d.doc_id IN (SELECT id_b FROM jdups)
+                OR d.doc_id IN (SELECT id_b FROM edups)) AS keep
+    FROM documents d
+"""
+
 ORACLES = {
+    "dedup_pipeline": _PIPELINE_ORACLE,
     "dedup_exact": f"""
         SELECT min(doc_id) AS doc_id FROM (
           SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text

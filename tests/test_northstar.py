@@ -342,3 +342,33 @@ def test_similarity_schemas_follow_input_types(spark):
     for (q, _), (n, _c) in exact.items():
         exact_sets.setdefault(q, set()).add(n)
     assert gemm_sets == exact_sets
+
+
+def test_dedup_pipeline_lsh_is_recall_subset(spark, sf_dir):
+    """The scale-path pipeline (sign-LSH embedding signal) must agree with
+    the exact pipeline on the exact/minhash signals and flag a recall-
+    bounded SUBSET of its embedding dups — LSH can miss pairs, never
+    invent them."""
+    from real_time_data_pipeline_spark.queries.dedup import (
+        q_dedup_pipeline,
+        q_dedup_pipeline_lsh,
+    )
+
+    exact = {r.doc_id: r for r in q_dedup_pipeline(spark, sf_dir).collect()}
+    lsh = {r.doc_id: r for r in q_dedup_pipeline_lsh(spark, sf_dir).collect()}
+    assert set(exact) == set(lsh)
+
+    flagged_exact = {d for d, r in exact.items() if r.is_embedding_dup}
+    flagged_lsh = {d for d, r in lsh.items() if r.is_embedding_dup}
+    for d in exact:
+        assert exact[d].is_exact_dup == lsh[d].is_exact_dup
+        assert exact[d].is_minhash_dup == lsh[d].is_minhash_dup
+    assert flagged_lsh <= flagged_exact
+    # 4 planes x 8 OR-ed tables at this corpus's loose cos-0.4 threshold:
+    # measured per-doc recall ~0.75; pin a floor with slack
+    if flagged_exact:
+        assert len(flagged_lsh) / len(flagged_exact) >= 0.5
+    # keep must be the negation of the OR of the three signals
+    for r in lsh.values():
+        assert r.keep == (not (r.is_exact_dup or r.is_minhash_dup
+                               or r.is_embedding_dup))
