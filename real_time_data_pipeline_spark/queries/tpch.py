@@ -240,6 +240,280 @@ def q_priority_ship_lag(spark, sf_dir):
     )
 
 
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q7: shipping volume between two nations, by direction and
+    ship year.
+
+    Both nation lookups broadcast (25 rows); the nation-pair filter then
+    cuts the fact rows BEFORE the groupBy shuffle.  supplier/customer
+    scale with SF → no hints."""
+    nation = load_table(spark, sf_dir, "nation")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_snk"))
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_cnk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_5's share of STANDARD-part revenue sold to ASIA
+    customers, by order year.  Share from two exact integer cent-sums
+    with floor division (bit-identical cross-engine)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_cnk"))
+        .join(F.broadcast(region), F.col("_crk") == region.r_regionkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN supp_nation = 'NATION_5' THEN {cents_sql(REVENUE)} "
+                "ELSE 0 END)"
+            ).alias("_nat"),
+            F.expr(f"SUM({cents_sql(REVENUE)})").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            F.expr("CAST(FLOOR(1e6 * _nat / _tot) AS BIGINT) / 1e4").alias(
+                "mkt_share_pct"
+            ),
+            F.expr("_nat / 1e2").alias("nation_revenue"),
+            F.expr("_tot / 1e2").alias("total_revenue"),
+        )
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 (adapted: no partsupp table in the testdata, so profit =
+    discounted revenue): revenue from '%widget%' parts by supplier
+    nation and order year."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("profit"))
+    )
+
+
+def q_order_counts(spark, sf_dir):
+    """TPC-H Q13: distribution of orders per customer (including
+    zero-order customers via left join).  Two hash aggregates; the first
+    shuffles one bigint per customer, the second one per distinct count —
+    the 100 TB histogram shape."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) achieving the maximum revenue in 1996Q1.
+    The one-row max broadcasts back against the per-supplier aggregate —
+    no second scan of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("_max_rev"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: average yearly revenue lost if Brand#3 orders below
+    20% of the part's average quantity were not taken.
+
+    The correlated AVG subquery becomes a per-part aggregate joined back
+    to the brand lineitems; the 0.2·avg comparison is done in pure
+    integers (5·cents(qty)·cnt < Σcents(qty)) so both engines agree at
+    the cut boundary."""
+    bp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(bp, li.l_partkey == bp.p_partkey)
+    stats = brand_li.groupBy("l_partkey").agg(
+        F.expr(f"SUM({cents_sql('l_quantity')})").alias("_sum_q"),
+        F.count("*").alias("_cnt"),
+    )
+    return (
+        brand_li.join(stats, "l_partkey")
+        .filter(F.expr(f"5 * {cents_sql('l_quantity')} * _cnt < _sum_q"))
+        .agg(
+            F.expr(
+                f"CAST(FLOOR(SUM({cents_sql('l_extendedprice')}) / 7) AS BIGINT) / 1e2"
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (adapted to available columns): revenue under disjunctive
+    brand/size/quantity predicates — the OR-of-ANDs shape that tests
+    predicate pushdown through a join (each disjunct references both
+    sides, so only the join survives; per-side prefilters are derived by
+    Catalyst)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.expr(f"SUM({cents_sql(REVENUE)}) / 1e2").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (adapted: no commit/receipt dates in the testdata; late
+    = shipped >60 days after the order date): suppliers who were the
+    ONLY late shipper on a multi-supplier order.
+
+    exists/not-exists compile to one semi- and one anti-join over the
+    distinct (order, supplier) pair set, which is aggregated to one row
+    per pair BEFORE the joins — at 100 TB the pair set is a small
+    fraction of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    multi = (
+        pairs.groupBy("ok").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1)
+        .select("ok")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    sole_late = (
+        late.join(multi, "ok", "left_semi")
+        .alias("l1")
+        .join(
+            late.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2")),
+            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_anti",
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.groupBy("sk")
+        .agg(F.count("*").alias("numwait"))
+        .join(supplier, F.col("sk") == supplier.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 (adapted: nation stands in for the phone country code,
+    and "idle" means no order since 2000-01-01 — every customer in this
+    testdata has SOME order, so the literal no-orders-ever predicate
+    would be vacuously empty): customers with above-average positive
+    balance and no recent orders, counted per nation.  The threshold
+    comes from exact integer cents (cents(bal)·n > Σcents) so the cut is
+    cross-engine stable; the one-row stat broadcasts, and the recency
+    check is an anti-join whose right side is date-pruned at the scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(f"SUM({cents_sql('c_acctbal')})").alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    eligible = customer.crossJoin(F.broadcast(stats)).filter(
+        F.expr(f"{cents_sql('c_acctbal')} * _n > _s")
+    )
+    idle = eligible.join(recent, eligible.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(f"SUM({cents_sql('c_acctbal')}) / 1e2").alias("totacctbal"),
+        )
+    )
+
+
 def q_order_ranking(spark, sf_dir):
     """Analytic window functions (absent from the reference; part of the
     engine's inherited surface): rank orders per customer by totalprice."""
@@ -292,6 +566,15 @@ QUERIES = {
     "tpch_q14_promo_revenue": q_promo_revenue,
     "tpch_q18_large_volume_customers": q_large_volume_customers,
     "tpch_q4_priority_ship_lag": q_priority_ship_lag,
+    "tpch_q7_nation_volume": q_nation_volume,
+    "tpch_q8_market_share": q_market_share,
+    "tpch_q9_product_profit": q_product_profit,
+    "tpch_q13_order_counts": q_order_counts,
+    "tpch_q15_top_supplier": q_top_supplier,
+    "tpch_q17_small_qty_revenue": q_small_qty_revenue,
+    "tpch_q19_disjunctive_revenue": q_disjunctive_revenue,
+    "tpch_q21_waiting_suppliers": q_waiting_suppliers,
+    "tpch_q22_idle_customers": q_idle_customers,
     "order_ranking": q_order_ranking,
     "rollup_counts": q_rollup_cube,
     "set_ops": q_set_ops,
@@ -391,6 +674,135 @@ ORACLES = {
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "tpch_q7_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               SUM({cents_sql(REVENUE)}) / 1e2 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q8_market_share": f"""
+        SELECT o_year,
+               CAST(FLOOR(1e6 * _nat / _tot) AS BIGINT) / 1e4 AS mkt_share_pct,
+               _nat / 1e2 AS nation_revenue,
+               _tot / 1e2 AS total_revenue
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {cents_sql(REVENUE)}
+                          ELSE 0 END) AS _nat,
+                 SUM({cents_sql(REVENUE)}) AS _tot
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          GROUP BY 1
+        )
+    """,
+    "tpch_q9_product_profit": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               SUM({cents_sql(REVENUE)}) / 1e2 AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
+    "tpch_q13_order_counts": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "tpch_q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey, SUM({cents_sql(REVENUE)}) / 1e2 AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "tpch_q17_small_qty_revenue": f"""
+        WITH brand_li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ), stats AS (
+          SELECT l_partkey,
+                 CAST(SUM({cents_sql('l_quantity')}) AS BIGINT) AS _sum_q,
+                 count(*) AS _cnt
+          FROM brand_li GROUP BY l_partkey
+        )
+        SELECT CAST(FLOOR(CAST(SUM({cents_sql('l_extendedprice')}) AS BIGINT) / 7)
+                 AS BIGINT) / 1e2 AS avg_yearly
+        FROM brand_li JOIN stats USING (l_partkey)
+        WHERE 5 * {cents_sql('l_quantity')} * _cnt < _sum_q
+    """,
+    "tpch_q19_disjunctive_revenue": f"""
+        SELECT SUM({cents_sql(REVENUE)}) / 1e2 AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q21_waiting_suppliers": """
+        WITH pairs AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        ), multi AS (
+          SELECT ok FROM pairs GROUP BY ok HAVING count(*) > 1
+        ), late AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN multi USING (ok)
+        JOIN supplier ON l1.sk = s_suppkey
+        WHERE NOT EXISTS (
+          SELECT 1 FROM late l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk
+        )
+        GROUP BY s_name
+    """,
+    "tpch_q22_idle_customers": f"""
+        WITH stats AS (
+          SELECT CAST(SUM({cents_sql('c_acctbal')}) AS BIGINT) AS _s,
+                 count(*) AS _n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name AS nation, count(*) AS numcust,
+               SUM({cents_sql('c_acctbal')}) / 1e2 AS totacctbal
+        FROM customer CROSS JOIN stats
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE {cents_sql('c_acctbal')} * _n > _s
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY n_name
     """,
     "order_ranking": """
         SELECT o_orderkey, o_custkey,
