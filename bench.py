@@ -9,7 +9,10 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 Each query is forced end-to-end with a ``noop``-format write so every
 column is materialized (a bare ``count()`` would let Spark prune the plan
 and under-report).  One warmup of the flagship query amortizes JVM/codegen
-startup out of the per-query numbers.
+startup out of the per-query numbers, and a trivial mapInPandas warms the
+Python worker pool (32 workers importing pandas/pyarrow ≈ 7 s, a one-time
+session cost that would otherwise be attributed to whichever Arrow-UDF
+query happens to run first).
 
 Usage: python bench.py [query ...]   (subset by name; default = all)
 """
@@ -42,8 +45,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # Warmup: spin up executors / codegen paths once.
+    # Warmup: spin up executors / codegen paths / the Python worker pool.
     _force(qs["windowed_agg"](spark, sf_dir))
+    _force(
+        spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long")
+    )
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -53,6 +59,11 @@ def main() -> int:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Operators may persist() intermediates that live as long as their
+        # plan; drop them (untimed) so queries are measured independently
+        # instead of under the accumulated storage pressure of every
+        # earlier query's cache.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

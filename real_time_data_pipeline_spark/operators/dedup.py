@@ -368,9 +368,10 @@ def embedding_near_dup_lsh(
     OR-ing tables amplifies recall to 1-(1-p)^n_tables (e.g. cos≥0.95,
     6 planes, 4 tables → 0.95 recall vs 0.53 for a single table).
     Duplicate candidates from multiple tables collapse via a distinct on
-    the (deterministic) scored pair, so output schema and cos_bp values
-    match :func:`embedding_near_dup` exactly — results are a recall-subset
-    of the exact operator (property-tested)."""
+    the bare id pair BEFORE vectors are attached and scored (ids-only
+    shuffle, one dot product per pair), so output schema and cos_bp
+    values match :func:`embedding_near_dup` exactly — results are a
+    recall-subset of the exact operator (property-tested)."""
     from real_time_data_pipeline_spark.operators.similarity import (
         make_planes,
         random_hyperplane_buckets,
@@ -399,18 +400,31 @@ def embedding_near_dup_lsh(
         base = random_hyperplane_buckets(base, planes, "v", f"_b{t}")
         buckets.append(F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt")))
     keyed = base.select(
-        "id", "v", "nrm", F.explode(F.array(*buckets)).alias("k")
-    ).select("id", "v", "nrm", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
+        "id", F.explode(F.array(*buckets)).alias("k")
+    ).select("id", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
 
-    l = keyed.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
-    r = keyed.select("tbl", "bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
-    pairs = l.join(r, ["tbl", "bkt"]).filter(F.col("id_a") < F.col("id_b"))
+    # Candidate pairs carry IDS ONLY through the bucket join, and are
+    # deduped across tables BEFORE scoring: a pair colliding in k of the
+    # OR-ed tables would otherwise ship its two vectors k times through
+    # the shuffle and pay the (interpreted-HOF) dot product k times.
+    # Distinct-first means one shuffle of bare id pairs, then one join
+    # per side to attach vectors, then exactly one score per pair.
+    l = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
+    r = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
+    cand = (
+        l.join(r, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cos_bp", F.floor(F.lit(1e4) * cos).cast("bigint"))
         .filter(F.col("cos_bp") >= int(threshold * 10000))
         .select("id_a", "id_b", "cos_bp")
-        .distinct()
     )
 
 

@@ -127,6 +127,7 @@ def main() -> int:
             continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
+        spark.catalog.clearCache()  # drop operator-internal persists
         scols = [f.name.lower() for f in sdf.schema.fields]
         stypes = [canon_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields]
         sorder = sorted(range(len(scols)), key=lambda i: scols[i])
