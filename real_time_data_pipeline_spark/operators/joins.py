@@ -46,6 +46,41 @@ def enrich_with_customers(txns: DataFrame, customers: DataFrame) -> DataFrame:
     return txns.join(F.broadcast(customers), "customer_id", "left")
 
 
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "30 minutes",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by a time range: right rows match
+    left rows with the same ``key`` whose ``right_ts`` falls in
+    [left_ts, left_ts + within].
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark can expire state: each side's buffer
+    holds at most watermark + within of data per key — the requirement
+    for an unbounded-stream join to run forever at 100 TB/day rates.
+    Left outer joins emit unmatched left rows once the watermark passes
+    left_ts + within (Spark's null-padding rule).
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename before
+    calling); output carries all columns of both sides."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rkey = f"_r_{key}"
+    rw = rw.withColumnRenamed(key, rkey)
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rkey)
+
+
 def link_references(txns: DataFrame) -> DataFrame:
     """J3: self-join linking each transaction to the one its reference_id
     points at (t1.reference_id == t2.transaction_id)."""

@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from real_time_data_pipeline_spark.queries import (
+    analytics,
     dedup,
     joins_ext,
     lineage_q,
@@ -30,7 +31,10 @@ from real_time_data_pipeline_spark.queries import (
     tpch,
 )
 
-_MODULES = [reference_parity, tpch, joins_ext, lineage_q, dedup, text, similarity, multimodal]
+_MODULES = [
+    reference_parity, tpch, analytics, joins_ext, lineage_q, dedup, text,
+    similarity, multimodal,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

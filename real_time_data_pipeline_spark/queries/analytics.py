@@ -1,0 +1,130 @@
+"""Analytic surface widening: exact percentiles, pivot/unpivot, binned
+histograms — relational shapes the reference's users would reach for next
+(SURVEY.md §2.10), each with a DuckDB oracle.
+
+Determinism notes:
+- Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
+  interpolation over the sorted values; verified bit-identical on the
+  events data (doubles, exact IEEE match) — no cents-rounding needed.
+- Pivot uses an EXPLICIT category list (the Spark pivot then does one
+  aggregate pass with no category-discovery job, and the output column
+  set is stable for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.functions.stable import sum_money_sql
+from real_time_data_pipeline_spark.queries.reference_parity import EVENT_TYPES
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact value percentiles per event type (monitoring-dashboard shape:
+    p25/p50/p90/p99).  Exact percentile needs the group's values
+    collected per partition-of-key — fine for bounded group counts; at
+    unbounded cardinality switch to approx_percentile (t-digest)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.25, 0.5, 0.9, 0.99))"
+            ).alias("value_percentiles"),
+        )
+    )
+
+
+def q_pivot_daily_activity(spark, sf_dir):
+    """Day × event-type activity matrix via pivot with an explicit
+    category list (single aggregate pass, no category-discovery job,
+    stable output columns).  The events testdata spans 30 days in one
+    month, so day granularity gives a real matrix."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def q_unpivot_lineitem_measures(spark, sf_dir):
+    """Wide→long unpivot (melt) of lineitem's numeric measures, then a
+    per-measure rollup — the normalization step feeding generic
+    metric-store sinks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.expr(sum_money_sql("val")).alias("total"),
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram over events (bin = floor(value/50)) —
+    the binning shape behind every dashboard distribution plot.  One
+    partial+final aggregate; bins are data-independent so the shuffle is
+    bounded by bin count."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(sum_money_sql("value")).alias("bin_total"),
+        )
+    )
+
+
+QUERIES = {
+    "percentiles": q_percentiles,
+    "pivot_daily_activity": q_pivot_daily_activity,
+    "unpivot_measures": q_unpivot_lineitem_measures,
+    "value_histogram": q_value_histogram,
+}
+
+_PIVOT_COLS = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+    for t in EVENT_TYPES
+)
+
+ORACLES = {
+    "percentiles": """
+        SELECT event_type,
+               [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+                quantile_cont(value, 0.9), quantile_cont(value, 0.99)]
+                 AS value_percentiles
+        FROM events GROUP BY event_type
+    """,
+    "pivot_daily_activity": f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               {_PIVOT_COLS}
+        FROM events GROUP BY 1
+    """,
+    "unpivot_measures": f"""
+        SELECT measure, count(*) AS n, {sum_money_sql('val')} AS total
+        FROM (
+          SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+        ) GROUP BY measure
+    """,
+    "value_histogram": f"""
+        SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+               count(*) AS n, {sum_money_sql('value')} AS bin_total
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    """,
+}

@@ -37,6 +37,35 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Time-range join: each error event matched to the same user's click
+    events in the following 30 minutes (the root-cause-window shape).
+
+    Runs through operators/joins.stream_stream_time_join — on batch
+    inputs the watermarks are no-ops and the same operator/condition is
+    what the streaming twin executes, so this oracle also pins the
+    streaming join's matching semantics.  Aggregated to per-error counts
+    so the output is compact at any SF."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        stream_stream_time_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = stream_stream_time_join(
+        errors, clicks, key="user_id",
+        left_ts="error_ts", right_ts="click_ts", within="30 minutes",
+    )
+    return joined.groupBy("error_id", "user_id", "error_ts").agg(
+        F.count("*").alias("n_clicks_30m")
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """Orders having at least one returned lineitem (left-semi), counted
     by priority.  Semi-join shuffles only the keys — no row multiplication
@@ -66,11 +95,22 @@ def q_anti_join(spark, sf_dir):
 
 QUERIES = {
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
 }
 
 ORACLES = {
+    "range_join": """
+        SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+               count(*) AS n_clicks_30m
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts
+         AND c.ts <= e.ts + INTERVAL 30 MINUTE
+        GROUP BY 1, 2, 3
+    """,
     "asof_join": """
         SELECT c.event_id,
                c.user_id,

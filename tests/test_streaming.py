@@ -469,3 +469,50 @@ def test_warehouse_sink_replay_idempotent(spark, tmp_path):
     import os
     assert not os.listdir(os.path.join(out, "_staging")) if os.path.isdir(
         os.path.join(out, "_staging")) else True
+
+
+def test_stream_stream_time_join(spark, tmp_path):
+    """Stream-stream equi-join with watermarks and a two-sided time-range
+    bound: payments match their refund only within 1 hour, state expires
+    via the watermark."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        stream_stream_time_join,
+    )
+
+    pay_rows = [
+        _txn("P1", "2024-01-01T10:00:00"),
+        _txn("P2", "2024-01-01T12:00:00"),
+    ]
+    refund_rows = [
+        # within 1h of P1 -> joins
+        {"refund_id": "R1", "account_id": "ACC000001",
+         "refund_time": "2024-01-01T10:30:00"},
+        # 3h after P2 -> outside the window, must NOT join
+        {"refund_id": "R2", "account_id": "ACC000001",
+         "refund_time": "2024-01-01T15:00:00"},
+    ]
+    pd_dir, rf_dir = str(tmp_path / "pay"), str(tmp_path / "ref")
+    _write_ordered_files(pd_dir, [pay_rows])
+    _write_ordered_files(rf_dir, [refund_rows])
+
+    pays = transforms.parse_kafka_payload(
+        sources.file_json_source(spark, pd_dir)
+    ).select("transaction_id", "account_id", "event_time")
+    refunds = (
+        spark.readStream.schema(
+            "refund_id string, account_id string, refund_time string"
+        )
+        .json(rf_dir)
+        .select(
+            "refund_id",
+            "account_id",
+            F.to_timestamp("refund_time").alias("refund_time"),
+        )
+    )
+    joined = stream_stream_time_join(
+        pays, refunds, key="account_id",
+        left_ts="event_time", right_ts="refund_time", within="1 hour",
+    )
+    out: list = []
+    _run_stream(joined, out)
+    assert [(r.transaction_id, r.refund_id) for r in out] == [("P1", "R1")]
