@@ -371,11 +371,21 @@ def embedding_near_dup_lsh(
     the bare id pair BEFORE vectors are attached and scored (ids-only
     shuffle, one dot product per pair), so output schema and cos_bp
     values match :func:`embedding_near_dup` exactly — results are a
-    recall-subset of the exact operator (property-tested)."""
-    from real_time_data_pipeline_spark.operators.similarity import (
-        make_planes,
-        random_hyperplane_buckets,
-    )
+    recall-subset of the exact operator (property-tested).
+
+    Bucket bits for ALL tables come from one numpy matmul inside a
+    single mapInPandas pass (V·Pᵀ ≥ 0, bits packed per table).  The
+    round-1 JVM variant built n_tables × n_planes interpreted HOF dot
+    products with 64-literal plane arrays per bit — ~10M interpreted ops
+    at sf0.1 and an expression tree large enough to swing
+    analysis/codegen time by seconds run-to-run.  Scoring still uses the
+    sequential-fold HOF over the ORIGINAL vectors, so cos_bp stays
+    bit-identical to the exact operator; only candidate membership (a
+    recall knob by construction) depends on the numpy sign."""
+    import numpy as np
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.similarity import make_planes
 
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
@@ -392,15 +402,40 @@ def embedding_near_dup_lsh(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    # One bucket column per table (cheap JVM-side exprs), then explode to
-    # (table, bucket) keys so all tables join in ONE shuffle.
-    buckets = []
-    for t in range(n_tables):
-        planes = make_planes(dim, n_planes, seed + 7919 * t)
-        base = random_hyperplane_buckets(base, planes, "v", f"_b{t}")
-        buckets.append(F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt")))
-    keyed = base.select(
-        "id", F.explode(F.array(*buckets)).alias("k")
+
+    P = np.array(
+        [p for t in range(n_tables) for p in make_planes(dim, n_planes, seed + 7919 * t)],
+        dtype=np.float64,
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            S = (V @ P.T) >= 0  # (n, n_tables*n_planes)
+            out = {"id": pdf[id_col]}
+            for t in range(n_tables):
+                out[f"b{t}"] = (
+                    S[:, t * n_planes : (t + 1) * n_planes] @ weights
+                ).astype("int32")
+            yield pd.DataFrame(out)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    bucket_schema = "id " + id_t + ", " + ", ".join(
+        f"b{t} int" for t in range(n_tables)
+    )
+    bucketed = df.select(id_col, vec_col).mapInPandas(assign, bucket_schema)
+    keyed = bucketed.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
+                for t in range(n_tables)
+            ])
+        ).alias("k"),
     ).select("id", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
 
     # Candidate pairs carry IDS ONLY through the bucket join, and are
