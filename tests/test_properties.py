@@ -168,3 +168,99 @@ def test_to_json_from_json_roundtrip(spark, rows):
             assert "amount" not in payload  # null dropped on the wire
         assert r.d.transaction_id == r.transaction_id
         assert r.d.amount == r.amount
+
+
+# --- stream-stream time-range join (batch semantics) ------------------
+
+ss_lefts = st.lists(
+    st.tuples(st.sampled_from("AB"), st.integers(min_value=0, max_value=120)),
+    min_size=0, max_size=10,
+)
+ss_rights = st.lists(
+    st.tuples(st.sampled_from("AB"), st.integers(min_value=0, max_value=120)),
+    min_size=0, max_size=10,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(ss_lefts, ss_rights)
+def test_stream_stream_time_join_matches_bruteforce(spark, ls, rs):
+    """Batch execution of the stream-stream time-range join must equal
+    the brute-force definition: match on key with
+    left_ts <= right_ts <= left_ts + window."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        stream_stream_time_join,
+    )
+
+    def ts(minute):
+        return f"2024-01-01 10:{minute // 60:02d}:{minute % 60:02d}"
+
+    left = spark.createDataFrame(
+        [(i, k, ts(m)) for i, (k, m) in enumerate(ls)],
+        "lid long, k string, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [(i, k, ts(m)) for i, (k, m) in enumerate(rs)],
+        "rid long, k string, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    got = sorted(
+        (r.lid, r.rid)
+        for r in stream_stream_time_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            within="30 seconds",
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, lm) in enumerate(ls)
+        for ri, (rk, rm) in enumerate(rs)
+        if lk == rk and lm <= rm <= lm + 30
+    )
+    assert got == want
+
+
+# --- warehouse publish idempotence ------------------------------------
+
+wh_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),   # month offset
+                  st.integers(min_value=1, max_value=28)), # day
+        min_size=0, max_size=6,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(wh_batches)
+def test_warehouse_publish_idempotent_random_batches(spark, tmp_path_factory, batches):
+    """Replaying ANY batch (random partition layouts, including empty
+    batches) leaves the warehouse unchanged; distinct batches append."""
+    from real_time_data_pipeline_spark.streaming.sinks import warehouse_write_batch
+
+    out = str(tmp_path_factory.mktemp("wh"))
+    dfs = []
+    for rows in batches:
+        dfs.append(spark.createDataFrame(
+            [(f"2024-{1 + mo:02d}-{d:02d}T10:00:00",) for mo, d in rows],
+            "event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time")))
+    for i, df in enumerate(dfs):
+        warehouse_write_batch(df, i, out)
+
+    def rowset():
+        try:
+            return sorted(
+                str(r.event_time)
+                for r in spark.read.parquet(out).select("event_time").collect()
+            )
+        except Exception:
+            return []  # nothing written yet (all batches empty)
+
+    before = rowset()
+    assert len(before) == sum(len(b) for b in batches)
+    # replay every batch; content must not change
+    for i, df in enumerate(dfs):
+        warehouse_write_batch(df, i, out)
+    assert rowset() == before
