@@ -36,6 +36,23 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_approx_percentiles(spark, sf_dir):
+    """Scale path for :func:`q_percentiles`: approx_percentile with
+    accuracy 10000 — mergeable sketches, bounded memory per group at
+    unbounded cardinality.  Rows-only (DuckDB's approx_quantile is a
+    different sketch); the unit test pins each approximate value inside
+    the exact neighboring-rank envelope."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.25, 0.5, 0.9, 0.99), 10000)"
+            ).alias("value_percentiles_approx"),
+        )
+    )
+
+
 def q_pivot_daily_activity(spark, sf_dir):
     """Day × event-type activity matrix via pivot with an explicit
     category list (single aggregate pass, no category-discovery job,
@@ -86,6 +103,7 @@ def q_value_histogram(spark, sf_dir):
 
 QUERIES = {
     "percentiles": q_percentiles,
+    "approx_percentiles": q_approx_percentiles,  # rows-only
     "pivot_daily_activity": q_pivot_daily_activity,
     "unpivot_measures": q_unpivot_lineitem_measures,
     "value_histogram": q_value_histogram,

@@ -92,6 +92,11 @@ def build_dag(raw: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, Da
         "alerts": enriched.filter(
             F.col("is_valid") & (F.col(cfg.value_col) > cfg.alert_amount_threshold)
         ),
+        # validated rows pre-enrichment: the input the validation-results
+        # artifact sink (quality.validation_results_sink) consumes, the
+        # engine twin of the reference persisting per-run validation JSON
+        # alongside the pipeline (validator.py:228-256).
+        "validated": validated,
     }
 
 

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators import quality
 from real_time_data_pipeline_spark.session import get_spark
 from real_time_data_pipeline_spark.sources.generator import synthetic_transactions
 from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources
@@ -77,6 +78,12 @@ def cmd_stream(args) -> None:
             "alerts": lambda df: sinks.partitioned_parquet_sink(
                 df, f"{out}/alerts", f"{out}/ckpt/alerts"
             ),
+            "validated": lambda df: quality.validation_results_sink(
+                df,
+                quality.TRANSACTION_SUITE,
+                f"{out}/validation_results",
+                f"{out}/ckpt/validation_results",
+            ),
         },
         cfg,
     )
@@ -94,7 +101,14 @@ def cmd_batch(args) -> None:
     n = dag["enriched"].count()
     bad = dag["dead_letter"].count()
     alerts = dag["alerts"].count()
+    artifact = quality.save_validation_results(
+        dag["validated"],
+        quality.TRANSACTION_SUITE,
+        f"{args.out_dir}/validation_results",
+        run_id="batch",
+    )
     print(f"processed {n} rows: {bad} dead-lettered, {alerts} alerts")
+    print(f"validation results: {artifact}")
     dag["aggregates"].orderBy(F.desc("transaction_count")).show(20, truncate=False)
 
 

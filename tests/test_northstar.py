@@ -372,3 +372,30 @@ def test_dedup_pipeline_lsh_is_recall_subset(spark, sf_dir):
     for r in lsh.values():
         assert r.keep == (not (r.is_exact_dup or r.is_minhash_dup
                                or r.is_embedding_dup))
+
+
+def test_approx_percentiles_within_rank_envelope(spark, sf_dir):
+    """approx_percentile at accuracy 10000 must land within the exact
+    neighboring-rank envelope (value at rank ±n/accuracy·2) per group."""
+    from real_time_data_pipeline_spark.queries.analytics import (
+        q_approx_percentiles,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    approx = {
+        r.event_type: r.value_percentiles_approx
+        for r in q_approx_percentiles(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        slack = max(2, (2 * n) // 10000)
+        for q, got in zip((0.25, 0.5, 0.9, 0.99), approx[et]):
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - slack)]
+            hi = vals[min(n - 1, rank + slack)]
+            assert lo <= got <= hi, (et, q, got, lo, hi)
