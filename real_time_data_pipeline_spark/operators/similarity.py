@@ -271,10 +271,18 @@ def ivf_topk(
     nprobe == n_cells this IS brute force (recall 1.0, unit-tested);
     recall degrades gracefully as nprobe shrinks.
     """
-    from collections.abc import Iterator
+    Cm = _ivf_centroid_matrix(corpus, n_cells, seed, id_col, vec_col)
+    assigned = _ivf_assign(corpus, Cm, id_col, vec_col)
+    return _ivf_probe_and_score(
+        assigned, queries, Cm, k, nprobe, id_col, vec_col,
+        query_id_col, query_vec_col,
+    )
 
+
+def _ivf_centroid_matrix(corpus, n_cells, seed, id_col, vec_col):
+    """Deterministic coarse centroids: corpus vectors with the smallest
+    xxhash64(id, seed), L2-normalized, as an (n_cells × dim) matrix."""
     import numpy as np
-    import pandas as pd
 
     cent_rows = (
         corpus.select(id_col, vec_col)
@@ -283,7 +291,18 @@ def ivf_topk(
         .collect()
     )
     Cm = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    Cm = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+    return Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+
+
+def _ivf_assign(corpus, Cm, id_col, vec_col):
+    """One Arrow-batched pass assigning every vector to its nearest
+    centroid.  Pass-through columns keep their input types (an
+    array<double> corpus must not be truncated to float32 — scores are
+    documented bit-identical to the exact path)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -295,16 +314,19 @@ def ivf_topk(
             pdf["cell"] = np.argmax(Vn @ Cm.T, axis=1).astype("int32")
             yield pdf
 
-    # Pass-through columns keep their input types (an array<double> corpus
-    # must not be truncated to float32 — scores are documented bit-identical
-    # to the exact path).
     cid_t = corpus.schema[id_col].dataType.simpleString()
     cvec_t = corpus.schema[vec_col].dataType.simpleString()
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} {cid_t}, {vec_col} {cvec_t}, cell int"
     )
 
-    qid_t = queries.schema[query_id_col].dataType.simpleString()
+
+def _probe_cells(queries, Cm, nprobe, query_id_col, query_vec_col):
+    """Driver-side probe list: (query_id, cell) for each query's nprobe
+    nearest centroids.  The query batch is small by contract."""
+    import numpy as np
+
+    n_cells = len(Cm)
     qrows = queries.select(query_id_col, query_vec_col).collect()
     probe_q = []
     for r in qrows:
@@ -312,6 +334,15 @@ def ivf_topk(
         sims = (qv / np.linalg.norm(qv)) @ Cm.T
         for cell in np.argsort(-sims)[: min(nprobe, n_cells)]:
             probe_q.append((r[0], int(cell)))
+    return probe_q
+
+
+def _ivf_probe_and_score(
+    assigned, queries, Cm, k, nprobe, id_col, vec_col,
+    query_id_col, query_vec_col,
+):
+    probe_q = _probe_cells(queries, Cm, nprobe, query_id_col, query_vec_col)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
     probes = F.broadcast(
         queries.sparkSession.createDataFrame(
             probe_q, f"{query_id_col} {qid_t}, cell int"
@@ -341,4 +372,60 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
+    )
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-Flat index: ``centroids/`` (cell → normalized
+    centroid) plus ``assignments/`` PARTITIONED BY cell — the layout the
+    in-memory :func:`ivf_topk` docstring promises for 100 TB: a probe
+    then reads nprobe/n_cells of the data via storage-partition pruning,
+    no index structure beyond the directory tree."""
+    Cm = _ivf_centroid_matrix(corpus, n_cells, seed, id_col, vec_col)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(Cm)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _ivf_assign(corpus, Cm, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/assignments")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted IVF index.  The ``cell IN (probed)`` filter is a
+    partition filter on the assignments read, so only the probed cell
+    directories are scanned (verified by plan/inputFiles in tests);
+    scoring is identical to :func:`ivf_topk`, so results match the
+    in-memory operator exactly for the same corpus and parameters."""
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    Cm = np.array([np.asarray(r.centroid, dtype=np.float64) for r in cent])
+
+    probe_q = _probe_cells(queries, Cm, nprobe, query_id_col, query_vec_col)
+    cells = sorted({c for _, c in probe_q})
+    assigned = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("cell").isin(cells)
+    )
+    return _ivf_probe_and_score(
+        assigned, queries, Cm, k, nprobe, id_col, vec_col,
+        query_id_col, query_vec_col,
     )
