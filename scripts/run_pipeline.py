@@ -59,10 +59,13 @@ def _make_source(spark, args):
 
 
 def cmd_stream(args) -> None:
+    from real_time_data_pipeline_spark.streaming import monitoring
+
     spark = get_spark("stream")
     raw = _make_source(spark, args)
     cfg = pipeline.PipelineConfig(watermark=args.watermark)
     out = args.out_dir
+    monitoring.attach_metrics_recorder(spark, f"{out}/metrics")
     queries = pipeline.start_pipeline(
         raw,
         {

@@ -516,3 +516,56 @@ def test_stream_stream_time_join(spark, tmp_path):
     out: list = []
     _run_stream(joined, out)
     assert [(r.transaction_id, r.refund_id) for r in out] == [("P1", "R1")]
+
+
+def test_metrics_recorder_captures_progress_and_observed_dq(spark, tmp_path):
+    """The StreamingQueryListener metrics recorder lands one parquet row
+    per micro-batch with input counts and the DAG's observe() dq
+    counters."""
+    from real_time_data_pipeline_spark.streaming import monitoring
+
+    rows = [
+        _txn("M1", "2024-01-01T10:00:00", 100.0),
+        _txn("M2", "2024-01-01T10:30:00", -1.0),  # invalid
+    ]
+    d = str(tmp_path / "in")
+    _write_ordered_files(d, [rows])
+    mpath = str(tmp_path / "metrics")
+    rec = monitoring.attach_metrics_recorder(spark, mpath, flush_every=100)
+    try:
+        raw = sources.file_json_source(spark, d)
+        dag = pipeline.build_dag(raw)
+        out: list = []
+        q = (
+            dag["enriched"].writeStream.queryName("metrics_test")
+            .foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # the listener bus is async: progress events may land after the
+        # query drains — poll until the data batch's row is flushed
+        got = []
+        for _ in range(60):
+            rec.flush()
+            try:
+                got = (
+                    spark.read.parquet(mpath)
+                    .filter("query_name = 'metrics_test'")
+                    .collect()
+                )
+            except Exception:
+                got = []
+            if any(r.num_input_rows == 2 for r in got):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    assert any(r.num_input_rows == 2 for r in got)
+    import json as _json
+
+    data_batches = [r for r in got if r.num_input_rows == 2]
+    dq = _json.loads(data_batches[0].observed_metrics).get("dq", {})
+    assert dq.get("n_rows") == 2 and dq.get("n_invalid") == 1
+    assert all(r.batch_duration_ms is not None for r in data_batches)
