@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from real_time_data_pipeline_spark.functions.stable import (
     avg_money_sql,
     cents_sql,
+    round2,
+    round2_sql,
     sum_money_sql,
 )
 from real_time_data_pipeline_spark.schemas import load_table
@@ -557,6 +559,238 @@ def q_set_ops(spark, sf_dir):
     return big.subtract(auto)
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (adapted: the testdata has no partsupp, so lineitem is the
+    part-supplier catalog and the supply cost of a (part, supplier) pair is
+    the minimum observed unit price l_extendedprice / l_quantity): for each
+    LARGE part of size <= 25, the EUROPE supplier(s) offering the minimum
+    cost, ordered by account balance.
+
+    The correlated MIN subquery becomes a per-part aggregate joined back on
+    (partkey, cost).  The double division is the same IEEE op on both
+    engines and MIN is order-independent, so the equality join is
+    cross-engine exact; display rounding happens after the join.  At scale:
+    lineitem collapses to (part, supplier) pairs BEFORE any join with the
+    dims; part and supplier scale with SF so no broadcast hints (the
+    threshold/AQE decides); nation/region are bounded dims and are hinted.
+    """
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_name", "p_size")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    sup_eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(part_f.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(
+            sup_eu.select(F.col("s_suppkey").alias("_sk")),
+            li.l_suppkey == F.col("_sk"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.expr("l_extendedprice / l_quantity")).alias("_cost"))
+    )
+    minc = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("_cost").alias("_min_cost")
+    )
+    return (
+        ps.join(
+            minc,
+            (ps.l_partkey == minc._pk) & (ps._cost == minc._min_cost),
+        )
+        .join(sup_eu, ps.l_suppkey == sup_eu.s_suppkey)
+        .join(part_f, ps.l_partkey == part_f.p_partkey)
+        .select(
+            round2("s_acctbal", "s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            round2("_cost", "supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name")
+        )
+        .limit(100)
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 (adapted: no partsupp, so a part's "stock value" for the
+    NATION_3 supplier fleet is its lineitem revenue from those suppliers):
+    parts whose value exceeds twice the mean part value.  (Real Q2 uses a
+    0.0001/SF fraction precisely because a fixed fraction goes vacuous as
+    the part count grows; a mean-relative cut is SF-invariant.)
+
+    One per-part aggregate, then the one-row total broadcasts back — the
+    same one-row-stat shape as Q15/Q22; the significance cut is pure
+    integer cents (part·n > 2·total) so both engines agree exactly at
+    the boundary.  The supplier->nation filter is a semi-join against a
+    bounded dim; the per-part aggregate happens before the threshold join
+    so the second pass streams one row per part, not per lineitem.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    nat_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(nat_sup, li.l_suppkey == nat_sup.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.expr(f"SUM({cents_sql(REVENUE)})").alias("_v"))
+    )
+    total = per_part.agg(
+        F.expr("SUM(_v)").alias("_tot"), F.count("*").alias("_n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.expr("_v * _n > 2 * _tot"))
+        .select("partkey", F.expr("_v / 1e2").alias("value"))
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+def q_ship_priority_classes(spark, sf_dir):
+    """TPC-H Q12 (adapted: no l_shipmode / commit / receipt dates, so the
+    grouping key is the shipping-lateness class — LATE when the item
+    shipped more than 60 days after the order date): count critical-
+    vs non-critical-priority orders per class for 1997 shipments.
+
+    orders joins lineitem on the order key (one shuffle at scale, both
+    sides date-pruned at the parquet scan), then one tiny conditional
+    aggregate; SUM(CASE..) integer counts are CAST AS BIGINT on the
+    DuckDB side (HUGEINT vs BIGINT hash lesson from round 1).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.expr(
+                "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+                " THEN 'LATE' ELSE 'ONTIME' END"
+            ).alias("ship_class"),
+            "o_orderpriority",
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)"
+            ).alias("high_line_count"),
+            F.expr(
+                "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 0 ELSE 1 END)"
+            ).alias("low_line_count"),
+        )
+    )
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 (adapted: lineitem is the part-supplier catalog; the
+    complaint blacklist is the negative-balance suppliers): distinct
+    supplier count per (brand, type, size) for non-Brand#5, non-PROMO
+    parts in eight target sizes.
+
+    lineitem collapses to distinct (part, supplier) pairs first — at
+    100 TB that is the dominant reduction; the blacklist anti-join keys a
+    tiny table; COUNT(DISTINCT) then runs over pairs, never raw lineitem.
+    """
+    part_f = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 36, 45)
+    )
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(bad_sup, pairs.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(part_f, pairs.l_partkey == part_f.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 (adapted: no partsupp availqty, so "has excess stock"
+    becomes "dominates the part's supply" — a supplier qualifies when it
+    shipped more than half of some red part's total 1996 volume).
+
+    The nested subqueries compile to two stacked aggregates (pair
+    quantities, then per-part totals as a re-aggregation of the pairs —
+    lineitem is scanned once) and a final semi-join into supplier.
+    Quantity comparison in integer cents: 2·pair > total is exact on both
+    engines.  nation is a bounded hinted dim; part/supplier are not.
+    """
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    pair_qty = (
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr(f"SUM({cents_sql('l_quantity')})").alias("_q"))
+    )
+    part_tot = pair_qty.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.expr("SUM(_q)").alias("_tot")
+    )
+    dominant = (
+        pair_qty.join(part_tot, pair_qty.l_partkey == part_tot._pk)
+        .filter(F.expr("2 * _q > _tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            round2("s_acctbal", "s_acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
     "tpch_q3_shipping_priority": q_shipping_priority,
@@ -575,6 +809,11 @@ QUERIES = {
     "tpch_q19_disjunctive_revenue": q_disjunctive_revenue,
     "tpch_q21_waiting_suppliers": q_waiting_suppliers,
     "tpch_q22_idle_customers": q_idle_customers,
+    "tpch_q2_min_cost_supplier": q_min_cost_supplier,
+    "tpch_q11_important_parts": q_important_parts,
+    "tpch_q12_ship_priority_classes": q_ship_priority_classes,
+    "tpch_q16_supplier_part_counts": q_supplier_part_counts,
+    "tpch_q20_dominant_suppliers": q_dominant_suppliers,
     "order_ranking": q_order_ranking,
     "rollup_counts": q_rollup_cube,
     "set_ops": q_set_ops,
@@ -803,6 +1042,109 @@ ORACLES = {
               AND o_orderdate >= TIMESTAMP '2000-01-01'
           )
         GROUP BY n_name
+    """,
+    "tpch_q2_min_cost_supplier": f"""
+        WITH sup_eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        ), part_f AS (
+          SELECT p_partkey, p_name
+          FROM part WHERE p_type = 'LARGE' AND p_size <= 25
+        ), ps AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS _cost
+          FROM lineitem
+          JOIN part_f ON l_partkey = p_partkey
+          WHERE l_suppkey IN (SELECT s_suppkey FROM sup_eu)
+          GROUP BY l_partkey, l_suppkey
+        ), minc AS (
+          SELECT l_partkey AS _pk, MIN(_cost) AS _min_cost
+          FROM ps GROUP BY l_partkey
+        )
+        SELECT {round2_sql('s_acctbal')} AS s_acctbal, s_name,
+               n_name AS nation, p_partkey, p_name,
+               {round2_sql('_cost')} AS supply_cost
+        FROM ps
+        JOIN minc ON l_partkey = _pk AND _cost = _min_cost
+        JOIN sup_eu ON l_suppkey = s_suppkey
+        JOIN part_f ON l_partkey = p_partkey
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        LIMIT 100
+    """,
+    "tpch_q11_important_parts": f"""
+        WITH per_part AS (
+          SELECT l_partkey AS partkey,
+                 SUM({cents_sql(REVENUE)}) AS _v
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+          )
+          GROUP BY l_partkey
+        ), total AS (
+          SELECT SUM(_v) AS _tot, count(*) AS _n FROM per_part
+        )
+        SELECT partkey, _v / 1e2 AS value
+        FROM per_part CROSS JOIN total
+        WHERE _v * _n > 2 * _tot
+        ORDER BY value DESC, partkey ASC
+    """,
+    "tpch_q12_ship_priority_classes": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "tpch_q16_supplier_part_counts": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 14, 23, 36, 45)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "tpch_q20_dominant_suppliers": f"""
+        WITH pair_qty AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM({cents_sql('l_quantity')}) AS _q
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+            )
+          GROUP BY l_partkey, l_suppkey
+        ), part_tot AS (
+          SELECT l_partkey AS _pk, SUM(_q) AS _tot
+          FROM pair_qty GROUP BY l_partkey
+        ), dominant AS (
+          SELECT DISTINCT l_suppkey
+          FROM pair_qty JOIN part_tot ON l_partkey = _pk
+          WHERE 2 * _q > _tot
+        )
+        SELECT s_suppkey, s_name, n_name AS nation,
+               {round2_sql('s_acctbal')} AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s_suppkey ASC
     """,
     "order_ranking": """
         SELECT o_orderkey, o_custkey,
