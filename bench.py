@@ -64,6 +64,12 @@ def main() -> int:
         # instead of under the accumulated storage pressure of every
         # earlier query's cache.
         spark.catalog.clearCache()
+        # clearCache does NOT release broadcast blocks — ContextCleaner
+        # frees those only after a driver GC finds the references dead.
+        # 77 queries' worth of retained broadcasts measurably poisons the
+        # suite tail (2-5x inflation vs isolated runs), so GC explicitly
+        # (untimed) to model per-query isolation.
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

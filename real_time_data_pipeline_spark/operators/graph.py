@@ -1,0 +1,152 @@
+"""Connected components for duplicate-cluster resolution.
+
+Not in the reference (no graph surface there); this is the missing last
+step of the LLM-data dedup pass (SURVEY.md §2.9): pair emitters
+(`dedup.ngram_jaccard_pairs`, `dedup.minhash_lsh_candidates`,
+`dedup.embedding_near_dup*`) produce EDGES, but a pair list alone
+under-deduplicates — if A~B and B~C but A!~C, pairwise min-id survival
+keeps A and drops B and C, yet transitively they are ONE duplicate
+cluster whose canonical member is min(A,B,C).  Production dedup (e.g.
+the C4/RefinedWeb-style pipelines) resolves candidate pairs into
+connected components first.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shared-nothing CC algorithm:
+
+  large-star: for every node u, connect all strictly-larger neighbors to
+              m = min(N(u) ∪ {u});
+  small-star: orient edges large→small, connect all smaller-or-equal
+              neighbors (and u itself) to m.
+
+Both steps are one `Window.partitionBy(node)` min + a projection — a
+single hash-partition shuffle each, no joins.  Converges in O(log n)
+rounds to a star forest where every node points at its component's
+minimum id (vs O(diameter) for naive label propagation, which dies on
+chain-shaped clusters).  That round bound is what makes this the 100 TB
+shape: a billion-node candidate graph converges in ~30 shuffles of the
+EDGE set (bounded by the candidate-pair count, far smaller than the
+corpus), not thousands.
+
+Scale notes:
+- each iteration ends in `localCheckpoint` — iterative algorithms grow
+  an unbounded lineage otherwise and re-execute the whole chain on every
+  action; on a real cluster swap for `checkpoint()` against a reliable
+  dir (localCheckpoint loses partitions on executor failure).
+- convergence test is a count+xxhash64-sum checksum of the edge set:
+  2 cheap actions per round on the already-checkpointed frame, no
+  driver-side edge materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "attach_components"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every v in N(u) with v > u, m = min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    return (
+        nbrs.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient large→small; (v, m) for v in N(u) ∪ {u}, v != m."""
+    oriented = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).distinct()
+    w = Window.partitionBy("u")
+    star = oriented.withColumn("m", F.min("v").over(w))
+    leaves = star.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = star.select("u", F.col("m").alias("v")).distinct()
+    return leaves.union(centers).distinct()
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: order-independent, cannot overflow under ANSI
+    # mode, and the edge set is distinct so nothing self-cancels.
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Min-id component label for every node that appears in ``edges``.
+
+    Returns ``(node bigint, component bigint)`` with one row per distinct
+    node; ``component`` is the minimum node id reachable from it.
+    Isolated nodes (absent from ``edges``) are absent here — use
+    :func:`attach_components` to label a full corpus.
+
+    Raises ``RuntimeError`` if the edge checksum has not stabilized after
+    ``max_iter`` alternating rounds (log2-bounded; 30 covers any corpus
+    this engine will meet).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"),
+            F.col(dst).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e2)
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # Star forest: every non-min node has exactly one out-edge to its
+    # component min; the min itself appears only as a destination.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def attach_components(
+    nodes: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Label a corpus with cluster ids: nodes outside any edge are their
+    own singleton cluster.  The components side is bounded by the
+    candidate-pair node count (a small fraction of the corpus), so at
+    scale AQE broadcasts it — no corpus shuffle."""
+    return (
+        nodes.join(
+            components, nodes[id_col] == components["node"], "left"
+        )
+        .select(
+            nodes[id_col],
+            F.coalesce(F.col("component"), nodes[id_col]).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from real_time_data_pipeline_spark.operators import dedup
+from real_time_data_pipeline_spark.operators import dedup, graph
 from real_time_data_pipeline_spark.schemas import load_table
 
 # DuckDB twins of operators/dedup.tokens_col / shingles_col (3-gram).
@@ -115,6 +115,30 @@ def q_dedup_pipeline_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: exact 3-gram Jaccard pairs at 0.8
+    resolved into connected components (large-star/small-star), every doc
+    labeled with its cluster's min doc_id.  The missing last step of
+    pairwise dedup — A~B~C collapses to ONE cluster even when A!~C."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    return graph.attach_components(docs.select("doc_id"), cc, "doc_id")
+
+
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """Same clusters from the scale path: MinHash-LSH candidates verified
+    at Jaccard>=0.8 (equal to the exact pair set w.h.p. — miss prob
+    ~5e-8/pair at 128 perm / 32 bands), then connected components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_perm=128, bands=32,
+        verify_threshold=0.8,
+    ).select("id_a", "id_b")
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    return graph.attach_components(docs.select("doc_id"), cc, "doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_lineitem": q_dedup_exact_lineitem,
@@ -125,6 +149,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,  # rows-only
     "dedup_pipeline": q_dedup_pipeline,
     "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # rows-only
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
 }
 
 _JACCARD_ORACLE = f"""
@@ -194,8 +220,52 @@ _PIPELINE_ORACLE = f"""
     FROM documents d
 """
 
+# Transitive-closure twin of connected_components: reachability via a
+# recursive CTE (set-semantics UNION terminates on cycles), component =
+# min reachable id.  Quadratic in component size — viable only because
+# oracle corpora are small; the Spark side is the scale path.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+"""
+
 ORACLES = {
     "dedup_pipeline": _PIPELINE_ORACLE,
+    "dedup_clusters": _CLUSTERS_ORACLE,
+    # MinHash-verified pair set == exact pair set w.h.p. (see
+    # q_dedup_clusters_lsh docstring), so the clusters coincide too.
+    "dedup_clusters_lsh": _CLUSTERS_ORACLE,
     "dedup_exact": f"""
         SELECT min(doc_id) AS doc_id FROM (
           SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text

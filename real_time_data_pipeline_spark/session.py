@@ -45,7 +45,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128MB input splits: good default for large parquet scans.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Single-JVM local mode: driver heap IS the executor heap.  A/B
+        # at both 8g and 24g over the full 77-query suite showed the
+        # mid-suite inflation was NOT heap size but ContextCleaner
+        # starvation (see periodicGC below); with that fixed, 8g beats
+        # 24g (120 s vs 137 s total — smaller heaps GC faster).  On a
+        # real cluster this knob is irrelevant — executors size
+        # separately.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ContextCleaner only frees broadcast blocks / shuffle state when
+        # the DRIVER heap GCs; a big heap can go minutes without one, so a
+        # long multi-query session accumulates every prior query's
+        # broadcasts until later queries thrash (measured: 2-5x mid-suite
+        # inflation).  The default periodic GC is 30min — far past any
+        # suite; 45s keeps cleanup ahead of accumulation at negligible
+        # cost.  Same setting matters on real clusters for long-lived
+        # multi-tenant driver sessions.
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
