@@ -1,0 +1,237 @@
+"""Dataset-curation operators for LLM training-data pipelines
+(north-star tier, SURVEY.md §2.9/§2.10): repetition filtering,
+benchmark decontamination, deterministic source mixing, and sequence
+packing.
+
+Not in the reference (its surface stops at per-record validation); these
+are the corpus-level passes that sit between the reference-style
+cleaning/validation stage and tokenizer output in a production data
+pipeline (the Gopher/C4/RefinedWeb-style curation steps).
+
+All operators are expression-only (explode/aggregate/window) — no
+Python UDFs — so they run inside whole-stage codegen.  Exact integer
+arithmetic (basis points, not floats) keeps every output bit-stable
+across engines for the DuckDB oracles (queries/curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+__all__ = [
+    "ngrams_col",
+    "repetition_stats",
+    "decontaminate",
+    "mix_sources",
+    "pack_sequences",
+]
+
+# Gopher-flavored repetition thresholds (Rae et al. 2021 table A1 uses
+# character fractions; we use n-gram-slot fractions — same mechanism,
+# integer-exact).  A doc is dropped when the single most frequent 2-gram
+# covers > 20% of 2-gram slots or duplicated 5-grams cover > 30%.
+TOP_NGRAM_MAX_BP = 2000
+DUP_NGRAM_MAX_BP = 3000
+
+
+def ngrams_col(text_col: str, n: int) -> F.Column:
+    """Word n-grams as space-joined strings; docs shorter than n tokens
+    yield their whole token list as one gram (mirrors dedup.shingles_col's
+    short-doc padding so no document silently drops out)."""
+    toks = tokens_col(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _gram_hist(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, count) histogram: one explode so the tokenizer runs
+    once, then a codegen'd count with map-side combine — the shuffle
+    carries one row per distinct (doc, gram), bounded by doc length."""
+    return (
+        df.select(F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition profile (Gopher-style):
+
+    - ``top_2gram_bp``: basis points of 2-gram slots covered by the single
+      most frequent 2-gram;
+    - ``dup_5gram_bp``: basis points of 5-gram slots whose 5-gram occurs
+      more than once;
+    - ``keep_repetition``: both under the module thresholds.
+
+    Two doc-bounded histogram aggregates joined on the doc id; at scale
+    both sides are already hash-partitioned by ``id_col`` from their
+    groupBy, so the join is co-partitioned — no extra shuffle.
+    """
+    g2 = (
+        _gram_hist(df, id_col, text_col, 2)
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n2"),
+            F.max("cnt").alias("top2"),
+        )
+    )
+    g5 = (
+        _gram_hist(df, id_col, text_col, 5)
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n5"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup5"),
+        )
+    )
+    top_bp = F.floor(F.lit(10000) * F.col("top2") / F.col("n2")).cast("bigint")
+    dup_bp = F.floor(F.lit(10000) * F.col("dup5") / F.col("n5")).cast("bigint")
+    return (
+        g2.join(g5, id_col)
+        .select(
+            F.col(id_col),
+            top_bp.alias("top_2gram_bp"),
+            dup_bp.alias("dup_5gram_bp"),
+        )
+        .withColumn(
+            "keep_repetition",
+            (F.col("top_2gram_bp") <= TOP_NGRAM_MAX_BP)
+            & (F.col("dup_5gram_bp") <= DUP_NGRAM_MAX_BP),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shared_bp: int = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share word
+    ``n``-grams with an eval/benchmark corpus (the GPT-3/PaLM-style
+    n-gram-collision check; 8-gram default ≈ their 8-13 range).
+
+    Per doc: distinct n-grams, how many collide with the benchmark's
+    distinct n-gram set, collision basis points, and a keep flag
+    (``shared_bp <= max_shared_bp``).
+
+    The benchmark gram set is DISTINCT and eval-suite-sized (tiny vs the
+    corpus), so Spark broadcasts it via the threshold — the corpus-side
+    explode never shuffles; the per-doc aggregate is the only exchange.
+    """
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_col(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_grams.join(bench_grams, "gram", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("shared_grams"),
+    )
+    shared_bp = F.floor(F.lit(10000) * F.col("shared_grams") / F.col("n_grams")).cast(
+        "bigint"
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("shared_grams").cast("bigint").alias("shared_grams"),
+        shared_bp.alias("shared_bp"),
+        (shared_bp <= F.lit(max_shared_bp)).alias("keep_decontaminated"),
+    )
+
+
+# Deterministic pseudo-random sample key: Lehmer/Park-Miller multiplier
+# mod the Mersenne prime 2^31-1, folded to basis points.  Chosen over
+# xxhash64 because the SAME closed-form expression runs on DuckDB (the
+# oracle) and any other engine — sampling decisions are part of dataset
+# lineage and must be reproducible outside Spark.  id * 48271 stays in
+# int64 for id < 2^46 (~7e13 docs); beyond that fold the id first.
+_LEHMER_MULT = 48271
+_LEHMER_MOD = 2147483647
+
+
+def sample_key_bp(id_col: str) -> F.Column:
+    """Deterministic per-id sample key in [0, 10000)."""
+    return F.pmod(
+        F.pmod(F.col(id_col) * F.lit(_LEHMER_MULT), F.lit(_LEHMER_MOD)),
+        F.lit(10000),
+    ).cast("bigint")
+
+
+def mix_sources(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Deterministic stratified source mixing: keep a row iff its sample
+    key falls under its source's rate (basis points).  The standard
+    up/down-weighting pass when composing a training mix from scraped
+    sources of different quality.
+
+    Pure per-row predicate — no shuffle, no state, trivially
+    repartitionable, and the same doc survives on every engine and every
+    rerun (sampling is lineage, not chance).
+    """
+    rate = F.lit(default_bp)
+    for src, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(bp)).otherwise(rate)
+    return df.withColumn("sample_key_bp", sample_key_bp(id_col)).filter(
+        F.col("sample_key_bp") < rate
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    ("sequence packing"): within each shard, docs are taken in id order
+    and a new pack starts whenever the running token total would exceed
+    ``budget_tokens``-sized bins.
+
+    Semantics (deterministic, engine-portable): pack boundary =
+    ``floor(exclusive_cumsum_tokens / budget)`` — a doc that straddles a
+    bin boundary belongs to the bin its first token falls in, so packs
+    can overflow by at most one document (the standard greedy-concat
+    approximation; exact bin packing is NP-hard and inherently
+    sequential).
+
+    Scale shape: ONE window shuffle partitioned by ``shard_col`` — packing
+    is per-shard by construction (a global ordering would serialize on a
+    single task at 100 TB).  Pack ids are globally unique as
+    (shard, pack_in_shard).
+    """
+    n_tok = F.size(tokens_col(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget_tokens)
+            ).cast("bigint"),
+        )
+        .select(id_col, shard_col, "n_tokens", "pack_id")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_data_pipeline_spark.queries import (
     analytics,
+    curation,
     dedup,
     joins_ext,
     lineage_q,
@@ -33,7 +34,7 @@ from real_time_data_pipeline_spark.queries import (
 
 _MODULES = [
     reference_parity, tpch, analytics, joins_ext, lineage_q, dedup, text,
-    similarity, multimodal,
+    curation, similarity, multimodal,
 ]
 
 

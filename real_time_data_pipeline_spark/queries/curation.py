@@ -1,0 +1,152 @@
+"""Dataset-curation queries over `documents`, with DuckDB oracles.
+
+Token normalization is shared with queries/dedup.py (DUCK_TOKENS); the
+n-gram constructors mirror operators/curation.ngrams_col
+expression-for-expression (1-based inclusive slices in DuckDB).
+"""
+
+from __future__ import annotations
+
+from real_time_data_pipeline_spark.operators import curation
+from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
+from real_time_data_pipeline_spark.schemas import load_table
+
+# Training-mix rates (basis points) by source: the kind of table a data
+# team maintains — upweight curated sources, downweight scraped ones.
+MIX_RATES_BP = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500}
+MIX_DEFAULT_BP = 1000
+
+PACK_BUDGET_TOKENS = 512
+
+# Stand-in benchmark corpus for the decontamination check: one source's
+# documents play the role of the eval suite.  (In production this is the
+# actual benchmark set; the mechanism — distinct-8-gram collision — is
+# identical.)
+BENCH_SOURCE = "src0"
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB twin of curation.ngrams_col: 1-based inclusive slice."""
+    return f"""list_transform(
+        range(1, greatest(len({DUCK_TOKENS}) - {n - 1}, 1) + 1),
+        i -> array_to_string(({DUCK_TOKENS})[i:i+{n - 1}], ' '))"""
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_repetition(spark, sf_dir):
+    return curation.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.decontaminate(docs, bench)
+
+
+def q_dataset_mix(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return curation.mix_sources(
+        docs, MIX_RATES_BP, default_bp=MIX_DEFAULT_BP
+    ).select("doc_id", "source", "sample_key_bp")
+
+
+def q_sequence_packing(spark, sf_dir):
+    return curation.pack_sequences(_docs(spark, sf_dir), PACK_BUDGET_TOKENS)
+
+
+QUERIES = {
+    "text_repetition": q_text_repetition,
+    "decontaminate": q_decontaminate,
+    "dataset_mix": q_dataset_mix,
+    "sequence_packing": q_sequence_packing,
+}
+
+
+_REPETITION_ORACLE = f"""
+    WITH g2 AS (
+      SELECT doc_id, unnest({_duck_ngrams(2)}) AS gram FROM documents
+    ),
+    h2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM h2 GROUP BY 1),
+    g5 AS (
+      SELECT doc_id, unnest({_duck_ngrams(5)}) AS gram FROM documents
+    ),
+    h5 AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2),
+    s5 AS (
+      SELECT doc_id, sum(c) AS n5,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+      FROM h5 GROUP BY 1
+    )
+    SELECT s2.doc_id,
+           CAST(FLOOR(10000 * top2 / n2) AS BIGINT) AS top_2gram_bp,
+           CAST(FLOOR(10000 * dup5 / n5) AS BIGINT) AS dup_5gram_bp,
+           CAST(FLOOR(10000 * top2 / n2) AS BIGINT) <= {curation.TOP_NGRAM_MAX_BP}
+             AND CAST(FLOOR(10000 * dup5 / n5) AS BIGINT) <= {curation.DUP_NGRAM_MAX_BP}
+             AS keep_repetition
+    FROM s2 JOIN s5 ON s2.doc_id = s5.doc_id
+"""
+
+_DECONTAMINATE_ORACLE = f"""
+    WITH docg AS (
+      SELECT doc_id,
+             unnest(list_distinct({_duck_ngrams(8)})) AS gram
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT unnest({_duck_ngrams(8)}) AS gram
+      FROM documents WHERE source = '{BENCH_SOURCE}'
+    ),
+    agg AS (
+      SELECT d.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS shared_grams
+      FROM docg d LEFT JOIN bg b ON d.gram = b.gram
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(shared_grams AS BIGINT) AS shared_grams,
+           CAST(FLOOR(10000 * shared_grams / n_grams) AS BIGINT) AS shared_bp,
+           CAST(FLOOR(10000 * shared_grams / n_grams) AS BIGINT) <= 1000
+             AS keep_decontaminated
+    FROM agg
+"""
+
+
+def _duck_rate_case() -> str:
+    arms = " ".join(
+        f"WHEN '{src}' THEN {bp}" for src, bp in sorted(MIX_RATES_BP.items())
+    )
+    return f"CASE source {arms} ELSE {MIX_DEFAULT_BP} END"
+
+
+_MIX_ORACLE = f"""
+    SELECT doc_id, source,
+           CAST(((doc_id * {curation._LEHMER_MULT}) % {curation._LEHMER_MOD})
+                % 10000 AS BIGINT) AS sample_key_bp
+    FROM documents
+    WHERE ((doc_id * {curation._LEHMER_MULT}) % {curation._LEHMER_MOD}) % 10000
+          < {_duck_rate_case()}
+"""
+
+_PACKING_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source, len({DUCK_TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR(
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+             / {PACK_BUDGET_TOKENS}) AS BIGINT) AS pack_id
+    FROM t
+"""
+
+ORACLES = {
+    "text_repetition": _REPETITION_ORACLE,
+    "decontaminate": _DECONTAMINATE_ORACLE,
+    "dataset_mix": _MIX_ORACLE,
+    "sequence_packing": _PACKING_ORACLE,
+}
