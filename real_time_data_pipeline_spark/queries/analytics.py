@@ -101,12 +101,57 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_scd2_user_state(spark, sf_dir):
+    """SCD Type-2 history build: each user's event stream becomes
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    the standard slowly-changing-dimension shape warehouses maintain for
+    point-in-time joins.  One window shuffle partitioned by the
+    dimension key; `lead` closes each interval at the next change
+    (event_id tiebreak makes ties deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_rollup_order_stats(spark, sf_dir):
+    """Grouping-sets rollup over orders: (status, priority), (status),
+    and grand total in ONE aggregate pass (Spark expands the sets and
+    partial-aggregates map-side — no per-level rescan).  NULL group
+    labels are coalesced to 'ALL' (both columns are non-null in data, so
+    the label is unambiguous)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(sum_money_sql("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 QUERIES = {
     "percentiles": q_percentiles,
     "approx_percentiles": q_approx_percentiles,  # rows-only
     "pivot_daily_activity": q_pivot_daily_activity,
     "unpivot_measures": q_unpivot_lineitem_measures,
     "value_histogram": q_value_histogram,
+    "scd2_user_state": q_scd2_user_state,
+    "rollup_order_stats": q_rollup_order_stats,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -144,5 +189,21 @@ ORACLES = {
                count(*) AS n, {sum_money_sql('value')} AS bin_total
         FROM events WHERE value IS NOT NULL
         GROUP BY 1
+    """,
+    "scd2_user_state": """
+        SELECT user_id, event_id, event_type AS state,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               CAST(LEAD(ts) OVER w AS TIMESTAMP) AS valid_to,
+               LEAD(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "rollup_order_stats": f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               {sum_money_sql('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
 }
