@@ -36,6 +36,28 @@ def write_partitioned(
     ).mode(mode).parquet(path)
 
 
+def backfill_partitioned(
+    spark: SparkSession, df: DataFrame, path: str, ts_col: str
+) -> None:
+    """Recompute and replace ONLY the date partitions present in ``df``
+    (dynamic partition overwrite) — the standard warehouse backfill:
+    corrections rerun for an affected day range land atomically per
+    partition, days outside the range are never touched, and rerunning
+    the same backfill is idempotent (same partitions, same rows).
+
+    At 100 TB this is how late-arriving corrections get applied without
+    rewriting the table: the write only shuffles the backfilled days.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.select("*", *partition_cols(ts_col)).write.partitionBy(
+            "year", "month", "day"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def compact_partitioned(
     spark: SparkSession,
     path: str,

@@ -4,6 +4,7 @@ is the feature."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
@@ -120,3 +121,43 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert n_after <= 2 * n_partitions
     # layout survives: pruned reads still work
     assert after.filter((F.col("year") == 1995) & (F.col("month") == 1)).count() > 0
+
+
+def test_backfill_replaces_only_target_partitions(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_bf")
+    warehouse.write_partitioned(orders, out, "o_orderdate", mode="overwrite")
+
+    # corrupt one month: shrink 1995-03 to a single mangled row
+    target = orders.filter(
+        (F.year("o_orderdate") == 1995) & (F.month("o_orderdate") == 3)
+    )
+    bad = target.limit(1).withColumn("o_totalprice", F.lit(-1.0))
+    warehouse.backfill_partitioned(spark, bad, out, "o_orderdate")
+    # snapshot untouched-partition files BEFORE repair (name+mtime)
+    untouched = {
+        (p, os.path.getmtime(p))
+        for p in glob.glob(f"{out}/year=*/month=*/day=*/*.parquet")
+        if "/year=1995/month=3/" not in p
+    }
+
+    # backfill the month from source
+    warehouse.backfill_partitioned(spark, target, out, "o_orderdate")
+
+    # corrupted month fully restored
+    got = (
+        spark.read.parquet(out)
+        .filter((F.col("year") == 1995) & (F.col("month") == 3))
+        .drop("year", "month", "day")
+    )
+    assert got.count() == target.count()
+    assert got.filter(F.col("o_totalprice") < 0).count() == 0
+    # files of every other partition untouched (same paths, same mtimes)
+    after = {
+        (p, os.path.getmtime(p))
+        for p in glob.glob(f"{out}/year=*/month=*/day=*/*.parquet")
+        if "/year=1995/month=3/" not in p
+    }
+    assert after == untouched
+    # full-table row count intact
+    assert spark.read.parquet(out).count() == orders.count()
