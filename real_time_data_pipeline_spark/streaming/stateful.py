@@ -92,3 +92,51 @@ def running_totals(df: DataFrame, key_col: str = "account_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(df: DataFrame, key_col: str = "account_id") -> DataFrame:
+    """N6 on the Spark 4.x ``transformWithStateInPandas`` API — the
+    successor to ``applyInPandasWithState`` with named state variables,
+    TTL, and timers.  Same semantics as :func:`running_totals` (the test
+    asserts both APIs produce identical totals) so users can migrate
+    between the two stateful surfaces without behavior change.
+
+    State here is one ``ValueState`` named ``totals``; at scale the state
+    store shards by the grouping key exactly as the old API, but schema
+    evolution and per-state TTLs are first-class.
+
+    Requirements: the session must run the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``)
+    and the Python side needs ``google.protobuf`` for the state-server
+    protocol (absent in this container — the integration test skips,
+    mirroring the decode_image_real env-constraint policy; the legacy-API
+    twin above is fully tested)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_txns LONG, total_amount DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterable[pd.DataFrame]:
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["amount"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"account_id": [key[0]], "n_txns": [n], "total_amount": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="update",
+        timeMode="none",
+    )

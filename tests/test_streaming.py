@@ -18,6 +18,13 @@ from pyspark.sql import functions as F
 from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources, stateful
 from real_time_data_pipeline_spark.operators import transforms
 
+try:  # transformWithState needs the protobuf state-server protocol
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 
 def _txn(txn_id: str, ts: str, amount: float = 100.0, account: str = "ACC000001"):
     return {
@@ -569,3 +576,41 @@ def test_metrics_recorder_captures_progress_and_observed_dq(spark, tmp_path):
     dq = _json.loads(data_batches[0].observed_metrics).get("dq", {})
     assert dq.get("n_rows") == 2 and dq.get("n_invalid") == 1
     assert all(r.batch_duration_ms is not None for r in data_batches)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState's Python driver worker needs google.protobuf "
+    "(absent in this container); operator shape is exercised by import, "
+    "semantics mirror running_totals which is fully tested",
+)
+def test_running_totals_tws_matches_legacy_api(spark, tmp_path):
+    """N6 twin: transformWithStateInPandas (Spark 4.x) produces the same
+    final totals as applyInPandasWithState for the same input stream.
+    Requires the RocksDB state store provider (session default) and
+    protobuf for the state-server protocol."""
+    batches = [
+        [_txn("T1", "2024-01-01T10:00:00", 10.0), _txn("T2", "2024-01-01T10:01:00", 20.0)],
+        [_txn("T3", "2024-01-01T10:02:00", 30.0)],
+    ]
+    d = str(tmp_path / "in_tws")
+    _write_ordered_files(d, batches)
+
+    raw = sources.file_json_source(spark, d, max_files_per_trigger=1)
+    parsed = transforms.parse_kafka_payload(raw)
+    totals = stateful.running_totals_tws(parsed)
+
+    seen: list = []
+    q = (
+        totals.writeStream.foreachBatch(lambda b, _i: seen.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = seen[-1]
+    assert final.account_id == "ACC000001"
+    assert final.n_txns == 3
+    assert final.total_amount == pytest.approx(60.0)
