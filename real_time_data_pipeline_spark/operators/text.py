@@ -153,6 +153,76 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ).select(id_col, "content_hash", "min_shingle_hash")
 
 
+# PII-ish patterns shared verbatim with the DuckDB oracle (queries/text.py).
+# Restricted to the Java-regex ∩ RE2 common subset (no lookaround, no
+# backreferences) so the same pattern text compiles identically in Spark's
+# codegen'd regexp_replace and DuckDB's RE2 engine.
+PII_PATTERNS = {
+    "url": r"https?://[^ ]+",
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "longnum": r"[0-9]{7,}",
+}
+# Redaction order matters: URLs first (they may embed '@' and digit runs),
+# then emails, then bare long digit runs.
+PII_ORDER = ("url", "email", "longnum")
+PII_TOKENS = {"url": "<URL>", "email": "<EMAIL>", "longnum": "<NUM>"}
+
+
+def normalize_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalize text (lower / trim / collapse whitespace) and redact
+    PII-ish spans (URLs, emails, long digit runs) — the scrub pass every
+    training-data pipeline runs before tokenization.
+
+    Counts are matched independently against the NORMALIZED text (a URL
+    containing digits counts in both n_url and n_longnum — documented,
+    deterministic); redaction is applied sequentially in PII_ORDER so
+    nested matches collapse into the outermost token.  Pure codegen'd
+    regexp expressions — one projection, no shuffle, no Python."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    cols = [F.col(id_col), norm.alias("norm_text")]
+    red = norm
+    for kind in PII_ORDER:
+        cols.append(
+            F.size(F.regexp_extract_all(norm, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{kind}")
+        )
+        red = F.regexp_replace(red, PII_PATTERNS[kind], PII_TOKENS[kind])
+    cols.append(red.alias("red_text"))
+    return df.select(*cols)
+
+
+def top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k terms by count (keyword extraction), fully
+    deterministic: rank by (count DESC, term ASC).
+
+    Plan: one explode + hash-aggregate on (doc, term) — the shuffle
+    carries one row per distinct (doc, term) per partition thanks to
+    partial aggregation — then a row_number window partitioned by doc.
+    The window re-shuffles by doc only; state per window group is the
+    doc's distinct-term set, bounded by document length, so no group
+    outgrows an executor at 100 TB."""
+    from pyspark.sql import Window
+
+    ex = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    counts = ex.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("term_count")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    return counts.select(
+        id_col,
+        "term",
+        "term_count",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+
+
 def term_frequency(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

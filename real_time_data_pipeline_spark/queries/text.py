@@ -6,6 +6,8 @@ operators/text.py; the DuckDB SQL mirrors them expression-for-expression.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_time_data_pipeline_spark.operators import text as T
 from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
 from real_time_data_pipeline_spark.schemas import load_table
@@ -39,6 +41,34 @@ def q_term_frequency(spark, sf_dir):
     return T.term_frequency(_docs(spark, sf_dir))
 
 
+def _augment_pii(docs):
+    """Append deterministic synthetic PII (email/URL/phone derived from
+    doc_id) so the redaction oracle provably fires on every row — the
+    corpus itself is clean word-salad.  Mirrored textually in
+    _PII_AUG_SQL."""
+    sid = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            sid,
+            F.lit("@example.com via https://ex.io/d/"),
+            sid,
+            F.lit(" tel "),
+            F.lpad(sid, 9, "0"),
+        ).alias("text"),
+    )
+
+
+def q_text_normalize(spark, sf_dir):
+    return T.normalize_redact(_augment_pii(_docs(spark, sf_dir)))
+
+
+def q_keyword_topk(spark, sf_dir):
+    return T.top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_doc_frequency(spark, sf_dir):
     return T.doc_frequency(_docs(spark, sf_dir))
 
@@ -51,6 +81,8 @@ QUERIES = {
     "text_doc_fingerprint": q_doc_fingerprint,
     "text_term_frequency": q_term_frequency,
     "text_doc_frequency": q_doc_frequency,
+    "text_normalize": q_text_normalize,
+    "keyword_topk": q_keyword_topk,
 }
 
 
@@ -137,5 +169,41 @@ ORACLES = {
         FROM (
           SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
         ) GROUP BY term
+    """,
+    "text_normalize": f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com via https://ex.io/d/' || CAST(doc_id AS VARCHAR)
+                      || ' tel ' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS text
+          FROM documents
+        ), norm AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+          FROM aug
+        )
+        SELECT doc_id, norm_text,
+               CAST(len(regexp_extract_all(norm_text, '{T.PII_PATTERNS["url"]}')) AS BIGINT) AS n_url,
+               CAST(len(regexp_extract_all(norm_text, '{T.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(norm_text, '{T.PII_PATTERNS["longnum"]}')) AS BIGINT) AS n_longnum,
+               regexp_replace(regexp_replace(regexp_replace(norm_text,
+                 '{T.PII_PATTERNS["url"]}', '{T.PII_TOKENS["url"]}', 'g'),
+                 '{T.PII_PATTERNS["email"]}', '{T.PII_TOKENS["email"]}', 'g'),
+                 '{T.PII_PATTERNS["longnum"]}', '{T.PII_TOKENS["longnum"]}', 'g') AS red_text
+        FROM norm
+    """,
+    "keyword_topk": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+        ), g AS (
+          SELECT doc_id, term, count(*) AS term_count FROM toks GROUP BY 1, 2
+        ), r AS (
+          SELECT doc_id, term, CAST(term_count AS BIGINT) AS term_count,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY term_count DESC, term ASC
+                 ) AS BIGINT) AS rnk
+          FROM g
+        )
+        SELECT doc_id, term, term_count, rnk FROM r WHERE rnk <= 5
     """,
 }
