@@ -159,3 +159,78 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     """N2: HyperLogLog++ approximate distinct count — constant memory per
     partition, single small shuffle of sketches (not rows)."""
     return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+
+
+def gapfill_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series densification: per-key daily counts/sums with missing
+    days zero-filled across each key's [min_day, max_day] span.
+
+    Plan (2 shuffles, no join): daily hash-aggregate on (key, day), then
+    one aggregate per key that folds the active days into a day→metrics
+    map; the calendar is explode(sequence(d0, d1)) with an element_at
+    lookup — so the fill is a projection, not a third shuffle for a
+    calendar join.  Per-key state is one map entry per ACTIVE day
+    (bounded by span, e.g. ~3.7k for a 10-year daily span) — safe at
+    100 TB where rows per key are unbounded but spans are not.  Money is
+    integer cents end-to-end (functions/stable.py contract)."""
+    from real_time_data_pipeline_spark.functions import stable
+
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(stable.cents_sql(value_col))).alias("cents"),
+    )
+    per_key = daily.groupBy(key_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("day", F.struct("n", "cents")))
+        ).alias("m"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    cal = per_key.select(
+        key_col, "m", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    hit = F.element_at("m", F.col("day"))
+    return cal.select(
+        key_col,
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(hit["n"], F.lit(0)).cast("bigint").alias("n_events"),
+        (F.coalesce(hit["cents"], F.lit(0)) / F.expr("1e2")).alias("total_value"),
+    )
+
+
+def activity_gaps(
+    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-key activity/gap profile via lag: active-day count, longest
+    day-over-day gap, span, and an activity ratio in basis points —
+    the retention-analysis shape (churn = max_gap beyond a threshold).
+
+    Distinct (key, day) first bounds everything downstream by days, not
+    events; the lag window and the final aggregate share the same
+    key partitioning.  Integer output end-to-end (oracle-stable)."""
+    from pyspark.sql import Window
+
+    days = df.select(F.col(key_col), F.to_date(ts_col).alias("day")).distinct()
+    w = Window.partitionBy(key_col).orderBy("day")
+    gaps = days.select(
+        F.col(key_col),
+        "day",
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    )
+    span_days = F.datediff(F.max("day"), F.min("day")) + F.lit(1)
+    return gaps.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_active_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap_days"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        F.floor(F.lit(10000) * F.count("*") / span_days)
+        .cast("bigint")
+        .alias("active_ratio_bp"),
+    )

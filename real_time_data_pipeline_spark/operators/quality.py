@@ -270,3 +270,35 @@ def suite_metrics(df: DataFrame, suite: list[Expectation]) -> DataFrame:
         wide.select(F.explode(F.array(*rows)).alias("m"))
         .select("m.*")
     )
+
+
+def referential_integrity(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    relation: str,
+) -> DataFrame:
+    """Cross-table expectation: count fact rows whose foreign key has no
+    match in the dimension (GE's expect_column_values_to_be_in_set
+    generalized to a table-sized set; the reference's suites are all
+    single-table — validation_config.yml:26-59 — so this is the natural
+    next rule a warehouse adds).
+
+    One left join against the DISTINCT dim keys + one aggregate.  The
+    join keys carry only the key columns (column-pruned scans); the dim
+    side deduplicates before the join so multiplicity can't inflate the
+    fact count; NULL fact keys count as orphans (a NULL FK fails the
+    reference check, same as SQL NOT EXISTS semantics here).  At 100 TB
+    the join is shuffle-on-key with AQE free to broadcast the dim's
+    distinct-key projection when it fits."""
+    dim_keys = dim.select(F.col(dim_key).alias("__ri_pk")).distinct()
+    joined = fact.select(F.col(fact_key).alias("__ri_fk")).join(
+        dim_keys, F.col("__ri_fk") == F.col("__ri_pk"), "left"
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("total_rows"),
+        F.sum(F.when(F.col("__ri_pk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_rows"),
+    ).select(F.lit(relation).alias("relation"), "total_rows", "orphan_rows")

@@ -144,6 +144,36 @@ def q_rollup_order_stats(spark, sf_dir):
     )
 
 
+def q_timeseries_gapfill(spark, sf_dir):
+    """Zero-filled daily resample per user (operators/aggregates.gapfill_daily):
+    map-lookup fill, 2 shuffles, no calendar join."""
+    from real_time_data_pipeline_spark.operators.aggregates import gapfill_daily
+
+    return gapfill_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_user_activity_gaps(spark, sf_dir):
+    """Per-user retention/gap profile (operators/aggregates.activity_gaps)."""
+    from real_time_data_pipeline_spark.operators.aggregates import activity_gaps
+
+    return activity_gaps(load_table(spark, sf_dir, "events"))
+
+
+def q_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic: count-of-counts histogram over lineitem's
+    join key — the profile you run BEFORE choosing salting / AQE skew
+    thresholds on a 100 TB join.  Two aggregates; the second input is
+    one row per distinct key and the output is bounded by the largest
+    per-key multiplicity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("rows_per_key")
+    )
+    return per_key.groupBy("rows_per_key").agg(
+        F.count("*").cast("bigint").alias("n_keys")
+    )
+
+
 QUERIES = {
     "percentiles": q_percentiles,
     "approx_percentiles": q_approx_percentiles,  # rows-only
@@ -152,6 +182,9 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "scd2_user_state": q_scd2_user_state,
     "rollup_order_stats": q_rollup_order_stats,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "user_activity_gaps": q_user_activity_gaps,
+    "skew_profile": q_skew_profile,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -205,5 +238,51 @@ ORACLES = {
                {sum_money_sql('o_totalprice')} AS total_price
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "timeseries_gapfill": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 count(*) AS n,
+                 SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        ), cal AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span
+        )
+        SELECT c.user_id,
+               strftime(c.day, '%Y-%m-%d') AS day,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+               COALESCE(d.cents, 0) / 1e2 AS total_value
+        FROM cal c LEFT JOIN daily d
+          ON c.user_id = d.user_id AND c.day = d.day
+    """,
+    "user_activity_gaps": """
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), gaps AS (
+          SELECT user_id, day,
+                 date_diff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap
+          FROM days
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_active_days,
+               CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_days,
+               strftime(min(day), '%Y-%m-%d') AS first_day,
+               strftime(max(day), '%Y-%m-%d') AS last_day,
+               CAST(FLOOR(10000 * count(*)
+                    / (date_diff('day', min(day), max(day)) + 1)) AS BIGINT)
+                 AS active_ratio_bp
+        FROM gaps GROUP BY user_id
+    """,
+    "skew_profile": """
+        WITH per_key AS (
+          SELECT l_orderkey, count(*) AS rows_per_key FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(rows_per_key AS BIGINT) AS rows_per_key,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM per_key GROUP BY rows_per_key
     """,
 }

@@ -292,6 +292,38 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+# FK relations for the cross-table integrity suite: (name, fact, fk, dim, pk).
+FK_RELATIONS = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension: referential-integrity expectations across the
+    warehouse's FK graph (operators/quality.referential_integrity), one
+    row per relation."""
+    from functools import reduce
+
+    from real_time_data_pipeline_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    parts = [
+        referential_integrity(
+            load_table(spark, sf_dir, fact),
+            fk,
+            load_table(spark, sf_dir, dim),
+            pk,
+            name,
+        )
+        for name, fact, fk, dim, pk in FK_RELATIONS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 QUERIES = {
     "sliding_window_agg": q_sliding_window_agg,
     "approx_distinct": q_approx_distinct,  # rows-only
@@ -309,7 +341,21 @@ QUERIES = {
     "json_extract": q_json_extract,
     "dead_letter": q_dead_letter,
     "alerts": q_alerts,
+    "dq_referential": q_dq_referential,
 }
+
+_DQ_REFERENTIAL_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS relation,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN d.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS orphan_rows
+    FROM {fact} f
+    LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {dim}) d
+      ON f.{fk} = d.__pk
+    """
+    for name, fact, fk, dim, pk in FK_RELATIONS
+)
 
 
 ORACLES = {
@@ -478,4 +524,5 @@ ORACLES = {
                'large_purchase' AS alert_type
         FROM events WHERE event_type = 'purchase' AND value > 150
     """,
+    "dq_referential": _DQ_REFERENTIAL_SQL,
 }

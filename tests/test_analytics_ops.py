@@ -1,0 +1,119 @@
+"""Edge-case tests for the round-2 analytics/text additions:
+normalize/redact, top-k keywords, gap-fill, activity gaps, referential
+integrity.  The oracle checks cover the happy path on real testdata;
+these pin the handcrafted corner semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.aggregates import (
+    activity_gaps,
+    gapfill_daily,
+)
+from real_time_data_pipeline_spark.operators.quality import (
+    referential_integrity,
+)
+from real_time_data_pipeline_spark.operators.text import (
+    normalize_redact,
+    top_terms,
+)
+
+
+def test_normalize_collapses_whitespace_and_redacts_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Call  Me\t at https://x.io/a?id=12345678 NOW"),
+            (2, "mail a.b+c@ex-corp.io or 123456789 twice 987654321"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalize_redact(df).collect()}
+    # Whitespace collapsed + lowercased.
+    assert rows[3]["norm_text"] == "clean text only"
+    assert rows[1]["norm_text"] == "call me at https://x.io/a?id=12345678 now"
+    # URL redacted as a whole even though it embeds a long digit run
+    # (URL pass runs first); the independent counts see both.
+    assert rows[1]["red_text"] == "call me at <URL> now"
+    assert rows[1]["n_url"] == 1 and rows[1]["n_longnum"] == 1
+    # Email + two digit runs.
+    assert rows[2]["red_text"] == "mail <EMAIL> or <NUM> twice <NUM>"
+    assert rows[2]["n_email"] == 1 and rows[2]["n_longnum"] == 2
+    assert rows[3]["n_url"] == rows[3]["n_email"] == rows[3]["n_longnum"] == 0
+
+
+def test_top_terms_tiebreak_alphabetical(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id long, text string"
+    )
+    got = [
+        (r["term"], r["term_count"], r["rnk"])
+        for r in top_terms(df, k=2).orderBy("rnk").collect()
+    ]
+    # a and b tie at 2; alphabetical tie-break puts a first; c cut by k=2.
+    assert got == [("a", 2, 1), ("b", 2, 2)]
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 3, day, hour, 0, 0)
+
+
+def test_gapfill_fills_missing_days_with_zeros(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1), 10.0),
+            (1, _ts(1, 5), 2.5),
+            (1, _ts(4), 1.0),  # days 2,3 missing for user 1
+            (2, _ts(7), 5.0),  # single-day user
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = gapfill_daily(df)
+    rows = {
+        (r["user_id"], r["day"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert len(rows) == 5  # user1: 4 days, user2: 1 day
+    assert rows[(1, "2024-03-01")] == (2, 12.5)
+    assert rows[(1, "2024-03-02")] == (0, 0.0)
+    assert rows[(1, "2024-03-03")] == (0, 0.0)
+    assert rows[(1, "2024-03-04")] == (1, 1.0)
+    assert rows[(2, "2024-03-07")] == (1, 5.0)
+
+
+def test_activity_gaps_single_day_and_gap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1), 0.0),
+            (1, _ts(1, 9), 0.0),
+            (1, _ts(5), 0.0),
+            (2, _ts(2), 0.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = {r["user_id"]: r for r in activity_gaps(df).collect()}
+    assert rows[1]["n_active_days"] == 2
+    assert rows[1]["max_gap_days"] == 4
+    assert rows[1]["first_day"] == "2024-03-01"
+    assert rows[1]["last_day"] == "2024-03-05"
+    assert rows[1]["active_ratio_bp"] == 4000  # 2 of 5 days
+    # Single-day user: no lag row -> max_gap coalesces to 0, ratio 100%.
+    assert rows[2]["max_gap_days"] == 0
+    assert rows[2]["active_ratio_bp"] == 10000
+
+
+def test_referential_integrity_orphans_nulls_and_dup_dims(spark):
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2")], "pk long, payload string"
+    )
+    row = referential_integrity(fact, "fk", dim, "pk", "f->d").collect()[0]
+    # Duplicate dim pk must NOT inflate total; NULL fk and fk=9 are orphans.
+    assert row["relation"] == "f->d"
+    assert row["total_rows"] == 5
+    assert row["orphan_rows"] == 2
