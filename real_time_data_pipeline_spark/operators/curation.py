@@ -235,3 +235,41 @@ def pack_sequences(
         )
         .select(id_col, shard_col, "n_tokens", "pack_id")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter
+    that turns documents into fixed-budget training sequences (stride <
+    chunk gives the standard overlap so no boundary context is lost).
+
+    The token array is materialized ONCE per row in a projection, then a
+    lateral explode over the chunk-index range slices it — the tokenizer
+    does not rerun per chunk, and there is no shuffle at all: chunking is
+    embarrassingly parallel over the scan.  Chunk count is
+    1 + ceil(max(0, n-chunk)/stride), so every token lands in >=1 chunk
+    and a short doc yields exactly one."""
+    toks = df.select(
+        F.col(id_col), tokens_col(text_col).alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk), F.lit(0)) / F.lit(float(stride))
+    ).cast("int")
+    ex = toks.select(
+        id_col,
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    sliced = F.slice("toks", F.col("chunk_idx") * stride + 1, chunk)
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

@@ -223,6 +223,40 @@ def top_terms(
     ).filter(F.col("rnk") <= k)
 
 
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """Vocabulary build + per-document out-of-vocabulary rate: vocab =
+    terms appearing in >= min_doc_freq documents; OOV ratio in basis
+    points per doc — the coverage metric run before committing to a
+    tokenizer/vocab.
+
+    One persisted explode feeds both the vocab aggregate and the
+    membership join (tokenizer runs once).  The vocab side is
+    df-thresholded and therefore vocab-bounded — AQE broadcasts it when
+    it fits; the join never shuffles more than (token row, term) pairs."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+    ).persist()
+    vocab = (
+        ex.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    joined = ex.join(vocab, "term", "left")
+    n_tok = F.count("*")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy(F.col("id").alias(id_col)).agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.floor(F.lit(10000) * n_oov / n_tok).cast("bigint").alias("oov_bp"),
+    )
+
+
 def term_frequency(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -57,11 +57,22 @@ def q_sequence_packing(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir), PACK_BUDGET_TOKENS)
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 32
+
+
+def q_chunk_windows(spark, sf_dir):
+    return curation.chunk_tokens(
+        _docs(spark, sf_dir), chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
 QUERIES = {
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
     "dataset_mix": q_dataset_mix,
     "sequence_packing": q_sequence_packing,
+    "chunk_windows": q_chunk_windows,
 }
 
 
@@ -144,9 +155,30 @@ _PACKING_ORACLE = f"""
     FROM t
 """
 
+_CHUNK_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, 1 + CAST(CEIL(greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                  / ({CHUNK_STRIDE} * 1.0)) AS INT))) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1
+                : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1
+                : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM c
+"""
+
 ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
     "dataset_mix": _MIX_ORACLE,
     "sequence_packing": _PACKING_ORACLE,
+    "chunk_windows": _CHUNK_ORACLE,
 }

@@ -69,6 +69,13 @@ def q_keyword_topk(spark, sf_dir):
     return T.top_terms(_docs(spark, sf_dir), k=5)
 
 
+VOCAB_MIN_DF = 100
+
+
+def q_vocab_oov(spark, sf_dir):
+    return T.oov_rate(_docs(spark, sf_dir), min_doc_freq=VOCAB_MIN_DF)
+
+
 def q_doc_frequency(spark, sf_dir):
     return T.doc_frequency(_docs(spark, sf_dir))
 
@@ -83,6 +90,7 @@ QUERIES = {
     "text_doc_frequency": q_doc_frequency,
     "text_normalize": q_text_normalize,
     "keyword_topk": q_keyword_topk,
+    "vocab_oov": q_vocab_oov,
 }
 
 
@@ -191,6 +199,23 @@ ORACLES = {
                  '{T.PII_PATTERNS["email"]}', '{T.PII_TOKENS["email"]}', 'g'),
                  '{T.PII_PATTERNS["longnum"]}', '{T.PII_TOKENS["longnum"]}', 'g') AS red_text
         FROM norm
+    """,
+    "vocab_oov": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+        ), vocab AS (
+          SELECT term FROM (
+            SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+          ) WHERE df >= {VOCAB_MIN_DF}
+        )
+        SELECT ex.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               CAST(FLOOR(10000 * SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    / count(*)) AS BIGINT) AS oov_bp
+        FROM ex LEFT JOIN vocab v ON ex.term = v.term
+        GROUP BY ex.doc_id
     """,
     "keyword_topk": f"""
         WITH toks AS (

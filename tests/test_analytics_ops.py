@@ -117,3 +117,39 @@ def test_referential_integrity_orphans_nulls_and_dup_dims(spark):
     assert row["relation"] == "f->d"
     assert row["total_rows"] == 5
     assert row["orphan_rows"] == 2
+
+
+def test_chunk_tokens_overlap_and_short_doc(spark):
+    from real_time_data_pipeline_spark.operators.curation import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(df, chunk=4, stride=2)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # 10 tokens, chunk 4 stride 2 -> 1 + ceil(6/2) = 4 chunks.
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2), (1, 3)}
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t2 t3 t4 t5")  # 2-token overlap
+    assert rows[(1, 3)] == (4, "t6 t7 t8 t9")
+    # Short doc: exactly one (clamped) chunk.
+    assert rows[(2, 0)] == (2, "a b")
+    assert (2, 1) not in rows
+
+
+def test_oov_rate_threshold(spark):
+    from real_time_data_pipeline_spark.operators.text import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2"), (3, "common common")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in oov_rate(df, min_doc_freq=2).collect()}
+    # 'common' is in all 3 docs (df=3 >= 2); rare* are OOV (df=1).
+    assert rows[1]["n_tokens"] == 2 and rows[1]["n_oov"] == 1
+    assert rows[1]["oov_bp"] == 5000
+    assert rows[3]["n_oov"] == 0 and rows[3]["oov_bp"] == 0
