@@ -114,3 +114,31 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back through the catalog (the bucket spec
     only survives a catalog read)."""
     return spark.table(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet layout for min/max data skipping.
+
+    `repartitionByRange` (one range-exchange via sampled bounds) gives
+    files DISJOINT value ranges on sort_cols; `sortWithinPartitions`
+    orders rows inside each file so parquet row-group statistics are
+    tight.  A reader filtering on the leading sort column then prunes
+    whole files from its min/max footers before any IO — the third
+    physical-layout lever next to date partitioning (directory pruning)
+    and bucketing (shuffle-free joins).  At 100 TB this is the layout
+    for range-scanned fact tables (time-series replays, backfills):
+    pruning effectiveness is verified per-file in
+    tests/test_warehouse.py::test_range_sorted_files_have_disjoint_ranges.
+    """
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
