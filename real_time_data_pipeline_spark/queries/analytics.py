@@ -174,6 +174,60 @@ def q_skew_profile(spark, sf_dir):
     )
 
 
+def q_order_window_ranks(spark, sf_dir):
+    """Window-function completion: ntile/percent_rank/cume_dist beside
+    rank — one window shuffle on (status), deterministic ordering by
+    (o_totalprice DESC, o_orderkey) so ties cannot reorder across
+    engines.  Doubles are ranks, not money, so percent_rank/cume_dist
+    are exact IEEE ratios of integers — cross-engine stable."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+def q_rolling_7d_value(spark, sf_dir):
+    """7-day rolling event count/sum per user over the ZERO-FILLED daily
+    series (gapfill_daily feeds it, so quiet days correctly drag the
+    rolling window down instead of being skipped).  The rolling frame
+    runs on an integer epoch-day ordering with rangeBetween(-6, 0) —
+    integer frames are engine-portable where INTERVAL frames are not.
+    Shares the gapfill's key partitioning: no extra shuffle beyond its
+    two."""
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        gapfill_daily,
+    )
+
+    daily = gapfill_daily(load_table(spark, sf_dir, "events"))
+    epoch_day = F.datediff(F.to_date("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_day)
+        .rangeBetween(-6, 0)
+    )
+    cents = F.expr("CAST(ROUND(total_value * 100) AS BIGINT)")
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("n_events_7d"),
+        (F.sum(cents).over(w) / F.expr("1e2")).alias("value_7d"),
+    )
+
+
 QUERIES = {
     "percentiles": q_percentiles,
     "approx_percentiles": q_approx_percentiles,  # rows-only
@@ -185,6 +239,8 @@ QUERIES = {
     "timeseries_gapfill": q_timeseries_gapfill,
     "user_activity_gaps": q_user_activity_gaps,
     "skew_profile": q_skew_profile,
+    "order_window_ranks": q_order_window_ranks,
+    "rolling_7d_value": q_rolling_7d_value,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -284,5 +340,46 @@ ORACLES = {
         SELECT CAST(rows_per_key AS BIGINT) AS rows_per_key,
                CAST(count(*) AS BIGINT) AS n_keys
         FROM per_key GROUP BY rows_per_key
+    """,
+    "order_window_ranks": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               lag(o_orderkey) OVER w AS prev_key,
+               lead(o_orderkey) OVER w AS next_key
+        FROM orders
+        WHERE o_totalprice > 400000
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "rolling_7d_value": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 count(*) AS n,
+                 SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        ), cal AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span
+        ), gap AS (
+          SELECT c.user_id, c.day,
+                 CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+                 COALESCE(d.cents, 0) AS cents
+          FROM cal c LEFT JOIN daily d
+            ON c.user_id = d.user_id AND c.day = d.day
+        )
+        SELECT user_id,
+               strftime(day, '%Y-%m-%d') AS day,
+               n_events,
+               CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_7d,
+               SUM(cents) OVER w / 1e2 AS value_7d
+        FROM gap
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY date_diff('day', DATE '1970-01-01', day)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 }
