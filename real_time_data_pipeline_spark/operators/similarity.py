@@ -429,3 +429,83 @@ def ivf_index_topk(
         assigned, queries, Cm, k, nprobe, id_col, vec_col,
         query_id_col, query_vec_col,
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means (Lloyd's on the unit sphere) — the iterative
+    refinement that upgrades :func:`ivf_topk`'s hash-picked coarse
+    quantizer into a learned one, and the representative of the
+    iterative-algorithm class (non-SQL-expressible; rows-only check +
+    convergence tests).
+
+    Per iteration: one Arrow-batched assignment pass over the corpus
+    (`_ivf_assign`, numpy argmax against the broadcast k×dim centroid
+    matrix) + one partial-aggregated shuffle of per-(cell, dim) sums —
+    the shuffle carries k·dim doubles per partition, independent of
+    corpus size.  Centroid state (k×dim) is driver-resident and bounded,
+    like the IVF probe batch; empty cells keep their previous centroid
+    (standard Lloyd's degeneracy rule) so k never silently shrinks.
+    Returns ``(centroid_matrix, assignments)`` with assignments from the
+    FINAL centroids."""
+    import numpy as np
+
+    Cm = _ivf_centroid_matrix(corpus, k, seed, id_col, vec_col)
+    vecs = corpus.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = _ivf_assign(vecs, Cm, id_col, vec_col)
+        stats = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = Cm.copy()
+        dims = Cm.shape[1]
+        sums = np.zeros((len(Cm), dims))
+        counts = np.zeros(len(Cm), dtype=np.int64)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        for c in range(len(Cm)):
+            if counts[c] > 0:
+                m = sums[c] / counts[c]
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    new[c] = m / nrm
+        Cm = new
+    return Cm, _ivf_assign(vecs, Cm, id_col, vec_col)
+
+
+def kmeans_inertia(assigned: DataFrame, Cm, vec_col: str = "embedding"):
+    """Mean cosine distance (1 - cos) of each vector to its assigned
+    centroid — the spherical-k-means objective, computed in one
+    Arrow-batched pass + a scalar aggregate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    C = Cm
+
+    def dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cos = np.einsum("ij,ij->i", Vn, C[pdf["cell"].to_numpy()])
+            yield pd.DataFrame({"d": 1.0 - cos})
+
+    return (
+        assigned.select(vec_col, "cell")
+        .mapInPandas(dist, "d double")
+        .agg(F.avg("d").alias("inertia"))
+        .collect()[0]["inertia"]
+    )

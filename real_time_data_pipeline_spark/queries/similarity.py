@@ -56,11 +56,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=K, n_cells=16, nprobe=4)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means assignments after 3 Lloyd's iterations
+    (rows-only: iterative algorithm, output row count == corpus size;
+    monotone-inertia and blob-recovery properties unit-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = similarity.kmeans_fit(emb, k=8, iters=3)
+    return assigned.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_gemm_topk": q_ann_gemm_topk,  # rows-only
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
     "ann_ivf_topk": q_ann_ivf_topk,  # rows-only
+    "kmeans_clusters": q_kmeans_clusters,  # rows-only (iterative)
 }
 
 _COS = """

@@ -264,3 +264,48 @@ def test_warehouse_publish_idempotent_random_batches(spark, tmp_path_factory, ba
     for i, df in enumerate(dfs):
         warehouse_write_batch(df, i, out)
     assert rowset() == before
+
+
+def test_kmeans_inertia_monotone_and_blob_recovery(spark):
+    """Lloyd's invariants: (a) the spherical-k-means objective is
+    non-increasing over iterations on real embeddings; (b) on three
+    well-separated synthetic blobs, 3 iterations recover the exact
+    ground-truth partition."""
+    import numpy as np
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_inertia,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    prev = None
+    for iters in (0, 1, 3):
+        Cm, assigned = kmeans_fit(emb, k=4, iters=iters)
+        cur = kmeans_inertia(assigned, Cm)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
+
+    # Synthetic blobs: 3 orthogonal-ish centers, tiny deterministic jitter.
+    rng = np.random.RandomState(7)
+    centers = np.eye(3)
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + 0.05 * rng.randn(3)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    truth = {i: c for i, v, c in rows}
+    _, assigned = kmeans_fit(df, k=3, iters=3, seed=1)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    # Cluster labels are arbitrary; check the PARTITION matches: every
+    # ground-truth blob maps to exactly one predicted cell and vice versa.
+    mapping = {}
+    for i, c in truth.items():
+        mapping.setdefault(c, set()).add(got[i])
+    assert all(len(cells) == 1 for cells in mapping.values())
+    assert len({next(iter(s)) for s in mapping.values()}) == 3
