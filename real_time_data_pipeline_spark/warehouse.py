@@ -142,3 +142,56 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_col: str,
+    ts_col: str,
+) -> None:
+    """MERGE INTO re-expressed for plain parquet: upsert ``updates`` by
+    ``key_col`` into a (year, month, day)-partitioned table, rewriting
+    ONLY the partitions the updates touch.
+
+    Plan: derive the affected partition set from the updates (an
+    aggregate over the batch, not the table), read back just those
+    partitions (partition-pruned scan), anti-join out the keys being
+    replaced, union the new rows, and land the result via dynamic
+    partition overwrite — so the rewrite cost is proportional to the
+    touched days, untouched partitions keep their files byte-for-byte,
+    and replaying the same batch is idempotent (same keys removed, same
+    rows re-inserted).  This is the lakehouse-format MERGE contract
+    (copy-on-write) built from Spark primitives; swapping in a table
+    format with a transaction log changes the commit, not the dataflow.
+
+    Assumes a row's partition is stable under update (the partition
+    date derives from ``ts_col``); a row whose event date CHANGED is a
+    delete+insert across partitions and must be handled by the caller.
+    """
+    up = updates.select("*", *partition_cols(ts_col))
+    days = [
+        (r["year"], r["month"], r["day"])
+        for r in up.select("year", "month", "day").distinct().collect()
+    ]
+    if not days:
+        return
+    pred = None
+    for y, m, d in days:
+        clause = (
+            (F.col("year") == y) & (F.col("month") == m) & (F.col("day") == d)
+        )
+        pred = clause if pred is None else (pred | clause)
+    existing = spark.read.parquet(path).filter(pred)
+    keys = up.select(F.col(key_col)).distinct()
+    kept = existing.join(keys, key_col, "left_anti")
+    merged = kept.unionByName(up)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy("year", "month", "day").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
