@@ -271,6 +271,182 @@ def term_frequency(
     )
 
 
+def _dyadic_log2(expr_sql: str):
+    """floor(log2(x)) for a positive integer SQL expression, computed
+    EXACTLY as length(bin(x)) - 1 — integer arithmetic only, so Spark and
+    DuckDB (which share the `bin` function) agree bit-for-bit.  Avoids
+    transcendental `ln`, whose last-ulp rounding is not guaranteed
+    identical across libm implementations and would make oracle hashes
+    flaky at FLOOR boundaries."""
+    return F.length(F.expr(f"bin(CAST({expr_sql} AS BIGINT))")) - F.lit(1)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF with a dyadic (power-of-two)
+    IDF: idf2 = floor(log2(N_docs div doc_freq)), score in basis points
+    tfidf_bp = floor(10000 * tf * idf2 / doc_len).
+
+    All inputs are integers and every floating step (one multiply chain +
+    one divide, then FLOOR) is IEEE-exact-rounded identically in both
+    engines, so the oracle hash is stable — see _dyadic_log2.  Rank ties
+    break by term ASC (deterministic).
+
+    Plan: one persisted explode feeds (a) the per-(doc,term) tf aggregate
+    and (b) the per-term document-frequency aggregate; the df side is
+    vocab-bounded so AQE broadcasts it; N_docs arrives via a 1-row
+    broadcast cross join.  Final window re-shuffles by doc only, with
+    per-group state bounded by the doc's distinct-term count — holds at
+    100 TB."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+    ).persist()
+    tf = ex.groupBy("id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dl = ex.groupBy("id").agg(F.count("*").cast("bigint").alias("dl"))
+    dfreq = ex.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = df.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            _dyadic_log2("n_docs DIV df").cast("bigint").alias("idf2"),
+            F.floor(
+                F.lit(10000.0) * F.col("tf") * (_dyadic_log2("n_docs DIV df")) / F.col("dl")
+            ).cast("bigint").alias("tfidf_bp"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_bp").desc(), F.col("term").asc()
+    )
+    return scored.select(
+        id_col, "term", "tf", "idf2", "tfidf_bp",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+
+
+# BM25 constants as exact dyadic-friendly rationals (standard values).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed bag of query
+    terms, return the top-k docs.  Per-(doc,term) partial scores are
+    scaled to exact micro-units (FLOOR(1e6 * ...)) BEFORE summation so
+    the per-doc sum is integer arithmetic — double summation order never
+    affects the result (cross-engine hash-stable).
+
+      partial = idf2 * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * dl/avgdl))
+
+    with idf2 the dyadic idf (see tfidf_topk), dl the doc token length,
+    avgdl = total_tokens / n_docs (one exactly-rounded double divide).
+
+    Plan: the explode is filtered to the query-term set BEFORE any
+    shuffle (predicate on the exploded value — only matching tokens
+    survive the scan stage), so tf/df aggregates shuffle only rows for
+    the handful of query terms.  Doc lengths come from a corpus-wide
+    pre-aggregate (needed for every candidate doc); corpus scalars (N,
+    total tokens) ride a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+    ).persist()
+    hits = ex.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy("id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = hits.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    dl = ex.groupBy("id").agg(F.count("*").cast("bigint").alias("dl"))
+    scalars = ex.agg(
+        F.countDistinct("id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("total_toks"),
+    )
+    k1, b = BM25_K1, BM25_B
+    partial = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("id"),
+            F.floor(
+                F.lit(1000000.0)
+                * _dyadic_log2("n_docs DIV df")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / (F.col("total_toks") / F.col("n_docs"))
+                    )
+                )
+            ).cast("bigint").alias("partial_micro"),
+        )
+    )
+    scores = partial.groupBy("id").agg(
+        F.sum("partial_micro").cast("bigint").alias("bm25_micro"),
+        F.count("*").cast("bigint").alias("n_matched_terms"),
+    )
+    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("id").asc())
+    return scores.select(
+        F.col("id").alias(id_col),
+        "bm25_micro",
+        "n_matched_terms",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained unigram LM:
+    each token occurrence carries information floor(log2(T div cf)) bits
+    (T = corpus token count, cf = the term's collection frequency); a
+    document's mean bits-per-token is the cheap stand-in for LM
+    perplexity filtering (common-token word salad scores low, rare-token
+    text scores high).  Integer arithmetic end-to-end (dyadic log), so
+    the oracle hashes identically.
+
+    Plan: one persisted explode feeds the term-frequency aggregate
+    (vocab-bounded → AQE broadcast) and the per-token membership join;
+    corpus total rides a 1-row broadcast.  Two shuffles total (term agg,
+    doc agg) regardless of corpus size."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+    ).persist()
+    cf = ex.groupBy("term").agg(F.count("*").cast("bigint").alias("cf"))
+    total = ex.agg(F.count("*").cast("bigint").alias("total_toks"))
+    info = (
+        ex.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id"),
+            _dyadic_log2("total_toks DIV cf").cast("bigint").alias("tok_info"),
+        )
+    )
+    n_tok = F.count("*")
+    return info.groupBy(F.col("id").alias(id_col)).agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.sum("tok_info").cast("bigint").alias("total_info_bits"),
+        F.floor(F.lit(10000) * F.sum("tok_info") / n_tok).cast("bigint").alias("mean_info_bp"),
+    )
+
+
 def doc_frequency(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
