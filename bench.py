@@ -71,17 +71,30 @@ def main() -> int:
         # (untimed) to model per-query isolation.
         spark.sparkContext._jvm.System.gc()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver captures a finite output tail and BENCH_r02 lost its
+    # closing bytes mid-JSON ("parsed": null).  Defenses: (a) compact
+    # separators keep the line as small as possible, (b) the JSON is the
+    # FINAL stdout line with everything else on stderr (console progress
+    # is already off via spark.ui.showConsoleProgress in session.py, and
+    # the Spark session is stopped BEFORE printing so no JVM shutdown
+    # chatter can trail it), (c) the same payload is also written to
+    # bench_out.json as a file artifact.
+    spark.stop()
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
     return 0
 
 

@@ -309,7 +309,7 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("n_sampled", T.IntegerType()),
-        T.StructField("sampled_first_bytes", T.ArrayType(T.IntegerType())),
+        T.StructField("sampled_first_bytes", T.StringType()),
     ]
 )
 
@@ -318,7 +318,12 @@ def frame_sample(
     df: DataFrame, frame_bytes: int = 16, every: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """Treat the payload as fixed-size frames and keep every k-th — the
-    frame-sampling shape for video: whole blob in, per-frame records out."""
+    frame-sampling shape for video: whole blob in, per-frame records out.
+
+    ``sampled_first_bytes`` is the comma-joined first byte of each kept
+    frame (a string, not array<int>: the oracle compare canonicalizes via
+    pandas, which cannot hash list cells, so top-level array columns are
+    banned from oracle-checked outputs)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -333,13 +338,13 @@ def frame_sample(
                 ids.append(doc_id)
                 nf.append(len(frames))
                 ns.append(len(sampled))
-                firsts.append([f[0] for f in sampled])
+                firsts.append(",".join(str(f[0]) for f in sampled))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "n_frames": pd.Series(nf, dtype="int32"),
                     "n_sampled": pd.Series(ns, dtype="int32"),
-                    "sampled_first_bytes": pd.Series(firsts, dtype=object),
+                    "sampled_first_bytes": pd.Series(firsts, dtype="string"),
                 }
             )
 

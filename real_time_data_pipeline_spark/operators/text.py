@@ -301,7 +301,14 @@ def tfidf_topk(
     vocab-bounded so AQE broadcasts it; N_docs arrives via a 1-row
     broadcast cross join.  Final window re-shuffles by doc only, with
     per-group state bounded by the doc's distinct-term count — holds at
-    100 TB."""
+    100 TB.
+
+    N_docs = countDistinct(id) over the explode (same definition as
+    bm25_topk, so the two IDFs agree on multi-row-per-doc inputs;
+    tokens_col never yields an empty array, so no doc vanishes).  The
+    persist is cleared by the caller/harness via
+    ``spark.catalog.clearCache()`` (bench.py and tools/parity.py do this
+    after every query)."""
     from pyspark.sql import Window
 
     ex = df.select(
@@ -310,7 +317,7 @@ def tfidf_topk(
     tf = ex.groupBy("id", "term").agg(F.count("*").cast("bigint").alias("tf"))
     dl = ex.groupBy("id").agg(F.count("*").cast("bigint").alias("dl"))
     dfreq = ex.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    n_docs = df.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_docs = ex.agg(F.countDistinct("id").cast("bigint").alias("n_docs"))
     scored = (
         tf.join(dl, "id")
         .join(dfreq, "term")
@@ -334,7 +341,9 @@ def tfidf_topk(
     ).filter(F.col("rnk") <= k)
 
 
-# BM25 constants as exact dyadic-friendly rationals (standard values).
+# Standard BM25 constants.  Cross-engine determinism rests on both
+# engines parsing the SAME double literal (1.2 is not exactly
+# representable in binary; 0.75 is) — not on dyadic exactness.
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -362,7 +371,14 @@ def bm25_topk(
     survive the scan stage), so tf/df aggregates shuffle only rows for
     the handful of query terms.  Doc lengths come from a corpus-wide
     pre-aggregate (needed for every candidate doc); corpus scalars (N,
-    total tokens) ride a 1-row broadcast."""
+    total tokens) ride a 1-row broadcast.  The global top-k is
+    sort+limit — Spark compiles that to TakeOrderedAndProject
+    (per-partition heap top-k, merge of k-row heads), NOT a
+    single-partition global window, so a common query term whose
+    candidate set is the whole corpus still never funnels through one
+    task; the rank window then runs over only the k surviving rows.
+    The persist is cleared by the caller/harness via
+    ``spark.catalog.clearCache()``."""
     from pyspark.sql import Window
 
     ex = df.select(
@@ -402,13 +418,17 @@ def bm25_topk(
         F.sum("partial_micro").cast("bigint").alias("bm25_micro"),
         F.count("*").cast("bigint").alias("n_matched_terms"),
     )
+    # Distributed top-k: TakeOrderedAndProject, then rank over ≤k rows.
+    top = scores.orderBy(
+        F.col("bm25_micro").desc(), F.col("id").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("bm25_micro").desc(), F.col("id").asc())
-    return scores.select(
+    return top.select(
         F.col("id").alias(id_col),
         "bm25_micro",
         "n_matched_terms",
         F.row_number().over(w).cast("bigint").alias("rnk"),
-    ).filter(F.col("rnk") <= k)
+    )
 
 
 def unigram_surprisal(
@@ -425,7 +445,8 @@ def unigram_surprisal(
     Plan: one persisted explode feeds the term-frequency aggregate
     (vocab-bounded → AQE broadcast) and the per-token membership join;
     corpus total rides a 1-row broadcast.  Two shuffles total (term agg,
-    doc agg) regardless of corpus size."""
+    doc agg) regardless of corpus size.  The persist is cleared by the
+    caller/harness via ``spark.catalog.clearCache()``."""
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
     ).persist()

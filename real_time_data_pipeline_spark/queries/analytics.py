@@ -22,16 +22,28 @@ from real_time_data_pipeline_spark.schemas import load_table
 
 def q_percentiles(spark, sf_dir):
     """Exact value percentiles per event type (monitoring-dashboard shape:
-    p25/p50/p90/p99).  Exact percentile needs the group's values
-    collected per partition-of-key — fine for bounded group counts; at
-    unbounded cardinality switch to approx_percentile (t-digest)."""
+    p25/p50/p90/p99), one scalar column per quantile — the oracle compare
+    canonicalizes via pandas, which cannot hash list cells, so no
+    oracle-checked query may expose a top-level array column.  Spark still
+    computes all four quantiles in ONE aggregate buffer (the array-arg
+    form) and the final select unpacks it.  Exact percentile needs the
+    group's values collected per partition-of-key — fine for bounded
+    group counts; at unbounded cardinality switch to approx_percentile
+    (t-digest)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.expr(
                 "percentile(value, array(0.25, 0.5, 0.9, 0.99))"
-            ).alias("value_percentiles"),
+            ).alias("_q"),
+        )
+        .select(
+            "event_type",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p90"),
+            F.col("_q")[3].alias("p99"),
         )
     )
 
@@ -41,14 +53,22 @@ def q_approx_percentiles(spark, sf_dir):
     accuracy 10000 — mergeable sketches, bounded memory per group at
     unbounded cardinality.  Rows-only (DuckDB's approx_quantile is a
     different sketch); the unit test pins each approximate value inside
-    the exact neighboring-rank envelope."""
+    the exact neighboring-rank envelope.  Flattened to scalar columns
+    like the exact twin (one sketch per group, unpacked at the end)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.expr(
                 "approx_percentile(value, array(0.25, 0.5, 0.9, 0.99), 10000)"
-            ).alias("value_percentiles_approx"),
+            ).alias("_q"),
+        )
+        .select(
+            "event_type",
+            F.col("_q")[0].alias("p25_approx"),
+            F.col("_q")[1].alias("p50_approx"),
+            F.col("_q")[2].alias("p90_approx"),
+            F.col("_q")[3].alias("p99_approx"),
         )
     )
 
@@ -251,9 +271,10 @@ _PIVOT_COLS = ",\n               ".join(
 ORACLES = {
     "percentiles": """
         SELECT event_type,
-               [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
-                quantile_cont(value, 0.9), quantile_cont(value, 0.99)]
-                 AS value_percentiles
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
     "pivot_daily_activity": f"""

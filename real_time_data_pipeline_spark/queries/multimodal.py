@@ -99,14 +99,16 @@ ORACLES = {
         FROM documents
     """,
     # frames of 16 bytes over the audio payload, every 4th kept; first
-    # byte of kept frame k is sample index 64*k
+    # byte of kept frame k is sample index 64*k.  Comma-joined string,
+    # not array<int>: the driver's pandas canonicalizer can't hash lists.
     "mm_frame_sample": f"""
         SELECT doc_id,
                CAST({_N_AUDIO} // 16 AS INT) AS n_frames,
                CAST(CEIL(({_N_AUDIO} // 16) / 4.0) AS INT) AS n_sampled,
-               list_transform(range(0, CAST(CEIL(({_N_AUDIO} // 16) / 4.0) AS INT)),
-                    k -> CAST((doc_id * 13 + 64 * k * 7) % 256 AS INT))
-                    AS sampled_first_bytes
+               array_to_string(
+                    list_transform(range(0, CAST(CEIL(({_N_AUDIO} // 16) / 4.0) AS INT)),
+                         k -> CAST((doc_id * 13 + 64 * k * 7) % 256 AS INT)),
+                    ',') AS sampled_first_bytes
         FROM documents
     """,
 }

@@ -80,6 +80,24 @@ def q_doc_frequency(spark, sf_dir):
     return T.doc_frequency(_docs(spark, sf_dir))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    return T.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+# Mixed-rarity bag over the synthetic corpus: 'dup' is rare (df≈5% →
+# idf2=4 at sf0.01) and drives the ranking; 'hash'/'merge' are
+# near-ubiquitous (idf2=0), exercising the zero-information branch.
+BM25_QUERY_TERMS = ["dup", "hash", "merge"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    return T.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    return T.unigram_surprisal(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
@@ -91,7 +109,17 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "keyword_topk": q_keyword_topk,
     "vocab_oov": q_vocab_oov,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
+    "unigram_surprisal": q_unigram_surprisal,
 }
+
+
+def _dyadic_log2_sql(expr: str) -> str:
+    """DuckDB twin of operators/text._dyadic_log2: floor(log2(x)) as
+    length(bin(x)) - 1 — integer-exact, shared `bin` semantics (no
+    leading zeros in both engines)."""
+    return f"(length(bin(CAST({expr} AS BIGINT))) - 1)"
 
 
 def _stop_list(lang: str) -> str:
@@ -232,3 +260,101 @@ ORACLES = {
         SELECT doc_id, term, term_count, rnk FROM r WHERE rnk <= 5
     """,
 }
+
+# TF-IDF / BM25 / surprisal twins.  Arithmetic mirrors operators/text.py
+# expression-for-expression: dyadic idf via length(bin(x))-1, identical
+# double-literal constants, identical left-associated operation order, so
+# every FLOOR sees a bit-identical double in both engines.
+
+ORACLES["tfidf_topk"] = f"""
+    WITH ex AS (
+      SELECT doc_id AS id, unnest({DUCK_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2
+    ), dl AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(DISTINCT id) AS df FROM ex GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM ex
+    ), scored AS (
+      SELECT tf.id AS doc_id, tf.term, tf.tf,
+             CAST({_dyadic_log2_sql('n_docs // df')} AS BIGINT) AS idf2,
+             CAST(FLOOR(10000.0 * tf.tf * {_dyadic_log2_sql('n_docs // df')}
+                  / dl.dl) AS BIGINT) AS tfidf_bp
+      FROM tf JOIN dl ON tf.id = dl.id
+              JOIN dfreq ON tf.term = dfreq.term
+              CROSS JOIN nd
+    ), r AS (
+      SELECT doc_id, term, tf, idf2, tfidf_bp,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf_bp DESC, term ASC
+             ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, idf2, tfidf_bp, rnk FROM r WHERE rnk <= 5
+"""
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + ")"
+
+ORACLES["bm25_topk"] = f"""
+    WITH ex AS (
+      SELECT doc_id AS id, unnest({DUCK_TOKENS}) AS term FROM documents
+    ), hits AS (
+      SELECT * FROM ex WHERE term IN {_BM25_TERMS_SQL}
+    ), tf AS (
+      SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM hits GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT id) AS df FROM hits GROUP BY 1
+    ), dl AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1
+    ), scalars AS (
+      SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS total_toks
+      FROM ex
+    ), partial AS (
+      SELECT tf.id,
+             CAST(FLOOR(
+               1000000.0
+               * {_dyadic_log2_sql('n_docs // df')}
+               * (tf.tf * {T.BM25_K1 + 1.0!r})
+               / (tf.tf + {T.BM25_K1!r}
+                  * ({1.0 - T.BM25_B!r}
+                     + {T.BM25_B!r} * dl.dl / (total_toks / n_docs)))
+             ) AS BIGINT) AS partial_micro
+      FROM tf JOIN dl ON tf.id = dl.id
+              JOIN dfreq ON tf.term = dfreq.term
+              CROSS JOIN scalars
+    ), scores AS (
+      SELECT id, CAST(SUM(partial_micro) AS BIGINT) AS bm25_micro,
+             CAST(count(*) AS BIGINT) AS n_matched_terms
+      FROM partial GROUP BY id
+    ), r AS (
+      SELECT id AS doc_id, bm25_micro, n_matched_terms,
+             CAST(row_number() OVER (
+               ORDER BY bm25_micro DESC, id ASC
+             ) AS BIGINT) AS rnk
+      FROM scores
+    )
+    SELECT doc_id, bm25_micro, n_matched_terms, rnk FROM r WHERE rnk <= 10
+"""
+
+ORACLES["unigram_surprisal"] = f"""
+    WITH ex AS (
+      SELECT doc_id AS id, unnest({DUCK_TOKENS}) AS term FROM documents
+    ), cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf FROM ex GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_toks FROM ex
+    ), info AS (
+      SELECT ex.id,
+             CAST({_dyadic_log2_sql('total_toks // cf')} AS BIGINT) AS tok_info
+      FROM ex JOIN cf ON ex.term = cf.term CROSS JOIN tot
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok_info) AS BIGINT) AS total_info_bits,
+           CAST(FLOOR(10000 * CAST(SUM(tok_info) AS BIGINT) / count(*))
+                AS BIGINT) AS mean_info_bp
+    FROM info GROUP BY id
+"""

@@ -63,6 +63,9 @@ def get_spark(
         # multi-tenant driver sessions.
         .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.ui.enabled", "false")
+        # Keep harness stdout parseable: the console progress bar can
+        # interleave with the one-line JSON contract bench.py prints.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -17,8 +17,11 @@ from real_time_data_pipeline_spark.operators.quality import (
     referential_integrity,
 )
 from real_time_data_pipeline_spark.operators.text import (
+    bm25_topk,
     normalize_redact,
+    tfidf_topk,
     top_terms,
+    unigram_surprisal,
 )
 
 
@@ -55,6 +58,63 @@ def test_top_terms_tiebreak_alphabetical(spark):
     ]
     # a and b tie at 2; alphabetical tie-break puts a first; c cut by k=2.
     assert got == [("a", 2, 1), ("b", 2, 2)]
+
+
+_RETRIEVAL_CORPUS = [
+    (1, "apple apple banana"),
+    (2, "banana banana banana"),
+    (3, "apple cherry"),
+    (4, "banana cherry cherry cherry"),
+]
+# df: apple=2, banana=3, cherry=2 over n_docs=4
+# idf2: apple=floor(log2(4//2))=1, banana=floor(log2(4//3))=0, cherry=1
+
+
+def test_tfidf_topk_dyadic_idf_and_tiebreak(spark):
+    df = spark.createDataFrame(_RETRIEVAL_CORPUS, "doc_id long, text string")
+    rows = {
+        (r["doc_id"], r["rnk"]): r for r in tfidf_topk(df, k=2).collect()
+    }
+    # doc1: apple tf=2 idf2=1 dl=3 → floor(10000*2*1/3)=6666 beats banana (0)
+    assert rows[(1, 1)]["term"] == "apple"
+    assert rows[(1, 1)]["tfidf_bp"] == 6666
+    assert rows[(1, 1)]["idf2"] == 1
+    # doc2 is all banana (idf2=0 → score 0) but still ranks its one term
+    assert rows[(2, 1)]["term"] == "banana"
+    assert rows[(2, 1)]["tfidf_bp"] == 0
+    # doc3: apple and cherry tie at floor(10000*1*1/2)=5000 → term ASC
+    assert rows[(3, 1)]["term"] == "apple"
+    assert rows[(3, 2)]["term"] == "cherry"
+    assert rows[(3, 1)]["tfidf_bp"] == rows[(3, 2)]["tfidf_bp"] == 5000
+
+
+def test_bm25_topk_ranks_and_scales(spark):
+    df = spark.createDataFrame(_RETRIEVAL_CORPUS, "doc_id long, text string")
+    res = bm25_topk(df, ["apple", "cherry"], k=4)
+    got = res.orderBy("rnk").collect()
+    # doc2 has no query term → absent; doc3 matches both terms with short
+    # dl, doc4 has cherry tf=3, doc1 apple tf=2 with avg dl.
+    assert [r["doc_id"] for r in got] == [3, 4, 1]
+    assert [r["n_matched_terms"] for r in got] == [2, 1, 1]
+    assert [r["rnk"] for r in got] == [1, 2, 3]
+    assert got[0]["bm25_micro"] > got[1]["bm25_micro"] > got[2]["bm25_micro"] > 0
+    # Scale contract: global top-k is TakeOrderedAndProject (per-partition
+    # heaps), NOT a single-partition window over all candidate scores.
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_surprisal_exact_bits(spark):
+    df = spark.createDataFrame(_RETRIEVAL_CORPUS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    # total_toks=12; cf: apple=3 (info floor(log2(12//3))=2),
+    # banana=5 (12//5=2 → 1), cherry=4 (12//4=3 → 1)
+    assert rows[1]["total_info_bits"] == 2 + 2 + 1
+    assert rows[1]["mean_info_bp"] == 16666  # floor(10000*5/3)
+    assert rows[3]["total_info_bits"] == 2 + 1
+    assert rows[3]["mean_info_bp"] == 15000
+    # rare-token text scores strictly higher than common-token salad
+    assert rows[3]["mean_info_bp"] > rows[2]["mean_info_bp"]
 
 
 def _ts(day: int, hour: int = 0) -> datetime.datetime:

@@ -383,7 +383,7 @@ def test_approx_percentiles_within_rank_envelope(spark, sf_dir):
     from real_time_data_pipeline_spark.schemas import load_table
 
     approx = {
-        r.event_type: r.value_percentiles_approx
+        r.event_type: [r.p25_approx, r.p50_approx, r.p90_approx, r.p99_approx]
         for r in q_approx_percentiles(spark, sf_dir).collect()
     }
     rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()

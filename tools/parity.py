@@ -74,6 +74,17 @@ def canon_duck_type(name: str) -> str:
     return s.lower()
 
 
+class ContainerCellError(TypeError):
+    """An oracle-checked query exposed a top-level container column.
+
+    The driver canonicalizes results via pandas ``sort_values``, which
+    raises ``unhashable type`` on list/dict cells — such a query ERRORs
+    red in CORRECTNESS regardless of value correctness.  Round 1 diverged
+    from the driver on type classes, round 2 on containers (this function
+    used to stringify them); raising here keeps local green ⇒ driver
+    green."""
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -85,10 +96,12 @@ def _norm_cell(v) -> str:
         return str(v).lower()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple, dict, set)):
+        raise ContainerCellError(
+            f"container-typed cell {type(v).__name__} — the driver's pandas"
+            " canonicalizer cannot hash this; flatten the column"
+            " (scalar per quantile, array_join, or explode)"
+        )
     return str(v)
 
 
@@ -131,16 +144,28 @@ def main() -> int:
         scols = [f.name.lower() for f in sdf.schema.fields]
         stypes = [canon_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields]
         sorder = sorted(range(len(scols)), key=lambda i: scols[i])
-        shash = value_hash([tuple(r) for r in srows], sorder, stypes)
         if name not in oracles:
+            # rows-only queries never reach the driver's hash, so container
+            # columns are legal there (ann_* return neighbor arrays).
             print(f"{name:35s} rows={len(srows):7d}  (rows-only, no oracle)")
+            continue
+        try:
+            shash = value_hash([tuple(r) for r in srows], sorder, stypes)
+        except ContainerCellError as e:
+            failures += 1
+            print(f"{name:35s} FAIL  driver-unhashable: {e}")
             continue
         ddf = con.sql(oracles[name])
         dtypes = [canon_duck_type(t) for t in ddf.types]
         drows = ddf.fetchall()
         dcols = [c.lower() for c in ddf.columns]
         dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        dhash = value_hash(drows, dorder, dtypes)
+        try:
+            dhash = value_hash(drows, dorder, dtypes)
+        except ContainerCellError as e:
+            failures += 1
+            print(f"{name:35s} FAIL  oracle driver-unhashable: {e}")
+            continue
         ok_rows = len(srows) == len(drows)
         ok_schema = sorted(scols) == sorted(dcols)
         ok_hash = shash == dhash
