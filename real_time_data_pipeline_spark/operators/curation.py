@@ -273,3 +273,36 @@ def chunk_tokens(
         F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"),
     )
+
+
+def curation_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Combined per-document curation verdict: repetition profile +
+    benchmark decontamination, joined on the doc id, with an overall
+    ``keep`` = both signals pass.
+
+    Both signals are per-document — repetition needs only the doc's own
+    n-gram histogram, decontamination joins a STATIC broadcast benchmark
+    gram set — so the pass has no cross-document state and runs
+    identically in batch and per-micro-batch streaming
+    (streaming/pipeline.curation_foreach_batch is the incremental twin;
+    batch/stream parity is pinned by test).  The join is co-partitioned:
+    both sides arrive hash-partitioned by ``id_col`` from their final
+    aggregates."""
+    rep = repetition_stats(df, id_col, text_col)
+    dec = decontaminate(df, benchmark, id_col, text_col)
+    return rep.join(dec, id_col).select(
+        id_col,
+        "top_2gram_bp",
+        "dup_5gram_bp",
+        "keep_repetition",
+        "n_grams",
+        "shared_grams",
+        "shared_bp",
+        "keep_decontaminated",
+        (F.col("keep_repetition") & F.col("keep_decontaminated")).alias("keep"),
+    )

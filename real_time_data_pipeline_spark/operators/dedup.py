@@ -543,25 +543,45 @@ def near_dup_verdicts(
     forwarded) — the 100 TB configuration; the result is then a
     recall-subset of the exact verdicts (property-tested).
 
-    Scale shape: each signal reduces to a small distinct id set (bounded
-    by the duplicate count, a tiny fraction of the corpus), and the three
-    flag joins are doc_id-keyed left joins against those sets — at scale
-    AQE broadcasts them, so the verdict assembly adds no extra shuffle of
-    the corpus itself."""
-    norm_text = F.concat_ws(" ", tokens_col(text_col))
-    survivors = (
-        docs.select(norm_text.alias("_norm"), F.col(id_col))
-        .groupBy("_norm")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-        .withColumn("_survivor", F.lit(True))
+    The three signals are resolved TRANSITIVELY before survivor
+    selection: exact-group star edges ∪ verified MinHash pairs ∪
+    embedding pairs feed ``graph.connected_components``, every doc gets
+    its cluster's min id as ``cluster_id``, and ``keep`` is
+    cluster-canonical (``doc_id == cluster_id``) — the C4/RefinedWeb
+    semantics.  Pairwise min-id survival under-deduplicates: with edges
+    (A,C) and (B,C) for A<B<C, pairwise keeps both A and B even though
+    the three docs are ONE cluster whose canonical member is A.
+
+    Scale shape: the exact signal is one window shuffle over
+    (sha256(norm_text), id) — the hash, not the text, crosses the wire;
+    each pair signal is bounded by the candidate-pair count; connected
+    components runs O(log n) rounds over the UNION EDGE SET (duplicate
+    pairs only, a tiny fraction of the corpus); the final flag/cluster
+    joins are doc_id-keyed left joins against those small sets — at
+    scale AQE broadcasts them, so the verdict assembly adds no extra
+    shuffle of the corpus itself."""
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.operators import graph
+
+    # sha256 of the normalized text, not the text itself, is the exact
+    # dedup key (collision odds ~2^-128 — the standard trade at scale).
+    norm_hash = F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256)
+    labeled = docs.select(F.col(id_col), norm_hash.alias("_nh")).withColumn(
+        "_gmin", F.min(id_col).over(Window.partitionBy("_nh"))
     )
+    exact_flags = labeled.select(
+        id_col, (F.col(id_col) != F.col("_gmin")).alias("is_exact_dup")
+    )
+    exact_edges = labeled.filter(F.col(id_col) != F.col("_gmin")).select(
+        F.col("_gmin").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    mh_pairs = minhash_lsh_candidates(
+        docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+        verify_threshold=jaccard_threshold,
+    ).select("id_a", "id_b")
     mh_dup = (
-        minhash_lsh_candidates(
-            docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
-            verify_threshold=jaccard_threshold,
-        )
-        .select(F.col("id_b").alias(id_col))
+        mh_pairs.select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_mh", F.lit(True))
     )
@@ -571,28 +591,25 @@ def near_dup_verdicts(
         )
     else:
         epairs = embedding_near_dup(emb, vec_id_col, vec_col, threshold=cos_threshold)
+    epairs = epairs.select("id_a", "id_b")
     emb_dup = (
         epairs.select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_emb", F.lit(True))
     )
+    edges = exact_edges.union(mh_pairs).union(epairs)
+    cc = graph.connected_components(edges, "id_a", "id_b")
+    clusters = graph.attach_components(docs.select(id_col), cc, id_col)
     return (
-        docs.select(id_col)
-        .join(survivors, id_col, "left")
+        clusters.join(exact_flags, id_col)
         .join(mh_dup, id_col, "left")
         .join(emb_dup, id_col, "left")
         .select(
             id_col,
-            F.col("_survivor").isNull().alias("is_exact_dup"),
+            "is_exact_dup",
             F.coalesce(F.col("_mh"), F.lit(False)).alias("is_minhash_dup"),
             F.coalesce(F.col("_emb"), F.lit(False)).alias("is_embedding_dup"),
-        )
-        .withColumn(
-            "keep",
-            ~(
-                F.col("is_exact_dup")
-                | F.col("is_minhash_dup")
-                | F.col("is_embedding_dup")
-            ),
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
         )
     )

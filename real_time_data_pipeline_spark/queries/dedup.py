@@ -92,10 +92,12 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_pipeline(spark, sf_dir):
     """End-to-end LLM-data-cleaning pass: per-document verdict unioning
     exact, MinHash-LSH (verified), and embedding-cosine near-dup signals
-    (documents + embeddings joined on doc_id == vec_id).  Oracle-checked:
-    the verified MinHash output equals the exact-Jaccard oracle w.h.p.
-    (miss prob ~5e-8/pair at 128 perm / 32 bands), the other signals are
-    deterministic."""
+    (documents + embeddings joined on doc_id == vec_id), resolved into
+    transitive clusters — ``keep`` is cluster-canonical (doc is its
+    cluster's min id), the C4/RefinedWeb survivor rule.  Oracle-checked
+    against a recursive-CTE closure: the verified MinHash output equals
+    the exact-Jaccard oracle w.h.p. (miss prob ~5e-8/pair at 128 perm /
+    32 bands), the other signals are deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.near_dup_verdicts(
@@ -182,8 +184,12 @@ _COS_BP = """
     ) AS BIGINT)
 """
 
+# Transitive (cluster-canonical) pipeline oracle: union edge set from the
+# three signals → recursive-CTE reachability → cluster = min reachable id,
+# keep = doc is its own cluster's minimum.  Mirrors
+# operators/dedup.near_dup_verdicts + graph.connected_components.
 _PIPELINE_ORACLE = f"""
-    WITH sh AS (
+    WITH RECURSIVE sh AS (
       SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
@@ -193,31 +199,53 @@ _PIPELINE_ORACLE = f"""
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    jdups AS (
-      SELECT DISTINCT id_b FROM common
+    jpairs AS (
+      SELECT id_a, id_b FROM common
       JOIN sizes sa ON id_a = sa.doc_id
       JOIN sizes sb ON id_b = sb.doc_id
       WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
     ),
-    edups AS (
-      SELECT DISTINCT b.vec_id AS id_b
+    epairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a, embeddings b
       WHERE a.vec_id < b.vec_id AND {_COS_BP} >= 4000
     ),
-    survivors AS (
-      SELECT min(doc_id) AS doc_id FROM (
-        SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text
-        FROM documents
-      ) GROUP BY norm_text
+    norm AS (
+      SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text
+      FROM documents
+    ),
+    gmin AS (
+      SELECT norm_text, min(doc_id) AS g FROM norm GROUP BY norm_text
+    ),
+    exact_edges AS (
+      SELECT g.g AS id_a, n.doc_id AS id_b
+      FROM norm n JOIN gmin g USING (norm_text)
+      WHERE n.doc_id != g.g
+    ),
+    alledges AS (
+      SELECT id_a, id_b FROM jpairs
+      UNION SELECT id_a, id_b FROM epairs
+      UNION SELECT id_a, id_b FROM exact_edges
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM alledges
+      UNION SELECT id_b, id_a FROM alledges
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
     )
     SELECT d.doc_id,
-           d.doc_id NOT IN (SELECT doc_id FROM survivors) AS is_exact_dup,
-           d.doc_id IN (SELECT id_b FROM jdups) AS is_minhash_dup,
-           d.doc_id IN (SELECT id_b FROM edups) AS is_embedding_dup,
-           NOT (d.doc_id NOT IN (SELECT doc_id FROM survivors)
-                OR d.doc_id IN (SELECT id_b FROM jdups)
-                OR d.doc_id IN (SELECT id_b FROM edups)) AS keep
-    FROM documents d
+           d.doc_id NOT IN (SELECT g FROM gmin) AS is_exact_dup,
+           d.doc_id IN (SELECT id_b FROM jpairs) AS is_minhash_dup,
+           d.doc_id IN (SELECT id_b FROM epairs) AS is_embedding_dup,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 """
 
 # Transitive-closure twin of connected_components: reachability via a

@@ -56,6 +56,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=K, n_cells=16, nprobe=4)
 
 
+def q_ann_ivf_persisted(spark, sf_dir):
+    """Persisted IVF-Flat index: build the on-disk layout (1-file
+    centroids + assignments PARTITIONED BY cell), then probe it — so the
+    bench measures the full build+probe cycle including the
+    partition-pruned read (only nprobe/n_cells cell directories are
+    scanned; plan-verified in tests).  Rows-only: results are
+    bit-identical to ann_ivf_topk (same corpus, params, seed), which the
+    unit test pins; the on-disk detour adds no new math."""
+    import os
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    similarity.ivf_index_build(emb, path, n_cells=16)
+    return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=4)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Spherical k-means assignments after 3 Lloyd's iterations
     (rows-only: iterative algorithm, output row count == corpus size;
@@ -70,6 +90,7 @@ QUERIES = {
     "ann_gemm_topk": q_ann_gemm_topk,  # rows-only
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
     "ann_ivf_topk": q_ann_ivf_topk,  # rows-only
+    "ann_ivf_persisted": q_ann_ivf_persisted,  # rows-only (on-disk index)
     "kmeans_clusters": q_kmeans_clusters,  # rows-only (iterative)
 }
 

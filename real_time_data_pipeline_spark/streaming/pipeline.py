@@ -157,6 +157,35 @@ class TransformChain:
         return _fn
 
 
+def curation_foreach_batch(
+    benchmark: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental mode for the LLM-data curation pass: a ``foreachBatch``
+    function running ``operators/curation.curation_flags`` (repetition +
+    benchmark decontamination keep-flags) on each document micro-batch
+    and handing the verdict frame to ``sink(flags_df, batch_id)``.
+
+    Per-micro-batch execution gives EXACTLY the batch semantics because
+    neither signal holds cross-document state: repetition is a
+    doc-bounded histogram and decontamination is a stream-static join
+    against the benchmark gram set (tiny → broadcast; re-derived per
+    batch from the static frame, so benchmark updates between batches
+    are picked up).  Batch/stream flag parity is pinned by test.  Usage:
+
+        docs_stream.writeStream.foreachBatch(
+            curation_foreach_batch(benchmark, sink)).start()
+    """
+    from real_time_data_pipeline_spark.operators.curation import curation_flags
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        sink(curation_flags(batch, benchmark, id_col, text_col), batch_id)
+
+    return _fn
+
+
 def start_pipeline(
     raw: DataFrame,
     sink_factories: dict[str, callable],

@@ -125,3 +125,70 @@ def test_pack_sequences_invariants(spark, sizes, budget):
         by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
     for pid, toks in by_pack.items():
         assert sum(toks) - toks[-1] < budget or len(toks) == 1
+
+
+def test_curation_flags_batch_stream_parity(spark, tmp_path):
+    """The foreachBatch curation twin must produce exactly the batch
+    pass's keep-flags, with docs split across micro-batches (no signal
+    may depend on co-batched documents)."""
+    import json
+    import os
+    import time
+
+    from real_time_data_pipeline_spark.streaming.pipeline import (
+        curation_foreach_batch,
+    )
+
+    rows = [
+        (1, "s", "a b a b a b a b a b a b"),          # repetition-flagged
+        (2, "s", "one two three four five six seven eight"),
+        (3, "s", "w1 w2 w3 w4 w5 w6 w7 w8 w9"),       # contaminated
+        (4, "s", "clean text with many distinct tokens here now"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "b", "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        "doc_id long, source string, text string",
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    expected = {
+        r["doc_id"]: r.asDict()
+        for r in curation.curation_flags(docs, bench).collect()
+    }
+
+    # two micro-batches: docs 1-2 then 3-4, mtimes ordered
+    src = os.path.join(str(tmp_path), "docs")
+    os.makedirs(src)
+    base = time.time() - 100
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            for doc_id, source, text in chunk:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "source": source, "text": text}) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    got_rows: list = []
+    batch_ids: list = []
+
+    def sink(flags, batch_id):
+        batch_ids.append(batch_id)
+        got_rows.extend(flags.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(curation_foreach_batch(bench, sink))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batch_ids) >= 2  # genuinely incremental
+    got = {r["doc_id"]: r.asDict() for r in got_rows}
+    assert got == expected
+    assert got[1]["keep"] is False and got[1]["keep_repetition"] is False
+    assert got[3]["keep"] is False and got[3]["keep_decontaminated"] is False
+    assert got[2]["keep"] is True and got[4]["keep"] is True

@@ -368,10 +368,21 @@ def test_dedup_pipeline_lsh_is_recall_subset(spark, sf_dir):
     # measured per-doc recall ~0.75; pin a floor with slack
     if flagged_exact:
         assert len(flagged_lsh) / len(flagged_exact) >= 0.5
-    # keep must be the negation of the OR of the three signals
-    for r in lsh.values():
-        assert r.keep == (not (r.is_exact_dup or r.is_minhash_dup
-                               or r.is_embedding_dup))
+    # keep is cluster-canonical: the doc is its own cluster's minimum id
+    # (note an UNFLAGGED doc can still lose canonicality — it may be the
+    # exact-group min that a transitive chain connects to a smaller id)
+    for both in (exact, lsh):
+        for r in both.values():
+            assert r.keep == (r.doc_id == r.cluster_id)
+            assert r.cluster_id <= r.doc_id
+    # LSH sees a SUBSET of the exact edge set, so its clusters are
+    # refinements: every doc the LSH run drops, the exact run drops too.
+    kept_exact = {d for d, r in exact.items() if r.keep}
+    kept_lsh = {d for d, r in lsh.items() if r.keep}
+    assert kept_exact <= kept_lsh
+    # and cluster labels can only coarsen with more edges
+    for d in exact:
+        assert exact[d].cluster_id <= lsh[d].cluster_id
 
 
 def test_approx_percentiles_within_rank_envelope(spark, sf_dir):
