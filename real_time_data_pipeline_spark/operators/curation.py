@@ -195,6 +195,73 @@ def mix_sources(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    epochs_bp: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_bp: int = 10000,
+) -> DataFrame:
+    """Fractional repeat factors for mixture composition: a source with
+    25000 bp (2.5 epochs) emits every doc twice, plus a third copy for
+    the deterministic half of ids whose sample key falls under the
+    fractional part — so the REALIZED epoch count converges to the
+    configured rate without any doc seeing a partial copy.  This is the
+    upsampling half of mixture weighting (``mix_sources`` is the
+    downsampling half; production mixes need both — e.g. Llama/GPT-style
+    recipes repeat small high-quality sources >1 epoch).
+
+    Output: input columns + ``n_epochs`` (realized copies for this doc)
+    + ``epoch`` (0-based copy index).  Deterministic and engine-portable
+    (same Lehmer key as ``mix_sources``); zero-shuffle — the explode is
+    embarrassingly parallel over the scan, so the pass holds at 100 TB.
+    """
+    rate = F.lit(default_bp)
+    for src, bp in sorted(epochs_bp.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(bp)).otherwise(rate)
+    whole = F.floor(rate / F.lit(10000)).cast("int")
+    frac_bp = (rate - whole * F.lit(10000)).cast("bigint")
+    n_epochs = (
+        whole + (sample_key_bp(id_col) < frac_bp).cast("int")
+    ).cast("int")
+    return (
+        df.withColumn("n_epochs", n_epochs)
+        .filter(F.col("n_epochs") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("n_epochs") - 1)),
+        )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic distributed training-data shuffle: shard = Lehmer
+    key mod ``n_shards``, position within shard = dense order by (key,
+    id).  Readers stream shards in shard order, rows in position order —
+    a reproducible global permutation without any global sort: ONE
+    window shuffle partitioned by shard (each shard ~corpus/n_shards
+    rows; pick n_shards so a shard fits an executor — the standard
+    shuffled-shard layout training loaders consume).
+
+    The full 31-bit key (not the 10k-bp fold) orders within shards so
+    position assignment has negligible tie mass; ties break by id.
+    """
+    key = F.pmod(F.col(id_col) * F.lit(_LEHMER_MULT), F.lit(_LEHMER_MOD))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(F.col(id_col))
+        .withColumn("shuffle_key", key.cast("bigint"))
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn(
+            "pos_in_shard", (F.row_number().over(w) - F.lit(1)).cast("bigint")
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,

@@ -567,8 +567,11 @@ def near_dup_verdicts(
     # sha256 of the normalized text, not the text itself, is the exact
     # dedup key (collision odds ~2^-128 — the standard trade at scale).
     norm_hash = F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256)
-    labeled = docs.select(F.col(id_col), norm_hash.alias("_nh")).withColumn(
-        "_gmin", F.min(id_col).over(Window.partitionBy("_nh"))
+    labeled = (
+        docs.select(F.col(id_col), norm_hash.alias("_nh"))
+        .withColumn("_gmin", F.min(id_col).over(Window.partitionBy("_nh")))
+        .drop("_nh")
+        .persist()
     )
     exact_flags = labeled.select(
         id_col, (F.col(id_col) != F.col("_gmin")).alias("is_exact_dup")
@@ -576,10 +579,16 @@ def near_dup_verdicts(
     exact_edges = labeled.filter(F.col(id_col) != F.col("_gmin")).select(
         F.col("_gmin").alias("id_a"), F.col(id_col).alias("id_b")
     )
+    # Each pair leg feeds BOTH its per-doc flag set and the cluster edge
+    # set; persist the (tiny) pair output so the expensive candidate
+    # generation runs once, not once per consumer.  `labeled` is
+    # corpus-sized but narrow (two bigints after dropping the hash) —
+    # MEMORY_AND_DISK beats re-running the sha256 window.  The harness
+    # clears these via spark.catalog.clearCache() after the query.
     mh_pairs = minhash_lsh_candidates(
         docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
         verify_threshold=jaccard_threshold,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     mh_dup = (
         mh_pairs.select(F.col("id_b").alias(id_col))
         .distinct()
@@ -591,7 +600,7 @@ def near_dup_verdicts(
         )
     else:
         epairs = embedding_near_dup(emb, vec_id_col, vec_col, threshold=cos_threshold)
-    epairs = epairs.select("id_a", "id_b")
+    epairs = epairs.select("id_a", "id_b").persist()
     emb_dup = (
         epairs.select(F.col("id_b").alias(id_col))
         .distinct()

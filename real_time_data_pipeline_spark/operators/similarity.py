@@ -394,9 +394,14 @@ def ivf_index_build(
         [(i, [float(x) for x in row]) for i, row in enumerate(Cm)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    _ivf_assign(corpus, Cm, id_col, vec_col).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/assignments")
+    # Repartition BY the partition column before partitionBy-write:
+    # without it every write task emits a file per cell it sees (tasks ×
+    # cells small files — the classic partitioned-write explosion); with
+    # it each cell's rows land in one task (AQE may split genuinely large
+    # cells), so file count tracks cell count, not task count.
+    _ivf_assign(corpus, Cm, id_col, vec_col).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assignments")
 
 
 def ivf_index_topk(

@@ -237,7 +237,10 @@ def oov_rate(
     One persisted explode feeds both the vocab aggregate and the
     membership join (tokenizer runs once).  The vocab side is
     df-thresholded and therefore vocab-bounded — AQE broadcasts it when
-    it fits; the join never shuffles more than (token row, term) pairs."""
+    it fits; the join never shuffles more than (token row, term) pairs.
+    The persist is cleared by the caller/harness via
+    ``spark.catalog.clearCache()`` (bench.py and tools/parity.py do this
+    after every query)."""
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
     ).persist()

@@ -77,6 +77,8 @@ _R3_PRIORITY = [
     "tfidf_topk",
     "bm25_topk",
     "unigram_surprisal",
+    "dataset_upsample",
+    "dataset_shuffle",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -67,12 +67,31 @@ def q_chunk_windows(spark, sf_dir):
     )
 
 
+# Epoch rates (bp of one epoch): upweight the curated source 2.5x, keep
+# the rest at 1 epoch, drop src3 to a half epoch.
+UPSAMPLE_RATES_BP = {"src0": 25000, "src3": 5000}
+
+N_SHARDS = 8
+
+
+def q_dataset_upsample(spark, sf_dir):
+    return curation.epoch_upsample(
+        _docs(spark, sf_dir).select("doc_id", "source"), UPSAMPLE_RATES_BP
+    )
+
+
+def q_dataset_shuffle(spark, sf_dir):
+    return curation.shuffle_shards(_docs(spark, sf_dir), N_SHARDS)
+
+
 QUERIES = {
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
     "dataset_mix": q_dataset_mix,
     "sequence_packing": q_sequence_packing,
     "chunk_windows": q_chunk_windows,
+    "dataset_upsample": q_dataset_upsample,
+    "dataset_shuffle": q_dataset_shuffle,
 }
 
 
@@ -175,10 +194,48 @@ _CHUNK_ORACLE = f"""
     FROM c
 """
 
+def _duck_epoch_case() -> str:
+    arms = " ".join(
+        f"WHEN '{src}' THEN {bp}"
+        for src, bp in sorted(UPSAMPLE_RATES_BP.items())
+    )
+    return f"CASE source {arms} ELSE 10000 END"
+
+
+_LEHMER_KEY = f"((doc_id * {curation._LEHMER_MULT}) % {curation._LEHMER_MOD})"
+
+_UPSAMPLE_ORACLE = f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             {_duck_epoch_case()} AS rate,
+             CAST({_duck_epoch_case()} // 10000
+                  + CASE WHEN {_LEHMER_KEY} % 10000
+                              < {_duck_epoch_case()} % 10000
+                         THEN 1 ELSE 0 END AS INT) AS n_epochs
+      FROM documents
+    )
+    SELECT doc_id, source, n_epochs,
+           CAST(unnest(range(0, n_epochs)) AS INT) AS epoch
+    FROM r WHERE n_epochs > 0
+"""
+
+_SHUFFLE_ORACLE = f"""
+    SELECT doc_id,
+           CAST({_LEHMER_KEY} AS BIGINT) AS shuffle_key,
+           CAST({_LEHMER_KEY} % {N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY {_LEHMER_KEY} % {N_SHARDS}
+             ORDER BY {_LEHMER_KEY}, doc_id
+           ) - 1 AS BIGINT) AS pos_in_shard
+    FROM documents
+"""
+
 ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
     "dataset_mix": _MIX_ORACLE,
     "sequence_packing": _PACKING_ORACLE,
     "chunk_windows": _CHUNK_ORACLE,
+    "dataset_upsample": _UPSAMPLE_ORACLE,
+    "dataset_shuffle": _SHUFFLE_ORACLE,
 }

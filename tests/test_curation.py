@@ -192,3 +192,50 @@ def test_curation_flags_batch_stream_parity(spark, tmp_path):
     assert got[1]["keep"] is False and got[1]["keep_repetition"] is False
     assert got[3]["keep"] is False and got[3]["keep_decontaminated"] is False
     assert got[2]["keep"] is True and got[4]["keep"] is True
+
+
+def test_epoch_upsample_fractional_copies(spark):
+    # sample_key_bp(id) = (id*48271 % 2147483647) % 10000:
+    #   id 1 → 8271, id 2 → 6542, id 3 → 4813, id 5 → 1355
+    rows = [
+        (1, "hot", "t"), (3, "hot", "t"),    # 2.5 epochs: 8271→2, 4813→3
+        (1, "cold", "t"), (3, "cold", "t"),  # 0.5 epochs: 8271→0, 4813→1
+        (2, "other", "t"),                   # default 1.0 epoch
+    ]
+    # doc_id repeats across sources on purpose: the key is per-id, the
+    # rate per-source.
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = curation.epoch_upsample(
+        df, {"hot": 25000, "cold": 5000}
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+    assert sorted(by[(1, "hot")]) == [0, 1]
+    assert sorted(by[(3, "hot")]) == [0, 1, 2]
+    assert (1, "cold") not in by          # 0 copies → row dropped
+    assert sorted(by[(3, "cold")]) == [0]
+    assert sorted(by[(2, "other")]) == [0]
+    for r in got:
+        assert r["n_epochs"] == len(by[(r["doc_id"], r["source"])])
+
+
+def test_shuffle_shards_is_deterministic_partition(spark):
+    df = spark.createDataFrame(
+        [(i, "s", "t") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    a = curation.shuffle_shards(df, 8).collect()
+    b = curation.shuffle_shards(df, 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-identical
+    assert {r["doc_id"] for r in a} == set(range(100))     # a permutation
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        # positions are contiguous 0..n-1 within the shard, ordered by key
+        rows.sort(key=lambda r: r["pos_in_shard"])
+        assert [r["pos_in_shard"] for r in rows] == list(range(len(rows)))
+        keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)

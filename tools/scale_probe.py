@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from real_time_data_pipeline_spark.operators import curation, dedup, graph  # noqa: E402
+from real_time_data_pipeline_spark.operators import curation, dedup, graph, text  # noqa: E402
 from real_time_data_pipeline_spark.schemas import load_table  # noqa: E402
 from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -100,11 +100,29 @@ def main() -> int:
             def run_exact():
                 return dedup.exact_dedup(docs.select("doc_id", "text"), ["text"], "doc_id").count()
 
+            def run_tfidf():
+                return text.tfidf_topk(docs, k=5).count()
+
+            def run_bm25():
+                # replica-suffixed vocab: probe with replica-0 terms so the
+                # filtered explode keeps matching rows at every factor
+                return text.bm25_topk(docs, ["dup_r0", "hash_r0", "merge_r0"], k=10).count()
+
+            def run_surprisal():
+                return text.unigram_surprisal(docs).count()
+
+            def run_shuffle():
+                return curation.shuffle_shards(docs, 8).count()
+
             for name, fn in [
                 ("minhash_lsh", run_minhash),
                 ("clusters_lsh", run_clusters),
                 ("repetition", run_repetition),
                 ("exact_dedup", run_exact),
+                ("tfidf_topk", run_tfidf),
+                ("bm25_topk", run_bm25),
+                ("unigram_surprisal", run_surprisal),
+                ("shuffle_shards", run_shuffle),
             ]:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
