@@ -373,3 +373,61 @@ def curation_flags(
         "keep_decontaminated",
         (F.col("keep_repetition") & F.col("keep_decontaminated")).alias("keep"),
     )
+
+
+# Composite quality-gate thresholds: a doc must clear ALL of them to
+# enter the training mix.  Tuned to the synthetic corpus the way a data
+# team tunes to theirs; the mechanism (conjunction of independent cheap
+# signals) is the production shape.
+QUALITY_MIN_SCORE = 50       # heuristic quality_score floor (of 100)
+QUALITY_MIN_INFO_BP = 30000  # >= 3.0 mean bits/token (word-salad floor)
+
+
+def quality_verdicts(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The document-quality twin of ``dedup.near_dup_verdicts``: one row
+    per doc unioning the four independent quality signals with the final
+    gate decision —
+
+      - ``quality_score``        — length/stopword/shape heuristic (0-100)
+      - ``mean_info_bp``         — unigram-LM surprisal (perplexity proxy)
+      - ``keep_repetition``      — Gopher repetition thresholds
+      - ``keep_decontaminated``  — benchmark n-gram collision check
+      - ``keep``                 — all four pass
+
+    Each signal reduces to a per-doc frame hash-partitioned by the doc id
+    from its own aggregate, so the assembly joins are co-partitioned (and
+    at scale AQE broadcasts the smaller verdict sides); nothing here
+    re-shuffles the corpus.  The four tokenizer passes are independent
+    scans — at 100 TB fuse them by persisting a shared explode if scan
+    cost dominates (the dedup pass demonstrates that pattern)."""
+    from real_time_data_pipeline_spark.operators import text as T
+
+    q = T.quality_score(df, id_col, text_col)
+    s = T.unigram_surprisal(df, id_col, text_col).select(
+        id_col, "mean_info_bp"
+    )
+    r = repetition_stats(df, id_col, text_col).select(id_col, "keep_repetition")
+    d = decontaminate(df, benchmark, id_col, text_col).select(
+        id_col, "keep_decontaminated"
+    )
+    return (
+        q.join(s, id_col).join(r, id_col).join(d, id_col)
+        .select(
+            id_col,
+            "quality_score",
+            "mean_info_bp",
+            "keep_repetition",
+            "keep_decontaminated",
+            (
+                (F.col("quality_score") >= QUALITY_MIN_SCORE)
+                & (F.col("mean_info_bp") >= QUALITY_MIN_INFO_BP)
+                & F.col("keep_repetition")
+                & F.col("keep_decontaminated")
+            ).alias("keep"),
+        )
+    )

@@ -79,6 +79,7 @@ _R3_PRIORITY = [
     "unigram_surprisal",
     "dataset_upsample",
     "dataset_shuffle",
+    "doc_quality",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -80,6 +80,14 @@ def q_dataset_upsample(spark, sf_dir):
     )
 
 
+def q_doc_quality(spark, sf_dir):
+    """Composite per-document quality gate (quality score ∧ surprisal ∧
+    repetition ∧ decontamination) — the quality twin of dedup_pipeline."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.quality_verdicts(docs, bench)
+
+
 def q_dataset_shuffle(spark, sf_dir):
     return curation.shuffle_shards(_docs(spark, sf_dir), N_SHARDS)
 
@@ -92,6 +100,7 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "dataset_upsample": q_dataset_upsample,
     "dataset_shuffle": q_dataset_shuffle,
+    "doc_quality": q_doc_quality,
 }
 
 
@@ -230,6 +239,31 @@ _SHUFFLE_ORACLE = f"""
     FROM documents
 """
 
+def _doc_quality_oracle() -> str:
+    """Composite oracle: each signal's existing oracle SQL becomes a
+    parenthesized subquery (DuckDB allows WITH inside subqueries), joined
+    on doc_id with the conjunction gate — mirrors
+    curation.quality_verdicts."""
+    from real_time_data_pipeline_spark.queries import text as text_q
+
+    return f"""
+        SELECT q.doc_id, q.quality_score, s.mean_info_bp,
+               r.keep_repetition, d.keep_decontaminated,
+               (q.quality_score >= {curation.QUALITY_MIN_SCORE}
+                AND s.mean_info_bp >= {curation.QUALITY_MIN_INFO_BP}
+                AND r.keep_repetition AND d.keep_decontaminated) AS keep
+        FROM ({text_q.ORACLES["text_quality_score"]}) q
+        JOIN (SELECT doc_id, mean_info_bp
+              FROM ({text_q.ORACLES["unigram_surprisal"]})) s
+          ON q.doc_id = s.doc_id
+        JOIN (SELECT doc_id, keep_repetition FROM ({_REPETITION_ORACLE})) r
+          ON q.doc_id = r.doc_id
+        JOIN (SELECT doc_id, keep_decontaminated
+              FROM ({_DECONTAMINATE_ORACLE})) d
+          ON q.doc_id = d.doc_id
+    """
+
+
 ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
@@ -238,4 +272,5 @@ ORACLES = {
     "chunk_windows": _CHUNK_ORACLE,
     "dataset_upsample": _UPSAMPLE_ORACLE,
     "dataset_shuffle": _SHUFFLE_ORACLE,
+    "doc_quality": _doc_quality_oracle(),
 }

@@ -239,3 +239,34 @@ def test_shuffle_shards_is_deterministic_partition(spark):
         assert [r["pos_in_shard"] for r in rows] == list(range(len(rows)))
         keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_quality_verdicts_is_signal_conjunction(spark):
+    rows = [
+        # repeated 2-gram salad: fails repetition (and the short-doc
+        # length component keeps quality_score low too)
+        (1, "s", "a b a b a b a b a b a b"),
+        # contaminated: identical to the benchmark doc below
+        (2, "s", "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        # long, stopword-bearing, varied text: passes everything
+        (3, "s", "the quick brown fox jumps over a lazy dog and then "
+                 "it runs far away to find some other field of interest "
+                 "for the rest of that day with plenty of distinct words"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "b", "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        "doc_id long, source string, text string",
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in curation.quality_verdicts(df, bench).collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        assert r["keep"] == (
+            r["quality_score"] >= curation.QUALITY_MIN_SCORE
+            and r["mean_info_bp"] >= curation.QUALITY_MIN_INFO_BP
+            and r["keep_repetition"]
+            and r["keep_decontaminated"]
+        )
+    assert got[1]["keep_repetition"] is False and got[1]["keep"] is False
+    assert got[2]["keep_decontaminated"] is False and got[2]["keep"] is False
+    assert got[3]["keep"] is True
