@@ -52,11 +52,20 @@ def main() -> int:
     )
 
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # lose the other 100 timings (the r2 bench artifact was lost
+            # to exactly this all-or-nothing failure mode).
+            failed[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # Operators may persist() intermediates that live as long as their
@@ -78,6 +87,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if failed:
+        payload["failed"] = failed
     # The driver captures a finite output tail and BENCH_r02 lost its
     # closing bytes mid-JSON ("parsed": null).  Defenses: (a) compact
     # separators keep the line as small as possible, (b) the JSON is the

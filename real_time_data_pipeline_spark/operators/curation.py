@@ -163,12 +163,27 @@ _LEHMER_MULT = 48271
 _LEHMER_MOD = 2147483647
 
 
+def sample_key(id_col: str) -> F.Column:
+    """Deterministic per-id Lehmer key in [0, 2^31-1) — the shared base
+    for sampling (folded to bp) and shard assignment; any change to the
+    key scheme (e.g. the id-folding needed beyond 2^46 ids) lands here
+    once."""
+    return F.pmod(F.col(id_col) * F.lit(_LEHMER_MULT), F.lit(_LEHMER_MOD))
+
+
 def sample_key_bp(id_col: str) -> F.Column:
     """Deterministic per-id sample key in [0, 10000)."""
-    return F.pmod(
-        F.pmod(F.col(id_col) * F.lit(_LEHMER_MULT), F.lit(_LEHMER_MOD)),
-        F.lit(10000),
-    ).cast("bigint")
+    return F.pmod(sample_key(id_col), F.lit(10000)).cast("bigint")
+
+
+def _rate_col(rates_bp: dict[str, int], source_col: str, default_bp: int) -> F.Column:
+    """Source→rate CASE chain shared by the down- (mix_sources) and
+    up-sampling (epoch_upsample) halves so their rate resolution cannot
+    drift."""
+    rate = F.lit(default_bp)
+    for src, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(bp)).otherwise(rate)
+    return rate
 
 
 def mix_sources(
@@ -187,9 +202,7 @@ def mix_sources(
     repartitionable, and the same doc survives on every engine and every
     rerun (sampling is lineage, not chance).
     """
-    rate = F.lit(default_bp)
-    for src, bp in sorted(rates_bp.items()):
-        rate = F.when(F.col(source_col) == src, F.lit(bp)).otherwise(rate)
+    rate = _rate_col(rates_bp, source_col, default_bp)
     return df.withColumn("sample_key_bp", sample_key_bp(id_col)).filter(
         F.col("sample_key_bp") < rate
     )
@@ -216,9 +229,7 @@ def epoch_upsample(
     (same Lehmer key as ``mix_sources``); zero-shuffle — the explode is
     embarrassingly parallel over the scan, so the pass holds at 100 TB.
     """
-    rate = F.lit(default_bp)
-    for src, bp in sorted(epochs_bp.items()):
-        rate = F.when(F.col(source_col) == src, F.lit(bp)).otherwise(rate)
+    rate = _rate_col(epochs_bp, source_col, default_bp)
     whole = F.floor(rate / F.lit(10000)).cast("int")
     frac_bp = (rate - whole * F.lit(10000)).cast("bigint")
     n_epochs = (
@@ -247,12 +258,12 @@ def shuffle_shards(
 
     The full 31-bit key (not the 10k-bp fold) orders within shards so
     position assignment has negligible tie mass; ties break by id.
+    Input columns ride along — the payload moves inside the one window
+    shuffle, so consumers need no corpus re-join to read shards.
     """
-    key = F.pmod(F.col(id_col) * F.lit(_LEHMER_MULT), F.lit(_LEHMER_MOD))
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return (
-        df.select(F.col(id_col))
-        .withColumn("shuffle_key", key.cast("bigint"))
+        df.withColumn("shuffle_key", sample_key(id_col).cast("bigint"))
         .withColumn(
             "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
         )

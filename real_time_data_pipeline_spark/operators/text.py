@@ -321,17 +321,20 @@ def tfidf_topk(
     dl = ex.groupBy("id").agg(F.count("*").cast("bigint").alias("dl"))
     dfreq = ex.groupBy("term").agg(F.countDistinct("id").alias("df"))
     n_docs = ex.agg(F.countDistinct("id").cast("bigint").alias("n_docs"))
+    # idf2 is defined ONCE and the score references the column, so the
+    # exposed idf2 and the one inside tfidf_bp cannot drift apart.
     scored = (
         tf.join(dl, "id")
         .join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf2", _dyadic_log2("n_docs DIV df").cast("bigint"))
         .select(
             F.col("id").alias(id_col),
             "term",
             "tf",
-            _dyadic_log2("n_docs DIV df").cast("bigint").alias("idf2"),
+            "idf2",
             F.floor(
-                F.lit(10000.0) * F.col("tf") * (_dyadic_log2("n_docs DIV df")) / F.col("dl")
+                F.lit(10000.0) * F.col("tf") * F.col("idf2") / F.col("dl")
             ).cast("bigint").alias("tfidf_bp"),
         )
     )

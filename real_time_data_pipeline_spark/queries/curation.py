@@ -89,7 +89,10 @@ def q_doc_quality(spark, sf_dir):
 
 
 def q_dataset_shuffle(spark, sf_dir):
-    return curation.shuffle_shards(_docs(spark, sf_dir), N_SHARDS)
+    # The operator passes input columns through (payload rides the one
+    # window shuffle); project to the id so the oracle schema stays
+    # layout-metadata-only.
+    return curation.shuffle_shards(_docs(spark, sf_dir).select("doc_id"), N_SHARDS)
 
 
 QUERIES = {
