@@ -149,6 +149,47 @@ def minhash_signatures(
     )
 
 
+def minhash_band_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded LSH keys per document: ``(id, band_idx, band_hash)`` with
+    one row per band — the join key of every LSH dedup variant and the
+    ROW FORMAT of the persisted signature index (build_minhash_index).
+    Band hash = xxhash64 over the band's sub-signature, so an index
+    written with one (n, num_perm, bands) config only matches probes
+    using the same config."""
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.get(F.col("signature"), b * rpb + j).cast("string")
+                                    for j in range(rpb)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -171,30 +212,7 @@ def minhash_lsh_candidates(
     Jaccard (candidate-verify, the 100 TB-safe shape).
     """
     assert num_perm % bands == 0
-    rpb = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.get(F.col("signature"), b * rpb + j).cast("string")
-                                    for j in range(rpb)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+    banded = minhash_band_hashes(df, id_col, text_col, n, num_perm, bands)
     # Persist the tiny banded table (bands rows x 3 longs per doc): it is
     # consumed by both sides of the bucket self-join, and recomputing it
     # would re-run the signature aggregation.  At 100 TB the signature
@@ -243,6 +261,121 @@ def minhash_lsh_candidates(
             .select("id_a", "id_b", "n_common", "jaccard_bp")
         )
     return cands
+
+
+# --------------------------------------------- incremental (index) dedup
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> None:
+    """Persist the corpus's banded MinHash signatures as a parquet index
+    partitioned by ``band_idx`` — the artifact that makes dedup
+    INCREMENTAL: a daily increment probes this index instead of
+    re-sketching the historical corpus, so steady-state dedup cost
+    scales with the increment, not the 100 TB history.
+
+    ``repartition("band_idx")`` before the partitioned write keeps file
+    count tracking band count (not tasks × bands); each partition holds
+    (id, band_hash) pairs for one band, so a probe of band b reads
+    exactly one directory.  Appending a new day's signatures to the same
+    layout is an ``append``-mode write of the increment's band hashes."""
+    minhash_band_hashes(docs, id_col, text_col, n, num_perm, bands).repartition(
+        "band_idx"
+    ).write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket: int = 1000,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup an increment against a PERSISTED corpus signature index:
+    verified near-dup pairs ``(corpus_id, new_id, n_common, jaccard_bp)``
+    with exact Jaccard >= ``verify_threshold``.
+
+    The production steady-state shape (new-vs-history; pair new-vs-new
+    via ``minhash_lsh_candidates`` on the increment alone):
+
+    1. sketch ONLY the increment (cost ∝ |new|);
+    2. join its band hashes against the index on (band_idx, band_hash) —
+       at scale the increment side is small, so AQE broadcasts it and
+       the index scan never shuffles; oversized buckets are dropped on
+       both sides (degenerate content, same ``max_bucket`` rule as the
+       batch path);
+    3. verify candidates with exact Jaccard, reading corpus TEXT only
+       for candidate ids (semi-join pruned before the shingle
+       computation — the corpus is never re-sketched, and only matched
+       docs are re-read).
+
+    ``corpus_docs`` must be the corpus the index was built from with the
+    same (n, num_perm, bands); band hashes only match under an identical
+    config (enforced structurally: different configs hash different
+    sub-signatures)."""
+    probe = minhash_band_hashes(
+        new_docs, id_col, text_col, n, num_perm, bands
+    ).persist()
+    index = spark.read.parquet(index_path)
+    # Degenerate-bucket prune on the INDEX side (corpus-scale buckets);
+    # the increment side is bounded by |new| per bucket already.
+    sizes = index.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    pruned = index.join(
+        sizes.filter(F.col("bucket_n") <= max_bucket), ["band_idx", "band_hash"]
+    )
+    cands = (
+        pruned.select("band_idx", "band_hash", F.col("id").alias("corpus_id"))
+        .join(
+            probe.select(
+                "band_idx", "band_hash", F.col("id").alias("new_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    # Verify: corpus text pruned to candidate ids BEFORE sharding — the
+    # candidate id set is duplicate-bounded, so this is a broadcast
+    # semi-join followed by a shingle computation over matches only.
+    corpus_hit = corpus_docs.join(
+        cands.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "semi"
+    )
+    a = corpus_hit.select(
+        F.col(id_col).alias("corpus_id"), shingles_col(text_col, n).alias("sh_a")
+    )
+    b = new_docs.select(
+        F.col(id_col).alias("new_id"), shingles_col(text_col, n).alias("sh_b")
+    )
+    return (
+        cands.join(a, "corpus_id")
+        .join(b, "new_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CAST(FLOOR(1e4 * n_common / (n_a + n_b - n_common)) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jaccard_bp") >= int(verify_threshold * 10000))
+        .select("corpus_id", "new_id", "n_common", "jaccard_bp")
+    )
 
 
 # -------------------------------------------------------------- simhash

@@ -83,6 +83,7 @@ _R3_PRIORITY = [
     "dataset_upsample",
     "dataset_shuffle",
     "doc_quality",
+    "dedup_incremental",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

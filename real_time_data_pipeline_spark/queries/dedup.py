@@ -117,6 +117,30 @@ def q_dedup_pipeline_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Steady-state incremental dedup: docs with doc_id % 10 == 0 play
+    the daily increment, the rest the indexed historical corpus.  Builds
+    the persisted band-hash index from the corpus, probes it with the
+    increment only, verifies with exact Jaccard — the per-day cost
+    scales with the increment, never the history.  Oracle: exact
+    corpus×increment Jaccard pairs (index probe equals it w.h.p. at
+    128 perm / 32 bands, miss ~5e-8/pair)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"minhash_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dedup.build_minhash_index(corpus, path, num_perm=128, bands=32)
+    return dedup.incremental_minhash_pairs(
+        spark, new, corpus, path, num_perm=128, bands=32, verify_threshold=0.8
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: exact 3-gram Jaccard pairs at 0.8
     resolved into connected components (large-star/small-star), every doc
@@ -153,6 +177,7 @@ QUERIES = {
     "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # rows-only
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 _JACCARD_ORACLE = f"""
@@ -288,7 +313,30 @@ _CLUSTERS_ORACLE = f"""
     FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 """
 
+# Incremental (corpus × increment) exact-Jaccard twin: orientation is
+# (corpus_id, new_id), not id_a < id_b.
+_INCREMENTAL_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS corpus_id, b.doc_id AS new_id, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, new_id, n_common,
+           CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) AS jaccard_bp
+    FROM common
+    JOIN sizes sa ON corpus_id = sa.doc_id
+    JOIN sizes sb ON new_id = sb.doc_id
+    WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
+"""
+
 ORACLES = {
+    "dedup_incremental": _INCREMENTAL_ORACLE,
     "dedup_pipeline": _PIPELINE_ORACLE,
     "dedup_clusters": _CLUSTERS_ORACLE,
     # MinHash-verified pair set == exact pair set w.h.p. (see

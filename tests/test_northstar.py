@@ -455,3 +455,46 @@ def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+def test_incremental_minhash_matches_batch_pairs(spark, sf_dir, tmp_path):
+    """Probing a persisted corpus index with an increment must find
+    exactly the cross-split pairs the one-shot batch operator finds on
+    the union, verified at the same threshold."""
+    from real_time_data_pipeline_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the quiet meadow"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about database engines "
+                        "and query optimizers running distributed plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 10 is a near-dup of corpus doc 1 (one word changed); 20 matches
+        # nothing.
+        [(10, base.replace("quiet", "silent")),
+         (20, "unrelated short note on garbage collection pauses only")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_index")
+    dedup.build_minhash_index(corpus, idx, num_perm=128, bands=32)
+    got = dedup.incremental_minhash_pairs(
+        spark, new, corpus, idx, num_perm=128, bands=32, verify_threshold=0.8
+    ).collect()
+    assert [(r["corpus_id"], r["new_id"]) for r in got] == [(1, 10)]
+    # same pair set the batch path finds across the split on the union
+    union = corpus.union(new)
+    batch = dedup.minhash_lsh_candidates(
+        union, num_perm=128, bands=32, verify_threshold=0.8
+    ).collect()
+    cross = {(r["id_a"], r["id_b"]) for r in batch
+             if (r["id_a"] < 10) != (r["id_b"] < 10)}
+    assert cross == {(1, 10)}
+    assert got[0]["jaccard_bp"] == [r for r in batch
+                                    if (r["id_a"], r["id_b"]) == (1, 10)][0]["jaccard_bp"]
+    # appending a later increment's signatures is an append-mode write of
+    # the same layout; re-probing then also matches the new docs
+    dedup.build_minhash_index(new, idx + "_inc", num_perm=128, bands=32)
