@@ -442,3 +442,155 @@ def quality_verdicts(
             ).alias("keep"),
         )
     )
+
+
+# -- Intra-corpus duplicated-span profile --------------------------------
+
+DUP_SPAN_MAX_BP = 5000  # drop docs more than half made of cross-doc spans
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_dup_bp: int = DUP_SPAN_MAX_BP,
+) -> DataFrame:
+    """Per-document intra-corpus duplicated-span profile — the bucketed
+    approximation of ExactSubstr dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    "duplicated" when the word ``n``-gram starting there also occurs in
+    at least one OTHER document.
+
+    Output per doc: ``n_slots`` (n-gram slots), ``dup_slots`` (slots
+    whose gram is cross-document), ``dup_bp`` (basis points), and
+    ``keep_dup_spans`` (``dup_bp <= max_dup_bp``).  Differs from
+    ``repetition_stats`` (WITHIN-doc repetition) and ``decontaminate``
+    (collision vs an EXTERNAL benchmark): this is corpus-internal
+    boilerplate — headers, license blocks, templated pages.
+
+    Plan: one explode (tokenizer runs once), a gram→distinct-doc-count
+    hash aggregate (map-side combined; the shuffle carries one row per
+    distinct (doc, gram)), and a gram-keyed sort-merge join back to the
+    occurrence list.  No all-pairs anything: cost is linear in corpus
+    token count, the same shape as the document-frequency pass — holds
+    at 100 TB.  Degenerate grams (stop-phrase boilerplate appearing in
+    millions of docs) inflate neither side beyond (gram, n_docs) rows.
+    """
+    occ = df.select(
+        F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
+    )
+    cross_doc = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("gram_docs"))
+        .filter(F.col("gram_docs") >= 2)
+        .select("gram", F.lit(1).alias("_dup"))
+    )
+    agg = (
+        occ.join(cross_doc, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_slots"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("dup_slots"),
+        )
+    )
+    dup_bp = F.floor(F.lit(10000) * F.col("dup_slots") / F.col("n_slots")).cast(
+        "bigint"
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_slots").cast("bigint").alias("n_slots"),
+        F.col("dup_slots").cast("bigint").alias("dup_slots"),
+        dup_bp.alias("dup_bp"),
+        (dup_bp <= F.lit(max_dup_bp)).alias("keep_dup_spans"),
+    )
+
+
+# -- Per-source corpus profile -------------------------------------------
+
+
+def source_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus rollup — the table a data team reads before
+    setting mixture rates (CCNet/RefinedWeb-style domain triage): doc
+    count, exact-duplicate rate, token volume, mean doc length, language
+    spread.
+
+    One hash aggregate keyed by source (source cardinality is domains,
+    not docs — the output is dashboard-sized).  The token count rides an
+    expression (``size`` of the split — no explode needed since no
+    per-token grouping happens), so the pass is a single scan with
+    map-side combine; the two distinct-counts expand the shuffle by 2×
+    rows, still source-bounded.  Holds at 100 TB.
+    """
+    toks = tokens_col(text_col)
+    per_doc = df.select(
+        F.col(source_col),
+        F.col(lang_col),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("text_hash"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    agg = per_doc.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text_hash").alias("n_distinct_texts"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return agg.select(
+        F.col(source_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct_texts").cast("bigint").alias("n_distinct_texts"),
+        F.floor(
+            F.lit(10000)
+            * (F.col("n_docs") - F.col("n_distinct_texts"))
+            / F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("dup_doc_bp"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.floor(F.lit(10000) * F.col("total_tokens") / F.col("n_docs"))
+        .cast("bigint")
+        .alias("mean_tokens_bp"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+    )
+
+
+# -- Deterministic train/val/test split ----------------------------------
+
+SPLIT_TRAIN_BP = 9000  # 90% train
+SPLIT_VAL_BP = 9500    # 5% val, 5% test
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_bp: int = SPLIT_TRAIN_BP,
+    val_bp: int = SPLIT_VAL_BP,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by Lehmer key threshold:
+    split = train if key_bp < train_bp, val if < val_bp, else test.
+
+    Hash-threshold assignment (not exact-count stratification) is the
+    production rule: membership depends only on the id, so it is stable
+    under corpus growth — a doc never migrates between splits when new
+    data arrives, which exact-proportion sampling cannot guarantee.
+    Within any id-independent stratum (e.g. source) the key is uniform,
+    so realized proportions converge per-stratum without explicit
+    stratification.  Pure per-row expression: zero shuffle, engine-
+    portable (same Lehmer key as ``mix_sources`` — split assignment is
+    dataset lineage), trivially 100 TB.
+    """
+    if not (0 <= train_bp <= val_bp <= 10000):
+        raise ValueError(f"need 0 <= train_bp <= val_bp <= 10000, got {train_bp}, {val_bp}")
+    key = sample_key_bp(id_col)
+    return df.withColumn("split_key_bp", key).withColumn(
+        "split",
+        F.when(F.col("split_key_bp") < train_bp, F.lit("train"))
+        .when(F.col("split_key_bp") < val_bp, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

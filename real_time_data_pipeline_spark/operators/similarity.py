@@ -514,3 +514,94 @@ def kmeans_inertia(assigned: DataFrame, Cm, vec_col: str = "embedding"):
         .agg(F.avg("d").alias("inertia"))
         .collect()[0]["inertia"]
     )
+
+
+# -- Centroid outlier scoring --------------------------------------------
+
+OUTLIER_QUANT_SCALE = 10000  # embedding fixed-point quantization (1e4)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cos_bp: int = 0,
+) -> DataFrame:
+    """Per-group embedding outlier score: cosine of each vector against
+    its own group's centroid, flagged ``is_outlier`` when below
+    ``min_cos_bp``.  The standard embedding-space data-quality pass —
+    mislabeled / off-topic / garbage docs sit far from their cluster
+    centroid (e.g. SemDeDup-style pruning keeps the densest shell).
+
+    Determinism across engines (the oracle requirement) forbids a
+    floating-point centroid: distributed float summation is order-
+    dependent.  So vectors quantize to fixed-point BIGINT
+    (floor(x·1e4)), per-dimension sums are exact integer arithmetic
+    (associative → any aggregation tree yields the same centroid), and
+    cosine is computed against the integer SUM vector — cos(x, Σv) ==
+    cos(x, mean v) since cosine is scale-invariant, so the division by
+    the group count never happens and no float enters until the final
+    sqrt.  Overflow headroom: |q| ≤ 1e4, so a 64-dim int64 norm of the
+    sum vector holds to ~3e5 rows/group at full magnitude; beyond that
+    (the 100 TB path) pre-scale per-partition partial sums or widen to
+    DECIMAL(38,0) — the quantized sums stay exact either way.
+
+    Plan: posexplode → (label, pos) hash aggregate (map-side combined;
+    shuffle is labels × dims rows), centroids reassembled with
+    sort_array (dims per label — dashboard-sized, broadcast to the
+    scoring join), then one scan computing the sequential-fold dot.  No
+    shuffle touches the corpus beyond the tiny aggregate. Holds at
+    100 TB."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(OUTLIER_QUANT_SCALE)).cast(
+            "long"
+        ),
+    )
+    quant = df.select(F.col(id_col), F.col(label_col), q.alias("qv"))
+    cent = (
+        quant.select(F.col(label_col), F.posexplode("qv").alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda e: e["s"],
+            ).alias("cv")
+        )
+    )
+    scored = quant.join(F.broadcast(cent), label_col).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nx"),
+        F.aggregate(
+            F.transform("cv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nc"),
+    )
+    cos_bp = F.when(
+        (F.col("nx") > 0) & (F.col("nc") > 0),
+        F.floor(
+            F.lit(10000)
+            * F.col("dot")
+            / (F.sqrt(F.col("nx").cast("double")) * F.sqrt(F.col("nc").cast("double")))
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return scored.select(
+        id_col,
+        label_col,
+        cos_bp.alias("cos_bp"),
+        (cos_bp < F.lit(min_cos_bp)).alias("is_outlier"),
+    )

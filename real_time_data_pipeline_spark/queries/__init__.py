@@ -84,6 +84,10 @@ _R3_PRIORITY = [
     "dataset_shuffle",
     "doc_quality",
     "dedup_incremental",
+    "corpus_dup_spans",
+    "source_profile",
+    "dataset_split",
+    "embedding_outliers",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -88,6 +88,26 @@ def q_doc_quality(spark, sf_dir):
     return curation.quality_verdicts(docs, bench)
 
 
+DUP_SPAN_N = 4  # 4-grams collide often enough on this corpus to exercise both branches
+
+
+def q_corpus_dup_spans(spark, sf_dir):
+    """Intra-corpus duplicated-span profile (bucketed ExactSubstr proxy)."""
+    return curation.dup_span_stats(_docs(spark, sf_dir), n=DUP_SPAN_N)
+
+
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus rollup for mixture-rate triage."""
+    return curation.source_profile(_docs(spark, sf_dir))
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-threshold train/val/test assignment."""
+    return curation.train_val_test_split(
+        _docs(spark, sf_dir).select("doc_id", "source")
+    )
+
+
 def q_dataset_shuffle(spark, sf_dir):
     # The operator passes input columns through (payload rides the one
     # window shuffle); project to the id so the oracle schema stays
@@ -104,6 +124,9 @@ QUERIES = {
     "dataset_upsample": q_dataset_upsample,
     "dataset_shuffle": q_dataset_shuffle,
     "doc_quality": q_doc_quality,
+    "corpus_dup_spans": q_corpus_dup_spans,
+    "source_profile": q_source_profile,
+    "dataset_split": q_dataset_split,
 }
 
 
@@ -267,6 +290,53 @@ def _doc_quality_oracle() -> str:
     """
 
 
+_DUP_SPAN_ORACLE = f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_duck_ngrams(DUP_SPAN_N)}) AS gram FROM documents
+    ),
+    cd AS (
+      SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    agg AS (
+      SELECT o.doc_id,
+             count(*) AS n_slots,
+             sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS dup_slots
+      FROM occ o LEFT JOIN cd c ON o.gram = c.gram
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_slots AS BIGINT) AS n_slots,
+           CAST(dup_slots AS BIGINT) AS dup_slots,
+           CAST(FLOOR(10000 * dup_slots / n_slots) AS BIGINT) AS dup_bp,
+           CAST(FLOOR(10000 * dup_slots / n_slots) AS BIGINT)
+             <= {curation.DUP_SPAN_MAX_BP} AS keep_dup_spans
+    FROM agg
+"""
+
+_SOURCE_PROFILE_ORACLE = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           CAST(FLOOR(10000 * (count(*) - count(DISTINCT text)) / count(*))
+                AS BIGINT) AS dup_doc_bp,
+           CAST(sum(len({DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(10000 * sum(len({DUCK_TOKENS})) / count(*))
+                AS BIGINT) AS mean_tokens_bp,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY 1
+"""
+
+_SPLIT_KEY = f"((doc_id * {curation._LEHMER_MULT}) % {curation._LEHMER_MOD}) % 10000"
+
+_SPLIT_ORACLE = f"""
+    SELECT doc_id, source,
+           CAST({_SPLIT_KEY} AS BIGINT) AS split_key_bp,
+           CASE WHEN {_SPLIT_KEY} < {curation.SPLIT_TRAIN_BP} THEN 'train'
+                WHEN {_SPLIT_KEY} < {curation.SPLIT_VAL_BP} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
 ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
@@ -276,4 +346,7 @@ ORACLES = {
     "dataset_upsample": _UPSAMPLE_ORACLE,
     "dataset_shuffle": _SHUFFLE_ORACLE,
     "doc_quality": _doc_quality_oracle(),
+    "corpus_dup_spans": _DUP_SPAN_ORACLE,
+    "source_profile": _SOURCE_PROFILE_ORACLE,
+    "dataset_split": _SPLIT_ORACLE,
 }

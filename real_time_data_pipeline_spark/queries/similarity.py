@@ -85,8 +85,22 @@ def q_kmeans_clusters(spark, sf_dir):
     return assigned.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
 
 
+OUTLIER_MIN_COS_BP = 0  # anti-correlated with own-label centroid => outlier
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label centroid cosine + outlier flag (SemDeDup-style pruning
+    signal).  Oracle-checked: the fixed-point integer centroid makes the
+    score deterministic across engines (see operators.centroid_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(
+        emb, "vec_id", "embedding", "label", min_cos_bp=OUTLIER_MIN_COS_BP
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "embedding_outliers": q_embedding_outliers,
     "ann_gemm_topk": q_ann_gemm_topk,  # rows-only
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
     "ann_ivf_topk": q_ann_ivf_topk,  # rows-only
@@ -112,5 +126,42 @@ ORACLES = {
           FROM embeddings c, embeddings q
           WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
         ) WHERE rank <= {K}
+    """,
+    # Twin of operators/similarity.centroid_outliers: fixed-point BIGINT
+    # quantization (floor(x*1e4)), exact integer per-dim sums (associative,
+    # so the aggregation tree doesn't matter), cosine vs the SUM vector
+    # (scale-invariant == cosine vs the mean); floats only at the final
+    # sqrt/divide, identically on both engines.
+    "embedding_outliers": f"""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        ex AS (
+          SELECT label, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS i
+          FROM q
+        ),
+        cs AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
+        cent AS (SELECT label, list(s ORDER BY i) AS cv FROM cs GROUP BY 1),
+        sc AS (
+          SELECT vec_id, q.label AS label,
+                 CAST(list_sum(list_transform(list_zip(qv, cv),
+                      p -> p[1] * p[2])) AS BIGINT) AS dot,
+                 CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nx,
+                 CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS nc
+          FROM q JOIN cent ON q.label = cent.label
+        )
+        SELECT vec_id, label,
+               CAST(CASE WHEN nx > 0 AND nc > 0
+                    THEN FLOOR(10000 * dot /
+                         (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))))
+                    ELSE 0 END AS BIGINT) AS cos_bp,
+               CAST(CASE WHEN nx > 0 AND nc > 0
+                    THEN FLOOR(10000 * dot /
+                         (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))))
+                    ELSE 0 END AS BIGINT) < {OUTLIER_MIN_COS_BP} AS is_outlier
+        FROM sc
     """,
 }

@@ -270,3 +270,105 @@ def test_quality_verdicts_is_signal_conjunction(spark):
     assert got[1]["keep_repetition"] is False and got[1]["keep"] is False
     assert got[2]["keep_decontaminated"] is False and got[2]["keep"] is False
     assert got[3]["keep"] is True
+
+
+# -- dup_span_stats -------------------------------------------------------
+
+
+def test_dup_span_stats_counts_cross_doc_slots(spark):
+    rows = [
+        # docs 1 and 2 share exactly the 4-gram "a b c d" (1 of 5 slots each)
+        (1, "s", "a b c d x1 y1 z1 w1"),
+        (2, "s", "a b c d q2 r2 s2 t2"),
+        # doc 3 shares nothing
+        (3, "s", "m3 n3 o3 p3 u3 v3 k3 j3"),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.dup_span_stats(_docs(spark, rows), n=4).collect()
+    }
+    assert got[1]["n_slots"] == 5 and got[1]["dup_slots"] == 1
+    assert got[1]["dup_bp"] == 2000 and got[1]["keep_dup_spans"] is True
+    assert got[2]["dup_slots"] == 1
+    assert got[3]["dup_slots"] == 0 and got[3]["dup_bp"] == 0
+
+
+def test_dup_span_stats_exact_copy_fully_flagged(spark):
+    text = "c1 c2 c3 c4 c5 c6 c7"  # 4 4-gram slots, doc copied verbatim
+    rows = [(1, "s", text), (2, "s", text)]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.dup_span_stats(_docs(spark, rows), n=4).collect()
+    }
+    for d in (1, 2):
+        assert got[d]["n_slots"] == 4 and got[d]["dup_slots"] == 4
+        assert got[d]["dup_bp"] == 10000
+        assert got[d]["keep_dup_spans"] is False  # > DUP_SPAN_MAX_BP
+
+
+def test_dup_span_within_doc_repeat_not_cross_doc(spark):
+    # the repeated gram lives in ONE doc only: repetition_stats territory,
+    # dup_span_stats must not fire.
+    rows = [(1, "s", "a b c d a b c d"), (2, "s", "p q r s t u v w")]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.dup_span_stats(_docs(spark, rows), n=4).collect()
+    }
+    assert got[1]["dup_slots"] == 0 and got[2]["dup_slots"] == 0
+
+
+# -- source_profile -------------------------------------------------------
+
+
+def test_source_profile_rollup(spark):
+    rows = [
+        (1, "sA", "one two three", "en"),
+        (2, "sA", "one two three", "en"),  # exact dup of doc 1
+        (3, "sA", "vier funf", "de"),
+        (4, "sB", "solo", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string"
+    )
+    got = {r["source"]: r.asDict() for r in curation.source_profile(df).collect()}
+    a = got["sA"]
+    assert a["n_docs"] == 3 and a["n_distinct_texts"] == 2
+    assert a["dup_doc_bp"] == 3333  # floor(1e4 * 1/3)
+    assert a["total_tokens"] == 8 and a["mean_tokens_bp"] == 26666
+    assert a["n_langs"] == 2
+    b = got["sB"]
+    assert b["n_docs"] == 1 and b["dup_doc_bp"] == 0 and b["n_langs"] == 1
+
+
+# -- train_val_test_split -------------------------------------------------
+
+
+def test_split_matches_lehmer_formula_and_is_stable(spark):
+    rows = [(i, "s", "t") for i in range(200)]
+    df = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["split_key_bp"], r["split"])
+        for r in curation.train_val_test_split(df).collect()
+    }
+    assert len(got) == 200
+    for i in range(200):
+        key = (i * 48271) % 2147483647 % 10000
+        want = "train" if key < 9000 else ("val" if key < 9500 else "test")
+        assert got[i] == (key, want), i
+    # corpus growth never migrates existing docs between splits
+    bigger = _docs(spark, rows + [(i, "s", "t") for i in range(200, 400)])
+    got2 = {
+        r["doc_id"]: (r["split_key_bp"], r["split"])
+        for r in curation.train_val_test_split(bigger).collect()
+    }
+    assert all(got2[i] == got[i] for i in range(200))
+
+
+def test_split_rejects_bad_thresholds(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "s", "t")])
+    with pytest.raises(ValueError):
+        curation.train_val_test_split(df, train_bp=9600, val_bp=9500)
+    with pytest.raises(ValueError):
+        curation.train_val_test_split(df, train_bp=-1, val_bp=5)

@@ -498,3 +498,52 @@ def test_incremental_minhash_matches_batch_pairs(spark, sf_dir, tmp_path):
     # appending a later increment's signatures is an append-mode write of
     # the same layout; re-probing then also matches the new docs
     dedup.build_minhash_index(new, idx + "_inc", num_perm=128, bands=32)
+
+
+# -- centroid_outliers ----------------------------------------------------
+
+
+def test_centroid_outliers_flags_anti_correlated(spark):
+    import math
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),
+        (3, 0, [-1.0, 0.0]),   # points away from label-0 centroid
+        (4, 1, [0.0, 1.0]),    # label 1 is independent
+        (5, 1, [0.0, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in similarity.centroid_outliers(df, min_cos_bp=0).collect()
+    }
+    # label-0 centroid sum (quantized 1e4, exact): [9000, 1000]
+    def bp(v, c):
+        dot = sum(a * b for a, b in zip(v, c))
+        return math.floor(
+            1e4 * dot / (math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in c)))
+        )
+
+    c0 = [10000 + 9000 - 10000, 0 + 1000 + 0]  # [9000, 1000]
+    assert got[1]["cos_bp"] == bp([10000, 0], c0) and got[1]["is_outlier"] is False
+    assert got[3]["cos_bp"] == bp([-10000, 0], c0) and got[3]["is_outlier"] is True
+    # label-1 vectors are colinear with their centroid: cos_bp == 9999/10000
+    assert got[4]["is_outlier"] is False and got[4]["cos_bp"] >= 9999
+    assert got[5]["is_outlier"] is False and got[5]["cos_bp"] >= 9999
+
+
+def test_centroid_outliers_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    a = {r["vec_id"]: r["cos_bp"] for r in similarity.centroid_outliers(df).collect()}
+    b = {
+        r["vec_id"]: r["cos_bp"]
+        for r in similarity.centroid_outliers(df.repartition(13)).collect()
+    }
+    assert a == b  # integer centroid => aggregation order cannot matter
