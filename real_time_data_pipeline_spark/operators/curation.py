@@ -594,3 +594,52 @@ def train_val_test_split(
         .when(F.col("split_key_bp") < val_bp, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+# -- Group-stable (leakage-aware) split ----------------------------------
+
+
+def portable_hash_bp(col: F.Column) -> F.Column:
+    """Engine-portable pseudo-random key in [0, 10000) for STRING group
+    keys: fold the first 8 hex chars of sha256 into a 32-bit integer,
+    then mod 10000.  The Lehmer key (``sample_key_bp``) needs an integer
+    id; group keys (source, domain, URL prefix) are strings, and neither
+    Spark's ``hash``/``xxhash64`` nor DuckDB's ``hash`` match across
+    engines — sha256 does, and both print lowercase hex.  Char→value via
+    ``ascii`` arithmetic ('0'-'9' → 0-9, 'a'-'f' → 10-15), so the whole
+    key is expression-only on both engines."""
+    h = F.sha2(col.cast("string"), 256)
+    v = F.lit(0).cast("bigint")
+    for i in range(1, 9):
+        c = F.ascii(F.substring(h, i, 1))
+        hexval = F.when(c >= 97, c - 87).otherwise(c - 48).cast("bigint")
+        v = v * 16 + hexval
+    return F.pmod(v, F.lit(10000))
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str = "source",
+    train_bp: int = SPLIT_TRAIN_BP,
+    val_bp: int = SPLIT_VAL_BP,
+) -> DataFrame:
+    """Leakage-aware train/val/test split: EVERY row of a group lands in
+    the same split (the GroupShuffleSplit rule).  Per-document splits
+    leak when near-duplicate or same-origin documents straddle the
+    boundary — eval contamination by construction; splitting on the
+    group key (domain, source, repository, author) closes that channel.
+
+    Same hash-threshold semantics as :func:`train_val_test_split`
+    (growth-stable: new groups never move old ones) but keyed on
+    ``portable_hash_bp(group_col)``.  Pure per-row expression — the
+    group key is IN the row, so there is no join and no shuffle; holds
+    at 100 TB trivially."""
+    if not (0 <= train_bp <= val_bp <= 10000):
+        raise ValueError(f"need 0 <= train_bp <= val_bp <= 10000, got {train_bp}, {val_bp}")
+    key = portable_hash_bp(F.col(group_col))
+    return df.withColumn("group_key_bp", key).withColumn(
+        "split",
+        F.when(F.col("group_key_bp") < train_bp, F.lit("train"))
+        .when(F.col("group_key_bp") < val_bp, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -487,3 +487,54 @@ def doc_frequency(
         F.countDistinct("id").alias("doc_freq"),
         F.count("*").alias("collection_freq"),
     )
+
+
+def token_zipf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus token-frequency head: the ``k`` most frequent terms with
+    rank, per-term coverage, and cumulative coverage (basis points of all
+    token occurrences).  The Zipf-head diagnostic a data team reads to
+    spot boilerplate takeover (a term covering an outsized share of the
+    corpus) and to sanity-check tokenizer health before training.
+
+    Plan: one explode + vocab-bounded hash aggregate (map-side combine),
+    then a global sort+limit that Spark compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge, so no
+    full sort and no single-partition window over the vocabulary.  Rank
+    and the running coverage sum ARE single-partition windows, but over
+    exactly ``k`` rows.  The corpus total rides the same aggregate pass
+    (grand-total groupBy) and joins as a broadcast scalar.  Holds at
+    100 TB: everything unbounded is aggregated or take-ordered.
+
+    Integer arithmetic throughout (counts, floor-bp) — oracle-hash
+    stable.  Ties break by term ascending, so rank and the running sum
+    are deterministic.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(F.explode(tokens_col(text_col)).alias("term"))
+    hist = ex.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("_total"))
+    head = hist.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.floor(F.lit(10000) * F.col("cnt") / F.col("_total"))
+            .cast("bigint")
+            .alias("coverage_bp"),
+            F.floor(
+                F.lit(10000) * F.sum("cnt").over(running) / F.col("_total")
+            )
+            .cast("bigint")
+            .alias("cum_coverage_bp"),
+        )
+    )

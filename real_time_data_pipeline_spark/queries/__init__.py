@@ -88,6 +88,9 @@ _R3_PRIORITY = [
     "source_profile",
     "dataset_split",
     "embedding_outliers",
+    "group_split",
+    "token_zipf",
+    "ann_bruteforce_topk",  # parity-green but never driver-checked (r2 window cut)
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",
@@ -105,7 +108,6 @@ _R3_PRIORITY = [
     "text_doc_fingerprint",
     "text_term_frequency",
     "text_doc_frequency",
-    "ann_bruteforce_topk",
 ]
 
 

@@ -108,6 +108,13 @@ def q_dataset_split(spark, sf_dir):
     )
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-aware split: every doc of a source shares a split."""
+    return curation.grouped_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source"
+    )
+
+
 def q_dataset_shuffle(spark, sf_dir):
     # The operator passes input columns through (payload rides the one
     # window shuffle); project to the id so the oracle schema stays
@@ -127,6 +134,7 @@ QUERIES = {
     "corpus_dup_spans": q_corpus_dup_spans,
     "source_profile": q_source_profile,
     "dataset_split": q_dataset_split,
+    "group_split": q_group_split,
 }
 
 
@@ -337,6 +345,33 @@ _SPLIT_ORACLE = f"""
     FROM documents
 """
 
+def _duck_hexfold(col_expr: str) -> str:
+    """DuckDB twin of curation.portable_hash_bp: fold the first 8 hex
+    chars of sha256 via ascii arithmetic, mod 10000."""
+    hv = lambda i: (  # noqa: E731
+        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
+        f"THEN CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 87 "
+        f"ELSE CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 48 END)"
+    )
+    folded = hv(1)
+    for i in range(2, 9):
+        folded = f"({folded} * 16 + {hv(i)})"
+    return f"(SELECT {folded} % 10000 FROM (SELECT sha256({col_expr}) AS h))"
+
+
+_GROUP_SPLIT_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST({_duck_hexfold('source')} AS BIGINT) AS group_key_bp
+      FROM documents
+    )
+    SELECT doc_id, source, group_key_bp,
+           CASE WHEN group_key_bp < {curation.SPLIT_TRAIN_BP} THEN 'train'
+                WHEN group_key_bp < {curation.SPLIT_VAL_BP} THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+"""
+
 ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
@@ -349,4 +384,5 @@ ORACLES = {
     "corpus_dup_spans": _DUP_SPAN_ORACLE,
     "source_profile": _SOURCE_PROFILE_ORACLE,
     "dataset_split": _SPLIT_ORACLE,
+    "group_split": _GROUP_SPLIT_ORACLE,
 }

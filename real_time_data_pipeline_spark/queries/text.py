@@ -98,6 +98,14 @@ def q_unigram_surprisal(spark, sf_dir):
     return T.unigram_surprisal(_docs(spark, sf_dir))
 
 
+ZIPF_K = 100
+
+
+def q_token_zipf(spark, sf_dir):
+    """Corpus Zipf head: top-100 terms, rank, coverage, cumulative."""
+    return T.token_zipf(_docs(spark, sf_dir), k=ZIPF_K)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
@@ -112,6 +120,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "unigram_surprisal": q_unigram_surprisal,
+    "token_zipf": q_token_zipf,
 }
 
 
@@ -357,4 +366,25 @@ ORACLES["unigram_surprisal"] = f"""
            CAST(FLOOR(10000 * CAST(SUM(tok_info) AS BIGINT) / count(*))
                 AS BIGINT) AS mean_info_bp
     FROM info GROUP BY id
+"""
+
+ORACLES["token_zipf"] = f"""
+    WITH ex AS (
+      SELECT unnest({DUCK_TOKENS}) AS term FROM documents
+    ), hist AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS t FROM hist
+    ), head AS (
+      SELECT term, cnt FROM hist ORDER BY cnt DESC, term ASC LIMIT {ZIPF_K}
+    )
+    SELECT term, cnt,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           CAST(FLOOR(10000 * cnt / t) AS BIGINT) AS coverage_bp,
+           CAST(FLOOR(10000 * sum(cnt) OVER (
+                  ORDER BY cnt DESC, term ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) / t) AS BIGINT) AS cum_coverage_bp
+    FROM head CROSS JOIN tot
+    WINDOW w AS (ORDER BY cnt DESC, term ASC)
 """

@@ -213,3 +213,20 @@ def test_oov_rate_threshold(spark):
     assert rows[1]["n_tokens"] == 2 and rows[1]["n_oov"] == 1
     assert rows[1]["oov_bp"] == 5000
     assert rows[3]["n_oov"] == 0 and rows[3]["oov_bp"] == 0
+
+
+def test_token_zipf_head_semantics(spark):
+    from real_time_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    got = {r["term"]: r.asDict() for r in T.token_zipf(df, k=3).collect()}
+    # counts: a=4, b=3, c=1, d=1 over 9 tokens; k=3 keeps a,b,c (tie c<d)
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["rank"] == 1 and got["a"]["cnt"] == 4
+    assert got["a"]["coverage_bp"] == 4444  # floor(1e4*4/9)
+    assert got["b"]["rank"] == 2 and got["b"]["cum_coverage_bp"] == 7777
+    assert got["c"]["rank"] == 3 and got["c"]["cum_coverage_bp"] == 8888
+    # coverage_bp is vs ALL tokens (incl. the cut tail), not just the head
+    assert got["c"]["coverage_bp"] == 1111

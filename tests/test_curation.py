@@ -372,3 +372,30 @@ def test_split_rejects_bad_thresholds(spark):
         curation.train_val_test_split(df, train_bp=9600, val_bp=9500)
     with pytest.raises(ValueError):
         curation.train_val_test_split(df, train_bp=-1, val_bp=5)
+
+
+# -- grouped_split --------------------------------------------------------
+
+
+def test_grouped_split_no_group_straddles(spark):
+    rows = [(i, f"src{i % 7}", "t") for i in range(140)]
+    got = curation.grouped_split(_docs(spark, rows), "source").collect()
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r["source"], set()).add((r["split"], r["group_key_bp"]))
+    assert len(got) == 140
+    for src, assignments in by_source.items():
+        assert len(assignments) == 1, f"{src} straddles splits: {assignments}"
+
+
+def test_grouped_split_key_matches_sha256_fold(spark):
+    import hashlib
+
+    rows = [(1, "alpha", "t"), (2, "beta", "t")]
+    got = {
+        r["source"]: r["group_key_bp"]
+        for r in curation.grouped_split(_docs(spark, rows), "source").collect()
+    }
+    for src in ("alpha", "beta"):
+        want = int(hashlib.sha256(src.encode()).hexdigest()[:8], 16) % 10000
+        assert got[src] == want, src
