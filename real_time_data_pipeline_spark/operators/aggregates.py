@@ -234,3 +234,154 @@ def activity_gaps(
         .cast("bigint")
         .alias("active_ratio_bp"),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion: for each step i, how many users
+    performed step i STRICTLY AFTER their completion of step i-1 (the
+    product-analytics funnel — signup → activation → purchase).  A user's
+    step-i time is their EARLIEST qualifying step-i event; ties at the
+    exact same timestamp do not advance the funnel (strict >).
+
+    Output one row per step: ``step``, ``step_idx`` (1-based),
+    ``n_users``, ``conv_from_first_bp``, ``conv_from_prev_bp``.
+
+    Plan (fully lazy, one job): step 1 is a filtered per-user min
+    aggregate; each later step joins the previous step's (user, ts)
+    frame to that step's filtered events — every join and aggregate is
+    keyed on ``user_col``, so after the first shuffle the whole chain is
+    co-partitioned (AQE broadcasts the shrinking funnel side when it
+    fits).  The per-step reach counts reduce to ONE single-row aggregate
+    over the left-join-assembled per-user step-time frame, unpivoted to
+    k rows with ``stack`` — no driver-side loop executes anything.
+    k-step funnel = k bounded passes over the filtered scan; no window
+    over unbounded partitions.  Holds at 100 TB."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    reached = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t1"))
+    )
+    per_user = reached
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("t") == step)
+            .join(per_user.select("u", F.col(f"t{i-1}").alias("_prev")), "u")
+            .filter(F.col("ts") > F.col("_prev"))
+            .groupBy("u")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        per_user = per_user.join(nxt, "u", "left")
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(1, len(steps) + 1)]
+    )
+    stack_args = []
+    for i, step in enumerate(steps, start=1):
+        prev = f"c{i-1}" if i > 1 else "c1"
+        stack_args.append(
+            f"'{step}', CAST({i} AS BIGINT), CAST(c{i} AS BIGINT), "
+            f"CAST(CASE WHEN c1 > 0 THEN 10000 * c{i} DIV c1 ELSE 0 END AS BIGINT), "
+            f"CAST(CASE WHEN {prev} > 0 THEN 10000 * c{i} DIV {prev} ELSE 0 END AS BIGINT)"
+        )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {', '.join(stack_args)}) AS "
+            "(step, step_idx, n_users, conv_from_first_bp, conv_from_prev_bp)"
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (the cohort), counted at each day-offset they return.  The classic
+    retention triangle — row = acquisition cohort, column = days since.
+
+    Output: ``cohort_day`` (ISO date string), ``offset_days``,
+    ``n_users``.  Offset 0 row count == cohort size, so retention rate
+    is derivable downstream; counts stay raw here (one fact per cell).
+
+    Plan: distinct (user, day) bounds everything by active days;
+    first-day is a per-user min aggregate; the join back is
+    co-partitioned on the user key; the final (cohort, offset) aggregate
+    is calendar-bounded (days × days cells).  No windows, three
+    shuffles, all key-partitioned.  Holds at 100 TB."""
+    days = df.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "u")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("offset_days"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+def daily_count_anomalies(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold_bp: int = 20000,
+) -> DataFrame:
+    """Volume-anomaly detection on the daily event-count series, per
+    series key: flag days whose count sits more than ``z_threshold_bp``
+    (basis points of one standard deviation, 20000 = 2σ) from the
+    series mean — the monitoring pass that catches a dead producer
+    (counts collapse) or a retry storm (counts spike).
+
+    Determinism across engines: z = (x − mean)/σ is computed in the
+    algebraically equivalent all-integer form
+    ``(n·x − Σx) / sqrt(n·Σx² − (Σx)²)`` — numerator exact BIGINT,
+    denominator one sqrt of an exact BIGINT, so ``z_bp`` floors the
+    same double on Spark and DuckDB.  Degenerate series (σ = 0) emit
+    z_bp = 0, never NULL/NaN.
+
+    Plan: one (type, day) count aggregate (calendar-bounded), a per-type
+    stats aggregate over it (series-count-bounded — tiny), and a
+    broadcast join back.  Nothing beyond the first aggregate touches
+    event-scale data.  Holds at 100 TB."""
+    daily = (
+        df.select(F.col(type_col).alias("series"), F.to_date(ts_col).alias("day"))
+        .groupBy("series", "day")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    stats = daily.groupBy("series").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+    )
+    var_num = F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    z_bp = F.when(
+        var_num > 0,
+        F.floor(
+            F.lit(10000)
+            * (F.col("n_days") * F.col("n_events") - F.col("s1"))
+            / F.sqrt(var_num.cast("double"))
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        daily.join(F.broadcast(stats), "series")
+        .select(
+            "series",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            z_bp.alias("z_bp"),
+            (F.abs(z_bp) > F.lit(z_threshold_bp)).alias("is_anomaly"),
+        )
+    )

@@ -302,3 +302,43 @@ def referential_integrity(
         .cast("bigint")
         .alias("orphan_rows"),
     ).select(F.lit(relation).alias("relation"), "total_rows", "orphan_rows")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Generic column-profiling pass — the table a DQ dashboard shows
+    before anyone writes expectations: per column, row count, null
+    count, distinct count, and min/max rendered as strings.
+
+    ONE aggregate job computes every column's stats in a single scan
+    (map-side combined; the distinct-counts expand the shuffle by one
+    row-stream per column, still aggregate-bounded), then ``stack``
+    unpivots the single stat row into one row per column — no per-column
+    jobs, no driver loop over columns executing anything.  Min/max cast
+    to string so heterogeneous column types share one output schema;
+    profile numeric distributions with ``value_histogram`` /
+    ``percentiles`` instead when exact formatting matters (float→string
+    rendering is engine-specific, so oracle-checked profiles stick to
+    int/string/date columns).  Holds at 100 TB: cost is one scan + one
+    bounded aggregate."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(c).alias(f"_nn{i}"),
+            F.countDistinct(c).alias(f"_nd{i}"),
+            F.min(c).cast("string").alias(f"_mn{i}"),
+            F.max(c).cast("string").alias(f"_mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', CAST(_n AS BIGINT), CAST(_n - _nn{i} AS BIGINT), "
+        f"CAST(_nd{i} AS BIGINT), _mn{i}, _mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_str, max_str)"
+        )
+    )

@@ -90,6 +90,10 @@ _R3_PRIORITY = [
     "embedding_outliers",
     "group_split",
     "token_zipf",
+    "funnel_counts",
+    "cohort_retention",
+    "profile_columns",
+    "daily_anomalies",
     "ann_bruteforce_topk",  # parity-green but never driver-checked (r2 window cut)
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",

@@ -248,6 +248,42 @@ def q_rolling_7d_value(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_funnel_counts(spark, sf_dir):
+    """Ordered signup→click→purchase funnel over events."""
+    from real_time_data_pipeline_spark.operators.aggregates import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """First-active-day cohorts × day-offset return counts."""
+    from real_time_data_pipeline_spark.operators.aggregates import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_daily_anomalies(spark, sf_dir):
+    """Per-event-type daily-volume z-score anomalies (2σ threshold)."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        daily_count_anomalies,
+    )
+
+    return daily_count_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def q_profile_columns(spark, sf_dir):
+    """One-pass column profile of orders (int/string columns — see
+    operators/quality.profile_columns for the float-rendering caveat)."""
+    from real_time_data_pipeline_spark.operators.quality import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
 QUERIES = {
     "percentiles": q_percentiles,
     "approx_percentiles": q_approx_percentiles,  # rows-only
@@ -261,6 +297,10 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "order_window_ranks": q_order_window_ranks,
     "rolling_7d_value": q_rolling_7d_value,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "profile_columns": q_profile_columns,
+    "daily_anomalies": q_daily_anomalies,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -404,3 +444,105 @@ ORACLES = {
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 }
+
+# Funnel / cohort / profile twins (operators/aggregates.funnel_counts,
+# cohort_retention; operators/quality.profile_columns).  ts truncates to
+# microseconds on the DuckDB side (CAST AS TIMESTAMP) matching Spark's
+# nanos→micros read, so the strict '>' funnel comparisons agree.
+_FUNNEL_STEP_CTES = """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS t, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    s1 AS (SELECT u, min(ts) AS t1 FROM ev WHERE t = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+           WHERE e.t = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.u, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.u = s2.u
+           WHERE e.t = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+    c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2,
+                 (SELECT count(*) FROM s3) AS c3)
+"""
+
+ORACLES["funnel_counts"] = _FUNNEL_STEP_CTES + """
+    SELECT step, step_idx, n_users, conv_from_first_bp, conv_from_prev_bp
+    FROM (
+      SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_idx,
+             CAST(c1 AS BIGINT) AS n_users,
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c1 // c1 ELSE 0 END AS BIGINT) AS conv_from_first_bp,
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c1 // c1 ELSE 0 END AS BIGINT) AS conv_from_prev_bp
+      FROM c
+      UNION ALL
+      SELECT 'click', CAST(2 AS BIGINT), CAST(c2 AS BIGINT),
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c2 // c1 ELSE 0 END AS BIGINT),
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c2 // c1 ELSE 0 END AS BIGINT)
+      FROM c
+      UNION ALL
+      SELECT 'purchase', CAST(3 AS BIGINT), CAST(c3 AS BIGINT),
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c3 // c1 ELSE 0 END AS BIGINT),
+             CAST(CASE WHEN c2 > 0 THEN 10000 * c3 // c2 ELSE 0 END AS BIGINT)
+      FROM c
+    )
+"""
+
+ORACLES["cohort_retention"] = """
+    WITH d AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    f AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d JOIN f ON d.u = f.u
+    GROUP BY 1, 2
+"""
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    stats = ["count(*) AS n"]
+    for i, c in enumerate(cols):
+        stats += [
+            f"count({c}) AS nn{i}",
+            f"count(DISTINCT {c}) AS nd{i}",
+            f"CAST(min({c}) AS VARCHAR) AS mn{i}",
+            f"CAST(max({c}) AS VARCHAR) AS mx{i}",
+        ]
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows,
+             CAST(n - nn{i} AS BIGINT) AS n_null,
+             CAST(nd{i} AS BIGINT) AS n_distinct,
+             mn{i} AS min_str, mx{i} AS max_str FROM s"""
+        for i, c in enumerate(cols)
+    )
+    return f"WITH s AS (SELECT {', '.join(stats)} FROM orders)\n{arms}"
+
+
+ORACLES["profile_columns"] = _profile_oracle(PROFILE_COLS)
+
+ORACLES["daily_anomalies"] = """
+    WITH daily AS (
+      SELECT event_type AS series,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT series,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.series, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+           CAST(CASE WHEN n_days * s2 - s1 * s1 > 0
+                THEN FLOOR(10000 * (n_days * d.n_events - s1)
+                     / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)))
+                ELSE 0 END AS BIGINT) AS z_bp,
+           abs(CAST(CASE WHEN n_days * s2 - s1 * s1 > 0
+                THEN FLOOR(10000 * (n_days * d.n_events - s1)
+                     / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)))
+                ELSE 0 END AS BIGINT)) > 20000 AS is_anomaly
+    FROM daily d JOIN stats USING (series)
+"""

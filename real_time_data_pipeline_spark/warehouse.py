@@ -195,3 +195,79 @@ def merge_upsert(
         ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def morton_key(col_a: str, col_b: str, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — bit i of each input lands at output
+    bits 2i / 2i+1, so sorting by the key clusters rows that are close in
+    BOTH dimensions.  Pure shift/mask expression tree (codegen'd, no UDF);
+    callers with wider domains should first quantile-bucket each column
+    into 2^bits ranks (the standard Z-order recipe), since interleaving
+    raw skewed values wastes key bits on empty space."""
+    a = F.col(col_a).cast("bigint")
+    b = F.col(col_b).cast("bigint")
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit = F.lit(1 << i).cast("bigint")
+        key = (
+            key.bitwiseOR(F.shiftleft(a.bitwiseAND(bit), i))  # bit i -> 2i
+            .bitwiseOR(F.shiftleft(b.bitwiseAND(bit), i + 1))  # bit i -> 2i+1
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet layout: quantile-rank both columns into 2^bits
+    buckets, range-partition + sort by the Morton key of the two ranks,
+    so per-file min/max footers are tight on BOTH columns simultaneously
+    — a reader filtering on EITHER dimension skips most files, which
+    single-column range sorting (:func:`write_range_sorted`) only
+    achieves for its leading column.  This is the (Delta/Iceberg-style)
+    OPTIMIZE ZORDER layout re-expressed on plain parquet.
+
+    Ranking first is the standard recipe: interleaving RAW values lets
+    the wider-domain column monopolize the key's high bits (an id
+    spanning 2^20 against a day-of-month spanning 2^5 degenerates to an
+    id sort).  Equal-width ranks give both dimensions equal say in every
+    key prefix.  Boundaries come from one ``approxQuantile`` pass
+    (driver gets 2·(2^bits−1) scalars — bounded; writers are actions
+    already); the bucket rank is a pure sum-of-comparisons expression,
+    monotone in the raw value, so raw-column footer spans stay
+    contiguous per file.  Helper columns are dropped from the written
+    schema (layout-only).
+
+    At 100 TB: the go-to layout for fact tables filtered on two
+    independent dimensions (e.g. user_id × day); pruning effectiveness
+    is verified per-file from parquet footers in
+    tests/test_warehouse.py."""
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qa, qb = df.stat.approxQuantile([col_a, col_b], probs, 0.001)
+
+    def rank(col: str, bounds: list[float]) -> F.Column:
+        r = F.lit(0).cast("bigint")
+        for bnd in sorted(set(bounds)):
+            r = r + (F.col(col).cast("double") >= F.lit(bnd)).cast("bigint")
+        return r
+
+    keyed = (
+        df.withColumn("_ra", rank(col_a, qa))
+        .withColumn("_rb", rank(col_b, qb))
+        .withColumn("_zkey", morton_key("_ra", "_rb", bits))
+    )
+    (
+        keyed.repartitionByRange(num_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_ra", "_rb", "_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -230,3 +230,132 @@ def test_token_zipf_head_semantics(spark):
     assert got["c"]["rank"] == 3 and got["c"]["cum_coverage_bp"] == 8888
     # coverage_bp is vs ALL tokens (incl. the cut tail), not just the head
     assert got["c"]["coverage_bp"] == 1111
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    from datetime import datetime as dt
+
+    from real_time_data_pipeline_spark.operators.aggregates import funnel_counts
+
+    t = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1 completes a->b->c in order
+        (1, 1, "a", t(0)), (2, 1, "b", t(1)), (3, 1, "c", t(2)),
+        # user 2 does b BEFORE a: reaches a only
+        (4, 2, "b", t(0)), (5, 2, "a", t(1)),
+        # user 3 does a and b at the SAME instant: strict > blocks b
+        (6, 3, "a", t(0)), (7, 3, "b", t(0)),
+        # user 4 never does a: not in the funnel at all
+        (8, 4, "b", t(0)), (9, 4, "c", t(1)),
+    ]
+    got = {
+        r["step"]: r.asDict()
+        for r in funnel_counts(_ev(spark, rows), ["a", "b", "c"]).collect()
+    }
+    assert got["a"]["n_users"] == 3 and got["a"]["step_idx"] == 1
+    assert got["b"]["n_users"] == 1
+    assert got["c"]["n_users"] == 1
+    assert got["a"]["conv_from_first_bp"] == 10000
+    assert got["b"]["conv_from_first_bp"] == 3333  # floor(1e4 * 1/3)
+    assert got["c"]["conv_from_prev_bp"] == 10000  # 1 of 1
+
+
+def test_funnel_retry_after_prior_step_counts(spark):
+    from datetime import datetime as dt
+
+    from real_time_data_pipeline_spark.operators.aggregates import funnel_counts
+
+    t = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    # b happens both before and after a; the after-occurrence qualifies
+    rows = [(1, 1, "b", t(0)), (2, 1, "a", t(1)), (3, 1, "b", t(2))]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(_ev(spark, rows), ["a", "b"]).collect()
+    }
+    assert got == {"a": 1, "b": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime as dt
+
+    from real_time_data_pipeline_spark.operators.aggregates import cohort_retention
+
+    rows = [
+        # user 1: first on Jan 1, returns Jan 3 (two events that day: one cell)
+        (1, 1, "x", dt(2024, 1, 1, 9)), (2, 1, "x", dt(2024, 1, 3, 9)),
+        (3, 1, "x", dt(2024, 1, 3, 18)),
+        # user 2: first on Jan 1 only
+        (4, 2, "x", dt(2024, 1, 1, 1)),
+        # user 3: first on Jan 2, returns Jan 3
+        (5, 3, "x", dt(2024, 1, 2, 1)), (6, 3, "x", dt(2024, 1, 3, 1)),
+    ]
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
+
+
+def test_profile_columns_stats(spark):
+    from real_time_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, s string"
+    )
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_columns(df, ["k", "s"]).collect()
+    }
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_str"] == "1" and got["k"]["max_str"] == "2"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "x" and got["s"]["max_str"] == "y"
+
+
+def test_daily_anomalies_zscore_math(spark):
+    import math
+    from datetime import datetime as dt
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        daily_count_anomalies,
+    )
+
+    # series 'a': counts [1, 1, 1, 9] across 4 days -> day 4 is a spike
+    rows = []
+    eid = 0
+    for day, n in [(1, 1), (2, 1), (3, 1), (4, 9)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 7, "a", dt(2024, 1, day, 12)))
+    # constant series 'b': sigma = 0 -> z_bp = 0, never anomalous
+    for day in (1, 2):
+        eid += 1
+        rows.append((eid, 8, "b", dt(2024, 1, day, 12)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["series"], r["day"]): r.asDict()
+        for r in daily_count_anomalies(df).collect()
+    }
+    n, s1, s2 = 4, 12, 84  # counts 1,1,1,9
+    denom = math.sqrt(n * s2 - s1 * s1)
+    want_spike = math.floor(10000 * (n * 9 - s1) / denom)
+    assert got[("a", "2024-01-04")]["z_bp"] == want_spike
+    assert got[("a", "2024-01-04")]["is_anomaly"] is (abs(want_spike) > 20000)
+    want_quiet = math.floor(10000 * (n * 1 - s1) / denom)
+    assert got[("a", "2024-01-01")]["z_bp"] == want_quiet
+    assert got[("b", "2024-01-01")]["z_bp"] == 0
+    assert got[("b", "2024-01-01")]["is_anomaly"] is False
