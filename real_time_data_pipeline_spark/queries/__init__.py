@@ -94,6 +94,7 @@ _R3_PRIORITY = [
     "cohort_retention",
     "profile_columns",
     "daily_anomalies",
+    "pagerank_suppliers",
     "ann_bruteforce_topk",  # parity-green but never driver-checked (r2 window cut)
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",

@@ -372,3 +372,60 @@ ORACLES = {
                ) AS BIGINT) >= 4000
     """,
 }
+
+
+# -- PageRank (graph tier, shares operators/graph with the CC queries) ----
+
+PAGERANK_ITERS = 10
+_SUPP_OFFSET = 1_000_000_000  # disjoint id space for supplier nodes
+
+
+def q_pagerank_suppliers(spark, sf_dir):
+    """Fixed-point PageRank over the part→supplier supply graph from
+    lineitem (supplier node ids offset into a disjoint range).  Oracle-
+    checked DESPITE being iterative: integer micro-unit arithmetic makes
+    each iteration engine-exact, and the DuckDB twin unrolls the same 10
+    update steps as nested subqueries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+    )
+    return graph.pagerank(edges, iters=PAGERANK_ITERS)
+
+
+QUERIES["pagerank_suppliers"] = q_pagerank_suppliers
+
+
+def _pagerank_oracle(iters: int) -> str:
+    base = "SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes"
+    prev = base
+    for _ in range(iters):
+        prev = f"""
+        SELECT n.node,
+               CAST(150000 + (850000 * coalesce(c.in_sum, 0)) // 1000000
+                    AS BIGINT) AS rank_micro
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node,
+                 CAST(sum(p.rank_micro // d.deg) AS BIGINT) AS in_sum
+          FROM edges e
+          JOIN ({prev}) p ON e.src = p.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY 1
+        ) c ON n.node = c.node"""
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS src,
+             l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM lineitem
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
+    {prev}
+    """
+
+
+ORACLES["pagerank_suppliers"] = _pagerank_oracle(PAGERANK_ITERS)

@@ -90,3 +90,65 @@ def test_attach_components_labels_isolated_nodes(spark):
         for r in graph.attach_components(docs, comps, "doc_id").collect()
     }
     assert got == {1: (1, True), 2: (2, True), 3: (2, False), 9: (9, True)}
+
+
+# -- pagerank -------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from real_time_data_pipeline_spark.operators.graph import pagerank
+
+    # 5 spokes all pointing at node 0
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(_edges(spark, [(i, 0) for i in range(1, 6)]), iters=5).collect()
+    }
+    assert len(got) == 6
+    spoke = got[1]
+    assert all(got[i] == spoke for i in range(2, 6))  # symmetry
+    assert got[0] > 3 * spoke  # hub absorbs the spokes' mass
+    # dangling spokes converge to the base mass floor
+    assert spoke == 150_000
+
+
+def test_pagerank_matches_fixed_point_reference(spark):
+    from real_time_data_pipeline_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1)]
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(_edges(spark, pairs), iters=7).collect()
+    }
+    # same integer update rule in plain python
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(7):
+        in_sum = {n: 0 for n in nodes}
+        for s, d in edges:
+            in_sum[d] += rank[s] // deg[s]
+        rank = {n: 150_000 + (850_000 * in_sum[n]) // 1_000_000 for n in nodes}
+    assert got == rank
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    import random
+
+    from real_time_data_pipeline_spark.operators.graph import pagerank
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(300)]
+    e = _edges(spark, pairs)
+    a = {r["node"]: r["rank_micro"] for r in pagerank(e, iters=4).collect()}
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(e.repartition(17), iters=4).collect()
+    }
+    assert a == b
