@@ -385,3 +385,147 @@ def daily_count_anomalies(
             (F.abs(z_bp) > F.lit(z_threshold_bp)).alias("is_anomaly"),
         )
     )
+
+
+def scalable_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: ``SUM(value) OVER (PARTITION BY group
+    ORDER BY order ROWS UNBOUNDED PRECEDING)`` without funneling any
+    group through a single task.
+
+    A plain window with ``partitionBy(group)`` puts each group's ENTIRE
+    history in one partition — the classic scale-killer when a group (or
+    the whole table, for a global cumsum) is large.  This is the textbook
+    two-phase scan instead:
+
+    1. range-partition by (group, order) — each group's rows land in a
+       contiguous run of partitions, ordered across partitions;
+    2. per-partition subtotal per group (tiny: ≤ partitions × groups
+       rows), exclusive-prefix them per group with a window over the
+       subtotal table (driver-scale work, never the data);
+    3. broadcast the offsets back and window-cumsum WITHIN each
+       (partition, group) slice — parallelism stays at the partition
+       count, every frame is bounded by one partition's rows.
+
+    Determinism contract: ``order_cols`` must be a total order (include a
+    unique tiebreak) — ties straddling a range boundary would otherwise
+    make the split ambiguous.  Use an integer/decimal ``value_col`` when
+    cross-engine hash-exactness matters: the two-phase regrouping
+    reassociates double addition.
+
+    At 100 TB: one range exchange + one hash exchange of the data, both
+    at full parallelism; the only serial state is the subtotal table
+    (partitions × groups rows).  Nest another level (e.g. bucket by a
+    calendar key first) if even that outgrows the driver.
+
+    NULL values: a NULL ``value_col`` contributes nothing to later rows
+    (like SQL window SUM) but an all-NULL prefix inside one range slice
+    yields NULL+offset = NULL, which diverges from SQL when earlier
+    slices held non-NULL rows — pre-filter or coalesce NULLs when SQL
+    null semantics matter.  The persist of the range-partitioned input
+    (read by both the subtotal and cumsum passes) is cleared by the
+    caller/harness via ``spark.catalog.clearCache()``.
+    """
+    from pyspark.sql import Window
+
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    cols = [F.col(c) for c in group_cols + order_cols]
+    part = (
+        df.repartitionByRange(int(n), *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    subtotals = part.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_ptot")
+    )
+    w_off = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtotals.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(
+            out_col, (F.col("_offset") + F.sum(value_col).over(w_in)).cast("bigint")
+        )
+        .drop("_pid", "_offset")
+    )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    duration_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak-concurrency per (key, day) via the sweep-line: each row is an
+    interval [ts, ts + duration seconds); +1/-1 endpoint deltas, a
+    running sum over endpoints in time order, then a per-day max.  The
+    capacity-planning query ("how many sessions were open at once?")
+    that naive per-row self-joins make quadratic.
+
+    End-before-start at the same instant (half-open intervals): endpoints
+    order by (t_micro, delta, id) and -1 < +1, so a session ending
+    exactly when another starts never double-counts.  All arithmetic is
+    integer micros (exact, engine-portable).
+
+    Plan: endpoint explode is a zero-shuffle union; the running sum is
+    :func:`scalable_running_sum` (no single-partition window); the day
+    rollup is one hash aggregate.
+    """
+    # NTZ-safe: the session runs UTC, so the cast is exact.
+    t_start = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = F.floor(F.col(duration_col) * F.lit(1000000.0)).cast("bigint")
+    starts = df.select(
+        F.col(key_col).alias("key"),
+        t_start.alias("t_micro"),
+        F.lit(1).cast("bigint").alias("delta"),
+        F.col(id_col).alias("id"),
+    )
+    ends = df.select(
+        F.col(key_col).alias("key"),
+        (t_start + dur).alias("t_micro"),
+        F.lit(-1).cast("bigint").alias("delta"),
+        F.col(id_col).alias("id"),
+    )
+    running = scalable_running_sum(
+        starts.unionAll(ends),
+        group_cols=["key"],
+        order_cols=["t_micro", "delta", "id"],
+        value_col="delta",
+        out_col="open_now",
+    )
+    return (
+        running.groupBy(
+            "key",
+            F.date_format(
+                F.timestamp_micros(F.col("t_micro")), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(
+            F.max("open_now").cast("bigint").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_starts"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

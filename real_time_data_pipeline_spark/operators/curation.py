@@ -643,3 +643,78 @@ def grouped_split(
         .when(F.col("group_key_bp") < val_bp, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Pairwise cross-source contamination audit: for every pair of
+    sources, the distinct word-``n``-gram overlap — Jaccard and both
+    containments in basis points.  The corpus-composition question
+    ("how much of source B is already in source A?") you answer BEFORE
+    choosing mixing weights or dedup order; high containment means one
+    source is a re-crawl/subset of another.
+
+    Plan: one explode+distinct gives the (source, gram) set (shuffle
+    keyed on both — full parallelism); per-gram source sets are bounded
+    by the SOURCE COUNT (never corpus size), so the pair expansion is a
+    per-row array op and the pair aggregate's key space is sources².
+    No gram-keyed self-join anywhere — the classic quadratic trap this
+    shape falls into.  Per-source totals and the pair matrix are
+    sources-bounded, so the final assembly is all broadcast.  Holds at
+    100 TB: the only data-scale shuffles are the distinct and the
+    by-gram aggregate, both linear in distinct grams.
+    """
+    grams = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(ngrams_col(text_col, n)).alias("gram"),
+    ).distinct()
+    per_source = grams.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    pair_counts = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    a = per_source.select(
+        F.col("src").alias("src_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    b = per_source.select(
+        F.col("src").alias("src_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    common = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+    denom = F.col("n_grams_a") + F.col("n_grams_b") - common
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(pair_counts), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_grams_a",
+            "n_grams_b",
+            common.alias("n_common"),
+            F.floor(F.lit(10000) * common / denom).cast("bigint").alias("jaccard_bp"),
+            F.floor(F.lit(10000) * common / F.col("n_grams_a"))
+            .cast("bigint")
+            .alias("contain_a_bp"),
+            F.floor(F.lit(10000) * common / F.col("n_grams_b"))
+            .cast("bigint")
+            .alias("contain_b_bp"),
+        )
+    )

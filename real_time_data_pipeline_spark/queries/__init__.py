@@ -96,6 +96,10 @@ _R3_PRIORITY = [
     "daily_anomalies",
     "pagerank_suppliers",
     "ann_bruteforce_topk",  # parity-green but never driver-checked (r2 window cut)
+    # (b'') round-3 session-2 additions
+    "running_value_total",
+    "concurrent_events",
+    "source_overlap",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -284,6 +284,60 @@ def q_profile_columns(spark, sf_dir):
     return profile_columns(load_table(spark, sf_dir, "orders"), PROFILE_COLS)
 
 
+def q_running_value_total(spark, sf_dir):
+    """Per-type cumulative value over event order (the account-balance /
+    meter-reading shape) via the distributed two-phase prefix sum — no
+    event type ever funnels through a single task.  Integer micros so
+    the reassociated addition is exact cross-engine; NULL values are
+    pre-filtered (operator contract, see scalable_running_sum)."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_micro"),
+            F.floor(F.col("value") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("value_micro"),
+        )
+    )
+    return scalable_running_sum(
+        ev,
+        group_cols=["event_type"],
+        order_cols=["t_micro", "event_id"],
+        value_col="value_micro",
+        out_col="running_micro",
+    ).select("event_type", "event_id", "value_micro", "running_micro")
+
+
+def q_concurrent_events(spark, sf_dir):
+    """Sweep-line peak concurrency per (event_type, day): each event is
+    an interval [ts, ts + value seconds); see operators/aggregates.
+    concurrency_profile.  Durations clamped at 0, NULLs dropped —
+    mirrored in the oracle."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        concurrency_profile,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("dur_s", F.greatest(F.col("value"), F.lit(0.0)))
+    )
+    return concurrency_profile(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        duration_col="dur_s",
+        id_col="event_id",
+    )
+
+
 QUERIES = {
     "percentiles": q_percentiles,
     "approx_percentiles": q_approx_percentiles,  # rows-only
@@ -301,6 +355,8 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
+    "running_value_total": q_running_value_total,
+    "concurrent_events": q_concurrent_events,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -545,4 +601,40 @@ ORACLES["daily_anomalies"] = """
                      / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)))
                 ELSE 0 END AS BIGINT)) > 20000 AS is_anomaly
     FROM daily d JOIN stats USING (series)
+"""
+
+ORACLES["running_value_total"] = """
+    SELECT event_type, event_id,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS value_micro,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_micro
+    FROM events WHERE value IS NOT NULL
+"""
+
+ORACLES["concurrent_events"] = """
+    WITH ep AS (
+      SELECT event_type AS key, epoch_us(ts) AS t_micro,
+             CAST(1 AS BIGINT) AS delta, event_id AS id
+      FROM events WHERE value IS NOT NULL
+      UNION ALL
+      SELECT event_type,
+             epoch_us(ts)
+               + CAST(FLOOR(GREATEST(value, 0) * 1000000.0) AS BIGINT),
+             CAST(-1 AS BIGINT), event_id
+      FROM events WHERE value IS NOT NULL
+    ), run AS (
+      SELECT key, t_micro, delta,
+             SUM(delta) OVER (
+                 PARTITION BY key ORDER BY t_micro, delta, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS open_now
+      FROM ep
+    )
+    SELECT key AS event_type,
+           strftime(make_timestamp(t_micro), '%Y-%m-%d') AS day,
+           CAST(MAX(open_now) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+    FROM run GROUP BY 1, 2
 """

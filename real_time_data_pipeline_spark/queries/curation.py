@@ -386,3 +386,34 @@ ORACLES = {
     "dataset_split": _SPLIT_ORACLE,
     "group_split": _GROUP_SPLIT_ORACLE,
 }
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise cross-source 8-gram contamination matrix
+    (operators/curation.source_overlap)."""
+    return curation.source_overlap(_docs(spark, sf_dir))
+
+
+QUERIES["source_overlap"] = q_source_overlap
+
+ORACLES["source_overlap"] = f"""
+    WITH g AS (
+      SELECT DISTINCT source AS src, unnest({_duck_ngrams(8)}) AS gram
+      FROM documents
+    ),
+    ps AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    common AS (
+      SELECT a.src AS sa, b.src AS sb, CAST(count(*) AS BIGINT) AS c
+      FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT pa.src AS src_a, pb.src AS src_b,
+           pa.n AS n_grams_a, pb.n AS n_grams_b,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common,
+           CAST(FLOOR(10000 * COALESCE(c.c, 0) / (pa.n + pb.n - COALESCE(c.c, 0))) AS BIGINT) AS jaccard_bp,
+           CAST(FLOOR(10000 * COALESCE(c.c, 0) / pa.n) AS BIGINT) AS contain_a_bp,
+           CAST(FLOOR(10000 * COALESCE(c.c, 0) / pb.n) AS BIGINT) AS contain_b_bp
+    FROM ps pa
+    JOIN ps pb ON pa.src < pb.src
+    LEFT JOIN common c ON c.sa = pa.src AND c.sb = pb.src
+"""

@@ -399,3 +399,37 @@ def test_grouped_split_key_matches_sha256_fold(spark):
     for src in ("alpha", "beta"):
         want = int(hashlib.sha256(src.encode()).hexdigest()[:8], 16) % 10000
         assert got[src] == want, src
+
+
+def test_source_overlap_golden_matrix(spark):
+    # 2-grams with 3 tiny sources:
+    #   A: "a b c"   -> grams {a b, b c}            (2 distinct)
+    #   B: "a b c"   -> same 2 grams (full copy of A)
+    #   C: "x y"     -> {x y}                       (disjoint)
+    df = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "a b c", "B"), (3, "x y", "C")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in curation.source_overlap(df, n=2).collect()
+    }
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert (ab["n_grams_a"], ab["n_grams_b"], ab["n_common"]) == (2, 2, 2)
+    assert ab["jaccard_bp"] == 10000  # identical gram sets
+    assert ab["contain_a_bp"] == ab["contain_b_bp"] == 10000
+    ac = rows[("A", "C")]
+    assert ac["n_common"] == 0 and ac["jaccard_bp"] == 0
+    # Subset containment: D ⊂ A would give contain_d=10000; simulate by
+    # adding a 1-gram-overlap source and checking the asymmetric rates.
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e", "A"), (2, "a b", "D")],
+        "doc_id long, text string, source string",
+    )
+    r = curation.source_overlap(df2, n=2).collect()[0]
+    # A: {a b, b c, c d, d e}; D: {a b} -> common 1
+    assert (r["n_grams_a"], r["n_grams_b"], r["n_common"]) == (4, 1, 1)
+    assert r["contain_b_bp"] == 10000  # D fully contained in A
+    assert r["contain_a_bp"] == 2500
+    assert r["jaccard_bp"] == 2500
