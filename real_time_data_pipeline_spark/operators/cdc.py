@@ -1,0 +1,85 @@
+"""Change-data-capture compaction: collapse an insert/update/delete
+changelog into the current snapshot (the MERGE INTO / upsert-apply shape
+every warehouse ingestion pipeline runs, and the incremental-corpus
+update step of a training-data pipeline: re-crawled documents supersede
+old versions, takedowns delete them).
+
+The reference's warehouse tier appends immutably (SURVEY.md §2.1 S9);
+this is the companion compaction the reference's users run downstream.
+
+Scale notes: latest-per-key is ONE hash aggregate (``max_by`` over the
+sequence key) — partial aggregation runs map-side, the shuffle carries
+one candidate row per (key, input partition), and no per-key sort or
+window materializes a key's full history anywhere.  That is the shape
+that survives a 100 TB changelog with hot keys; a
+``row_number() OVER (PARTITION BY key)`` twin would funnel each key
+through one task AND sort it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Current snapshot of a changelog: per key, the row with the highest
+    ``seq_cols`` (lexicographic) wins; keys whose winner is a delete are
+    dropped.  ``seq_cols`` must be a total order per key (include a
+    unique tiebreak — equal sequence values make "latest" ambiguous).
+
+    Output: key columns, every non-key payload column of the winning row
+    (original names), plus ``n_changes`` (changelog depth per key — the
+    compaction-planning signal).
+    """
+    payload = [c for c in log.columns if c not in key_cols]
+    snap = log.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in seq_cols]),
+        ).alias("_last"),
+        F.count("*").cast("bigint").alias("n_changes"),
+    )
+    return snap.filter(F.col(f"_last.{op_col}") != delete_op).select(
+        *key_cols,
+        *[F.col(f"_last.{c}").alias(c) for c in payload],
+        "n_changes",
+    )
+
+
+def apply_changelog(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge an increment into a previous snapshot: the base rows carry
+    their original sequence values (a snapshot built by
+    :func:`latest_snapshot` retains them), so one union + one
+    latest-per-key pass applies inserts, updates, and deletes in a
+    single shuffle.  Idempotent: re-applying the same log is a no-op.
+
+    Columns must match between ``base`` and ``log`` (same names/types,
+    including ``op_col``); the base's ``n_changes`` column, if present,
+    is dropped before the union and recomputed across base + increment.
+    """
+    b = base.drop("n_changes")
+    if set(b.columns) != set(log.columns):
+        raise ValueError(
+            f"base/log column mismatch: {sorted(b.columns)} vs {sorted(log.columns)}"
+        )
+    return latest_snapshot(
+        b.select(*log.columns).unionAll(log),
+        key_cols,
+        seq_cols,
+        op_col,
+        delete_op,
+    )

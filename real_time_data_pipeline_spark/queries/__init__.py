@@ -100,6 +100,7 @@ _R3_PRIORITY = [
     "running_value_total",
     "concurrent_events",
     "source_overlap",
+    "cdc_snapshot",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -638,3 +638,59 @@ ORACLES["concurrent_events"] = """
            CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
     FROM run GROUP BY 1, 2
 """
+
+
+def q_cdc_snapshot(spark, sf_dir):
+    """Changelog compaction over events-as-CDC: signup=insert,
+    error=delete, everything else=update, keyed by user_id, sequenced by
+    (ts, event_id).  One max_by hash aggregate — no per-key window/sort
+    (operators/cdc.latest_snapshot)."""
+    from real_time_data_pipeline_spark.operators.cdc import latest_snapshot
+
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    snap = latest_snapshot(
+        log, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        "n_changes",
+    )
+
+
+QUERIES["cdc_snapshot"] = q_cdc_snapshot
+
+ORACLES["cdc_snapshot"] = """
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM log
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM r WHERE rn = 1 AND op <> 'D'
+"""

@@ -130,3 +130,53 @@ def test_generator_domains(spark):
     df2 = synthetic_transactions(spark, 2000, seed=1)
     assert df2.orderBy("transaction_id").first() == df.orderBy("transaction_id").first()
     df.unpersist()
+
+
+def test_cdc_latest_snapshot_and_apply(spark):
+    from real_time_data_pipeline_spark.operators.cdc import (
+        apply_changelog,
+        latest_snapshot,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # key 1: insert then update -> update wins
+            (1, 10, "I", "a"),
+            (1, 20, "U", "b"),
+            # key 2: insert then delete -> dropped
+            (2, 10, "I", "c"),
+            (2, 30, "D", "c"),
+            # key 3: delete then (re)insert with higher seq -> resurrected
+            (3, 10, "D", "x"),
+            (3, 40, "I", "y"),
+        ],
+        "k long, seq long, op string, payload string",
+    )
+    snap = latest_snapshot(log, ["k"], ["seq"], op_col="op").orderBy("k")
+    rows = snap.collect()
+    assert [(r["k"], r["seq"], r["payload"], r["n_changes"]) for r in rows] == [
+        (1, 20, "b", 2),
+        (3, 40, "y", 2),
+    ]
+    # Apply an increment: update key 1, delete key 3, insert key 4.
+    inc = spark.createDataFrame(
+        [(1, 50, "U", "z"), (3, 50, "D", "y"), (4, 50, "I", "new")],
+        "k long, seq long, op string, payload string",
+    )
+    merged = apply_changelog(snap, inc, ["k"], ["seq"], op_col="op")
+    got = {r["k"]: r for r in merged.collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["payload"] == "z" and got[1]["seq"] == 50
+    assert got[4]["payload"] == "new"
+    # Idempotent: re-applying the same increment changes nothing.
+    again = apply_changelog(merged, inc, ["k"], ["seq"], op_col="op")
+    assert sorted(
+        again.select("k", "seq", "op", "payload").collect()
+    ) == sorted(merged.select("k", "seq", "op", "payload").collect())
+    # Stale increment (lower seq than the snapshot) is a no-op too.
+    stale = spark.createDataFrame(
+        [(1, 5, "D", "old")], "k long, seq long, op string, payload string"
+    )
+    assert apply_changelog(merged, stale, ["k"], ["seq"], op_col="op").filter(
+        "k = 1"
+    ).collect()[0]["payload"] == "z"
