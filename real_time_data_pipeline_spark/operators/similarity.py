@@ -605,3 +605,125 @@ def centroid_outliers(
         cos_bp.alias("cos_bp"),
         (cos_bp < F.lit(min_cos_bp)).alias("is_outlier"),
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+):
+    """Distributed PCA fit over an embedding column: returns
+    ``(mean, components, explained_ratio)`` as numpy arrays —
+    ``components`` is (k, dim), rows orthonormal, ordered by explained
+    variance; the whitening/reduction step run before ANN indexing or
+    cluster analysis of a 100 TB embedding corpus.
+
+    Scale shape: one ``mapInPandas`` pass emits per-Arrow-batch Gram
+    partials (count, Σx, X'X flattened) — executor state is dim² floats,
+    never rows; the partials (≤ batches rows of dim²+dim+1 doubles) are
+    summed by ONE tiny aggregate and the dim×dim eigendecomposition runs
+    on the driver (dim is bounded — 64 here; the method is for
+    tall-skinny matrices, dim ≲ 10³).  No row leaves the executors.
+
+    Eigenvector sign is fixed by convention (largest-|component| entry
+    positive) so refits are reproducible; numpy pairwise summation makes
+    partials deterministic per batch, and the final reduce is over
+    bounded partials (order-independent to the last ulp only — fine for
+    the rows-only tier this feeds).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n bigint, s array<double>, g array<double>")
+        .agg(
+            F.sum("n").alias("n"),
+            F.array(
+                *[F.sum(F.col("s")[i]) for i in range(dim)]
+            ).alias("s"),
+            F.array(
+                *[F.sum(F.col("g")[i]) for i in range(dim * dim)]
+            ).alias("g"),
+        )
+        .collect()[0]
+    )
+    n = agg["n"]
+    mean = np.array(agg["s"]) / n
+    gram = np.array(agg["g"]).reshape(dim, dim)
+    cov = (gram - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, dim)
+    # Sign convention: the largest-|entry| coordinate is positive.
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.clip(evals.sum(), 1e-300, None))
+    explained = np.clip(evals[order], 0, None) / total_var
+    return mean, comps, explained
+
+
+def pca_transform(
+    df: DataFrame,
+    mean,
+    components,
+    id_cols: list[str] | None = None,
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Project rows onto fitted components: one Arrow-batched numpy
+    matmul per batch (components broadcast via task closure — (k, dim)
+    floats), emitting scalar ``pc1..pck`` columns (no array outputs —
+    driver-hash friendly).  Zero shuffles."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_cols = id_cols or ["vec_id"]
+    W = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    k = W.shape[0]
+    id_types = {
+        c: df.schema[c].dataType.simpleString() for c in id_cols
+    }
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in id_types.items()]
+        + [f"{prefix}{i + 1} double" for i in range(k)]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            S = (X - mu) @ W.T
+            out = {c: pdf[c] for c in id_cols}
+            for i in range(k):
+                out[f"{prefix}{i + 1}"] = S[:, i]
+            yield pd.DataFrame(out)
+
+    return df.select(*id_cols, vec_col).mapInPandas(project, out_schema)

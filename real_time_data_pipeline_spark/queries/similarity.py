@@ -165,3 +165,19 @@ ORACLES = {
         FROM sc
     """,
 }
+
+
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA (Gram-partial mapInPandas fit + Arrow-batched
+    projection): top-4 component scores per vector, scalar columns.
+    Rows-only: eigendecomposition is float — last-ulp reduce order and
+    LAPACK variation make value hashes unstable by design; the unit
+    tests pin numpy-parity, orthonormality, and blob recovery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = similarity.pca_fit(emb, "embedding", k=4)
+    return similarity.pca_transform(
+        emb, mean, comps, id_cols=["vec_id", "label"], vec_col="embedding"
+    )
+
+
+QUERIES["embedding_pca"] = q_embedding_pca  # rows-only (float eig)

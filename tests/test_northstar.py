@@ -547,3 +547,48 @@ def test_centroid_outliers_deterministic_under_repartition(spark):
         for r in similarity.centroid_outliers(df.repartition(13)).collect()
     }
     assert a == b  # integer centroid => aggregation order cannot matter
+
+
+def test_pca_matches_numpy_and_recovers_structure(spark):
+    import numpy as np
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    # Synthetic 3-dim data: variance 9 along axis0, 1 along axis1,
+    # ~0 along axis2 -> components must come out axis-aligned, ordered.
+    rng = np.random.default_rng(7)
+    X = np.zeros((400, 3))
+    X[:, 0] = 3.0 * rng.standard_normal(400) + 10.0
+    X[:, 1] = 1.0 * rng.standard_normal(400) - 5.0
+    X[:, 2] = 0.01 * rng.standard_normal(400)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    mean, comps, ratio = pca_fit(df, "embedding", k=3)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    # Orthonormal rows, descending explained variance.
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    assert ratio[0] > ratio[1] > ratio[2] >= 0
+    assert abs(comps[0, 0]) > 0.999 and abs(comps[1, 1]) > 0.999
+    # Numpy parity of the full fit (covariance path, sign-fixed).
+    C = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1]
+    W = evecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(W[i])))
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    assert np.allclose(comps, W, atol=1e-8)
+    # Projection parity: distributed transform == numpy (X - mu) @ W.T
+    got = (
+        pca_transform(df, mean, comps, id_cols=["vec_id"], vec_col="embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    S = (X - mean) @ comps.T
+    assert np.allclose(got[["pc1", "pc2", "pc3"]].to_numpy(), S, atol=1e-9)
