@@ -349,3 +349,133 @@ def frame_sample(
             )
 
     return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+# --------------------------------------------------- perceptual dedup
+
+def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual hash (average-hash) per image: decode, average-pool the
+    pixel grid to 8×8, emit bit j = cell_j > mean as a 64-bit signature
+    (plus its 16-hex rendering for band splits).  The image analogue of
+    SimHash: visually-near images (resize, mild noise, re-encode) land
+    within a few bits.  Pure integer/numpy math on the SMF pixels —
+    deterministic, no codec dependency; swapping in a real decoder only
+    changes the pixel-loading lines.
+
+    Arrow-batched mapInPandas; per-row cost is one vectorized pooling.
+    Undecodable rows are dropped (corrupt-media rule shared with
+    decode_image)."""
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, buf in zip(pdf[id_col], pdf["content"]):
+                b = bytes(buf)
+                if b[:2] != SMF_MAGIC or len(b) < SMF_HEADER_LEN:
+                    continue
+                w, h = struct.unpack(">II", b[2:SMF_HEADER_LEN])
+                pix = np.frombuffer(
+                    b, dtype=np.uint8, count=w * h, offset=SMF_HEADER_LEN
+                ).reshape(h, w).astype(np.float64)
+                # Average-pool to 8x8 via integer cell edges (floor
+                # boundaries -- same grid every run).
+                ye = np.linspace(0, h, 9).astype(np.int64)
+                xe = np.linspace(0, w, 9).astype(np.int64)
+                cells = np.empty((8, 8))
+                for i in range(8):
+                    for j in range(8):
+                        blk = pix[ye[i]:max(ye[i + 1], ye[i] + 1),
+                                  xe[j]:max(xe[j + 1], xe[j] + 1)]
+                        cells[i, j] = blk.mean()
+                bits = (cells.ravel() > cells.mean()).astype(np.uint64)
+                sig = np.uint64(0)
+                for bit in bits:
+                    sig = np.uint64(sig << np.uint64(1)) | bit
+                ids.append(doc_id)
+                sigs.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(hashes, f"{id_col} long, phash long").withColumn(
+        "phash_hex", F.lpad(F.hex("phash"), 16, "0")
+    )
+
+
+def phash_near_pairs(
+    images: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance —
+    pigeonhole band join over DISTINCT signatures, the text-dedup recipe
+    (exact first, then near) applied to media:
+
+    1. collapse exact phash duplicates (synthetic corpora and re-crawls
+       are full of them) to (signature, min-id representative, count) —
+       this also defuses the quadratic blow-up a band join suffers when
+       one bucket holds thousands of identical images;
+    2. block join on (max_hamming+1) 16/(h+1)-hex blocks — any pair
+       within budget shares one exact block — and verify with one
+       ``bit_count(xor)``.
+
+    Output: representative pairs (rep_a, rep_b, hamming, n_a, n_b);
+    member counts let the caller weigh cluster mass without ever
+    materializing member × member pairs.
+    """
+    nblocks = max_hamming + 1
+    blk = 16 // nblocks
+    sigs = (
+        image_phash(images, id_col)
+        .groupBy("phash", "phash_hex")
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+    ).persist()
+    banded = sigs.select(
+        "phash",
+        "rep",
+        "n_members",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring(
+                            F.col("phash_hex"), b * blk + 1, blk
+                        ).alias("block"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("phash", "rep", "n_members", "b.block_idx", "b.block")
+    l = banded.select(
+        "block_idx",
+        "block",
+        F.col("rep").alias("rep_a"),
+        F.col("phash").alias("fp_a"),
+        F.col("n_members").alias("n_a"),
+    )
+    r = banded.select(
+        "block_idx",
+        "block",
+        F.col("rep").alias("rep_b"),
+        F.col("phash").alias("fp_b"),
+        F.col("n_members").alias("n_b"),
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        l.join(r, ["block_idx", "block"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "fp_a", "fp_b", "n_a", "n_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("rep_a", "rep_b", "hamming", "n_a", "n_b")
+    )

@@ -112,3 +112,16 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-duplicate image pairs (rows-only: the
+    64-bit aHash comes from numpy pooling inside mapInPandas — no SQL
+    twin; goldens pin bit-exact hashes and Hamming verification).
+    Exact-signature collapse runs first, so output pairs are between
+    distinct visual signatures only."""
+    imgs = M.attach_fake_image(_doc_lengths(spark, sf_dir), len_col="n")
+    return M.phash_near_pairs(imgs, max_hamming=3)
+
+
+QUERIES["mm_phash_near_dup"] = q_phash_near_dup  # rows-only (numpy hash)

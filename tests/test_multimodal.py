@@ -73,3 +73,61 @@ def test_real_decoder_is_gated_stub(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, content binary")
     with pytest.raises(NotImplementedError):
         M.decode_image_real(df)
+
+
+def _smf(pixels, w, h):
+    import struct as _s
+
+    from real_time_data_pipeline_spark.operators.multimodal import SMF_MAGIC
+
+    return SMF_MAGIC + _s.pack(">II", w, h) + bytes(pixels)
+
+
+def test_image_phash_bit_exact_and_near_pairs(spark):
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+        phash_near_pairs,
+    )
+
+    # 8x8 single-pixel cells -> aHash bits are just pixel > mean.
+    a = [255] * 32 + [0] * 32          # bits: 32 ones then 32 zeros
+    b = [0] + [255] * 31 + [0] * 32    # = a with bit 0 flipped
+    c = [0] * 32 + [255] * 32          # disjoint: hamming 64 from a
+    rows = [
+        (1, _smf(a, 8, 8)),
+        (2, _smf(b, 8, 8)),
+        (3, _smf(c, 8, 8)),
+        (4, _smf(a, 8, 8)),  # exact dup of 1 -> collapsed, not paired
+        (5, b"XX"),          # corrupt -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    sigs = {r["doc_id"]: r for r in image_phash(df).collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    # Bit-exact: a = 32 high bits set.
+    assert sigs[1]["phash"] == int.from_bytes(
+        bytes([0xFF] * 4 + [0x00] * 4), "big", signed=True
+    )
+    assert sigs[1]["phash"] == sigs[4]["phash"]
+    assert bin((sigs[1]["phash"] ^ sigs[2]["phash"]) & (2**64 - 1)).count("1") == 1
+    pairs = phash_near_pairs(df, max_hamming=3).collect()
+    # Only (1,2) at hamming 1; the exact dup 4 folds into rep 1 (n_a=2).
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["rep_a"], p["rep_b"], p["hamming"]) == (1, 2, 1)
+    assert p["n_a"] == 2 and p["n_b"] == 1
+    spark.catalog.clearCache()
+
+
+def test_phash_non_multiple_grid_pools_deterministically(spark):
+    from real_time_data_pipeline_spark.operators.multimodal import image_phash
+
+    # 10x5 image (non-multiple of 8): pooling must still emit 64 bits
+    # and be stable across partitionings.
+    pix = [(i * 37) % 256 for i in range(50)]
+    df1 = spark.createDataFrame(
+        [(7, _smf(pix, 10, 5))], "doc_id long, content binary"
+    )
+    df8 = df1.repartition(8)
+    h1 = image_phash(df1).collect()[0]["phash"]
+    h8 = image_phash(df8).collect()[0]["phash"]
+    assert h1 == h8
