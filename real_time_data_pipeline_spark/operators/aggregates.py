@@ -529,3 +529,57 @@ def concurrency_profile(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Quantile discretization (feature bucketing): per key, compute the
+    ``n_bins``-quantile boundaries of ``value_col``, assign each row its
+    bucket, and roll up per-bucket counts and exact bounds — the
+    equal-mass binning behind feature stores and drift monitors, where
+    equal-WIDTH histograms collapse under skew.
+
+    Bucket rule: value v falls in the largest bucket b (1-based) with
+    boundary[b-1] <= v; interior boundaries are the exact interpolated
+    quantiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    bit-identical IEEE doubles — the repo's percentiles finding), so the
+    assignment is engine-portable including values landing exactly ON a
+    boundary.  Top values equal to the max boundary stay in bin n.
+
+    Plan: ONE aggregate computes all interior boundaries per key (array
+    form), broadcast back (keys-bounded), then a codegen'd comparison
+    chain and one (key, bin) count — two data-scale passes, no sort.
+    Exact percentile materializes each key's values once; swap
+    approx_percentile for the unbounded-cardinality variant.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.groupBy(key_col).agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("_bounds")
+    )
+    v = F.col(value_col)
+    # bin = 1 + count of interior boundaries <= v  (boundaries ascending)
+    bin_expr = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("_bounds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(b <= v, 1).otherwise(0),
+        )
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(bounds), key_col)
+        .withColumn("_bin", bin_expr)
+        .groupBy(key_col, "_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+        .withColumnRenamed("_bin", "bin")
+    )

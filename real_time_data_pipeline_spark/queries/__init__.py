@@ -101,6 +101,7 @@ _R3_PRIORITY = [
     "concurrent_events",
     "source_overlap",
     "cdc_snapshot",
+    "decile_bins",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

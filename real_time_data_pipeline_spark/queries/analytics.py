@@ -694,3 +694,34 @@ ORACLES["cdc_snapshot"] = """
            CAST(n_changes AS BIGINT) AS n_changes
     FROM r WHERE rn = 1 AND op <> 'D'
 """
+
+
+def q_decile_bins(spark, sf_dir):
+    """Per-type decile discretization of event values
+    (operators/aggregates.quantile_bins): equal-mass buckets with exact
+    interpolated boundaries — bit-identical across engines, including
+    values landing exactly on a boundary."""
+    from real_time_data_pipeline_spark.operators.aggregates import quantile_bins
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return quantile_bins(ev, "event_type", "value", n_bins=10)
+
+
+QUERIES["decile_bins"] = q_decile_bins
+
+ORACLES["decile_bins"] = """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS bounds
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(1 + len(list_filter(b.bounds, x -> x <= e.value)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(e.value) AS lo,
+           max(e.value) AS hi
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2
+"""

@@ -436,3 +436,25 @@ def test_concurrency_profile_sweep_line_goldens(spark):
     # interval is processed first.  Document the actual convention:
     assert got[("z", "2024-03-01")]["peak_concurrent"] in (0, 1)
     spark.catalog.clearCache()
+
+
+def test_quantile_bins_equal_mass_and_boundary_rule(spark):
+    from real_time_data_pipeline_spark.operators.aggregates import quantile_bins
+
+    # 100 values 1..100 in one key, 4 bins: boundaries at interpolated
+    # quartiles (25.75, 50.5, 75.25) -> bins of 25/25/25/25.
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(1, 101)], "key string, v double"
+    )
+    rows = {r["bin"]: r for r in quantile_bins(df, "key", "v", 4).collect()}
+    assert [rows[b]["n"] for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
+    assert rows[1]["lo"] == 1.0 and rows[4]["hi"] == 100.0
+    # Boundary rule: a value exactly ON a boundary goes to the HIGHER
+    # bin (boundary <= v counts it).  2 values, 2 bins, boundary = the
+    # median = 2.0 exactly; the 2.0 row lands in bin 2.
+    df2 = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0), ("k", 3.0)], "key string, v double"
+    )
+    rows2 = {r["bin"]: r for r in quantile_bins(df2, "key", "v", 2).collect()}
+    assert rows2[1]["n"] == 1 and rows2[2]["n"] == 2
+    assert rows2[2]["lo"] == 2.0
