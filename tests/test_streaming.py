@@ -614,3 +614,62 @@ def test_running_totals_tws_matches_legacy_api(spark, tmp_path):
     assert final.account_id == "ACC000001"
     assert final.n_txns == 3
     assert final.total_amount == pytest.approx(60.0)
+
+
+def test_upsert_snapshot_sink_merges_and_replays(spark, tmp_path):
+    import json
+    import os
+    import time
+
+    from real_time_data_pipeline_spark.operators.cdc import latest_snapshot
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        read_snapshot,
+        upsert_snapshot_sink,
+        upsert_write_batch,
+    )
+
+    b0 = [(1, 10, "I", "a"), (2, 10, "I", "b")]
+    b1 = [(1, 20, "U", "a2"), (2, 20, "D", "b"), (3, 20, "I", "c")]
+    src = os.path.join(str(tmp_path), "log")
+    os.makedirs(src)
+    base_t = time.time() - 100
+    for i, chunk in enumerate((b0, b1)):
+        p = os.path.join(src, f"f{i}.json")
+        with open(p, "w") as f:
+            for k, seq, op, payload in chunk:
+                f.write(json.dumps(
+                    {"k": k, "seq": seq, "op": op, "payload": payload}) + "\n")
+        os.utime(p, (base_t + i * 10, base_t + i * 10))
+
+    stream = (
+        spark.readStream.schema("k long, seq long, op string, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    snap_dir = os.path.join(str(tmp_path), "snap")
+    q = upsert_snapshot_sink(
+        stream,
+        snap_dir,
+        os.path.join(str(tmp_path), "ckpt"),
+        key_cols=["k"],
+        seq_cols=["seq"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    all_rows = spark.createDataFrame(
+        b0 + b1, "k long, seq long, op string, payload string"
+    )
+    expected = sorted(
+        latest_snapshot(all_rows, ["k"], ["seq"]).drop("n_changes").collect()
+    )
+    got = sorted(read_snapshot(spark, snap_dir).collect())
+    assert got == expected
+    assert {r["k"]: r["payload"] for r in got} == {1: "a2", 3: "c"}
+
+    # Replay of the last micro-batch (at-least-once) must be a no-op.
+    batch1 = spark.createDataFrame(
+        b1, "k long, seq long, op string, payload string"
+    )
+    upsert_write_batch(batch1, 1, snap_dir, ["k"], ["seq"])
+    assert sorted(read_snapshot(spark, snap_dir).collect()) == expected
