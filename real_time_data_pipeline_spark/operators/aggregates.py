@@ -583,3 +583,47 @@ def quantile_bins(
         )
         .withColumnRenamed("_bin", "bin")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    for each (from_type, to_type), how many consecutive pairs occur and
+    the row-normalized transition rate in basis points — the "what do
+    users do next" matrix behind path analysis and next-action models.
+
+    Plan: ONE window shuffle partitioned by the sequence key (each key's
+    history sorts within its hash partition — bounded by per-key volume,
+    the right partitioning for sequence ops), a (from, to) hash
+    aggregate (type²-bounded output), and a broadcast join against the
+    per-from totals (type-bounded).  Rates are exact integer basis
+    points — engine-portable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(F.lit(10000) * F.col("n") / F.col("n_from"))
+        .cast("bigint")
+        .alias("p_bp"),
+    )

@@ -102,6 +102,7 @@ _R3_PRIORITY = [
     "source_overlap",
     "cdc_snapshot",
     "decile_bins",
+    "event_transitions",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

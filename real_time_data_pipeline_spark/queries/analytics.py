@@ -725,3 +725,34 @@ ORACLES["decile_bins"] = """
     WHERE e.value IS NOT NULL
     GROUP BY 1, 2
 """
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user next-event transition matrix
+    (operators/aggregates.event_transitions)."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        event_transitions,
+    )
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLES["event_transitions"] = """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ), n AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM n GROUP BY 1
+    )
+    SELECT n.from_type, n.to_type, n.n,
+           CAST(FLOOR(10000 * n.n / t.n_from) AS BIGINT) AS p_bp
+    FROM n JOIN t USING (from_type)
+"""

@@ -458,3 +458,33 @@ def test_quantile_bins_equal_mass_and_boundary_rule(spark):
     rows2 = {r["bin"]: r for r in quantile_bins(df2, "key", "v", 2).collect()}
     assert rows2[1]["n"] == 1 and rows2[2]["n"] == 2
     assert rows2[2]["lo"] == 2.0
+
+
+def test_event_transitions_counts_and_rates(spark):
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        event_transitions,
+    )
+
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: b -> a  (no cross-user pair)
+        (1, _ts(1, 0), "a", 1),
+        (1, _ts(1, 1), "b", 2),
+        (1, _ts(1, 2), "a", 3),
+        (1, _ts(1, 3), "c", 4),
+        (2, _ts(1, 9), "b", 5),
+        (2, _ts(2, 0), "a", 6),
+        (3, _ts(1, 0), "z", 7),  # singleton: no transition emitted
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_bp"])
+        for r in event_transitions(df).collect()
+    }
+    # from a: a->b 1, a->c 1 (of 2) ; from b: b->a 2 (of 2)
+    assert got == {
+        ("a", "b"): (1, 5000),
+        ("a", "c"): (1, 5000),
+        ("b", "a"): (2, 10000),
+    }
