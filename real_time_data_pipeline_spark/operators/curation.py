@@ -718,3 +718,56 @@ def source_overlap(
             .alias("contain_b_bp"),
         )
     )
+
+
+def portable_hash48(col: F.Column) -> F.Column:
+    """Full-precision engine-portable pseudo-random key in [0, 2^48):
+    fold the first 12 hex chars of sha256 via ascii arithmetic (the
+    :func:`portable_hash_bp` recipe without the mod-10000 collapse) —
+    used where rank ORDER matters, so 10k buckets would tie constantly."""
+    h = F.sha2(col.cast("string"), 256)
+    v = F.lit(0).cast("bigint")
+    for i in range(1, 13):
+        c = F.ascii(F.substring(h, i, 1))
+        hexval = F.when(c >= 97, c - 87).otherwise(c - 48).cast("bigint")
+        v = v * 16 + hexval
+    return v
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Deterministic uniform k-sample per group WITHOUT replacement: the
+    k rows with the smallest portable hash of their id — the balanced
+    eval-set / per-stratum debugging sample.  Hash-order = uniform over
+    any id distribution, rerun-identical on any engine/partitioning (the
+    mix_sources sampling-as-lineage argument, extended to exact-k).
+
+    Scale shape — salted two-phase top-k: a window over
+    ``(group, hash % salt)`` keeps k candidates per salt lane (each lane
+    a separate task — a hot group fans across ``salt`` tasks instead of
+    one), then the final per-group window ranks only ``salt × k``
+    survivors.  No group's full row set ever passes through a single
+    task; raise ``salt`` with group size.  Output adds ``sample_rank``
+    (1..k, hash order).
+    """
+    from pyspark.sql import Window
+
+    hk = portable_hash48(F.col(id_col))
+    cand = (
+        df.withColumn("_hk", hk)
+        .withColumn("_lane", F.pmod(F.col("_hk"), F.lit(salt)))
+    )
+    w1 = Window.partitionBy(group_col, "_lane").orderBy("_hk", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("_hk", id_col)
+    return (
+        cand.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .withColumn("sample_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_hk", "_lane", "_rn1")
+    )

@@ -103,6 +103,7 @@ _R3_PRIORITY = [
     "cdc_snapshot",
     "decile_bins",
     "event_transitions",
+    "balanced_sample",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -417,3 +417,46 @@ ORACLES["source_overlap"] = f"""
     JOIN ps pb ON pa.src < pb.src
     LEFT JOIN common c ON c.sa = pa.src AND c.sb = pb.src
 """
+
+
+def _duck_hexfold48(col_expr: str) -> str:
+    """DuckDB twin of curation.portable_hash48 (12 hex chars, no mod)."""
+    hv = lambda i: (  # noqa: E731
+        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
+        f"THEN CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 87 "
+        f"ELSE CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 48 END)"
+    )
+    folded = hv(1)
+    for i in range(2, 13):
+        folded = f"({folded} * 16 + {hv(i)})"
+    return f"(SELECT {folded} FROM (SELECT sha256({col_expr}) AS h))"
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Deterministic 100-per-type event sample (salted two-phase top-k,
+    operators/curation.balanced_sample)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id"
+    )
+    return curation.balanced_sample(
+        ev, group_col="event_type", k=100, id_col="event_id"
+    )
+
+
+QUERIES["balanced_sample"] = q_balanced_sample
+
+ORACLES["balanced_sample"] = f"""
+    WITH keyed AS (
+      SELECT event_type, event_id,
+             CAST({_duck_hexfold48('CAST(event_id AS VARCHAR)')} AS BIGINT) AS hk
+      FROM events
+    ), ranked AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY hk, event_id
+             ) AS sample_rank
+      FROM keyed
+    )
+    SELECT event_type, event_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 100
+"""

@@ -433,3 +433,43 @@ def test_source_overlap_golden_matrix(spark):
     assert r["contain_b_bp"] == 10000  # D fully contained in A
     assert r["contain_a_bp"] == 2500
     assert r["jaccard_bp"] == 2500
+
+
+def test_balanced_sample_exact_k_deterministic_uniformish(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i % 3, i) for i in range(300)]  # 3 groups x 100 ids
+    df = spark.createDataFrame(rows, "grp int, id long")
+    s1 = curation.balanced_sample(df, "grp", 10, "id", salt=4)
+    s2 = curation.balanced_sample(df.repartition(13), "grp", 10, "id", salt=8)
+    got1 = sorted((r["grp"], r["id"], r["sample_rank"]) for r in s1.collect())
+    got2 = sorted((r["grp"], r["id"], r["sample_rank"]) for r in s2.collect())
+    # Partitioning- and salt-invariant (salt only changes parallelism).
+    assert got1 == got2
+    # Exactly k per group, ranks 1..k, sampled WITHOUT replacement.
+    per = {}
+    for g, i, r in got1:
+        per.setdefault(g, []).append((r, i))
+    for g, members in per.items():
+        assert sorted(r for r, _ in members) == list(range(1, 11))
+        assert len({i for _, i in members}) == 10
+    # Matches the brute-force definition: k smallest portable hashes.
+    hk = curation.portable_hash48(F.col("id"))
+    brute = {
+        g: [
+            i
+            for _, i in sorted(
+                (r["h"], r["id"])
+                for r in df.filter(F.col("grp") == g)
+                .select("id", hk.alias("h"))
+                .collect()
+            )[:10]
+        ]
+        for g in (0, 1, 2)
+    }
+    for g in (0, 1, 2):
+        assert {i for _, i in per[g]} == set(brute[g])
+    # Undersized group: returns all rows, ranks still dense.
+    tiny = spark.createDataFrame([(1, 1), (1, 2)], "grp int, id long")
+    got = curation.balanced_sample(tiny, "grp", 10, "id").collect()
+    assert sorted(r["sample_rank"] for r in got) == [1, 2]
