@@ -104,6 +104,7 @@ _R3_PRIORITY = [
     "decile_bins",
     "event_transitions",
     "balanced_sample",
+    "windowed_distinct_users",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

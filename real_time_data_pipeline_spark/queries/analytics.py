@@ -756,3 +756,39 @@ ORACLES["event_transitions"] = """
            CAST(FLOOR(10000 * n.n / t.n_from) AS BIGINT) AS p_bp
     FROM n JOIN t USING (from_type)
 """
+
+
+def q_windowed_distinct_users(spark, sf_dir):
+    """Unique users per (6h window, event_type) — the unique-visitors
+    dashboard tile.  Exact countDistinct here (expand + two-phase
+    aggregate); the streaming/unbounded twin is approx_count_distinct
+    (HLL sketches merge per window — see aggregates.approx_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+QUERIES["windowed_distinct_users"] = q_windowed_distinct_users
+
+ORACLES["windowed_distinct_users"] = """
+    SELECT CAST(to_timestamp(
+               FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600
+           ) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+"""
