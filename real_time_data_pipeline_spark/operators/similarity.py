@@ -727,3 +727,108 @@ def pca_transform(
             yield pd.DataFrame(out)
 
     return df.select(*id_cols, vec_col).mapInPandas(project, out_schema)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Per-dimension scalar quantization of an embedding column to uint8
+    codes — the 4× memory/IO shrink (float32 → 1 byte/dim) applied to
+    ANN corpora before sharding; recall loss is bounded by the per-dim
+    step size.  Returns ``(codes_df, params_df)``:
+
+    - ``codes_df``: (id, array<int> codes in [0, 255]);
+    - ``params_df``: (dim, mn, mx, scale) — dim-bounded, broadcastable.
+
+    code = floor((x - mn)/scale + 0.5)  (half-up — identical on every
+    engine, unlike round()'s half-even/half-away ambiguity), scale =
+    (mx - mn)/255; constant dimensions quantize to 0 with scale 0.
+
+    Plan: one posexplode pass feeds the (dim)-keyed min/max aggregate
+    (dim-bounded shuffle), then codes are a broadcast-join projection
+    folded back with one (id)-keyed collect ordered by dim.  Two
+    data-scale shuffles; at 100 TB swap the final array rebuild for the
+    columnar writer (codes as binary) — the math is the profile below.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select("id", "dim", F.col("x").cast("double").alias("x"))
+    params = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    code = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor((F.col("x") - F.col("mn")) / F.col("scale") + F.lit(0.5)),
+            ),
+        )
+    ).cast("int")
+    coded = ex.join(F.broadcast(params), "dim").select(
+        "id", "dim", code.alias("code")
+    )
+    codes_df = (
+        coded.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "code"))
+            ).alias("dc")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.transform(F.col("dc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+    return codes_df, params
+
+
+def quantization_error_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension reconstruction-error profile of int8 quantization:
+    (dim, mn, mx, max_abs_err, sum_abs_err_micro, n_vals) — the accept/
+    reject evidence for enabling quantization on a corpus.  All
+    aggregates are order-independent (min/max/integer-micros sum), so the
+    profile hashes identically cross-engine; max_abs_err ≤ scale/2 + one
+    float-widening ulp by construction."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select("id", "dim", F.col("x").cast("double").alias("x"))
+    params = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    code = F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(255.0),
+                F.floor((F.col("x") - F.col("mn")) / F.col("scale") + F.lit(0.5)),
+            ).cast("double"),
+        )
+    )
+    dequant = F.col("mn") + code * F.col("scale")
+    err = F.abs(dequant - F.col("x"))
+    return (
+        ex.join(F.broadcast(params), "dim")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "mn",
+            "mx",
+            err.alias("e"),
+        )
+        .groupBy("dim", "mn", "mx")
+        .agg(
+            F.max("e").alias("max_abs_err"),
+            F.sum(F.floor(F.col("e") * F.lit(1000000.0)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_abs_err_micro"),
+            F.count("*").cast("bigint").alias("n_vals"),
+        )
+    )

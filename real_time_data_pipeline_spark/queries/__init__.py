@@ -105,6 +105,7 @@ _R3_PRIORITY = [
     "event_transitions",
     "balanced_sample",
     "windowed_distinct_users",
+    "embedding_quantization",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

@@ -181,3 +181,41 @@ def q_embedding_pca(spark, sf_dir):
 
 
 QUERIES["embedding_pca"] = q_embedding_pca  # rows-only (float eig)
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """Per-dim int8 quantization error profile
+    (operators/similarity.quantization_error_profile): order-independent
+    aggregates only, so it hashes identically cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantization_error_profile(emb)
+
+
+QUERIES["embedding_quantization"] = q_embedding_quantization
+
+ORACLES["embedding_quantization"] = """
+    WITH ex AS (
+      SELECT vec_id AS id,
+             CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+             CAST(embedding[CAST(unnest(range(0, len(embedding))) AS INT) + 1]
+                  AS DOUBLE) AS x
+      FROM embeddings
+    ), p AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx,
+             (max(x) - min(x)) / 255.0 AS scale
+      FROM ex GROUP BY 1
+    ), e AS (
+      SELECT ex.dim, p.mn, p.mx,
+             ABS(p.mn + (CASE WHEN p.scale = 0 THEN 0.0
+                  ELSE GREATEST(0.0, LEAST(255.0,
+                       FLOOR((ex.x - p.mn) / p.scale + 0.5))) END) * p.scale
+                 - ex.x) AS err
+      FROM ex JOIN p USING (dim)
+    )
+    SELECT dim, mn, mx,
+           max(err) AS max_abs_err,
+           CAST(SUM(CAST(FLOOR(err * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_abs_err_micro,
+           CAST(count(*) AS BIGINT) AS n_vals
+    FROM e GROUP BY 1, 2, 3
+"""

@@ -592,3 +592,42 @@ def test_pca_matches_numpy_and_recovers_structure(spark):
     )
     S = (X - mean) @ comps.T
     assert np.allclose(got[["pc1", "pc2", "pc3"]].to_numpy(), S, atol=1e-9)
+
+
+def test_int8_quantization_error_bound_and_roundtrip(spark):
+    import numpy as np
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        quantization_error_profile,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    X = np.column_stack(
+        [
+            rng.uniform(-3, 7, 200),      # generic dim
+            rng.uniform(100, 100.5, 200), # narrow dim -> tiny scale
+            np.full(200, 2.5),            # constant dim -> scale 0
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    codes_df, params = quantize_int8(df)
+    p = {r["dim"]: r for r in params.collect()}
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    assert all(len(c) == 3 for c in codes.values())
+    # Constant dim: scale 0, every code 0.
+    assert p[2]["scale"] == 0.0
+    assert all(c[2] == 0 for c in codes.values())
+    # Round-trip error bounded by scale/2 per dim (plus nothing: doubles).
+    for i in range(200):
+        for d in (0, 1):
+            deq = p[d]["mn"] + codes[i][d] * p[d]["scale"]
+            assert abs(deq - X[i, d]) <= p[d]["scale"] / 2 + 1e-12
+        assert 0 <= codes[i][0] <= 255
+    prof = {r["dim"]: r for r in quantization_error_profile(df).collect()}
+    assert prof[0]["max_abs_err"] <= p[0]["scale"] / 2 + 1e-12
+    assert prof[2]["max_abs_err"] == 0.0
+    assert prof[0]["n_vals"] == 200
