@@ -83,3 +83,59 @@ def apply_changelog(
         op_col,
         delete_op,
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: classify every key across two snapshots as
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (in both, any ``compare_cols`` differs — null-safe), or
+    ``unchanged``.  The audit step between two corpus releases: what did
+    the re-crawl / takedown pass actually change?
+
+    One full-outer sort-merge join co-partitioned on the key — both
+    sides shuffle once on ``key_cols`` and nothing else moves.  The
+    null-safe compare uses ``<=>`` so NULL→value and value→NULL count
+    as changes, matching SQL ``IS DISTINCT FROM``.
+
+    Output: key columns, ``change_type``, and the old/new value of each
+    compare column (``<col>_old`` / ``<col>_new``).
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_ko_{c}") for c in key_cols],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_kn_{c}") for c in key_cols],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ko_{c}") == F.col(f"_kn_{c}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ko_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_kn_{key_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        same = eq if same is None else same & eq
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_kn_{c}"), F.col(f"_ko_{c}")).alias(c)
+            for c in key_cols
+        ],
+        change.alias("change_type"),
+        *[F.col(f"{c}_old") for c in compare_cols],
+        *[F.col(f"{c}_new") for c in compare_cols],
+    )

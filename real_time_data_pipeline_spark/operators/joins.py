@@ -210,3 +210,52 @@ def asof_join(
         F.col(carried_ts).alias("asof_ts"),
         *[F.col(carried_val[c]).alias(f"asof_{c}") for c in rcols],
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join of a fact stream against an SCD Type-2
+    dimension: each fact row picks the dimension version whose validity
+    interval ``[valid_from, valid_to)`` contains the fact timestamp
+    (``valid_to`` NULL = open / current version).
+
+    This is the lookup side of the SCD2 pattern (operators built by
+    queries/analytics.q_scd2_user_state build the intervals): as-of
+    enrichment expressed as an interval predicate instead of the
+    union+running-last trick in :func:`asof_join` — the natural shape
+    when the dimension is already materialized as intervals.
+
+    Scale: the key equality makes this a plain equi-join (sort-merge or
+    broadcast, Catalyst's choice) with the interval predicate evaluated
+    as a post-join filter on each key's matches.  Per key the dimension
+    holds one row per VERSION (bounded history), not per fact, so the
+    fan-out before filtering is |versions(key)| — the interval predicate
+    never degenerates to a cross product the way a pure range join
+    (no key) would.  SCD2 guarantees non-overlapping intervals per key,
+    so each fact matches at most one version.
+    """
+    d = dim.select(
+        F.col(key).alias("_dk"),
+        F.col(valid_from).alias("_vf"),
+        F.col(valid_to).alias("_vt"),
+        *[
+            F.col(c)
+            for c in dim.columns
+            if c not in (key, valid_from, valid_to)
+        ],
+    )
+    cond = (
+        (facts[fact_ts] >= d["_vf"])
+        & (d["_vt"].isNull() | (facts[fact_ts] < d["_vt"]))
+        & (facts[key] == d["_dk"])
+    )
+    return facts.join(d, cond, how).drop("_dk").withColumnsRenamed(
+        {"_vf": valid_from, "_vt": valid_to}
+    )

@@ -792,3 +792,247 @@ ORACLES["windowed_distinct_users"] = """
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY 1, 2
 """
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Release-over-release corpus diff (operators/cdc.snapshot_diff):
+    the user-state snapshot as of Jan 16 vs the final snapshot, every
+    key classified added/removed/changed/unchanged.  Both snapshots are
+    one max_by aggregate over the same scan; the diff is one full-outer
+    join co-partitioned on user_id."""
+    from real_time_data_pipeline_spark.operators.cdc import (
+        latest_snapshot,
+        snapshot_diff,
+    )
+
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("value_c"),
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    cutoff = "2024-01-16 00:00:00"
+    mk = lambda df: latest_snapshot(  # noqa: E731
+        df, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    ).select("user_id", "event_type", "value_c")
+    old = mk(log.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    new = mk(log)
+    return snapshot_diff(
+        old, new, key_cols=["user_id"], compare_cols=["event_type", "value_c"]
+    )
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+
+ORACLES["snapshot_diff"] = """
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT) AS value_c,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ), old_s AS (
+      SELECT user_id, event_type, value_c FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      ) WHERE rn = 1 AND op <> 'D'
+    ), new_s AS (
+      SELECT user_id, event_type, value_c FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                 AND o.value_c IS NOT DISTINCT FROM n.value_c
+                THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           o.event_type AS event_type_old,
+           n.event_type AS event_type_new,
+           o.value_c AS value_c_old,
+           n.value_c AS value_c_new
+    FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+"""
+
+
+def q_scd2_pit_join(spark, sf_dir):
+    """Point-in-time enrichment against an SCD2 dimension
+    (operators/joins.interval_join): account state changes
+    (signup→active, error→flagged) become validity intervals; every
+    purchase picks the state valid at its timestamp.  Key-equality join
+    with the interval as a post-join filter — per user the dimension
+    carries one row per VERSION, so no cross-product risk."""
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", F.lit("active"))
+        .otherwise(F.lit("flagged"))
+        .alias("state"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("value_c"),
+    )
+    out = interval_join(
+        purchases, dim, key="user_id", fact_ts="ts", how="inner"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value_c",
+        "state",
+        F.col("valid_from").alias("state_since"),
+    )
+
+
+QUERIES["scd2_pit_join"] = q_scd2_pit_join
+
+ORACLES["scd2_pit_join"] = """
+    WITH dim AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 'active'
+                             ELSE 'flagged' END AS state,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(LEAD(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+             ) AS TIMESTAMP) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'error')
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST(FLOOR(COALESCE(p.value, 0) * 100) AS BIGINT) AS value_c,
+           d.state, d.valid_from AS state_since
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(p.ts AS TIMESTAMP) < d.valid_to)
+"""
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket pair mining: the 100 most frequent part pairs
+    co-occurring in one order.  The self-join is co-partitioned on
+    l_orderkey with bounded per-order fan-out (TPC-H caps lineitems per
+    order at 7; this data at 13 → ≤78 pairs/order), so the pair
+    explosion scales linearly with orders, never quadratically with the
+    catalog.  Global top-k via TakeOrderedAndProject (per-partition
+    heads, no full sort); (n DESC, p1, p2) is a total order so the
+    LIMIT is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(100)
+    )
+
+
+QUERIES["frequent_pairs"] = q_frequent_pairs
+
+ORACLES["frequent_pairs"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 100
+"""
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase credits the user's
+    most recent preceding click/view (or 'direct' if none), rolled up to
+    credited touch type.  One window shuffle partitioned by user_id —
+    the running last-non-null carry, same engine shape as asof_join —
+    then a 3-row aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    carried = ev.select(
+        "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("value_c"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("last_touch", F.lit("direct")).alias("touch_type"), "value_c")
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("value_c").cast("bigint").alias("revenue_c"),
+        )
+    )
+
+
+QUERIES["attribution_last_touch"] = q_attribution_last_touch
+
+ORACLES["attribution_last_touch"] = """
+    WITH carried AS (
+      SELECT event_type,
+             CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT) AS value_c,
+             LAST_VALUE(
+                 CASE WHEN event_type IN ('click', 'view')
+                      THEN event_type END IGNORE NULLS
+             ) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(last_touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value_c) AS BIGINT) AS revenue_c
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1
+"""

@@ -488,3 +488,55 @@ def test_event_transitions_counts_and_rates(spark):
         ("a", "c"): (1, 5000),
         ("b", "a"): (2, 10000),
     }
+
+
+def test_snapshot_diff_classification(spark):
+    from real_time_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "c", 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",       # value differs
+        3: "changed",       # NULL -> value counts as a change (null-safe)
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_interval_join_picks_containing_version(spark):
+    from real_time_data_pipeline_spark.operators.joins import interval_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", _ts(1), _ts(3)),
+            (1, "v2", _ts(3), None),   # open / current
+            (2, "v1", _ts(5), None),
+        ],
+        "user_id long, state string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, _ts(2)),   # inside v1
+            (11, 1, _ts(3)),   # boundary: valid_to exclusive -> v2
+            (12, 1, _ts(9)),   # open interval -> v2
+            (13, 2, _ts(1)),   # before any version -> dropped (inner)
+            (14, 3, _ts(1)),   # unknown key -> dropped
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = interval_join(facts, dim, key="user_id", fact_ts="ts")
+    got = {r["event_id"]: r["state"] for r in out.collect()}
+    assert got == {10: "v1", 11: "v2", 12: "v2"}
+    # each fact matches at most one version (non-overlapping intervals)
+    assert out.count() == 3
