@@ -16,6 +16,8 @@ across engines for the DuckDB oracles (queries/curation.py).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -770,4 +772,141 @@ def balanced_sample(
         .withColumn("sample_rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
         .drop("_hk", "_lane", "_rn1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the scale path for benchmark gram sets
+# too large to broadcast exactly.
+#
+# The exact `decontaminate` broadcasts the benchmark's DISTINCT n-gram
+# strings; fine for eval-suite-sized benchmarks (MBs), but a
+# decontamination pass against, say, the union of all held-out corpora
+# (1e9+ grams) cannot ship the strings.  A Bloom filter compresses the
+# set to m bits with zero false NEGATIVES (no contaminated doc escapes)
+# and a tunable false-positive rate p ≈ (1 - e^{-k|B|/m})^k — extra
+# flagged docs only, the safe direction for decontamination.  Sizing:
+# m = -|B| ln p / (ln 2)^2, k = (m/|B|) ln 2; at p=1%, 1e9 grams → 1.2 GB
+# bitmap, still one broadcast instead of tens of GB of strings.
+#
+# Split JVM/Python so each side does what it is fast at: the k hash
+# positions are computed JVM-side (xxhash64 under whole-stage codegen —
+# Python never sees a gram string), and the Python side is a single
+# Arrow-batched pandas UDF doing vectorized numpy bit tests against the
+# broadcast bitmap.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS_DEFAULT = 1 << 20
+BLOOM_K_DEFAULT = 4
+
+
+def _bloom_positions(gram: F.Column, m_bits: int, k: int) -> F.Column:
+    """k salted-xxhash64 bit positions for a gram, as an array<long>.
+    Seed-salting via a literal first argument (xxhash64 is a multi-arg
+    hash, so `xxhash64(i, gram)` gives k independent hash families)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), gram), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom_bitmap(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = BLOOM_M_BITS_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+):
+    """Distributed build of the benchmark gram Bloom bitmap: explode
+    distinct grams, compute k positions, OR bits per 64-bit word in ONE
+    partial-aggregated shuffle (bit_or combines map-side), then collect
+    the ≤ m_bits/64 (word, bits) rows — bounded by the CHOSEN m, never
+    by benchmark size — into a numpy uint64 array.
+
+    Returns (numpy array of length m_bits/64, m_bits, k).
+    """
+    import numpy as np
+
+    grams = benchmark.select(
+        F.explode(ngrams_col(text_col, n)).alias("gram")
+    ).distinct()
+    words = (
+        grams.select(
+            F.explode(_bloom_positions(F.col("gram"), m_bits, k)).alias("pos")
+        )
+        .select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["word"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap, m_bits, k
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shared_bp: int = 1000,
+    m_bits: int = BLOOM_M_BITS_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """Bloom-filter twin of :func:`decontaminate`: same per-doc output
+    shape (gram counts, collision bp, keep flag) with ``shared_grams``
+    ESTIMATED (one-sided: >= the exact count, never below — Bloom
+    filters have no false negatives, so ``keep_decontaminated = False``
+    on the exact path implies ``False`` here too).
+
+    The corpus side never shuffles: distinct-gram explode, JVM-side
+    position arrays, one Arrow-batched bitmap probe, then the per-doc
+    aggregate — the only exchange, identical to the exact path.
+    """
+    import numpy as np
+
+    bitmap, m_bits, k = build_bloom_bitmap(
+        benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k
+    )
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        bm = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.array(pos.tolist(), dtype=np.int64)
+        words = arr >> 6
+        bits = (arr & 63).astype(np.uint64)
+        present = (bm[words] >> bits) & np.uint64(1)
+        return pd.Series(present.all(axis=1))
+
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
+    ).select(
+        id_col,
+        _probe(_bloom_positions(F.col("gram"), m_bits, k)).alias("_hit"),
+    )
+    agg = doc_grams.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("_hit").cast("long")).alias("shared_grams_est"),
+    )
+    shared_bp = F.floor(
+        F.lit(10000) * F.col("shared_grams_est") / F.col("n_grams")
+    ).cast("bigint")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("shared_grams_est").cast("bigint").alias("shared_grams_est"),
+        shared_bp.alias("shared_bp_est"),
+        (shared_bp <= F.lit(max_shared_bp)).alias("keep_decontaminated"),
     )

@@ -755,3 +755,58 @@ def near_dup_verdicts(
             (F.col(id_col) == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+def editdistance_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 16,
+    head_len: int = 64,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking: candidates are
+    docs sharing their first ``prefix_len`` characters (an equality
+    self-join — one co-partitioned shuffle on the prefix key), verified
+    with Levenshtein distance over the first ``head_len`` characters.
+
+    Complements the set-similarity family (n-gram Jaccard / MinHash /
+    SimHash): edit distance catches in-place character edits that keep
+    most shingles intact but also small insertions that shift every
+    downstream shingle — the template-with-substitutions duplicate class
+    common in scraped web text.
+
+    Candidate policy (documented recall bound, same spirit as LSH
+    banding): a pair that differs inside the first ``prefix_len`` chars
+    is never considered.  Exact-prefix blocking keys are skew-safe for
+    real corpora except degenerate shared boilerplate prefixes; for
+    those, raise ``prefix_len`` or pre-strip boilerplate
+    (text.normalize_text).  The verify is per-candidate, JVM codegen
+    (``levenshtein``), bounded by ``head_len``² per pair.
+
+    Output: (id_1, id_2, edit_distance) with id_1 < id_2.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+        F.substring(F.col(text_col), 1, head_len).alias("_head"),
+    )
+    a = d.select(
+        F.col(id_col).alias("id_1"),
+        "_pfx",
+        F.col("_head").alias("_head1"),
+    )
+    b = d.select(
+        F.col(id_col).alias("id_2"),
+        "_pfx",
+        F.col("_head").alias("_head2"),
+    )
+    dist = F.levenshtein(F.col("_head1"), F.col("_head2"))
+    return (
+        a.join(b, "_pfx")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(dist <= F.lit(max_dist))
+        .select(
+            "id_1", "id_2", dist.cast("bigint").alias("edit_distance")
+        )
+    )

@@ -460,3 +460,17 @@ ORACLES["balanced_sample"] = f"""
     SELECT event_type, event_id, CAST(sample_rank AS BIGINT) AS sample_rank
     FROM ranked WHERE sample_rank <= 100
 """
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination scale path
+    (operators/curation.decontaminate_bloom) — rows-only: xxhash64 bit
+    positions are not DuckDB-reproducible; the one-sided-estimate and
+    zero-false-negative guarantees vs the exact pass are pinned in
+    tests/test_curation.py."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.decontaminate_bloom(docs, bench)
+
+
+QUERIES["decontaminate_bloom"] = q_decontaminate_bloom

@@ -429,3 +429,31 @@ def _pagerank_oracle(iters: int) -> str:
 
 
 ORACLES["pagerank_suppliers"] = _pagerank_oracle(PAGERANK_ITERS)
+
+
+def q_dedup_editdistance(spark, sf_dir):
+    """Prefix-blocked Levenshtein near-dup pairs
+    (operators/dedup.editdistance_near_pairs): 16-char exact-prefix
+    blocking, distance <= 8 over the 64-char head."""
+    from real_time_data_pipeline_spark.operators.dedup import (
+        editdistance_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdistance_near_pairs(
+        docs, prefix_len=16, head_len=64, max_dist=8
+    )
+
+
+QUERIES["dedup_editdistance"] = q_dedup_editdistance
+
+ORACLES["dedup_editdistance"] = """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 16) AS pfx, substr(text, 1, 64) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
+    FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 8
+"""

@@ -473,3 +473,59 @@ def test_balanced_sample_exact_k_deterministic_uniformish(spark):
     tiny = spark.createDataFrame([(1, 1), (1, 2)], "grp int, id long")
     got = curation.balanced_sample(tiny, "grp", 10, "id").collect()
     assert sorted(r["sample_rank"] for r in got) == [1, 2]
+
+
+def test_bloom_decontaminate_no_false_negatives_vs_exact(spark):
+    """Bloom property on real corpus data: the estimated shared-gram
+    count is >= the exact count for EVERY doc (no false negatives), and
+    with the default 1M-bit / 4-hash bitmap against an eval-suite-sized
+    benchmark the false-positive inflation is tiny."""
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.limit(20)
+    exact = {
+        r["doc_id"]: r
+        for r in curation.decontaminate(docs, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in curation.decontaminate_bloom(docs, bench).collect()
+    }
+    assert set(exact) == set(bloom)
+    inflated = 0
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_grams"] == e["n_grams"]
+        # one-sided: estimate never undercounts
+        assert b["shared_grams_est"] >= e["shared_grams"], d
+        # keep=False on the exact path must imply keep=False on bloom
+        if not e["keep_decontaminated"]:
+            assert not b["keep_decontaminated"], d
+        inflated += b["shared_grams_est"] - e["shared_grams"]
+    total = sum(e["n_grams"] for e in exact.values())
+    # fpr bound: (1 - e^{-k|B|/m})^k is ~1e-11 at these sizes; allow
+    # slack of 0.1% of all gram probes.
+    assert inflated <= max(1, total // 1000)
+
+
+def test_bloom_bitmap_build_matches_membership(spark):
+    """Every benchmark gram's k bits are set in the built bitmap (zero
+    false negatives by construction)."""
+    import numpy as np
+
+    bench = _docs(spark, [(1, "s", "alpha beta gamma delta epsilon zeta eta theta iota kappa")])
+    bitmap, m, k = curation.build_bloom_bitmap(bench, n=8)
+    from pyspark.sql import functions as F
+
+    pos_rows = (
+        bench.select(F.explode(curation.ngrams_col("text", 8)).alias("gram"))
+        .distinct()
+        .select(F.explode(curation._bloom_positions(F.col("gram"), m, k)).alias("pos"))
+        .collect()
+    )
+    for r in pos_rows:
+        p = r["pos"]
+        assert (bitmap[p >> 6] >> np.uint64(p & 63)) & np.uint64(1) == 1
