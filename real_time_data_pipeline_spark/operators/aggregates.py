@@ -627,3 +627,87 @@ def event_transitions(
         .cast("bigint")
         .alias("p_bp"),
     )
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    threshold_bp: int,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters over unbounded-cardinality data without the
+    full-vocabulary shuffle: Misra-Gries candidate generation per
+    partition, then an exact recount of the bounded candidate set.
+
+    A plain ``groupBy(item).count()`` shuffles one row per distinct
+    (partition, item) — at web scale the token vocabulary itself is the
+    bottleneck.  Here pass 1 streams each partition through a mergeable
+    Misra-Gries summary of ``k = ceil(1e4/threshold_bp)`` counters
+    (Agarwal et al., "Mergeable Summaries": merge = add counts, subtract
+    the (k+1)-th largest, drop non-positive), emitting at most k
+    candidates per partition plus the partition's row total.  Pigeonhole
+    guarantee: any item with global count > N/(k+1) exceeds the local
+    MG threshold in at least one partition, and N*threshold_bp/1e4 >
+    N/(k+1), so the candidate union contains EVERY true heavy hitter.
+    Pass 2 recounts only candidates (broadcast semi-join — the shuffle
+    carries candidate counts only) and filters by the exact integer
+    predicate ``1e4 * n >= threshold_bp * N``.  Result is exact and
+    independent of partitioning; the MG summary is Arrow-batched
+    (pandas ``value_counts`` per batch + dict merge — no per-row
+    Python).
+
+    Two scans of ``items`` (persist upstream if it is expensive);
+    driver never sees more than the candidate set.
+    """
+    import math
+
+    import pandas as pd
+
+    k = counters if counters is not None else math.ceil(10_000 / threshold_bp)
+    # nulls are excluded: a NaN key would collide with the None row the
+    # MG pass uses as its partition-total marker
+    src = items.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
+
+    def mg_partition(batches):
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["item"].value_counts(dropna=False)
+            total += int(vc.sum())
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k:
+                cut = sorted(counts.values(), reverse=True)[k]
+                counts = {
+                    v: c - cut for v, c in counts.items() if c - cut > 0
+                }
+        out = pd.DataFrame(
+            {"item": list(counts.keys()) + [None],
+             "n": list(counts.values()) + [total]}
+        )
+        yield out
+
+    summary = src.mapInPandas(mg_partition, "item string, n long")
+    cands = summary.filter(F.col("item").isNotNull()).select("item").distinct()
+    totals = summary.filter(F.col("item").isNull()).agg(
+        F.sum("n").alias("n_total")
+    )
+    counted = (
+        src.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(totals))
+        .filter(
+            F.lit(10_000) * F.col("n_occurrences")
+            >= F.lit(threshold_bp) * F.col("n_total")
+        )
+        .select(
+            F.col("item").alias(item_col),
+            "n_occurrences",
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
+    )

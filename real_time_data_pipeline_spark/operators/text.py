@@ -538,3 +538,57 @@ def token_zipf(
             .alias("cum_coverage_bp"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Postings list: one row per (term, doc, term-frequency) — the
+    classic inverted-index relation, built with one explode + one
+    hash aggregate (map-side combined; the shuffle carries distinct
+    (term, doc) pairs, bounded by corpus token count).
+
+    At serving scale, persist this partitioned/bucketed by term (the
+    same pruned-read pattern as similarity.build_ivf_index) so a query
+    touches only its terms' partitions.
+    """
+    return (
+        df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def conjunctive_search(
+    index: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Boolean AND search over an inverted index: docs containing EVERY
+    query term, ranked by summed term frequency (deterministic
+    tie-break on doc id).
+
+    The term filter prunes the postings scan to |terms| keys (partition
+    pruning when the index is persisted term-partitioned); the per-doc
+    aggregate then touches only matching postings — cost scales with
+    the selectivity of the rarest term's postings, never the corpus.
+    Top-k is TakeOrderedAndProject (per-partition heads, no global
+    sort).
+    """
+    hits = (
+        index.filter(F.col("term").isin([t.lower() for t in terms]))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("term").alias("n_terms_matched"),
+            F.sum("tf").cast("bigint").alias("tf_sum"),
+        )
+        .filter(F.col("n_terms_matched") == len(terms))
+    )
+    return (
+        hits.select(F.col(id_col), F.col("tf_sum"))
+        .orderBy(F.desc("tf_sum"), F.col(id_col))
+        .limit(k)
+    )

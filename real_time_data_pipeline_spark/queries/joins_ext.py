@@ -136,3 +136,40 @@ ORACLES = {
         GROUP BY c_mktsegment
     """,
 }
+
+
+def q_salted_join_skew(spark, sf_dir):
+    """Skew-mitigated enrichment (operators/joins.salted_join): events
+    (the skewed fact side — a hot user's rows all hash to one reducer in
+    a plain shuffle join) against the user dimension, salted 8 ways so a
+    hot key spreads over 8 reducers.  The salt is an implementation
+    detail — the oracle is the PLAIN join, pinning that salting never
+    changes results."""
+    from real_time_data_pipeline_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("value_c"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, key="user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("value_c").cast("bigint").alias("value_c_sum"),
+    )
+
+
+QUERIES["salted_join_skew"] = q_salted_join_skew
+
+ORACLES["salted_join_skew"] = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(COALESCE(e.value, 0) * 100) AS BIGINT)) AS BIGINT)
+               AS value_c_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+"""

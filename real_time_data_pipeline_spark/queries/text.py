@@ -388,3 +388,67 @@ ORACLES["token_zipf"] = f"""
     FROM head CROSS JOIN tot
     WINDOW w AS (ORDER BY cnt DESC, term ASC)
 """
+
+
+HH_THRESHOLD_BP = 50  # tokens covering >= 0.5% of the corpus stream
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy-hitter tokens
+    (operators/aggregates.heavy_hitters): Misra-Gries candidates per
+    partition + exact recount — same answer as a full groupBy, without
+    the full-vocabulary shuffle."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+    from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    return heavy_hitters(toks, "token", threshold_bp=HH_THRESHOLD_BP)
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+
+ORACLES["heavy_hitters"] = f"""
+    WITH toks AS (
+      SELECT unnest({DUCK_TOKENS}) AS token FROM documents
+    ), t AS (SELECT count(*) AS n_total FROM toks)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(any_value(t.n_total) AS BIGINT) AS n_total
+    FROM toks, t
+    GROUP BY token
+    HAVING 1e4 * count(*) >= {HH_THRESHOLD_BP} * any_value(t.n_total)
+"""
+
+
+SEARCH_TERMS = ["hash", "join", "filter"]
+SEARCH_K = 20
+
+
+def q_keyword_search(spark, sf_dir):
+    """Conjunctive keyword search over the postings index
+    (operators/text.inverted_index + conjunctive_search): docs
+    containing ALL query terms, top-20 by summed term frequency."""
+    idx = T.inverted_index(_docs(spark, sf_dir))
+    return T.conjunctive_search(idx, SEARCH_TERMS, k=SEARCH_K)
+
+
+QUERIES["keyword_search"] = q_keyword_search
+
+ORACLES["keyword_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+    ), postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+    FROM postings
+    WHERE term IN ('hash', 'join', 'filter')
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 3
+    ORDER BY tf_sum DESC, doc_id
+    LIMIT {SEARCH_K}
+"""

@@ -540,3 +540,29 @@ def test_interval_join_picks_containing_version(spark):
     assert got == {10: "v1", 11: "v2", 12: "v2"}
     # each fact matches at most one version (non-overlapping intervals)
     assert out.count() == 3
+
+
+def test_heavy_hitters_exact_under_compression(spark):
+    """Force heavy MG compression (k=3 counters, many partitions) and
+    check the result still equals the exact groupBy answer — the
+    mergeable-summary guarantee, not luck."""
+    from real_time_data_pipeline_spark.operators.aggregates import heavy_hitters
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 250
+        + [(f"cold{i}",) for i in range(350)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    # N=1000; threshold 20% = 200 -> {hot, warm}; k = ceil(1e4/2000) = 5
+    got = {
+        r["item"]: (r["n_occurrences"], r["n_total"])
+        for r in heavy_hitters(df, "item", threshold_bp=2000).collect()
+    }
+    assert got == {"hot": (400, 1000), "warm": (250, 1000)}
+    # tighter counters than the threshold needs still must not UNDERcount
+    got3 = {
+        r["item"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "item", threshold_bp=2000, counters=6).collect()
+    }
+    assert got3 == {"hot": 400, "warm": 250}
