@@ -711,3 +711,45 @@ def heavy_hitters(
             F.col("n_total").cast("bigint").alias("n_total"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (adjust=False
+    recursion: y_i = alpha*v_i + (1-alpha)*y_{i-1}) — the smoothing pass
+    behind monitoring dashboards and trend features.
+
+    Inherently sequential per key, so it runs as ONE grouped
+    Arrow-batched pass (applyInPandas → pandas ``ewm``): a single
+    shuffle on ``key_col``, vectorized C inside each group, no per-row
+    Python.  Per-key rows must fit one task (true of per-user/device
+    series; for unbounded keys chunk by (key, epoch) and chain the
+    carry — same recursion, checkpointed initial state).
+
+    The rows-only check: EWMA is float-recursive, so no integer-exact
+    cross-engine oracle; tests pin the recursion against hand-computed
+    dyadic cases (alpha=0.5 keeps every intermediate exactly
+    representable).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(
+        smooth, f"{out_fields}, ewma double"
+    )

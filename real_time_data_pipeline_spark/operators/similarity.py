@@ -639,37 +639,44 @@ def pca_fit(
     dim = len(df.select(vec_col).first()[0])
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE partial per partition (accumulate across Arrow batches) —
+        # the downstream reduce sees #partitions rows, not #batches.
+        n_tot = 0
+        s_tot = np.zeros(dim)
+        g_tot = np.zeros((dim, dim))
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            n_tot += len(X)
+            s_tot += X.sum(axis=0)
+            g_tot += X.T @ X
+        if n_tot:
             yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
+                {"p": [np.concatenate(([n_tot], s_tot, g_tot.ravel())).tolist()]}
             )
 
-    agg = (
+    # Elementwise reduce via posexplode + (index)-keyed sum: 1+dim+dim²
+    # grouped sums of #partitions values each.  The flat-expression
+    # alternative — array(*[F.sum(col[i]) for i in range(dim*dim)]) —
+    # compiles 4k+ aggregate expressions and stalls janino for tens of
+    # seconds at dim=64; this shape is O(1) plan size at any dim.
+    rows = (
         df.select(vec_col)
-        .mapInPandas(partials, "n bigint, s array<double>, g array<double>")
-        .agg(
-            F.sum("n").alias("n"),
-            F.array(
-                *[F.sum(F.col("s")[i]) for i in range(dim)]
-            ).alias("s"),
-            F.array(
-                *[F.sum(F.col("g")[i]) for i in range(dim * dim)]
-            ).alias("g"),
-        )
-        .collect()[0]
+        .mapInPandas(partials, "p array<double>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
     )
-    n = agg["n"]
-    mean = np.array(agg["s"]) / n
-    gram = np.array(agg["g"]).reshape(dim, dim)
+    flat = np.zeros(1 + dim + dim * dim)
+    for r in rows:
+        flat[r["i"]] = r["v"]
+    n = int(flat[0])
+    mean = flat[1 : 1 + dim] / n
+    gram = flat[1 + dim :].reshape(dim, dim)
     cov = (gram - n * np.outer(mean, mean)) / max(n - 1, 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]

@@ -592,3 +592,159 @@ def conjunctive_search(
         .orderBy(F.desc("tf_sum"), F.col(id_col))
         .limit(k)
     )
+
+
+def _bpe_merges_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE merge loop over collapsed (word, count) pairs —
+    the exact algorithm the distributed rounds run, on the same
+    deterministic tie-break, used when the vocabulary fits locally."""
+    vocab = [([c for c in w], n) for w, n in word_counts]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, cnt))
+        fused = left + right
+        for idx, (syms, n) in enumerate(vocab):
+            i = 0
+            new = []
+            m = len(syms)
+            changed = False
+            while i < m:
+                if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                    new.append(fused)
+                    i += 2
+                    changed = True
+                else:
+                    new.append(syms[i])
+                    i += 1
+            if changed:
+                vocab[idx] = (new, n)
+    return merges
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    vocab_partitions: int = 8,
+    driver_vocab_limit: int = 100_000,
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016,
+    word-level variant): iteratively find the most frequent adjacent
+    symbol pair across the corpus and fuse it, ``n_merges`` times.
+    Returns the learned merge table (merge_rank, left, right,
+    pair_count) — the tokenizer-training step of an LLM data pipeline,
+    run where the data lives instead of sampling down to one machine.
+
+    Hybrid execution, the shape every production BPE learner uses: the
+    corpus collapses ONCE to (distinct word, count) — a distributed
+    explode + hash-aggregate, the only corpus-scale work.  If the
+    vocabulary fits the driver (``driver_vocab_limit``; word counts at
+    1e5 entries are a few MB — raise freely to 1e7), the merge loop
+    runs locally on those counts: zero per-round jobs, identical
+    deterministic result (count-desc, lexicographic tie-break).  Only a
+    vocabulary beyond the limit runs the distributed loop, each round
+    (a) one vocab-bounded explode+aggregate for pair counts, (b) a
+    1-row argmax collect, (c) an Arrow-batched rewrite of only the
+    words CONTAINING the pair (JVM `exists` prefilter; the greedy
+    left-to-right fuse is sequential within a word, so it runs in
+    pandas), with per-round ``localCheckpoint`` lineage control
+    mirroring graph.py's iteration discipline.
+    """
+    import pandas as pd
+
+    word_counts = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    vocab_size = word_counts.count()
+    if vocab_size <= driver_vocab_limit:
+        local = [(r["word"], int(r["n"])) for r in word_counts.collect()]
+        merges = _bpe_merges_local(local, n_merges)
+        return spark.createDataFrame(
+            merges, "merge_rank int, left string, right string, pair_count long"
+        )
+
+    words = (
+        word_counts.select(
+            F.split(F.col("word"), "").alias("syms"),
+            F.col("n"),
+        )
+        # The working set is the VOCABULARY (distinct words), orders of
+        # magnitude smaller than the corpus — shrink to a few partitions
+        # so the per-round jobs aren't task-overhead-bound.  Raise for
+        # billion-type vocabularies; the rounds stay vocab-bounded.
+        .repartition(vocab_partitions)
+        .localCheckpoint()
+    )
+
+    def _pairs(syms_col):
+        # adjacent pairs as "l r" strings (symbols never contain spaces:
+        # tokens_col splits on whitespace)
+        return F.transform(
+            F.slice(syms_col, 1, F.greatest(F.size(syms_col) - 1, F.lit(0))),
+            lambda s, i: F.concat_ws(
+                " ", s, F.element_at(syms_col, i + 2)
+            ),
+        )
+
+    merges = []
+    for rank in range(n_merges):
+        best = (
+            words.select(F.explode(_pairs(F.col("syms"))).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merges.append((rank, left, right, cnt))
+        fused = left + right
+
+        def rewrite(batches, _l=left, _r=right, _f=fused):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    new = []
+                    i = 0
+                    m = len(syms)
+                    while i < m:
+                        if i + 1 < m and syms[i] == _l and syms[i + 1] == _r:
+                            new.append(_f)
+                            i += 2
+                        else:
+                            new.append(syms[i])
+                            i += 1
+                    out.append(new)
+                yield pd.DataFrame({"syms": out, "n": pdf["n"]})
+
+        has_pair = F.exists(
+            _pairs(F.col("syms")), lambda p: p == F.lit(pair)
+        )
+        touched = words.filter(has_pair).mapInPandas(
+            rewrite, "syms array<string>, n long"
+        )
+        words = touched.unionAll(words.filter(~has_pair)).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

@@ -1036,3 +1036,31 @@ ORACLES["attribution_last_touch"] = """
     FROM carried WHERE event_type = 'purchase'
     GROUP BY 1
 """
+
+
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user EWMA-smoothed event value
+    (operators/aggregates.ewma_smooth, alpha=0.5), reported as each
+    user's latest smoothed level — rows-only (float recursion has no
+    integer-exact oracle; the recursion itself is pinned in
+    tests/test_analytics_ops.py on dyadic cases)."""
+    from real_time_data_pipeline_spark.operators.aggregates import ewma_smooth
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    sm = ewma_smooth(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+    return (
+        sm.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("ewma"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("ewma_latest"),
+            F.count("*").cast("bigint").alias("n_points"),
+        )
+    )
+
+
+QUERIES["ewma_user_value"] = q_ewma_user_value  # rows-only

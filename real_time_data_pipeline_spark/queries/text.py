@@ -452,3 +452,18 @@ ORACLES["keyword_search"] = f"""
     ORDER BY tf_sum DESC, doc_id
     LIMIT {SEARCH_K}
 """
+
+
+BPE_N_MERGES = 10
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge-table learning
+    (operators/text.learn_bpe_merges) — rows-only: the merge loop is
+    iterative/driver-coordinated, outside SQL; determinism (count-desc,
+    lexicographic tie-break) and the Sennrich hand example are pinned in
+    tests/test_analytics_ops.py."""
+    return T.learn_bpe_merges(_docs(spark, sf_dir), n_merges=BPE_N_MERGES)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges  # rows-only (iterative)

@@ -566,3 +566,50 @@ def test_heavy_hitters_exact_under_compression(spark):
         for r in heavy_hitters(df, "item", threshold_bp=2000, counters=6).collect()
     }
     assert got3 == {"hot": 400, "warm": 250}
+
+
+def test_ewma_smooth_recursion(spark):
+    """alpha=0.5 on dyadic inputs: every intermediate is exactly
+    representable, so the recursion is checkable by hand."""
+    from real_time_data_pipeline_spark.operators.aggregates import ewma_smooth
+
+    rows = [
+        (1, 1, 4.0), (1, 2, 8.0), (1, 3, 2.0),
+        (2, 1, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    got = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in ewma_smooth(df, "k", ["seq"], "v", alpha=0.5).collect()
+    }
+    # k=1: y1=4, y2=0.5*8+0.5*4=6, y3=0.5*2+0.5*6=4 ; k=2: y1=10
+    assert got == {(1, 1): 4.0, (1, 2): 6.0, (1, 3): 4.0, (2, 1): 10.0}
+
+
+def test_learn_bpe_merges_sennrich_example(spark):
+    """Classic BPE corpus (low/lower/newest/widest) — first three merges
+    are hand-computable: (e,s,9) ["e s"=9 ties "s t"=9, lexicographic],
+    (es,t,9), then (l,o,7) ["w e" fell to 2 once newest's e fused into
+    es; "l o"=7 ties "o w"=7, lexicographic]."""
+    from real_time_data_pipeline_spark.operators.text import learn_bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, n_merges=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [(0, "e", "s", 9), (1, "es", "t", 9), (2, "l", "o", 7)]
+    # force the distributed round loop (driver_vocab_limit=0): identical
+    # merges — the two execution paths implement one algorithm
+    got_dist = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, n_merges=3, driver_vocab_limit=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got_dist == got
