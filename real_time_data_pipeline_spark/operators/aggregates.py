@@ -753,3 +753,74 @@ def ewma_smooth(
     return df.groupBy(key_col).applyInPandas(
         smooth, f"{out_fields}, ewma double"
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k behavioral paths: per-key gap-based sessionization, each
+    session rendered as its ordered event-type sequence ("view>click>
+    purchase"), counted corpus-wide — the journey-analysis rollup
+    behind funnel design.
+
+    Sessionization is the lag/cumulative-sum form (one window shuffle
+    on the key, same session ids as ``session_window`` for batch data);
+    the path string is built ORDER-DETERMINISTICALLY by sorting each
+    session's (ts, tiebreak, type) structs with ``array_sort`` before
+    joining — never a bare ``collect_list``, whose order is
+    partition-dependent.  Per-session state is the session's events
+    (bounded by the gap); the final count is a path-keyed hash
+    aggregate with map-side combine, and top-k is
+    TakeOrderedAndProject with a (n desc, path) total order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    gap_s = gap_minutes * 60
+    sess = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.col(type_col),
+        F.when(
+            F.unix_timestamp(ts_col)
+            - F.unix_timestamp(F.lag(ts_col).over(w))
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_sess"),
+    ).select(
+        key_col,
+        ts_col,
+        order_tiebreak,
+        type_col,
+        F.sum("_new_sess").over(w).alias("_sess_id"),
+    )
+    paths = (
+        sess.groupBy(key_col, "_sess_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col), F.col(order_tiebreak), F.col(type_col))
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("evs"), lambda e: e[type_col])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )

@@ -1064,3 +1064,43 @@ def q_ewma_user_value(spark, sf_dir):
 
 
 QUERIES["ewma_user_value"] = q_ewma_user_value  # rows-only
+
+
+def q_session_paths(spark, sf_dir):
+    """Top-20 per-session event-type paths
+    (operators/aggregates.session_paths): 30-minute gap sessions,
+    deterministic in-session ordering via array_sort."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        session_paths,
+    )
+
+    return session_paths(load_table(spark, sf_dir, "events"), k=20)
+
+
+QUERIES["session_paths"] = q_session_paths
+
+ORACLES["session_paths"] = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(CAST(LAG(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS TIMESTAMP)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT *,
+             SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM seq
+    ), paths AS (
+      SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+"""

@@ -613,3 +613,30 @@ def test_learn_bpe_merges_sennrich_example(spark):
         .collect()
     ]
     assert got_dist == got
+
+
+def test_session_paths_gap_split_and_order(spark):
+    from real_time_data_pipeline_spark.operators.aggregates import session_paths
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view,click within 30m -> one session; purchase 2h later
+        (1, at(0), 1, "view"),
+        (1, at(10), 2, "click"),
+        (1, at(150), 3, "purchase"),
+        # user 2: same-instant tie broken by event_id
+        (2, at(0), 5, "b"),
+        (2, at(0), 4, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, gap_minutes=30, k=10).collect()
+    }
+    assert got == {"view>click": 1, "purchase": 1, "a>b": 1}
