@@ -748,3 +748,64 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+def apply_bpe_tokens(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (see :func:`learn_bpe_merges`) to
+    the corpus and return the resulting subword frequency table
+    (token, n_occurrences) — the vocabulary-coverage audit run after
+    tokenizer training.
+
+    Scale shape mirrors the learner: segmentation runs once per
+    DISTINCT word (vocab-bounded Arrow-batched pass applying merges in
+    rank order — the greedy fuse is sequential within a word), weighted
+    by the word's corpus count; the corpus itself is touched only by
+    the initial (word, count) collapse.  The merge list is a task
+    closure (rank-ordered pairs — KBs even for 50k merges).
+    """
+    import pandas as pd
+
+    word_counts = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+    merge_list = list(merges)
+
+    def segment(batches):
+        for pdf in batches:
+            toks: list[str] = []
+            ns: list[int] = []
+            for word, n in zip(pdf["word"], pdf["n"]):
+                syms = list(word)
+                for left, right in merge_list:
+                    i = 0
+                    out = []
+                    m = len(syms)
+                    while i < m:
+                        if (
+                            i + 1 < m
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                toks.extend(syms)
+                ns.extend([int(n)] * len(syms))
+            yield pd.DataFrame({"token": toks, "n": ns})
+
+    return (
+        word_counts.mapInPandas(segment, "token string, n long")
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+    )

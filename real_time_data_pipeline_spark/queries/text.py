@@ -467,3 +467,20 @@ def q_bpe_merges(spark, sf_dir):
 
 
 QUERIES["bpe_merges"] = q_bpe_merges  # rows-only (iterative)
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Learned-BPE subword frequency table
+    (operators/text.learn_bpe_merges + apply_bpe_tokens) — rows-only
+    (iterative learner upstream); segmentation correctness pinned in
+    tests/test_analytics_ops.py."""
+    docs = _docs(spark, sf_dir)
+    m = T.learn_bpe_merges(docs, n_merges=BPE_N_MERGES)
+    pairs = [
+        (r["left"], r["right"])
+        for r in m.orderBy("merge_rank").collect()
+    ]
+    return T.apply_bpe_tokens(docs, pairs)
+
+
+QUERIES["bpe_vocab"] = q_bpe_vocab  # rows-only (iterative)

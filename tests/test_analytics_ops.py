@@ -640,3 +640,20 @@ def test_session_paths_gap_split_and_order(spark):
         for r in session_paths(df, gap_minutes=30, k=10).collect()
     }
     assert got == {"view>click": 1, "purchase": 1, "a>b": 1}
+
+
+def test_apply_bpe_tokens_segments_with_merges(spark):
+    from real_time_data_pipeline_spark.operators.text import apply_bpe_tokens
+
+    df = spark.createDataFrame(
+        [(1, "lowest low low")], "doc_id long, text string"
+    )
+    # merges (e,s)->es, (es,t)->est, (l,o)->lo, (lo,w)->low
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in apply_bpe_tokens(
+            df, [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+        ).collect()
+    }
+    # lowest -> low est ; low -> low (x2 corpus occurrences)
+    assert got == {"low": 3, "est": 1}
