@@ -342,3 +342,70 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column_name, n_rows, n_null, n_distinct, min_str, max_str)"
         )
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift monitor: per group, the total-variation
+    distance (in basis points) between a reference window's and the
+    current window's value distributions — the data-drift alarm run
+    between a pipeline's trusted snapshot and fresh arrivals.
+
+    Values are histogrammed into ``n_bins`` equal-width bins over the
+    REFERENCE window's [min, max] (the deployment convention: bin edges
+    freeze with the reference; out-of-range current values clamp to the
+    edge bins, so novel mass still registers as drift).  All arithmetic
+    is integer basis points (per-bin shares floored, TV = Σ|p−q|/2), so
+    the output hashes identically on any engine.
+
+    Plan: one bounds aggregate on the reference (group-keyed, tiny
+    broadcast), then each side is a (group, bin)-keyed count — two
+    data-scale hash aggregates with map-side combine — joined
+    full-outer on (group, bin) with zero-fill before the per-group TV
+    fold.  Nothing shuffles at row grain except the two counts.
+    """
+    v = F.col(value_col)
+    bounds = ref.groupBy(group_col).agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        j = df.join(F.broadcast(bounds), group_col)
+        width = (F.col("_mx") - F.col("_mn")) / F.lit(n_bins)
+        raw = F.when(
+            width > 0, F.floor((v - F.col("_mn")) / width)
+        ).otherwise(F.lit(0))
+        bin_ = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+        ).cast("bigint")
+        return j.groupBy(F.col(group_col), bin_.alias("bin")).agg(
+            F.count("*").alias("n")
+        )
+
+    a = binned(ref).withColumnRenamed("n", "n_ref")
+    b = binned(cur).withColumnRenamed("n", "n_cur")
+    grid = a.join(b, [group_col, "bin"], "full_outer").select(
+        group_col,
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = grid.groupBy(group_col).agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.floor(F.lit(10_000) * F.col("n_ref") / F.col("t_ref"))
+    q = F.floor(F.lit(10_000) * F.col("n_cur") / F.col("t_cur"))
+    return (
+        grid.join(tot, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.floor(F.sum(F.abs(p - q)) / 2).cast("bigint").alias("tv_bp"),
+            F.max("t_ref").cast("bigint").alias("n_ref"),
+            F.max("t_cur").cast("bigint").alias("n_cur"),
+        )
+    )

@@ -106,6 +106,17 @@ _R3_PRIORITY = [
     "balanced_sample",
     "windowed_distinct_users",
     "embedding_quantization",
+    # (b4) round-3 session-3 additions — these land just past the
+    # 50-query window (slots 51+); first in line for the round-4 rotation
+    "snapshot_diff",
+    "scd2_pit_join",
+    "frequent_pairs",
+    "attribution_last_touch",
+    "dedup_editdistance",
+    "heavy_hitters",
+    "salted_join_skew",
+    "keyword_search",
+    "session_paths",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

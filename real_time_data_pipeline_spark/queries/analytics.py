@@ -1104,3 +1104,78 @@ ORACLES["session_paths"] = """
     ORDER BY n_sessions DESC, path
     LIMIT 20
 """
+
+
+def q_distribution_drift(spark, sf_dir):
+    """Value-distribution drift per event type
+    (operators/quality.distribution_drift): reference = pre-Jan-16
+    window, current = rest of the month; TV distance in basis points
+    over 10 reference-frozen equal-width bins."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return distribution_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        group_col="event_type",
+        value_col="value",
+        n_bins=10,
+    )
+
+
+QUERIES["distribution_drift"] = q_distribution_drift
+
+ORACLES["distribution_drift"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    refw AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+    curw AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+    bounds AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM refw GROUP BY 1
+    ),
+    ra AS (
+      SELECT r.event_type,
+             LEAST(GREATEST(CASE WHEN (b.mx - b.mn) / 10 > 0
+                 THEN FLOOR((r.value - b.mn) / ((b.mx - b.mn) / 10))
+                 ELSE 0 END, 0), 9) AS bin,
+             count(*) AS n_ref
+      FROM refw r JOIN bounds b USING (event_type) GROUP BY 1, 2
+    ),
+    ca AS (
+      SELECT c.event_type,
+             LEAST(GREATEST(CASE WHEN (b.mx - b.mn) / 10 > 0
+                 THEN FLOOR((c.value - b.mn) / ((b.mx - b.mn) / 10))
+                 ELSE 0 END, 0), 9) AS bin,
+             count(*) AS n_cur
+      FROM curw c JOIN bounds b USING (event_type) GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT COALESCE(ra.event_type, ca.event_type) AS event_type,
+             COALESCE(ra.bin, ca.bin) AS bin,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM ra FULL OUTER JOIN ca
+        ON ra.event_type = ca.event_type AND ra.bin = ca.bin
+    ),
+    tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM grid GROUP BY 1
+    )
+    SELECT g.event_type,
+           CAST(FLOOR(SUM(ABS(FLOOR(1e4 * g.n_ref / t.t_ref)
+                          - FLOOR(1e4 * g.n_cur / t.t_cur))) / 2) AS BIGINT)
+               AS tv_bp,
+           CAST(MAX(t.t_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t.t_cur) AS BIGINT) AS n_cur
+    FROM grid g JOIN tot t USING (event_type)
+    GROUP BY 1
+"""

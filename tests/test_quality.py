@@ -163,3 +163,30 @@ def test_validation_results_streaming_sink(spark, tmp_path):
     r = back.filter("column = 'account_id' AND expectation_type = 'not_null'").first()
     assert (r.n_pass, r.n_fail, r.total, r.valid_rows) == (1, 1, 2, 1)
     assert r.run_id.startswith("batch_")
+
+
+def test_distribution_drift_identical_and_shifted(spark):
+    from real_time_data_pipeline_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)]
+        + [("b", float(i)) for i in range(10)],
+        "g string, v double",
+    )
+    # a: identical distribution -> 0 drift; b: all mass clamps into the
+    # top bin (values beyond the frozen reference range still register)
+    cur = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)]
+        + [("b", 100.0) for _ in range(10)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: r["tv_bp"]
+        for r in distribution_drift(ref, cur, "g", "v").collect()
+    }
+    assert got["a"] == 0
+    # ref spreads 1000bp/bin; cur puts 10000bp in bin 9 ->
+    # TV = (9*1000 + 9000)/2 = 9000
+    assert got["b"] == 9000
