@@ -409,3 +409,49 @@ def distribution_drift(
             F.max("t_cur").cast("bigint").alias("n_cur"),
         )
     )
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical twin of :func:`distribution_drift`: total-variation
+    distance between two windows' CATEGORY shares (event-type mix,
+    source mix, language mix) — the "did the upstream mix shift?"
+    alarm.  One row out: tv_bp plus the single largest-moving category.
+
+    Integer basis points throughout; the category grid is the union of
+    both windows (a vanished or novel category contributes its full
+    share).  Two category-keyed counts (map-side combined, vocab-
+    bounded shuffle) + one full-outer join on the category key.
+    """
+    a = ref.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count("*").alias("n_ref")
+    )
+    b = cur.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count("*").alias("n_cur")
+    )
+    grid = a.join(b, "cat", "full_outer").select(
+        "cat",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = grid.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.floor(F.lit(10_000) * F.col("n_ref") / F.col("t_ref"))
+    q = F.floor(F.lit(10_000) * F.col("n_cur") / F.col("t_cur"))
+    d = F.abs(p - q)
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.floor(F.sum(d) / 2).cast("bigint").alias("tv_bp"),
+            F.max_by(F.col("cat"), F.struct(d, F.col("cat"))).alias(
+                "top_mover"
+            ),
+            F.max(d).cast("bigint").alias("top_mover_bp"),
+            F.max("t_ref").cast("bigint").alias("n_ref"),
+            F.max("t_cur").cast("bigint").alias("n_cur"),
+        )
+    )

@@ -1179,3 +1179,52 @@ ORACLES["distribution_drift"] = """
     FROM grid g JOIN tot t USING (event_type)
     GROUP BY 1
 """
+
+
+def q_category_drift(spark, sf_dir):
+    """Event-type mix drift across the Jan-16 cutoff
+    (operators/quality.categorical_drift)."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        categorical_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return categorical_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        cat_col="event_type",
+    )
+
+
+QUERIES["category_drift"] = q_category_drift
+
+ORACLES["category_drift"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    a AS (SELECT event_type AS cat, count(*) AS n_ref FROM ev
+          WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+    b AS (SELECT event_type AS cat, count(*) AS n_cur FROM ev
+          WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+    grid AS (
+      SELECT COALESCE(a.cat, b.cat) AS cat,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM a FULL OUTER JOIN b ON a.cat = b.cat
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM grid),
+    d AS (
+      SELECT cat, n_ref, n_cur,
+             ABS(FLOOR(1e4 * n_ref / t.t_ref)
+               - FLOOR(1e4 * n_cur / t.t_cur)) AS dv,
+             t.t_ref, t.t_cur
+      FROM grid, tot t
+    )
+    SELECT CAST(FLOOR(SUM(dv) / 2) AS BIGINT) AS tv_bp,
+           (SELECT cat FROM d ORDER BY dv DESC, cat DESC LIMIT 1)
+               AS top_mover,
+           CAST(MAX(dv) AS BIGINT) AS top_mover_bp,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur
+    FROM d
+"""
