@@ -673,3 +673,46 @@ def test_upsert_snapshot_sink_merges_and_replays(spark, tmp_path):
     )
     upsert_write_batch(batch1, 1, snap_dir, ["k"], ["seq"])
     assert sorted(read_snapshot(spark, snap_dir).collect()) == expected
+
+
+def test_drift_foreach_batch_matches_batch_semantics(spark, tmp_path):
+    """Streaming drift monitor == batch categorical_drift on the same
+    micro-batch, including the alert flag."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        categorical_drift,
+    )
+    from real_time_data_pipeline_spark.streaming.pipeline import (
+        drift_foreach_batch,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "event_type string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [("a",)] * 90 + [("b",)] * 10, "event_type string"
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    got = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = df.collect()
+
+    stream = (
+        spark.readStream.schema("event_type string").parquet(str(src))
+    )
+    q = stream.writeStream.foreachBatch(
+        drift_foreach_batch(ref, sink, alert_tv_bp=1500)
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert len(got) >= 1
+    stream_rows = [r for rows in got.values() for r in rows]
+    batch_row = (
+        categorical_drift(ref, batch1, "event_type").collect()[0]
+    )
+    # 5000bp a vs 9000bp a -> tv = 4000, above the 1500 alert line
+    assert stream_rows[0]["tv_bp"] == batch_row["tv_bp"] == 4000
+    assert stream_rows[0]["alert"] is True
