@@ -457,3 +457,54 @@ ORACLES["dedup_editdistance"] = """
     FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 8
 """
+
+
+def q_entity_clusters(spark, sf_dir):
+    """Entity resolution composite: edit-distance candidate pairs
+    (prefix-blocked Levenshtein, the template-edit duplicate class) fed
+    through connected components, every doc labeled with its entity's
+    canonical (min) id — the blocking → match → transitive-merge shape
+    of a record-linkage pipeline, on a SECOND edge type than the
+    Jaccard clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    from real_time_data_pipeline_spark.operators.dedup import (
+        editdistance_near_pairs,
+    )
+
+    pairs = editdistance_near_pairs(
+        docs, prefix_len=16, head_len=64, max_dist=8
+    ).select("id_1", "id_2")
+    cc = graph.connected_components(pairs, "id_1", "id_2")
+    return graph.attach_components(docs.select("doc_id"), cc, "doc_id")
+
+
+QUERIES["entity_clusters"] = q_entity_clusters
+
+ORACLES["entity_clusters"] = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, substr(text, 1, 16) AS pfx, substr(text, 1, 64) AS head
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 8
+    ),
+    edges AS (
+      SELECT id_1 AS u, id_2 AS v FROM pairs
+      UNION
+      SELECT id_2, id_1 FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT doc.doc_id,
+           COALESCE(l.cluster_id, doc.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, doc.doc_id) = doc.doc_id AS is_canonical
+    FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.doc_id
+"""
