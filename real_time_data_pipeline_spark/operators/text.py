@@ -809,3 +809,60 @@ def apply_bpe_tokens(
         .groupBy("token")
         .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
     )
+
+
+# fasttext-style linear quality classifier: weights trained OFFLINE
+# (a linear probe on labeled quality data), applied at corpus scale as
+# pure codegen expressions.  Integer micro-units ((weight, feature) both
+# integer) keep the score engine-exact — no float dot product, no UDF.
+# These demo weights prefer mid-length, stopword-bearing, word-shaped
+# text; swap in trained values without touching the plan shape.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -120_000,
+    "n_tokens_capped": 150,        # per token, capped at 1000
+    "stopword_bp": 25,             # per basis point of stopword share
+    "avg_token_len_penalty": -90,  # per centichar of |avg len - 4.50|
+}
+QUALITY_LOGIT_THRESHOLD = 0
+
+
+def quality_logit_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict | None = None,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Model-based quality scoring (the step after `quality_score`'s
+    heuristics in a production curation stack): a linear classifier over
+    integer text features, evaluated entirely in whole-stage codegen —
+    one shared token aggregate, then a projection.  Score and keep flag
+    are exact integers, so the oracle hashes bit-identically.
+
+    score_micro = bias + w_len*min(n_tokens,1000) + w_stop*stopword_bp
+                  - w_shape*|avg_token_len_c - 450|
+    keep_model = score_micro >= threshold
+    """
+    w = weights or QUALITY_LOGIT_WEIGHTS
+    th = QUALITY_LOGIT_THRESHOLD if threshold is None else threshold
+    agg = _token_agg(df, id_col, text_col)
+    n_tokens = F.col("n_tokens").cast("bigint")
+    x_len = F.least(F.lit(1000), n_tokens)
+    x_stop = F.floor(
+        F.lit(10_000) * F.col("n_stopwords") / n_tokens
+    ).cast("bigint")
+    avg_len_c = F.floor(
+        F.lit(100) * F.col("total_tok_chars") / n_tokens
+    ).cast("bigint")
+    x_shape = F.abs(avg_len_c - F.lit(450))
+    score = (
+        F.lit(w["bias"])
+        + F.lit(w["n_tokens_capped"]) * x_len
+        + F.lit(w["stopword_bp"]) * x_stop
+        + F.lit(w["avg_token_len_penalty"]) * x_shape
+    ).cast("bigint")
+    return agg.select(
+        F.col(id_col),
+        score.alias("score_micro"),
+        (score >= F.lit(th)).alias("keep_model"),
+    )

@@ -484,3 +484,38 @@ def q_bpe_vocab(spark, sf_dir):
 
 
 QUERIES["bpe_vocab"] = q_bpe_vocab  # rows-only (iterative)
+
+
+def q_quality_model(spark, sf_dir):
+    """Linear quality-classifier scores
+    (operators/text.quality_logit_score): integer micro-unit dot
+    product in codegen, engine-exact."""
+    return T.quality_logit_score(_docs(spark, sf_dir))
+
+
+QUERIES["quality_model"] = q_quality_model
+
+ORACLES["quality_model"] = f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({DUCK_TOKENS}) AS n_tokens,
+             len(list_filter({DUCK_TOKENS},
+                 t -> list_contains({_stop_list('en')}, t))) AS n_stop,
+             list_sum(list_transform({DUCK_TOKENS}, t -> length(t)))
+                 AS tok_chars
+      FROM documents
+    ), x AS (
+      SELECT doc_id,
+             LEAST(1000, n_tokens) AS x_len,
+             CAST(FLOOR(1e4 * n_stop / n_tokens) AS BIGINT) AS x_stop,
+             ABS(CAST(FLOOR(100 * tok_chars / n_tokens) AS BIGINT) - 450)
+                 AS x_shape
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(-120000 + 150 * x_len + 25 * x_stop - 90 * x_shape
+                AS BIGINT) AS score_micro,
+           (-120000 + 150 * x_len + 25 * x_stop - 90 * x_shape) >= 0
+               AS keep_model
+    FROM x
+"""
