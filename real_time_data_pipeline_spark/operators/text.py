@@ -866,3 +866,59 @@ def quality_logit_score(
         score.alias("score_micro"),
         (score >= F.lit(th)).alias("keep_model"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text encoder (Weinberger et al. 2009): each token
+    hashes to a dimension (xxhash64 % dim) with a ±1 sign from a second
+    hash bit, accumulated and L2-normalized — the deterministic,
+    vocabulary-free embedding that stands in where a model encoder would
+    run (same plumbing: text in, fixed-dim vector out; swap the
+    per-batch function for an ONNX/torch call without touching the
+    plan).
+
+    Fully expression-side: explode tokens, two xxhash64s, pivot to dim
+    sums via a (id, dim)-keyed aggregate, assemble the array with ONE
+    id-keyed collect ordered by dim.  Two data-scale shuffles, no
+    Python.  Output: (id, embedding array<double> unit-norm, n_tokens).
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64(F.col("tok")), F.lit(dim)).alias("d"),
+        F.when(
+            F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(2)) == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    sums = ex.groupBy(id_col, "d").agg(
+        F.sum("sgn").alias("s"), F.count("*").alias("n")
+    )
+    vec = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("d"), F.col("s")))
+        ).alias("m"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+    )
+    nrm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = F.transform(
+        dense, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+    )
+    return vec.select(
+        F.col(id_col), unit.alias("embedding"), "n_tokens"
+    )

@@ -7,6 +7,8 @@ expression-for-expression (1-based inclusive slices in DuckDB).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_time_data_pipeline_spark.operators import curation
 from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
 from real_time_data_pipeline_spark.schemas import load_table
@@ -474,3 +476,38 @@ def q_decontaminate_bloom(spark, sf_dir):
 
 
 QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+
+
+def q_clean_corpus(spark, sf_dir):
+    """The end of the pipeline: per-document final verdict joining the
+    quality gate (quality_verdicts: score ∧ surprisal ∧ repetition ∧
+    decontamination) with cluster-canonical dedup survival
+    (near_dup_verdicts) — ``keep_final`` is what actually ships to
+    tokenization.  One co-partitioned doc-id join between the two
+    composite legs; rows-only (both legs are oracle-checked separately
+    as doc_quality and dedup_pipeline; the conjunction is pinned by
+    pytest equality against those registry outputs)."""
+    from real_time_data_pipeline_spark.operators.dedup import (
+        near_dup_verdicts,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    q = curation.quality_verdicts(docs, bench).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4
+    ).select("doc_id", F.col("keep").alias("keep_dedup"), "cluster_id")
+    return q.join(d, "doc_id").select(
+        "doc_id",
+        "keep_quality",
+        "keep_dedup",
+        "cluster_id",
+        (F.col("keep_quality") & F.col("keep_dedup")).alias("keep_final"),
+    )
+
+
+QUERIES["clean_corpus"] = q_clean_corpus  # rows-only (conjunction of oracle-checked legs)

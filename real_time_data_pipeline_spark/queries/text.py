@@ -519,3 +519,26 @@ ORACLES["quality_model"] = f"""
                AS keep_model
     FROM x
 """
+
+
+def q_embed_search(spark, sf_dir):
+    """Full text→vector→search pipeline: feature-hash embeddings
+    (operators/text.hash_embed) + exact cosine top-10 for doc 0
+    (operators/similarity.cosine_topk) — rows-only (xxhash64 has no
+    DuckDB twin); encoder determinism pinned in pytest, and near-dup
+    docs surface as ~cos-1.0 neighbors by construction."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = T.hash_embed(_docs(spark, sf_dir)).select("doc_id", "embedding")
+    q = emb.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return cosine_topk(
+        emb, q, k=10, id_col="doc_id", vec_col="embedding"
+    )
+
+
+QUERIES["embed_search"] = q_embed_search  # rows-only (xxhash embedding)

@@ -657,3 +657,20 @@ def test_apply_bpe_tokens_segments_with_merges(spark):
     }
     # lowest -> low est ; low -> low (x2 corpus occurrences)
     assert got == {"low": 3, "est": 1}
+
+
+def test_hash_embed_deterministic_unit_norm(spark):
+    from real_time_data_pipeline_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in hash_embed(df, dim=16).collect()}
+    # identical text -> identical embedding (the dedup-friendly property)
+    assert rows[1]["embedding"] == rows[2]["embedding"]
+    assert rows[1]["embedding"] != rows[3]["embedding"]
+    for r in rows.values():
+        n2 = sum(x * x for x in r["embedding"])
+        assert abs(n2 - 1.0) < 1e-9
+    assert rows[1]["n_tokens"] == 3

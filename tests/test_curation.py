@@ -529,3 +529,24 @@ def test_bloom_bitmap_build_matches_membership(spark):
     for r in pos_rows:
         p = r["pos"]
         assert (bitmap[p >> 6] >> np.uint64(p & 63)) & np.uint64(1) == 1
+
+
+def test_clean_corpus_is_conjunction_of_legs(spark):
+    """clean_corpus.keep_final == doc_quality.keep AND
+    dedup_pipeline.keep, doc by doc, on real testdata."""
+    from real_time_data_pipeline_spark.queries import curation as qc
+    from real_time_data_pipeline_spark.queries import dedup as qd
+
+    sf = "/root/testdata/sf0.001"
+    final = {
+        r["doc_id"]: r for r in qc.QUERIES["clean_corpus"](spark, sf).collect()
+    }
+    quality = {
+        r["doc_id"]: r["keep"] for r in qc.QUERIES["doc_quality"](spark, sf).collect()
+    }
+    dedup_v = {
+        r["doc_id"]: r["keep"] for r in qd.QUERIES["dedup_pipeline"](spark, sf).collect()
+    }
+    assert set(final) == set(quality) == set(dedup_v)
+    for d, r in final.items():
+        assert r["keep_final"] == (quality[d] and dedup_v[d]), d
