@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from real_time_data_pipeline_spark.operators import curation, dedup, graph, text  # noqa: E402
+from real_time_data_pipeline_spark.queries.curation import BENCH_SOURCE  # noqa: E402
 from real_time_data_pipeline_spark.schemas import load_table  # noqa: E402
 from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -114,6 +115,31 @@ def main() -> int:
             def run_shuffle():
                 return curation.shuffle_shards(docs, 8).count()
 
+            def run_heavy_hitters():
+                from real_time_data_pipeline_spark.operators.aggregates import (
+                    heavy_hitters,
+                )
+
+                toks = docs.select(
+                    F.explode(dedup.tokens_col("text")).alias("token")
+                )
+                return heavy_hitters(toks, "token", threshold_bp=50).count()
+
+            def run_editdistance():
+                return dedup.editdistance_near_pairs(docs).count()
+
+            def run_hash_embed():
+                return text.hash_embed(docs).count()
+
+            def run_bloom():
+                # fixed-size benchmark (replica 0's bench-source docs):
+                # probe cost should scale with the corpus, build is constant
+                bench = docs.filter(
+                    (F.col("doc_id") < n // k)
+                    & (F.col("source") == BENCH_SOURCE)
+                )
+                return curation.decontaminate_bloom(docs, bench).count()
+
             for name, fn in [
                 ("minhash_lsh", run_minhash),
                 ("clusters_lsh", run_clusters),
@@ -123,6 +149,10 @@ def main() -> int:
                 ("bm25_topk", run_bm25),
                 ("unigram_surprisal", run_surprisal),
                 ("shuffle_shards", run_shuffle),
+                ("heavy_hitters", run_heavy_hitters),
+                ("editdistance_pairs", run_editdistance),
+                ("hash_embed", run_hash_embed),
+                ("bloom_decontaminate", run_bloom),
             ]:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
