@@ -479,3 +479,67 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("rep_a", "rep_b", "hamming", "n_a", "n_b")
     )
+
+
+KEYFRAME_SCHEMA = (
+    "doc_id long, n_frames int, n_keyframes int, keyframe_idxs string, "
+    "max_delta int"
+)
+
+
+def keyframe_select(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    top_n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-aware keyframe selection: score each frame by its mean
+    absolute byte-delta to the previous frame (the shot-boundary signal
+    real pipelines compute from decoded luma planes) and keep the
+    ``top_n`` highest-delta frames — the video twin of quality-aware
+    image sampling, vs :func:`frame_sample`'s blind every-k-th.
+
+    Same Arrow-batched whole-blob-in / summary-out shape as the other
+    multimodal ops: the codec is the deterministic fake (real decode is
+    env-stubbed in ``decode_image_real``); the Spark plumbing — schema,
+    vectorized per-batch numpy, no per-row Python beyond the bounded
+    per-doc frame loop — is the production shape.  Output indexes are a
+    comma-joined string (top-level arrays are banned from oracle-checked
+    outputs; see frame_sample).  Selection is deterministic: delta desc,
+    frame index asc.
+    """
+    import numpy as np
+
+    def select(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, nk, idxs, mx = [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf["content"]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                usable = (len(b) // frame_bytes) * frame_bytes
+                frames = b[:usable].reshape(-1, frame_bytes).astype(np.int32)
+                n = len(frames)
+                if n > 1:
+                    deltas = np.abs(np.diff(frames, axis=0)).mean(1)
+                    # frame 0 is always a keyframe candidate with the
+                    # score of its successor delta (shot start)
+                    scores = np.concatenate(([deltas[0]], deltas))
+                else:
+                    scores = np.zeros(max(n, 0))
+                order = np.lexsort((np.arange(n), -scores))[:top_n]
+                keep = np.sort(order)
+                ids.append(doc_id)
+                nf.append(n)
+                nk.append(len(keep))
+                idxs.append(",".join(str(int(i)) for i in keep))
+                mx.append(int(scores.max()) if n else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "n_keyframes": pd.Series(nk, dtype="int32"),
+                    "keyframe_idxs": pd.Series(idxs, dtype="string"),
+                    "max_delta": pd.Series(mx, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(select, KEYFRAME_SCHEMA)

@@ -125,3 +125,17 @@ def q_phash_near_dup(spark, sf_dir):
 
 
 QUERIES["mm_phash_near_dup"] = q_phash_near_dup  # rows-only (numpy hash)
+
+
+def q_mm_keyframes(spark, sf_dir):
+    """Delta-scored keyframe selection over the deterministic fake
+    video track (operators/multimodal.keyframe_select) — rows-only
+    (the scoring loop is the op itself; determinism and hand-computed
+    deltas pinned in tests/test_multimodal.py)."""
+    vids = M.attach_fake_audio(_doc_lengths(spark, sf_dir), len_col="n")
+    return M.keyframe_select(
+        vids.select("doc_id", "content"), frame_bytes=16, top_n=4
+    )
+
+
+QUERIES["mm_keyframes"] = q_mm_keyframes  # rows-only (summary of fake decode)

@@ -131,3 +131,30 @@ def test_phash_non_multiple_grid_pools_deterministically(spark):
     h1 = image_phash(df1).collect()[0]["phash"]
     h8 = image_phash(df8).collect()[0]["phash"]
     assert h1 == h8
+
+
+def test_keyframe_select_picks_high_delta_frames(spark):
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        keyframe_select,
+    )
+
+    # 4 frames of 4 bytes: constant, constant (delta 0), jump (delta
+    # 100), constant again (delta 0) -> keyframes = frame 0 (shot
+    # start) and frame 2 (the jump), in index order.
+    content = bytes(
+        [10, 10, 10, 10] + [10, 10, 10, 10] + [110, 110, 110, 110]
+        + [110, 110, 110, 110]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(content))], "doc_id long, content binary"
+    )
+    row = keyframe_select(df, frame_bytes=4, top_n=2).collect()[0]
+    assert row["n_frames"] == 4
+    assert row["keyframe_idxs"] == "0,2"
+    assert row["max_delta"] == 100
+    # single-frame blob: one keyframe, delta 0
+    df1 = spark.createDataFrame(
+        [(2, bytearray(bytes([1, 2, 3, 4])))], "doc_id long, content binary"
+    )
+    r1 = keyframe_select(df1, frame_bytes=4, top_n=2).collect()[0]
+    assert (r1["n_frames"], r1["keyframe_idxs"], r1["max_delta"]) == (1, "0", 0)
