@@ -237,3 +237,143 @@ def q_ann_pq_topk(spark, sf_dir):
 
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk  # rows-only (iterative fit)
+
+
+NOISE_SAMPLE = 50  # audit vec_ids 0..49
+NOISE_K = 5
+
+
+def q_knn_label_noise(spark, sf_dir):
+    """kNN label-disagreement audit (Confident-Learning-style mislabel
+    detector): for each sampled vector, how many of its 5 exact nearest
+    neighbors carry a DIFFERENT label; >=3 flags a suspect label.
+    Reuses the exact cosine fold (cosine_topk) so ranks are
+    IEEE-identical to the oracle; the sample bound keeps the pair stage
+    |sample|×N — at scale, block the sample the same way the GEMM path
+    blocks probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < NOISE_SAMPLE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    nn = similarity.cosine_topk(emb, sample, k=NOISE_K)
+    labels = emb.select("vec_id", "label")
+    own = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    neigh = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    return (
+        nn.join(F.broadcast(own), "query_id")
+        .join(F.broadcast(neigh), "neighbor_id")
+        .groupBy("query_id", "own_label")
+        .agg(
+            F.sum(
+                (F.col("neighbor_label") != F.col("own_label")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_diff_label")
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").alias("label"),
+            "n_diff_label",
+            (F.col("n_diff_label") >= 3).alias("suspect"),
+        )
+    )
+
+
+QUERIES["knn_label_noise"] = q_knn_label_noise
+
+ORACLES["knn_label_noise"] = f"""
+    WITH nn AS (
+      SELECT query_id, own_label, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, q.label AS own_label,
+               c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ({_COS}) DESC, c.vec_id ASC) AS rank
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < {NOISE_SAMPLE} AND c.vec_id != q.vec_id
+      ) WHERE rank <= {NOISE_K}
+    )
+    SELECT nn.query_id AS vec_id,
+           any_value(nn.own_label) AS label,
+           CAST(SUM(CASE WHEN e.label != nn.own_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_diff_label,
+           SUM(CASE WHEN e.label != nn.own_label THEN 1 ELSE 0 END) >= 3
+               AS suspect
+    FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+    GROUP BY nn.query_id
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: each probe's
+    single most similar vector with a DIFFERENT label — the negatives
+    that actually teach the margin.  The label anti-filter runs BEFORE
+    ranking (a post-rank filter over a fixed top-k horizon would
+    silently drop a probe whose entire horizon shares its label), so
+    this is the cosine_topk pair stage with one extra pushed predicate
+    — same broadcast + exact-fold shape, rank-1."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("own_label"),
+        )
+    )
+    joined = emb.crossJoin(q).filter(
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("own_label"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("query_vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    cos = dot / (nrm(F.col("embedding")) * nrm(F.col("query_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("hard_negative_id"),
+            F.col("label").alias("negative_label"),
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLES["hard_negatives"] = f"""
+    SELECT query_id, hard_negative_id, negative_label, cos_bp FROM (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS hard_negative_id,
+             c.label AS negative_label,
+             CAST(FLOOR(1e4 * ({_COS})) AS BIGINT) AS cos_bp,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY ({_COS}) DESC, c.vec_id ASC) AS rnk
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+        AND c.label != q.label
+    ) WHERE rnk = 1
+"""
