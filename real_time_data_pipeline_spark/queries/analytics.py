@@ -1228,3 +1228,65 @@ ORACLES["category_drift"] = """
            CAST(MAX(t_cur) AS BIGINT) AS n_cur
     FROM d
 """
+
+
+def q_item_similarity(spark, sf_dir):
+    """Item-item co-occurrence similarity (the classic recommender
+    precompute): cosine over order-basket co-occurrence counts,
+    sim = floor(1e4 * n_ab / sqrt(n_a * n_b)), top-100.  Builds on the
+    frequent_pairs pair stage (order-co-partitioned self-join, bounded
+    per-order fan-out); the per-item totals join back via broadcast
+    (item-cardinality bounded).  sqrt of an exact BIGINT product is the
+    only float — identical on both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    totals = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").cast("bigint").alias("n_orders_item")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ta = totals.select(F.col("p").alias("p1"), F.col("n_orders_item").alias("n_a"))
+    tb = totals.select(F.col("p").alias("p2"), F.col("n_orders_item").alias("n_b"))
+    sim = F.floor(
+        F.lit(1e4) * F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b"))
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(ta), "p1")
+        .join(F.broadcast(tb), "p2")
+        .select("p1", "p2", "n_ab", sim.alias("sim_bp"))
+        .orderBy(F.desc("sim_bp"), "p1", "p2")
+        .limit(100)
+    )
+
+
+QUERIES["item_similarity"] = q_item_similarity
+
+ORACLES["item_similarity"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    totals AS (
+      SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, n_ab,
+           CAST(FLOOR(1e4 * n_ab / sqrt(ta.n * tb.n)) AS BIGINT) AS sim_bp
+    FROM pairs
+    JOIN totals ta ON p1 = ta.p
+    JOIN totals tb ON p2 = tb.p
+    ORDER BY sim_bp DESC, p1, p2
+    LIMIT 100
+"""
