@@ -508,3 +508,86 @@ ORACLES["entity_clusters"] = """
            COALESCE(l.cluster_id, doc.doc_id) = doc.doc_id AS is_canonical
     FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.doc_id
 """
+
+
+BLOCK_EVAL_ANCHORS = 100  # ground-truth anchors: doc_id < 100 at any SF
+
+
+def q_blocking_eval(spark, sf_dir):
+    """Measure, don't guess: candidate recall/precision of the 16-char
+    prefix blocking used by dedup_editdistance, against a ground truth
+    of ALL anchor×corpus pairs within edit distance 8 (anchors = a
+    fixed 100-doc sample, so the exact leg stays |anchors|×N, the same
+    bounded-probe pattern as the ANN brute-force baseline).  One row:
+    true pairs, blocked candidates, found, recall/precision in bp —
+    the audit that justifies (or indicts) the blocking key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 16).alias("pfx"),
+        F.substring("text", 1, 64).alias("head"),
+    )
+    anchors = docs.filter(F.col("doc_id") < BLOCK_EVAL_ANCHORS).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("pfx").alias("a_pfx"),
+        F.col("head").alias("a_head"),
+    )
+    pairs = (
+        docs.crossJoin(F.broadcast(anchors))
+        .filter(F.col("a_id") < F.col("doc_id"))
+        .select(
+            "a_id",
+            "doc_id",
+            (F.col("a_pfx") == F.col("pfx")).alias("blocked"),
+            (
+                F.levenshtein(F.col("a_head"), F.col("head")) <= F.lit(8)
+            ).alias("is_true"),
+        )
+    )
+    return pairs.agg(
+        F.sum(F.col("is_true").cast("long")).cast("bigint").alias("n_true"),
+        F.sum(F.col("blocked").cast("long")).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("blocked") & F.col("is_true")).cast("long"))
+        .cast("bigint")
+        .alias("n_found"),
+        F.floor(
+            F.lit(10_000)
+            * F.sum((F.col("blocked") & F.col("is_true")).cast("long"))
+            / F.greatest(F.sum(F.col("is_true").cast("long")), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("recall_bp"),
+        F.floor(
+            F.lit(10_000)
+            * F.sum((F.col("blocked") & F.col("is_true")).cast("long"))
+            / F.greatest(F.sum(F.col("blocked").cast("long")), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("precision_bp"),
+    )
+
+
+QUERIES["blocking_eval"] = q_blocking_eval
+
+ORACLES["blocking_eval"] = f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 16) AS pfx, substr(text, 1, 64) AS head
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS doc_id,
+             (a.pfx = b.pfx) AS blocked,
+             (levenshtein(a.head, b.head) <= 8) AS is_true
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE a.doc_id < {BLOCK_EVAL_ANCHORS}
+    )
+    SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN blocked AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(FLOOR(1e4 * SUM(CASE WHEN blocked AND is_true THEN 1 ELSE 0 END)
+                / GREATEST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 1)) AS BIGINT)
+               AS recall_bp,
+           CAST(FLOOR(1e4 * SUM(CASE WHEN blocked AND is_true THEN 1 ELSE 0 END)
+                / GREATEST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END), 1)) AS BIGINT)
+               AS precision_bp
+    FROM pairs
+"""

@@ -309,3 +309,35 @@ def test_kmeans_inertia_monotone_and_blob_recovery(spark):
         mapping.setdefault(c, set()).add(got[i])
     assert all(len(cells) == 1 for cells in mapping.values())
     assert len({next(iter(s)) for s in mapping.values()}) == 3
+
+
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=500, max_value=5000),
+)
+@settings(max_examples=15, deadline=None)
+def test_heavy_hitters_equals_exact_groupby(spark, items, threshold_bp):
+    """Property: MG-candidates + exact recount == plain GROUP BY/HAVING
+    for ANY item stream, threshold, and partitioning."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(5)
+    got = {
+        r["item"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "item", threshold_bp=threshold_bp).collect()
+    }
+    n = len(items)
+    from collections import Counter
+
+    expect = {
+        k: c
+        for k, c in Counter(items).items()
+        if 10_000 * c >= threshold_bp * n
+    }
+    assert got == expect
