@@ -716,3 +716,58 @@ def test_drift_foreach_batch_matches_batch_semantics(spark, tmp_path):
     # 5000bp a vs 9000bp a -> tv = 4000, above the 1500 alert line
     assert stream_rows[0]["tv_bp"] == batch_row["tv_bp"] == 4000
     assert stream_rows[0]["alert"] is True
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a payment with no refund inside
+    its 1-hour window must still emit (null-padded) once the watermark
+    passes payment_ts + within — the state-expiry contract that keeps
+    the join's buffers bounded forever."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        stream_stream_time_join,
+    )
+
+    # The GLOBAL watermark is the MIN across all inputs, so BOTH sides
+    # need a late heartbeat to move it past P2's emission deadline
+    # (12:00 + 1h window + 30m watermark) — the operational gotcha this
+    # test documents: a stalled side freezes outer-join emission.
+    pay_batches = [
+        [_txn("P1", "2024-01-01T10:00:00"), _txn("P2", "2024-01-01T12:00:00")],
+        [_txn("P_HB", "2024-01-01T20:00:00", account="ACC_HB")],
+    ]
+    refund_batches = [
+        [{"refund_id": "R1", "account_id": "ACC000001",
+          "refund_time": "2024-01-01T10:30:00"}],
+        [{"refund_id": "R_LATE", "account_id": "ACC_OTHER",
+          "refund_time": "2024-01-01T20:00:00"}],
+    ]
+    pd_dir, rf_dir = str(tmp_path / "pay"), str(tmp_path / "ref")
+    _write_ordered_files(pd_dir, pay_batches)
+    _write_ordered_files(rf_dir, refund_batches)
+
+    pays = transforms.parse_kafka_payload(
+        sources.file_json_source(spark, pd_dir)
+    ).select("transaction_id", "account_id", "event_time")
+    refunds = (
+        spark.readStream.schema(
+            "refund_id string, account_id string, refund_time string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(rf_dir)
+        .select(
+            "refund_id",
+            "account_id",
+            F.to_timestamp("refund_time").alias("refund_time"),
+        )
+    )
+    joined = stream_stream_time_join(
+        pays, refunds, key="account_id",
+        left_ts="event_time", right_ts="refund_time", within="1 hour",
+        how="left_outer",
+    )
+    out: list = []
+    _run_stream(joined, out)
+    got = {(r.transaction_id, r.refund_id) for r in out}
+    assert ("P1", "R1") in got
+    assert ("P2", None) in got  # unmatched left row null-emits
+    assert ("P1", None) not in got  # matched rows never double-emit
