@@ -271,3 +271,72 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ------------------------------------------------------- data contracts
+
+# Lossless numeric widenings an append may introduce without breaking
+# readers (the Avro/Iceberg-style promotion lattice, parquet-level).
+_WIDENINGS = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def schema_diff(old, new) -> dict:
+    """Data-contract diff between two Spark schemas (StructTypes):
+    ``added`` / ``removed`` columns, ``changed`` types (old→new), and
+    an ``append_compatible`` verdict — True iff every existing column
+    survives with the same or a losslessly widened type, so files
+    written with the NEW schema can land next to OLD files without
+    breaking existing readers (new nullable columns are fine: parquet
+    readers project missing columns as null).
+
+    Pure metadata (no jobs); the write-path guard is
+    :func:`assert_append_compatible`.
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.fields}
+    added = sorted(set(n) - set(o))
+    removed = sorted(set(o) - set(n))
+    changed = {
+        c: (o[c], n[c]) for c in sorted(set(o) & set(n)) if o[c] != n[c]
+    }
+    incompatible_changes = {
+        c: ch for c, ch in changed.items() if ch not in _WIDENINGS
+    }
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "append_compatible": not removed and not incompatible_changes,
+    }
+
+
+def assert_append_compatible(df: DataFrame, path: str) -> dict:
+    """Write-path contract guard: diff ``df``'s schema against the
+    table already at ``path`` and raise ``ValueError`` (with the diff)
+    when appending would break existing readers.  Reads only parquet
+    footers (schema inference), no data scan.  Returns the diff when
+    compatible; a missing/empty target is trivially compatible.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).schema
+    except Exception:
+        return {
+            "added": [],
+            "removed": [],
+            "changed": {},
+            "append_compatible": True,
+        }
+    diff = schema_diff(existing, df.schema)
+    if not diff["append_compatible"]:
+        raise ValueError(f"append would break readers of {path}: {diff}")
+    return diff

@@ -245,3 +245,41 @@ def test_zordered_files_prune_on_both_dims(spark, sf_dir, tmp_path):
 
     assert spark.read.parquet(out).count() == ev.count()
     assert "_zkey" not in spark.read.parquet(out).columns
+
+
+def test_schema_diff_and_append_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.warehouse import (
+        assert_append_compatible,
+        schema_diff,
+    )
+
+    base = spark.createDataFrame([(1, 1.5, "x")], "id int, v float, s string")
+    p = str(tmp_path / "t")
+    base.write.parquet(p)
+
+    # widened v (float->double) + new column: compatible
+    wider = spark.createDataFrame(
+        [(2, 2.5, "y", True)], "id int, v double, s string, flag boolean"
+    )
+    d = assert_append_compatible(wider, p)
+    assert d["append_compatible"] and d["added"] == ["flag"]
+    assert d["changed"] == {"v": ("float", "double")}
+
+    # dropped column: breaks readers
+    import pytest
+
+    narrower = spark.createDataFrame([(3, 3.5)], "id int, v double")
+    with pytest.raises(ValueError, match="removed.*'s'|break"):
+        assert_append_compatible(narrower, p)
+
+    # type NARROWING (bigint -> int) is not in the widening lattice
+    assert not schema_diff(
+        spark.createDataFrame([(1,)], "id bigint").schema,
+        spark.createDataFrame([(1,)], "id int").schema,
+    )["append_compatible"]
+    # missing target: trivially compatible
+    assert assert_append_compatible(base, str(tmp_path / "missing"))[
+        "append_compatible"
+    ]
