@@ -824,3 +824,42 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(k)
     )
+
+
+def merge_monthly_rollup(
+    prev: DataFrame,
+    increment: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental maintenance of the A7 monthly rollup: fold a new
+    batch into a previously materialized rollup WITHOUT rescanning
+    history — the count/sum partials are associative, so
+    merge = union(prev partials, increment partials) + one re-aggregate
+    on (year, month, key); avg is re-derived from the merged partials
+    (never averaged-of-averages).  The shuffle carries rollup-grain
+    rows: |months × keys| from prev plus the increment's partials —
+    independent of historical row count, the property that makes daily
+    maintenance O(day) at a 100 TB warehouse.
+
+    ``prev`` must be a :func:`monthly_rollup` output (or this
+    function's); idempotent re-merge of the same increment is NOT
+    provided here — pair with warehouse.merge_upsert's replay guard for
+    exactly-once pipelines.
+    """
+    inc = monthly_rollup(increment, ts_col, key_col, value_col)
+    cols = ["year", "month", key_col]
+    u = prev.select(
+        *cols, "transaction_count", "total_amount"
+    ).unionByName(inc.select(*cols, "transaction_count", "total_amount"))
+    return (
+        u.groupBy(*cols)
+        .agg(
+            F.sum("transaction_count").cast("bigint").alias("transaction_count"),
+            F.sum("total_amount").alias("total_amount"),
+        )
+        .withColumn(
+            "avg_amount", F.col("total_amount") / F.col("transaction_count")
+        )
+    )

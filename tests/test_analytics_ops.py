@@ -674,3 +674,34 @@ def test_hash_embed_deterministic_unit_norm(spark):
         n2 = sum(x * x for x in r["embedding"])
         assert abs(n2 - 1.0) < 1e-9
     assert rows[1]["n_tokens"] == 3
+
+
+def test_merge_monthly_rollup_equals_full_recompute(spark):
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        merge_monthly_rollup,
+        monthly_rollup,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 5), 10.0),
+            (1, datetime.datetime(2024, 1, 20), 30.0),
+            (2, datetime.datetime(2024, 2, 1), 5.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    inc = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 25), 2.0),   # existing month
+            (2, datetime.datetime(2024, 3, 1), 7.0),    # new month
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    merged = merge_monthly_rollup(monthly_rollup(hist), inc)
+    full = monthly_rollup(hist.unionByName(inc))
+    key = lambda r: (r["year"], r["month"], r["user_id"])  # noqa: E731
+    got = {key(r): (r["transaction_count"], r["total_amount"], r["avg_amount"])
+           for r in merged.collect()}
+    want = {key(r): (r["transaction_count"], r["total_amount"], r["avg_amount"])
+            for r in full.collect()}
+    assert got == want
