@@ -810,3 +810,48 @@ def editdistance_near_pairs(
             "id_1", "id_2", dist.cast("bigint").alias("edit_distance")
         )
     )
+
+
+def lsh_tuning(
+    threshold: float, num_perm: int = 128, max_miss: float = 1e-6
+) -> dict:
+    """Pick (bands, rows) for MinHash-LSH at a target Jaccard
+    threshold, recall-first: among every factorization b·r = num_perm
+    whose miss probability for a TRUE threshold pair, (1 - t^r)^b, is
+    under ``max_miss``, choose the latest-rising S-curve (max
+    inflection (1/b)^(1/r)) — dedup must not silently drop true
+    duplicates, so recall is a constraint and false-candidate volume
+    is what gets optimized.  Falls back to the min-miss factorization
+    if none meets the target (reported in ``meets_miss_target``).
+    The planning companion to minhash_lsh_candidates: t=0.8 at 128
+    perms returns the package-wide 32-band/4-row default (miss ~5e-8).
+
+    Driver-side arithmetic only — call it when sizing a new corpus
+    pass, persist the choice with the index (build_minhash_index
+    stores its params for the same reason).
+    """
+    cands = []
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        p_miss = (1.0 - threshold**rows) ** bands
+        p_false = 1.0 - (1.0 - (threshold / 2) ** rows) ** bands
+        cands.append(
+            {
+                "bands": bands,
+                "rows": rows,
+                "inflection": inflection,
+                "p_miss_at_threshold": p_miss,
+                "p_false_at_half_threshold": p_false,
+            }
+        )
+    ok = [c for c in cands if c["p_miss_at_threshold"] <= max_miss]
+    if ok:
+        best = max(ok, key=lambda c: c["inflection"])
+        best["meets_miss_target"] = True
+    else:
+        best = min(cands, key=lambda c: c["p_miss_at_threshold"])
+        best["meets_miss_target"] = False
+    return best

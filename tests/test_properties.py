@@ -341,3 +341,17 @@ def test_heavy_hitters_equals_exact_groupby(spark, items, threshold_bp):
         if 10_000 * c >= threshold_bp * n
     }
     assert got == expect
+
+
+def test_lsh_tuning_recovers_package_default(spark):
+    from real_time_data_pipeline_spark.operators.dedup import lsh_tuning
+
+    got = lsh_tuning(0.8, num_perm=128)
+    # the package-wide 128-perm default: 32 bands x 4 rows
+    assert (got["bands"], got["rows"]) == (32, 4)
+    assert got["p_miss_at_threshold"] < 1e-6
+    # lower threshold -> needs an earlier-rising curve -> more bands
+    low = lsh_tuning(0.4, num_perm=128)
+    assert low["bands"] > got["bands"]
+    # inflection always respects the constraint
+    assert low["inflection"] <= 0.4 and got["inflection"] <= 0.8
