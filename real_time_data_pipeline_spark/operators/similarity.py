@@ -862,6 +862,7 @@ def pq_fit(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ):
     """Learn per-subspace codebooks: returns numpy (m, k, dim/m).
 
@@ -879,7 +880,22 @@ def pq_fit(
     import numpy as np
     import pandas as pd
 
-    init = _ivf_centroid_matrix(corpus, k, seed, id_col, vec_col)
+    if normalize:
+        init = _ivf_centroid_matrix(corpus, k, seed, id_col, vec_col)
+    else:
+        # raw-space init (residual codebooks: rows may have zero norm —
+        # the sampled cell centroids themselves — so normalizing would
+        # produce NaNs); same deterministic smallest-hash sample.
+        rows_ = (
+            corpus.select(id_col, vec_col)
+            .orderBy(
+                F.xxhash64(F.col(id_col), F.lit(seed)).asc(),
+                F.col(id_col).asc(),
+            )
+            .limit(k)
+            .collect()
+        )
+        init = np.array([np.asarray(r[1], dtype=np.float64) for r in rows_])
     dim = init.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -900,7 +916,8 @@ def pq_fit(
                 V = np.array(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
-                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                if normalize:
+                    V = V / np.linalg.norm(V, axis=1, keepdims=True)
                 for j in range(m):
                     S = V[:, j * dsub : (j + 1) * dsub]
                     # (batch, k) squared L2 to codebook j
@@ -949,6 +966,8 @@ def pq_encode(
     books,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as its m nearest-codebook-entry codes
     (array<int>, one Arrow-batched pass, codebooks in the task
@@ -961,6 +980,8 @@ def pq_encode(
     B = np.asarray(books, dtype=np.float64)
     m, k, dsub = B.shape
 
+    extra = extra_cols or []
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -968,18 +989,26 @@ def pq_encode(
             V = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            if normalize:
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
             codes = np.empty((len(V), m), dtype=np.int32)
             for j in range(m):
                 S = V[:, j * dsub : (j + 1) * dsub]
                 d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {"id": pdf[id_col], "codes": list(codes.tolist())}
-            )
+            out = {"id": pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["codes"] = list(codes.tolist())
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"id {corpus.schema[id_col].dataType.simpleString()}, codes array<int>"
+    extra_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in extra
+    )
+    return corpus.select(id_col, *extra, vec_col).mapInPandas(
+        encode,
+        f"id {corpus.schema[id_col].dataType.simpleString()}"
+        f"{extra_schema}, codes array<int>",
     )
 
 
@@ -1067,3 +1096,139 @@ def pq_topk_rerank(
             F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
         )
     )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ index build — the billion-vector composition of the two
+    scale paths: vectors are assigned to a coarse cell (IVF: probe-time
+    partition pruning) and their RESIDUAL to the cell centroid is
+    product-quantized (PQ: m-byte codes).  Residual encoding is what
+    makes the shared codebooks tight — residual magnitudes are small
+    and comparable across cells (Jégou et al. 2011 §IV).
+
+    Returns (coarse_centroids (n_cells × dim), codebooks (m, k, dim/m),
+    codes_df (id, cell, codes)).  Build cost: one assign pass, one
+    residual projection pass, the pq_fit rounds on residuals, one
+    encode pass — all Arrow-batched, state bounded by
+    n_cells·dim + m·k·dim/m floats.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    Cm = _ivf_centroid_matrix(corpus, n_cells, seed, id_col, vec_col)
+    assigned = _ivf_assign(corpus.select(id_col, vec_col), Cm, id_col, vec_col)
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def residual(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            R = V - Cm[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "residual": list(R.tolist()),
+                }
+            )
+
+    residuals = assigned.mapInPandas(
+        residual, f"{id_col} {id_t}, cell int, residual array<double>"
+    )
+    # pq_fit/encode L2-normalize their input; residuals are NOT unit
+    # vectors, so route through a pre-normalized proxy is wrong — use
+    # the raw-residual variants below (norm=False).
+    books = pq_fit(
+        residuals, m=m, k=k, iters=iters, seed=seed,
+        id_col=id_col, vec_col="residual", normalize=False,
+    )
+    codes = pq_encode(
+        residuals, books, id_col=id_col, vec_col="residual",
+        normalize=False, extra_cols=["cell"],
+    )
+    return Cm, books, codes
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    coarse,
+    books,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ query: rank coarse cells by distance to the query, keep
+    ``nprobe``; build ONE ADC table per probed cell (against the
+    query's residual to THAT cell — nprobe·m·k floats, task closure);
+    score only rows in probed cells (the filter prunes partitions when
+    ``codes_df`` is persisted partitioned-by-cell, same as ivf_index)
+    with m lookups each, emitting per-batch top-k.  Output
+    (id, cell, adc_d2) ascending, tie-break on id.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    Cm = np.asarray(coarse, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    m, kk, dsub = B.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    d2cells = ((Cm - qv[None, :]) ** 2).sum(1)
+    probe = np.argsort(d2cells, kind="stable")[:nprobe]
+    tabs = {}
+    for c in probe:
+        r = qv - Cm[c]
+        tabs[int(c)] = np.stack(
+            [
+                ((B[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(-1)
+                for j in range(m)
+            ]
+        )
+
+    probe_list = [int(c) for c in probe]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            d2 = np.empty(len(C))
+            for c in probe_list:
+                mask = cells == c
+                if mask.any():
+                    d2[mask] = tabs[c][
+                        np.arange(m)[None, :], C[mask]
+                    ].sum(1)
+            top = np.argsort(d2, kind="stable")[:k]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].iloc[top],
+                    "cell": cells[top],
+                    "adc_d2": d2[top],
+                }
+            )
+
+    id_t = codes_df.schema["id"].dataType.simpleString()
+    scored = codes_df.filter(
+        F.col("cell").isin(probe_list)
+    ).mapInPandas(score, f"id {id_t}, cell int, adc_d2 double")
+    return scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)

@@ -377,3 +377,20 @@ ORACLES["hard_negatives"] = f"""
         AND c.label != q.label
     ) WHERE rnk = 1
 """
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search for probe vector 0: 16 coarse cells, residual PQ
+    codes, 4-cell probe with per-cell ADC tables
+    (operators/similarity.ivfpq_build/ivfpq_topk) — rows-only
+    (iterative fit); self-match and full-probe==PQ-order sanity pinned
+    in tests/test_northstar.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    Cm, books, codes = similarity.ivfpq_build(
+        emb, n_cells=16, m=8, k=16, iters=2
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ivfpq_topk(codes, Cm, books, qvec, k=K, nprobe=4)
+
+
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk  # rows-only (iterative fit)

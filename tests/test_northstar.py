@@ -683,3 +683,35 @@ def test_pq_adc_self_match_ranks_first(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
     top = similarity.pq_topk(codes, books, qvec, k=3).collect()
     assert top[0]["id"] == 7
+
+
+def test_ivfpq_self_match_and_probe_pruning(spark, sf_dir):
+    """IVF-PQ: the query's own residual code scores minimal when its
+    cell is probed; probing fewer cells only removes candidates (never
+    reorders survivors); full probe contains the self-match first."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators import similarity
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    Cm, books, codes = similarity.ivfpq_build(
+        emb, n_cells=8, m=8, k=16, iters=2
+    )
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    full = similarity.ivfpq_topk(codes, Cm, books, qvec, k=10, nprobe=8)
+    rows_full = full.collect()
+    assert rows_full[0]["id"] == 3  # self-match first under full probe
+    pruned = similarity.ivfpq_topk(codes, Cm, books, qvec, k=10, nprobe=2)
+    ids_pruned = [r["id"] for r in pruned.collect()]
+    ids_full = [r["id"] for r in rows_full]
+    # pruning is candidate REMOVAL: pruned results appear in the full
+    # list in the same relative order
+    pos = [ids_full.index(i) for i in ids_pruned if i in ids_full]
+    assert pos == sorted(pos)
+    # build determinism
+    Cm2, books2, _ = similarity.ivfpq_build(emb, n_cells=8, m=8, k=16, iters=2)
+    import numpy as np
+
+    assert np.array_equal(np.asarray(books), np.asarray(books2))
+    assert np.array_equal(np.asarray(Cm), np.asarray(Cm2))
