@@ -455,3 +455,34 @@ def categorical_drift(
             F.max("t_cur").cast("bigint").alias("n_cur"),
         )
     )
+
+
+def impute_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Null imputation with the per-group exact median — the standard
+    numeric-feature repair before model consumption, grouped so a
+    skewed segment doesn't inherit the global center.
+
+    The median is Spark ``percentile(0.5)`` ≡ DuckDB ``quantile_cont``
+    (bit-identical IEEE interpolation — same contract as
+    aggregates.quantile_bins), computed over NON-NULL values in one
+    group-keyed aggregate and broadcast back; the fill itself is a
+    codegen coalesce.  Output adds ``value_imputed`` and
+    ``was_imputed`` next to the original column.
+    """
+    med = df.filter(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_median")
+    )
+    return (
+        df.join(F.broadcast(med), group_col, "left")
+        .select(
+            *df.columns,
+            F.coalesce(F.col(value_col), F.col("_median")).alias(
+                "value_imputed"
+            ),
+            F.col(value_col).isNull().alias("was_imputed"),
+        )
+    )

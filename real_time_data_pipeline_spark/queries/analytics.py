@@ -1290,3 +1290,28 @@ ORACLES["item_similarity"] = """
     ORDER BY sim_bp DESC, p1, p2
     LIMIT 100
 """
+
+
+def q_impute_median(spark, sf_dir):
+    """Per-type median imputation of null event values
+    (operators/quality.impute_median)."""
+    from real_time_data_pipeline_spark.operators.quality import impute_median
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return impute_median(ev, "event_type", "value")
+
+
+QUERIES["impute_median"] = q_impute_median
+
+ORACLES["impute_median"] = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           COALESCE(e.value, med.m) AS value_imputed,
+           e.value IS NULL AS was_imputed
+    FROM events e LEFT JOIN med USING (event_type)
+"""
