@@ -788,6 +788,9 @@ def session_paths(
         F.col(ts_col),
         F.col(order_tiebreak),
         F.col(type_col),
+        # strict > : session_window merges an event landing EXACTLY at
+        # last + gap into the running session (measured against the
+        # native operator; the equality test pins this boundary)
         F.when(
             F.unix_timestamp(ts_col)
             - F.unix_timestamp(F.lag(ts_col).over(w))

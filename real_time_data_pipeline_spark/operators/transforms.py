@@ -152,3 +152,29 @@ def to_kafka_payload(df: DataFrame, key_col: str = "account_id") -> DataFrame:
         F.col(key_col).cast("string").alias("key"),
         F.to_json(F.struct(*df.columns)).alias("value"),
     )
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten every struct column into top-level columns
+    (``a.b.c`` → ``a_b_c``) — the schema-normalization step between
+    nested ingestion formats (JSON/protobuf-shaped parquet) and flat
+    consumers (feature stores, warehouse tables, the DuckDB oracles,
+    which cannot hash struct cells).
+
+    Pure projection (no shuffle, no UDF); arrays are left intact —
+    explode is a row-multiplying decision the caller must own.
+    """
+    from pyspark.sql.types import StructType
+
+    def cols(prefix: str, schema: StructType) -> list:
+        out = []
+        for f in schema.fields:
+            path = f"{prefix}.{f.name}" if prefix else f.name
+            name = path.replace(".", sep)
+            if isinstance(f.dataType, StructType):
+                out.extend(cols(path, f.dataType))
+            else:
+                out.append(F.col(path).alias(name))
+        return out
+
+    return df.select(*cols("", df.schema))

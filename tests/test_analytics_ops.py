@@ -705,3 +705,43 @@ def test_merge_monthly_rollup_equals_full_recompute(spark):
     want = {key(r): (r["transaction_count"], r["total_amount"], r["avg_amount"])
             for r in full.collect()}
     assert got == want
+
+
+def test_gap_sessionization_matches_native_session_window(spark):
+    """The lag/cum-sum sessionization in session_paths must carve the
+    SAME sessions as Spark's native session_window (session_agg) — the
+    two implementations pin each other."""
+    import random
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        session_agg,
+        session_paths,
+    )
+
+    rng = random.Random(7)
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = t0
+        for _ in range(40):
+            # 30 is the EXACT gap: the boundary case where >= vs >
+            # diverges from the native operator
+            t = t + datetime.timedelta(minutes=rng.choice([1, 5, 20, 30, 45, 90]))
+            rows.append((u, t, eid, "e", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    native = session_agg(df, gap="30 minutes")
+    n_native = native.count()
+    native_sizes = sorted(r["n_events"] for r in native.collect())
+    paths = session_paths(df, gap_minutes=30, k=10_000).collect()
+    n_gap = sum(r["n_sessions"] for r in paths)
+    gap_sizes = sorted(
+        len(r["path"].split(">")) for r in paths for _ in range(r["n_sessions"])
+    )
+    assert n_gap == n_native
+    # same multiset of session sizes (paths are all 'e>e>...'), so the
+    # boundaries coincide, not just the counts
+    assert gap_sizes == native_sizes

@@ -180,3 +180,18 @@ def test_cdc_latest_snapshot_and_apply(spark):
     assert apply_changelog(merged, stale, ["k"], ["seq"], op_col="op").filter(
         "k = 1"
     ).collect()[0]["payload"] == "z"
+
+
+def test_flatten_struct_recursive_and_array_preserving(spark):
+    from real_time_data_pipeline_spark.operators.transforms import (
+        flatten_struct,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"b": {"c": 2, "d": "x"}, "e": 3}, [1, 2])],
+        "a long, s struct<b: struct<c: long, d: string>, e: long>, arr array<long>",
+    )
+    out = flatten_struct(df)
+    assert out.columns == ["a", "s_b_c", "s_b_d", "s_e", "arr"]
+    r = out.collect()[0]
+    assert (r["s_b_c"], r["s_b_d"], r["s_e"], r["arr"]) == (2, "x", 3, [1, 2])
