@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators import curation
 from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
+from real_time_data_pipeline_spark.queries.text import _stop_list
 from real_time_data_pipeline_spark.schemas import load_table
 
 # Training-mix rates (basis points) by source: the kind of table a data
@@ -511,3 +512,93 @@ def q_clean_corpus(spark, sf_dir):
 
 
 QUERIES["clean_corpus"] = q_clean_corpus  # rows-only (conjunction of oracle-checked legs)
+
+
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card summary — the one-row corpus report a dataset
+    release ships: volume (docs/tokens/chars), language breadth,
+    exact-duplicate rate, and mean heuristic quality.  Composes the
+    oracle-checked primitives (tokens_col tokenization, sha-normalized
+    exact-dup keys, quality_score) into single-pass aggregates: one
+    token explode + count, one normalized-text distinct, one
+    quality-score aggregate — each map-side combined."""
+    from real_time_data_pipeline_spark.operators.dedup import tokens_col
+    from real_time_data_pipeline_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    base = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct(
+            F.concat_ws(" ", tokens_col("text"))
+        ).cast("bigint").alias("n_unique_texts"),
+    )
+    toks = docs.select(F.explode(tokens_col("text")).alias("t")).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("t").cast("bigint").alias("n_vocab"),
+    )
+    qual = quality_score(docs).agg(
+        F.floor(F.avg("quality_score") * 100).cast("bigint").alias(
+            "mean_quality_c"
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(toks))
+        .crossJoin(F.broadcast(qual))
+        .select(
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            "n_vocab",
+            "n_langs",
+            "n_sources",
+            F.floor(
+                F.lit(10_000)
+                * (F.col("n_docs") - F.col("n_unique_texts"))
+                / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("exact_dup_bp"),
+            "mean_quality_c",
+        )
+    )
+
+
+QUERIES["corpus_report"] = q_corpus_report
+
+ORACLES["corpus_report"] = f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT array_to_string({DUCK_TOKENS}, ' '))
+                  AS BIGINT) AS n_unique_texts
+      FROM documents
+    ),
+    toks AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab
+      FROM (SELECT unnest({DUCK_TOKENS}) AS t FROM documents)
+    ),
+    qual AS (
+      SELECT CAST(FLOOR(100 * AVG(
+                 least(40, len({DUCK_TOKENS}))
+                 + least(30, CAST(FLOOR(100 * len(list_filter({DUCK_TOKENS},
+                       t -> list_contains({_stop_list('en')}, t)))
+                       / len({DUCK_TOKENS})) AS INT))
+                 + CASE WHEN FLOOR(100 * list_sum(list_transform({DUCK_TOKENS},
+                            t -> length(t))) / len({DUCK_TOKENS}))
+                        BETWEEN 300 AND 800 THEN 30 ELSE 10 END
+             )) AS BIGINT) AS mean_quality_c
+      FROM documents
+    )
+    SELECT b.n_docs, b.n_chars, t.n_tokens, t.n_vocab, b.n_langs,
+           b.n_sources,
+           CAST(FLOOR(1e4 * (b.n_docs - b.n_unique_texts) / b.n_docs)
+                AS BIGINT) AS exact_dup_bp,
+           q.mean_quality_c
+    FROM base b, toks t, qual q
+"""
