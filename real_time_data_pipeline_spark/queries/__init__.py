@@ -117,6 +117,16 @@ _R3_PRIORITY = [
     "salted_join_skew",
     "keyword_search",
     "session_paths",
+    "entity_clusters",
+    "quality_model",
+    "distribution_drift",
+    "category_drift",
+    "knn_label_noise",
+    "hard_negatives",
+    "item_similarity",
+    "blocking_eval",
+    "impute_median",
+    "corpus_report",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",
