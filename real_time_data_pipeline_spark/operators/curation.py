@@ -910,3 +910,53 @@ def decontaminate_bloom(
         shared_bp.alias("shared_bp_est"),
         (shared_bp <= F.lit(max_shared_bp)).alias("keep_decontaminated"),
     )
+
+
+def publish_clean_corpus(
+    docs: DataFrame,
+    verdicts: DataFrame,
+    out_path: str,
+    lineage_path: str | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Corpus release step: join the final keep verdicts back to the
+    documents, enforce the write contract, stamp lineage, and publish
+    the SURVIVORS as a source-partitioned parquet table.  The point
+    where the LLM-data tier meets the warehouse/lineage machinery:
+
+    1. inner-join ``verdicts`` (any frame with ``id_col`` +
+       ``keep_final`` — queries/curation.q_clean_corpus's shape) to the
+       docs, keep ``keep_final``;
+    2. ``warehouse.assert_append_compatible`` — appending a release
+       with a broken schema fails BEFORE any file lands;
+    3. optional lineage: one 'publish' row per surviving doc
+       (operators/lineage.track_processing_step);
+    4. write partitioned by ``source`` (the natural prune key for
+       downstream per-source mixing).
+
+    Returns {rows_in, rows_published, path}.  Everything is one
+    co-partitioned join + one write; re-publishing the same release
+    appends — pair with warehouse.merge_upsert for idempotent re-runs.
+    """
+    from real_time_data_pipeline_spark.warehouse import (
+        assert_append_compatible,
+    )
+
+    keep = verdicts.filter(F.col("keep_final")).select(id_col)
+    out = docs.join(keep, id_col, "left_semi")
+    assert_append_compatible(out, out_path)
+    if lineage_path:
+        from real_time_data_pipeline_spark.operators.lineage import (
+            track_processing_step,
+        )
+
+        out = track_processing_step(
+            out, lineage_path, stage="publish",
+            process_name="publish_clean_corpus", id_col=id_col,
+        )
+    out.write.partitionBy("source").mode("append").parquet(out_path)
+    return {
+        "rows_in": docs.count(),
+        "rows_published": out.count(),
+        "path": out_path,
+    }

@@ -550,3 +550,41 @@ def test_clean_corpus_is_conjunction_of_legs(spark):
     assert set(final) == set(quality) == set(dedup_v)
     for d, r in final.items():
         assert r["keep_final"] == (quality[d] and dedup_v[d]), d
+
+
+def test_publish_clean_corpus_contract_lineage_layout(spark, tmp_path):
+    from real_time_data_pipeline_spark.operators.curation import (
+        publish_clean_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "keep me"),
+            (2, "s1", "drop me"),
+            (3, "s2", "keep me too"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    verdicts = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "doc_id long, keep_final boolean"
+    )
+    out, lin = str(tmp_path / "corpus"), str(tmp_path / "lineage")
+    stats = publish_clean_corpus(docs, verdicts, out, lineage_path=lin)
+    assert stats == {"rows_in": 3, "rows_published": 2, "path": out}
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
+    # source-partitioned layout on disk
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("source=")
+    ) == ["source=s1", "source=s2"]
+    # one publish lineage row per survivor
+    lrows = spark.read.parquet(lin)
+    assert lrows.filter(lrows.processing_stage == "publish").count() == 2
+    # contract: appending a schema that drops a column fails BEFORE write
+    import pytest
+
+    bad = docs.select("doc_id", "source")
+    with pytest.raises(ValueError, match="break"):
+        publish_clean_corpus(bad, verdicts, out)
