@@ -117,6 +117,7 @@ _R3_PRIORITY = [
     "salted_join_skew",
     "keyword_search",
     "session_paths",
+    "stream_windowed_agg",
     "entity_clusters",
     "quality_model",
     "distribution_drift",

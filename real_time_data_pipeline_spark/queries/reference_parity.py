@@ -526,3 +526,73 @@ ORACLES = {
     """,
     "dq_referential": _DQ_REFERENTIAL_SQL,
 }
+
+
+def q_stream_windowed_agg(spark, sf_dir):
+    """The flagship windowed aggregate computed BY THE STREAMING ENGINE
+    — readStream over the same parquet, complete-mode aggregation,
+    availableNow trigger — returned as a batch frame against the SAME
+    DuckDB oracle as `windowed_agg`.  This puts Structured Streaming
+    execution itself under the driver's value-hash gate: batch/stream
+    parity is not just a pytest claim, it is oracle-checked.
+
+    Mechanics: the schema comes from a batch read (events.ts surfaces
+    as int64 nanos under the legacy conf — see schemas.load_table),
+    the stream converts nanos→micros identically, and complete mode +
+    availableNow folds ALL input into one final emission, which
+    foreachBatch captures (bounded: one row per (hour, user))."""
+    from real_time_data_pipeline_spark.functions import stable
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory or a GLOB; the testdata
+    # table is a single file, so feed it as a glob pattern
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("window"), "user_id")
+        .agg(
+            F.count("event_id").alias("transaction_count"),
+            stable.sum_money("value", "total_amount"),
+            stable.avg_money("value", "avg_amount", "COUNT(event_id)"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "transaction_count",
+            "total_amount",
+            "avg_amount",
+        )
+    )
+    rows: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+QUERIES["stream_windowed_agg"] = q_stream_windowed_agg
+
+from real_time_data_pipeline_spark.functions.stable import (  # noqa: E402
+    avg_money_sql,
+    sum_money_sql,
+)
+
+ORACLES["stream_windowed_agg"] = f"""
+    SELECT
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      user_id,
+      count(event_id) AS transaction_count,
+      {sum_money_sql('value')} AS total_amount,
+      {avg_money_sql('value', 'COUNT(event_id)')} AS avg_amount
+    FROM events
+    GROUP BY 1, 2
+"""
