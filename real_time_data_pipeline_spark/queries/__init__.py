@@ -118,6 +118,7 @@ _R3_PRIORITY = [
     "keyword_search",
     "session_paths",
     "stream_windowed_agg",
+    "stream_enrich_join",
     "entity_clusters",
     "quality_model",
     "distribution_drift",

@@ -596,3 +596,60 @@ ORACLES["stream_windowed_agg"] = f"""
     FROM events
     GROUP BY 1, 2
 """
+
+
+def q_stream_enrich_join(spark, sf_dir):
+    """The J1/J2 enrichment chain with the FACT side streamed — the
+    stream-static join (the reference's TODO at
+    transaction_processor.py:267) under the driver's value-hash gate,
+    same oracle as `enrich_join`.  Stateless operator class (vs the
+    aggregate state of stream_windowed_agg): each micro-batch joins
+    against the static dimension and appends.  foreachBatch captures
+    the appended rows; availableNow bounds the run."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    path = f"{sf_dir}/orders.parquet"
+    schema = spark.read.parquet(path).schema
+    orders = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/orders*.parquet"
+    )
+    joined = orders.join(
+        dim, orders.o_custkey == dim.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        "c_mktsegment",
+        "nation_name",
+        "region_name",
+    )
+    rows: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda b, _i: rows.extend(b.collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, joined.schema)
+
+
+QUERIES["stream_enrich_join"] = q_stream_enrich_join
+
+ORACLES["stream_enrich_join"] = ORACLES["enrich_join"]
