@@ -119,6 +119,7 @@ _R3_PRIORITY = [
     "session_paths",
     "stream_windowed_agg",
     "stream_enrich_join",
+    "stream_validate",
     "entity_clusters",
     "quality_model",
     "distribution_drift",

@@ -653,3 +653,55 @@ def q_stream_enrich_join(spark, sf_dir):
 QUERIES["stream_enrich_join"] = q_stream_enrich_join
 
 ORACLES["stream_enrich_join"] = ORACLES["enrich_join"]
+
+
+def _stream_events(spark, sf_dir):
+    """readStream twin of _events: glob file source + the same
+    nanos→micros ts conversion as schemas.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if dict(
+        (f.name, f.dataType.simpleString()) for f in schema.fields
+    ).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def _collect_stream(df):
+    rows: list = []
+    q = (
+        df.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def q_stream_validate(spark, sf_dir):
+    """The reference's CORE path — per-record validation (P3/P4,
+    transaction_processor.py:218-243) — executed by the streaming
+    engine and value-hash-checked against `validate`'s batch oracle.
+    Third streaming operator class under the gate: stateless row
+    transform (vs aggregate / stream-static join)."""
+    is_valid = F.expr(VALID_SQL)
+    out = _stream_events(spark, sf_dir).select(
+        "event_id",
+        is_valid.alias("is_valid"),
+        F.when(is_valid, "valid").otherwise("invalid").alias(
+            "validation_result"
+        ),
+    )
+    return _collect_stream(out)
+
+
+QUERIES["stream_validate"] = q_stream_validate
+
+ORACLES["stream_validate"] = ORACLES["validate"]
