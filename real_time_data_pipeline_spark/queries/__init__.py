@@ -130,6 +130,8 @@ _R3_PRIORITY = [
     "blocking_eval",
     "impute_median",
     "corpus_report",
+    "daily_last_event",
+    "rfm_segments",
     # (c) r1-green-only (cut from the r2 window)
     "asof_join",
     "semi_join",

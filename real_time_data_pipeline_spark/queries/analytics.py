@@ -1315,3 +1315,127 @@ ORACLES["impute_median"] = """
            e.value IS NULL AS was_imputed
     FROM events e LEFT JOIN med USING (event_type)
 """
+
+
+def q_daily_last_event(spark, sf_dir):
+    """Daily latest-state snapshot: each user's last event per day
+    (max_by over (ts, event_id) — one hash aggregate, the
+    daily-partition compaction shape; no per-key window sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "ts"),
+                F.struct("ts", "event_id"),
+            ).alias("_last"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.event_type").alias("last_type"),
+            "n_events",
+        )
+    )
+
+
+QUERIES["daily_last_event"] = q_daily_last_event
+
+ORACLES["daily_last_event"] = """
+    WITH r AS (
+      SELECT user_id,
+             strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+             event_id, event_type,
+             ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                 ORDER BY ts DESC, event_id DESC
+             ) AS rn,
+             COUNT(*) OVER (
+                 PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+             ) AS n_events
+      FROM events
+    )
+    SELECT user_id, day, event_id AS last_event_id,
+           event_type AS last_type, CAST(n_events AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+"""
+
+
+RFM_ASOF = "1998-08-02"  # TPC-H canonical current date
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency (days since last order as of
+    the TPC-H current date), frequency (order count), monetary (total
+    spend in cents), each cut into quartiles with engine-exact
+    interpolated boundaries (same percentile contract as decile_bins;
+    bin = 1 + #boundaries <= value, descending recency inverted so
+    bin 4 is always 'best').  One customer-keyed aggregate + one
+    1-row boundary broadcast — no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate")
+        ).cast("bigint").alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_c"
+        ),
+    )
+    qs = "array(0.25, 0.5, 0.75)"
+    bounds = per_cust.agg(
+        F.expr(f"percentile(recency_days, {qs})").alias("rb"),
+        F.expr(f"percentile(frequency, {qs})").alias("fb"),
+        F.expr(f"percentile(monetary_c, {qs})").alias("mb"),
+    )
+
+    def bin_of(v, b):
+        return (
+            F.lit(1)
+            + F.aggregate(
+                b, F.lit(0), lambda acc, x: acc + F.when(x <= v, 1).otherwise(0)
+            )
+        ).cast("bigint")
+
+    j = per_cust.crossJoin(F.broadcast(bounds))
+    return j.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        # recency: smaller is better -> invert so 4 = most recent
+        (F.lit(5) - bin_of(F.col("recency_days"), F.col("rb"))).alias("r_bin"),
+        bin_of(F.col("frequency"), F.col("fb")).alias("f_bin"),
+        bin_of(F.col("monetary_c"), F.col("mb")).alias("m_bin"),
+    )
+
+
+QUERIES["rfm_segments"] = q_rfm_segments
+
+ORACLES["rfm_segments"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', max(o_orderdate), DATE '{RFM_ASOF}')
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_c
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
+             quantile_cont(monetary_c, [0.25, 0.5, 0.75]) AS mb
+      FROM per_cust
+    )
+    SELECT custkey, recency_days, frequency, monetary_c,
+           CAST(5 - (1 + len(list_filter(b.rb, x -> x <= recency_days)))
+                AS BIGINT) AS r_bin,
+           CAST(1 + len(list_filter(b.fb, x -> x <= frequency))
+                AS BIGINT) AS f_bin,
+           CAST(1 + len(list_filter(b.mb, x -> x <= monetary_c))
+                AS BIGINT) AS m_bin
+    FROM per_cust, b
+"""
