@@ -1,10 +1,15 @@
 """Benchmark harness (driver contract).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE SMALL
+final JSON line (guaranteed to fit the driver's stdout-tail capture):
 
-    {"metric": "total_query_wall", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+    {"metric": "total_query_wall", "value": N, "unit": "sec", "sf": 0.1,
+     "n_queries": N, "n_failed": 0, "queries": {10 slowest: sec, ...},
+     "queries_file": ".../bench_out.json"}
+
+The COMPLETE per-query map is written to ``bench_out.json`` next to this
+script (the driver/judge reads it via ``queries_file``).
 
 Each query is forced end-to-end with a ``noop``-format write so every
 column is materialized (a bare ``count()`` would let Spark prune the plan
@@ -80,7 +85,7 @@ def main() -> int:
         # (untimed) to model per-query isolation.
         spark.sparkContext._jvm.System.gc()
 
-    payload = {
+    full = {
         "metric": "total_query_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -88,24 +93,39 @@ def main() -> int:
         "sf": sf,
     }
     if failed:
-        payload["failed"] = failed
-    # The driver captures a finite output tail and BENCH_r02 lost its
-    # closing bytes mid-JSON ("parsed": null).  Defenses: (a) compact
-    # separators keep the line as small as possible, (b) the JSON is the
-    # FINAL stdout line with everything else on stderr (console progress
-    # is already off via spark.ui.showConsoleProgress in session.py, and
-    # the Spark session is stopped BEFORE printing so no JVM shutdown
-    # chatter can trail it), (c) the same payload is also written to
-    # bench_out.json as a file artifact.
+        full["failed"] = failed
+    # The driver captures only a finite stdout TAIL, and BENCH_r02/r03
+    # both came back "parsed": null because the single-line JSON with a
+    # 150+-entry per-query map outgrew that tail — the FRONT of the
+    # object was truncated away.  Fix: the per-query map lives in the
+    # bench_out.json file artifact (referenced by path), and the final
+    # stdout line is a SMALL, complete JSON object (well under 2 KB no
+    # matter how large the registry grows) so the driver's tail always
+    # contains a parseable record.  The small line keeps the driver
+    # contract's "queries" key but holds only the 10 slowest queries —
+    # the ones a perf reviewer needs — plus n_queries/queries_file so
+    # nothing is silently hidden.
     spark.stop()
-    line = json.dumps(payload, separators=(",", ":"))
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-        "w",
-    ) as f:
-        f.write(line + "\n")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    small = {
+        "metric": "total_query_wall",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": slowest,
+        "queries_file": out_path,
+    }
     sys.stdout.flush()
-    print(line, flush=True)
+    print(json.dumps(small, separators=(",", ":")), flush=True)
     return 0
 
 
