@@ -127,6 +127,12 @@ def monthly_rollup(
     The reference declares this as a Hive table partitioned by (year, month)
     (spark_config.yml:62,68-69); writers should ``partitionBy("year",
     "month")`` so downstream reads get partition pruning.
+
+    ``value_count`` (non-null values only) is carried as an explicit
+    partial because ``avg`` ignores NULLs while ``transaction_count``
+    is count(*): re-deriving avg from total/transaction_count after a
+    merge would diverge whenever ``value_col`` has NULLs.
+    :func:`merge_monthly_rollup` folds it associatively.
     """
     return (
         df.groupBy(
@@ -136,6 +142,7 @@ def monthly_rollup(
         )
         .agg(
             F.count("*").alias("transaction_count"),
+            F.count(value_col).alias("value_count"),
             F.sum(value_col).alias("total_amount"),
             F.avg(value_col).alias("avg_amount"),
         )
@@ -658,12 +665,19 @@ def heavy_hitters(
 
     Two scans of ``items`` (persist upstream if it is expensive);
     driver never sees more than the candidate set.
+
+    ``counters`` may RAISE k above the pigeonhole bound
+    ``ceil(1e4/threshold_bp)`` (more candidates, fewer false positives
+    to recount) but is clamped to never fall below it — a smaller k
+    would silently void the exactness guarantee by letting true heavy
+    hitters miss the candidate set.
     """
     import math
 
     import pandas as pd
 
-    k = counters if counters is not None else math.ceil(10_000 / threshold_bp)
+    k_min = math.ceil(10_000 / threshold_bp)
+    k = max(counters, k_min) if counters is not None else k_min
     # nulls are excluded: a NaN key would collide with the None row the
     # MG pass uses as its partition-total marker
     src = items.select(
@@ -840,8 +854,11 @@ def merge_monthly_rollup(
     batch into a previously materialized rollup WITHOUT rescanning
     history — the count/sum partials are associative, so
     merge = union(prev partials, increment partials) + one re-aggregate
-    on (year, month, key); avg is re-derived from the merged partials
-    (never averaged-of-averages).  The shuffle carries rollup-grain
+    on (year, month, key); avg is re-derived from the merged
+    (total_amount, value_count) partials — never averaged-of-averages,
+    and never total/transaction_count, which silently diverges from a
+    full recompute when value_col has NULLs (avg ignores NULLs,
+    count(*) doesn't).  The shuffle carries rollup-grain
     rows: |months × keys| from prev plus the increment's partials —
     independent of historical row count, the property that makes daily
     maintenance O(day) at a 100 TB warehouse.
@@ -853,16 +870,21 @@ def merge_monthly_rollup(
     """
     inc = monthly_rollup(increment, ts_col, key_col, value_col)
     cols = ["year", "month", key_col]
-    u = prev.select(
-        *cols, "transaction_count", "total_amount"
-    ).unionByName(inc.select(*cols, "transaction_count", "total_amount"))
+    partials = [*cols, "transaction_count", "value_count", "total_amount"]
+    u = prev.select(*partials).unionByName(inc.select(*partials))
     return (
         u.groupBy(*cols)
         .agg(
             F.sum("transaction_count").cast("bigint").alias("transaction_count"),
+            F.sum("value_count").cast("bigint").alias("value_count"),
             F.sum("total_amount").alias("total_amount"),
         )
         .withColumn(
-            "avg_amount", F.col("total_amount") / F.col("transaction_count")
+            # NULL when value_count == 0, matching avg() over all-NULL.
+            "avg_amount",
+            F.when(
+                F.col("value_count") > 0,
+                F.col("total_amount") / F.col("value_count"),
+            ),
         )
     )

@@ -359,9 +359,14 @@ def distribution_drift(
     Values are histogrammed into ``n_bins`` equal-width bins over the
     REFERENCE window's [min, max] (the deployment convention: bin edges
     freeze with the reference; out-of-range current values clamp to the
-    edge bins, so novel mass still registers as drift).  All arithmetic
-    is integer basis points (per-bin shares floored, TV = Σ|p−q|/2), so
-    the output hashes identically on any engine.
+    edge bins, so novel mass still registers as drift).  A group present
+    ONLY in the current window — a brand-new group, the classic drift
+    signal — has no reference bounds to bin against; it is emitted with
+    ``tv_bp = 10000`` (total drift) and ``n_ref = 0`` rather than
+    silently dropped.  Groups present only in the reference (vanished
+    groups) keep their row too via the full-outer bin grid.  All
+    arithmetic is integer basis points (per-bin shares floored,
+    TV = Σ|p−q|/2), so the output hashes identically on any engine.
 
     Plan: one bounds aggregate on the reference (group-keyed, tiny
     broadcast), then each side is a (group, bin)-keyed count — two
@@ -400,7 +405,7 @@ def distribution_drift(
     )
     p = F.floor(F.lit(10_000) * F.col("n_ref") / F.col("t_ref"))
     q = F.floor(F.lit(10_000) * F.col("n_cur") / F.col("t_cur"))
-    return (
+    seen = (
         grid.join(tot, group_col)
         .groupBy(group_col)
         .agg(
@@ -409,6 +414,22 @@ def distribution_drift(
             F.max("t_cur").cast("bigint").alias("n_cur"),
         )
     )
+    # Reference-absent groups: binned() inner-joins to the reference
+    # bounds, so without this leg a novel group would vanish from the
+    # output entirely.  Anti-join is against the group-grain bounds
+    # table (tiny), not the row-grain reference.
+    novel = (
+        cur.join(F.broadcast(bounds), group_col, "left_anti")
+        .groupBy(group_col)
+        .agg(F.count("*").cast("bigint").alias("n_cur"))
+        .select(
+            group_col,
+            F.lit(10_000).cast("bigint").alias("tv_bp"),
+            F.lit(0).cast("bigint").alias("n_ref"),
+            "n_cur",
+        )
+    )
+    return seen.unionByName(novel)
 
 
 def categorical_drift(

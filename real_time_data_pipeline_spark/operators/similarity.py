@@ -1075,8 +1075,12 @@ def pq_topk_rerank(
     test corpus); the exact pass touches C rows regardless of corpus
     size, joined back via a broadcast of the C-row shortlist.
 
-    Output matches cosine_topk's shape: (rank, neighbor_id, cos_bp),
-    ``query_id`` (if given) excluded, deterministic tie-break.
+    Output matches cosine_topk's shape — (query_id, rank, neighbor_id,
+    cos_bp) when ``query_id`` is given (the query row itself excluded
+    from candidates), (rank, neighbor_id, cos_bp) otherwise —
+    deterministic tie-break on id, so callers can substitute this for
+    cosine_topk unchanged.  The rank window runs over the k-row limit
+    output (single tiny partition), not the corpus.
     """
     cands = pq_topk(codes_df, books, query_vec, k=shortlist).select(
         F.col("id").alias(id_col)
@@ -1087,15 +1091,22 @@ def pq_topk_rerank(
     cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * qn)
     if query_id is not None:
         sub = sub.filter(F.col(id_col) != F.lit(query_id))
-    return (
+    top = (
         sub.select(F.col(id_col), cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
-        )
     )
+    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"),
+        F.col(id_col).alias("neighbor_id"),
+        F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+    )
+    if query_id is not None:
+        ranked = ranked.select(
+            F.lit(query_id).alias("query_id"), "rank", "neighbor_id", "cos_bp"
+        )
+    return ranked
 
 
 def ivfpq_build(

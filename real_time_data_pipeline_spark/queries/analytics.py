@@ -1178,6 +1178,16 @@ ORACLES["distribution_drift"] = """
            CAST(MAX(t.t_cur) AS BIGINT) AS n_cur
     FROM grid g JOIN tot t USING (event_type)
     GROUP BY 1
+    UNION ALL
+    -- groups present only in the current window: total drift, no bins
+    SELECT c.event_type, CAST(10000 AS BIGINT) AS tv_bp,
+           CAST(0 AS BIGINT) AS n_ref,
+           CAST(count(*) AS BIGINT) AS n_cur
+    FROM curw c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bounds b WHERE b.event_type = c.event_type
+    )
+    GROUP BY 1
 """
 
 

@@ -569,8 +569,18 @@ def q_stream_windowed_agg(spark, sf_dir):
         )
     )
     rows: list = []
+
+    def _capture_snapshot(b, _i):
+        # Complete mode re-emits the FULL state every micro-batch; if
+        # availableNow ever splits the input into several batches
+        # (multiple glob matches / maxFilesPerTrigger) a plain extend
+        # would accumulate every intermediate snapshot alongside the
+        # final one.  Keep only the latest snapshot.
+        rows.clear()
+        rows.extend(b.collect())
+
     q = (
-        agg.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        agg.writeStream.foreachBatch(_capture_snapshot)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()

@@ -686,13 +686,16 @@ def test_merge_monthly_rollup_equals_full_recompute(spark):
         [
             (1, datetime.datetime(2024, 1, 5), 10.0),
             (1, datetime.datetime(2024, 1, 20), 30.0),
-            (2, datetime.datetime(2024, 2, 1), 5.0),
+            (1, datetime.datetime(2024, 1, 21), None),  # NULL: avg ignores,
+            (2, datetime.datetime(2024, 2, 1), 5.0),    # count(*) doesn't
+            (3, datetime.datetime(2024, 2, 2), None),   # all-NULL month
         ],
         "user_id long, ts timestamp, value double",
     )
     inc = spark.createDataFrame(
         [
             (1, datetime.datetime(2024, 1, 25), 2.0),   # existing month
+            (1, datetime.datetime(2024, 1, 26), None),  # NULL in increment
             (2, datetime.datetime(2024, 3, 1), 7.0),    # new month
         ],
         "user_id long, ts timestamp, value double",

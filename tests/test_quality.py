@@ -176,17 +176,22 @@ def test_distribution_drift_identical_and_shifted(spark):
         "g string, v double",
     )
     # a: identical distribution -> 0 drift; b: all mass clamps into the
-    # top bin (values beyond the frozen reference range still register)
+    # top bin (values beyond the frozen reference range still register);
+    # c: present ONLY in the current window (brand-new group)
     cur = spark.createDataFrame(
         [("a", float(i)) for i in range(10)]
-        + [("b", 100.0) for _ in range(10)],
+        + [("b", 100.0) for _ in range(10)]
+        + [("c", 1.0), ("c", 2.0), ("c", 3.0)],
         "g string, v double",
     )
-    got = {
-        r["g"]: r["tv_bp"]
-        for r in distribution_drift(ref, cur, "g", "v").collect()
+    rows = {
+        r["g"]: r for r in distribution_drift(ref, cur, "g", "v").collect()
     }
-    assert got["a"] == 0
+    assert rows["a"]["tv_bp"] == 0
     # ref spreads 1000bp/bin; cur puts 10000bp in bin 9 ->
     # TV = (9*1000 + 9000)/2 = 9000
-    assert got["b"] == 9000
+    assert rows["b"]["tv_bp"] == 9000
+    # reference-absent group registers full drift, not a dropped row
+    assert (rows["c"]["tv_bp"], rows["c"]["n_ref"], rows["c"]["n_cur"]) == (
+        10_000, 0, 3,
+    )
