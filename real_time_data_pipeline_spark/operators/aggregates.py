@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators import cache
+
 
 def windowed_agg(
     df: DataFrame,
@@ -445,10 +447,9 @@ def scalable_running_sum(
         "spark.sql.shuffle.partitions", "32"
     )
     cols = [F.col(c) for c in group_cols + order_cols]
-    part = (
+    part = cache.track(
         df.repartitionByRange(int(n), *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     subtotals = part.groupBy("_pid", *group_cols).agg(
         F.sum(value_col).alias("_ptot")

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators import cache
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, key_cols: list[str], keep_min_col: str) -> DataFrame:
@@ -79,10 +81,10 @@ def ngram_jaccard_pairs(
     Jaccard is emitted in exact basis points (integer arithmetic) so the
     DuckDB oracle hashes identically.
     """
-    ex = df.select(
+    ex = cache.track(df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(text_col, n)).alias("shingle"),
-    ).persist()
+    ))
     # Shingles are distinct per doc, so |shingles| == exploded row count:
     # the tokenizer runs once and sizes fall out of the same table that
     # feeds the pair join (persisted — three consumers).
@@ -117,11 +119,20 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 64,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash sketch: sig[i] = min over shingles of xxhash64(shingle, i).
+    """MinHash sketch: sig[i] = min over shingles of
+    xxhash64(xxhash64(shingle), i).
 
-    xxhash64 with the permutation index as an extra hashed column gives
-    `num_perm` independent-enough hash families without any UDF.
+    The shingle STRING is hashed exactly once; each permutation then
+    re-hashes the resulting 8-byte long with the permutation index as
+    an extra hashed column — `num_perm` independent-enough families
+    without any UDF.  (Hashing the string per permutation — the naive
+    form — makes the signature aggregate O(num_perm × len(shingle))
+    per row; at 128 permutations the one-time string hash cuts the
+    dominant cost of the whole LSH pass.  Base-hash collisions merge
+    two shingles with probability 2^-64 — far below the MinHash
+    estimator's own error.)
 
     Shape: explode shingles once, then one hash-aggregate computing all
     `num_perm` mins.  (The tempting nested-transform form —
@@ -132,18 +143,27 @@ def minhash_signatures(
     explode+agg form runs the tokenizer once and keeps the per-permutation
     work inside codegen'd hash aggregation; partial map-side combine means
     the shuffle carries one num_perm-wide row per doc per partition.)
+
+    ``shingled`` (columns ``id``, ``sh: array<string>``) bypasses the
+    tokenizer entirely — pass it when the caller already materialized
+    the shingle table (near_dup_verdicts shares ONE across its exact,
+    MinHash-signature, and candidate-verify legs).
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, n)).alias("shingle"),
-    )
+    if shingled is not None:
+        ex = shingled.select("id", F.explode("sh").alias("shingle"))
+    else:
+        ex = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(text_col, n)).alias("shingle"),
+        )
     # sequence() elements are INT, so hash the permutation index as INT too
     # (xxhash64 is type-sensitive) to keep signatures stable across shapes.
+    hashed = ex.select("id", F.xxhash64("shingle").alias("h0"))
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    agg = ex.groupBy("id").agg(*mins)
+    agg = hashed.groupBy("id").agg(*mins)
     return agg.select(
         "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
     )
@@ -156,6 +176,7 @@ def minhash_band_hashes(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH keys per document: ``(id, band_idx, band_hash)`` with
     one row per band — the join key of every LSH dedup variant and the
@@ -165,7 +186,7 @@ def minhash_band_hashes(
     using the same config."""
     assert num_perm % bands == 0
     rpb = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, shingled)
     return sig.select(
         "id",
         F.explode(
@@ -199,6 +220,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket: int = 1000,
     verify_threshold: float | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH candidate pairs (id_a < id_b).
 
@@ -212,12 +234,14 @@ def minhash_lsh_candidates(
     Jaccard (candidate-verify, the 100 TB-safe shape).
     """
     assert num_perm % bands == 0
-    banded = minhash_band_hashes(df, id_col, text_col, n, num_perm, bands)
+    banded = minhash_band_hashes(
+        df, id_col, text_col, n, num_perm, bands, shingled
+    )
     # Persist the tiny banded table (bands rows x 3 longs per doc): it is
     # consumed by both sides of the bucket self-join, and recomputing it
     # would re-run the signature aggregation.  At 100 TB the signature
     # table would be materialized to storage at exactly this point.
-    banded = banded.persist()
+    banded = cache.track(banded)
 
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bucket_n")
@@ -240,8 +264,13 @@ def minhash_lsh_candidates(
         # list and intersect.  Never runs the full O(pairs) shingle
         # self-join; verify cost is |candidates| x shingle-set size, which
         # is what makes the LSH path viable at 100 TB.
-        sh = df.select(
-            F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
+        sh = (
+            shingled
+            if shingled is not None
+            else df.select(
+                F.col(id_col).alias("id"),
+                shingles_col(text_col, n).alias("sh"),
+            )
         )
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -325,9 +354,9 @@ def incremental_minhash_pairs(
     same (n, num_perm, bands); band hashes only match under an identical
     config (enforced structurally: different configs hash different
     sub-signatures)."""
-    probe = minhash_band_hashes(
+    probe = cache.track(minhash_band_hashes(
         new_docs, id_col, text_col, n, num_perm, bands
-    ).persist()
+    ))
     index = spark.read.parquet(index_path)
     # Degenerate-bucket prune on the INDEX side (corpus-scale buckets);
     # the increment side is bounded by |new| per bucket already.
@@ -463,7 +492,7 @@ def simhash_near_pairs(
     ).select("id", "simhash_long", "b.block_idx", "b.block")
     # Both sides of the block self-join read this; persist so the vote
     # aggregation runs once (fingerprints are ~24 bytes/doc — tiny).
-    banded = banded.persist()
+    banded = cache.track(banded)
     l = banded.select("block_idx", "block", F.col("id").alias("id_a"), F.col("simhash_long").alias("fp_a"))
     r = banded.select("block_idx", "block", F.col("id").alias("id_b"), F.col("simhash_long").alias("fp_b"))
     # exact hamming: one bit_count over the XOR of the long fingerprints
@@ -685,26 +714,41 @@ def near_dup_verdicts(
     (A,C) and (B,C) for A<B<C, pairwise keeps both A and B even though
     the three docs are ONE cluster whose canonical member is A.
 
-    Scale shape: the exact signal is one window shuffle over
-    (sha256(norm_text), id) — the hash, not the text, crosses the wire;
-    each pair signal is bounded by the candidate-pair count; connected
-    components runs O(log n) rounds over the UNION EDGE SET (duplicate
-    pairs only, a tiny fraction of the corpus); the final flag/cluster
+    Scale shape: tokenize/shingle runs ONCE — a single persisted prep
+    table (id, sha256(norm_text), shingles) feeds the exact-dup window,
+    the MinHash signature aggregation, AND the candidate-verify stage
+    (pre-round-4 each leg re-derived its own shingles, tripling the
+    scan-side work).  The exact signal is one window shuffle over
+    (hash, id) — the hash, not the text, crosses the wire; each pair
+    signal is bounded by the candidate-pair count; connected components
+    resolves the UNION EDGE SET (duplicate pairs only, a tiny fraction
+    of the corpus) — via a single driver union-find pass when the
+    verified edge set is broadcast-small (the common case; see
+    graph.connected_components), falling back to the O(log n)
+    alternating-star fixpoint above that bound; the final flag/cluster
     joins are doc_id-keyed left joins against those small sets — at
     scale AQE broadcasts them, so the verdict assembly adds no extra
-    shuffle of the corpus itself."""
+    shuffle of the corpus itself.  Persisted intermediates are tracked
+    (operators/cache.py); callers release them with cache.release_all()
+    after evaluating the result."""
     from pyspark.sql import Window
 
     from real_time_data_pipeline_spark.operators import graph
 
     # sha256 of the normalized text, not the text itself, is the exact
     # dedup key (collision odds ~2^-128 — the standard trade at scale).
-    norm_hash = F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256)
+    # One pass over the raw text produces everything every leg needs.
+    prep = cache.track(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256).alias("_nh"),
+            shingles_col(text_col, n).alias("sh"),
+        )
+    )
     labeled = (
-        docs.select(F.col(id_col), norm_hash.alias("_nh"))
+        prep.select(F.col("id").alias(id_col), "_nh")
         .withColumn("_gmin", F.min(id_col).over(Window.partitionBy("_nh")))
         .drop("_nh")
-        .persist()
     )
     exact_flags = labeled.select(
         id_col, (F.col(id_col) != F.col("_gmin")).alias("is_exact_dup")
@@ -714,14 +758,14 @@ def near_dup_verdicts(
     )
     # Each pair leg feeds BOTH its per-doc flag set and the cluster edge
     # set; persist the (tiny) pair output so the expensive candidate
-    # generation runs once, not once per consumer.  `labeled` is
-    # corpus-sized but narrow (two bigints after dropping the hash) —
-    # MEMORY_AND_DISK beats re-running the sha256 window.  The harness
-    # clears these via spark.catalog.clearCache() after the query.
-    mh_pairs = minhash_lsh_candidates(
-        docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
-        verify_threshold=jaccard_threshold,
-    ).select("id_a", "id_b").persist()
+    # generation runs once, not once per consumer.
+    mh_pairs = cache.track(
+        minhash_lsh_candidates(
+            docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+            verify_threshold=jaccard_threshold,
+            shingled=prep.select("id", "sh"),
+        ).select("id_a", "id_b")
+    )
     mh_dup = (
         mh_pairs.select(F.col("id_b").alias(id_col))
         .distinct()
@@ -733,7 +777,7 @@ def near_dup_verdicts(
         )
     else:
         epairs = embedding_near_dup(emb, vec_id_col, vec_col, threshold=cos_threshold)
-    epairs = epairs.select("id_a", "id_b").persist()
+    epairs = cache.track(epairs.select("id_a", "id_b"))
     emb_dup = (
         epairs.select(F.col("id_b").alias(id_col))
         .distinct()

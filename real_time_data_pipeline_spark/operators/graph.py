@@ -29,21 +29,39 @@ EDGE set (bounded by the candidate-pair count, far smaller than the
 corpus), not thousands.
 
 Scale notes:
-- each iteration ends in `localCheckpoint` — iterative algorithms grow
-  an unbounded lineage otherwise and re-execute the whole chain on every
-  action; on a real cluster swap for `checkpoint()` against a reliable
-  dir (localCheckpoint loses partitions on executor failure).
+- each iteration ends in a checkpoint — iterative algorithms grow an
+  unbounded lineage otherwise and re-execute the whole chain on every
+  action.  Default is `localCheckpoint` (fast, but partitions are lost
+  on executor failure — a 30-round job dies with them); pass
+  ``checkpoint_dir`` for reliable `checkpoint()` to durable storage,
+  the production configuration for long iterative jobs.
 - convergence test is a count+xxhash64-sum checksum of the edge set:
   2 cheap actions per round on the already-checkpointed frame, no
   driver-side edge materialization.
+- a VERIFIED duplicate-pair edge set is usually a tiny fraction of the
+  corpus even at 100 TB; when it fits comfortably on the driver
+  (``broadcast_limit``), a single-pass union-find beats O(log n)
+  shuffle rounds by an order of magnitude, so `connected_components`
+  takes that exit and only falls back to the distributed fixpoint for
+  genuinely large edge sets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "attach_components", "pagerank"]
+
+
+def _checkpointer(spark: SparkSession, checkpoint_dir: str | None):
+    """localCheckpoint by default; reliable checkpoint when a dir is
+    given (survives executor loss — required for long fixpoints on a
+    real cluster)."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -83,11 +101,37 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_components(
+    pairs: list[tuple[int, int]],
+) -> list[tuple[int, int]]:
+    """Driver-side union-find with min-id roots: union attaches the
+    larger root under the smaller, so find() IS the component's min id.
+    Path compression keeps the whole pass O(E α(E))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    broadcast_limit: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-id component label for every node that appears in ``edges``.
 
@@ -96,11 +140,24 @@ def connected_components(
     Isolated nodes (absent from ``edges``) are absent here — use
     :func:`attach_components` to label a full corpus.
 
+    When the distinct edge set is at most ``broadcast_limit`` rows it is
+    collected and resolved with a single-pass driver union-find instead
+    of the shuffle fixpoint: a verified near-dup pair set is edge-sparse
+    by construction (candidate-verify bounds it), and 1M edges ≈ 16 MB —
+    labeling them on the driver costs one collect vs O(log n) rounds of
+    window shuffles + checkpoints.  Set ``broadcast_limit=0`` to force
+    the distributed path; the exit is size-gated, not assumed, so the
+    100 TB posture is unchanged for genuinely large edge sets.
+
+    ``checkpoint_dir`` switches the fixpoint's lineage control from
+    ``localCheckpoint`` (lost on executor failure) to reliable
+    ``checkpoint()`` — mandatory on a real cluster for 30-round jobs.
+
     Raises ``RuntimeError`` if the edge checksum has not stabilized after
     ``max_iter`` alternating rounds (log2-bounded; 30 covers any corpus
     this engine will meet).
     """
-    e = (
+    e_plan = (
         edges.select(
             F.col(src).cast("bigint").alias("u"),
             F.col(dst).cast("bigint").alias("v"),
@@ -108,11 +165,21 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
+    if broadcast_limit > 0 and e_plan.count() <= broadcast_limit:
+        # No checkpoint on this path: the plan is evaluated twice (count
+        # + collect, both cheap — upstream pair emitters persist their
+        # outputs) and nothing is left cached in the session.
+        pairs = [(r["u"], r["v"]) for r in e_plan.toLocalIterator()]
+        labels = _union_find_components(pairs)
+        return edges.sparkSession.createDataFrame(
+            labels, "node bigint, component bigint"
+        )
+    chk = _checkpointer(edges.sparkSession, checkpoint_dir)
+    e = chk(e_plan)
     prev = _checksum(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = chk(_small_star(_large_star(e)))
         cur = _checksum(e2)
         e = e2
         if cur == prev:
@@ -158,6 +225,7 @@ def pagerank(
     damping_ppm: int = 850_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over an edge list — link-graph importance
     for corpus curation (OPIC/Common-Crawl-style seed weighting: a page's
@@ -176,14 +244,17 @@ def pagerank(
 
     Per iteration: one groupBy(dst) sum of contributions (map-side
     combined, shuffle bounded by the edge set) + a co-partitioned join
-    back to the rank frame; `localCheckpoint` caps lineage exactly like
-    connected_components.  O(iters) rounds over the EDGE set — the
-    standard shared-nothing shape; holds at 100 TB.
+    back to the rank frame; per-iteration checkpoints cap lineage
+    exactly like connected_components (``checkpoint_dir`` selects
+    reliable checkpoints for cluster runs, default localCheckpoint).
+    O(iters) rounds over the EDGE set — the standard shared-nothing
+    shape; holds at 100 TB.
 
     Returns (node, rank_micro).  `iters` is fixed (no convergence probe)
     so the query cost is predictable; callers wanting a tolerance loop
     can compare successive frames the way graph.connected_components
     checksums rounds."""
+    chk = _checkpointer(edges.sparkSession, checkpoint_dir)
     e = edges.select(
         F.col(src_col).cast("bigint").alias("src"),
         F.col(dst_col).cast("bigint").alias("dst"),
@@ -217,10 +288,10 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # eager localCheckpoint: truncates lineage AND keeps Catalyst
-        # from re-analyzing an iters-deep plan tree on the final action
+        # eager checkpoint: truncates lineage AND keeps Catalyst from
+        # re-analyzing an iters-deep plan tree on the final action
         # (measured 3-4x on a 600k-edge graph vs lazy checkpoints).
-        ranks = (
+        ranks = chk(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -233,7 +304,6 @@ def pagerank(
                 .cast("bigint")
                 .alias("rank_micro"),
             )
-            .localCheckpoint()
         )
     e_deg.unpersist()
     nodes.unpersist()

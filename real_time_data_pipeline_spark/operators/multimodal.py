@@ -31,6 +31,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import cache
 from pyspark.sql import types as T
 
 SMF_MAGIC = b"SM"
@@ -436,7 +438,8 @@ def phash_near_pairs(
             F.min(id_col).alias("rep"),
             F.count("*").cast("bigint").alias("n_members"),
         )
-    ).persist()
+    )
+    sigs = cache.track(sigs)
     banded = sigs.select(
         "phash",
         "rep",

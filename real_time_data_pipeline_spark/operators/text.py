@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators import cache
 from real_time_data_pipeline_spark.operators.dedup import tokens_col
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -241,9 +242,9 @@ def oov_rate(
     The persist is cleared by the caller/harness via
     ``spark.catalog.clearCache()`` (bench.py and tools/parity.py do this
     after every query)."""
-    ex = df.select(
+    ex = cache.track(df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
-    ).persist()
+    ))
     vocab = (
         ex.groupBy("term")
         .agg(F.countDistinct("id").alias("df"))
@@ -314,9 +315,9 @@ def tfidf_topk(
     after every query)."""
     from pyspark.sql import Window
 
-    ex = df.select(
+    ex = cache.track(df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
-    ).persist()
+    ))
     tf = ex.groupBy("id", "term").agg(F.count("*").cast("bigint").alias("tf"))
     dl = ex.groupBy("id").agg(F.count("*").cast("bigint").alias("dl"))
     dfreq = ex.groupBy("term").agg(F.countDistinct("id").alias("df"))
@@ -387,9 +388,9 @@ def bm25_topk(
     ``spark.catalog.clearCache()``."""
     from pyspark.sql import Window
 
-    ex = df.select(
+    ex = cache.track(df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
-    ).persist()
+    ))
     hits = ex.filter(F.col("term").isin(list(query_terms)))
     tf = hits.groupBy("id", "term").agg(F.count("*").cast("bigint").alias("tf"))
     dfreq = hits.groupBy("term").agg(F.countDistinct("id").alias("df"))
@@ -453,9 +454,9 @@ def unigram_surprisal(
     corpus total rides a 1-row broadcast.  Two shuffles total (term agg,
     doc agg) regardless of corpus size.  The persist is cleared by the
     caller/harness via ``spark.catalog.clearCache()``."""
-    ex = df.select(
+    ex = cache.track(df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
-    ).persist()
+    ))
     cf = ex.groupBy("term").agg(F.count("*").cast("bigint").alias("cf"))
     total = ex.agg(F.count("*").cast("bigint").alias("total_toks"))
     info = (
@@ -639,6 +640,7 @@ def learn_bpe_merges(
     n_merges: int = 10,
     vocab_partitions: int = 8,
     driver_vocab_limit: int = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016,
     word-level variant): iteratively find the most frequent adjacent
@@ -659,17 +661,21 @@ def learn_bpe_merges(
     1-row argmax collect, (c) an Arrow-batched rewrite of only the
     words CONTAINING the pair (JVM `exists` prefilter; the greedy
     left-to-right fuse is sequential within a word, so it runs in
-    pandas), with per-round ``localCheckpoint`` lineage control
-    mirroring graph.py's iteration discipline.
+    pandas), with per-round checkpoint lineage control mirroring
+    graph.py's iteration discipline (``checkpoint_dir`` selects
+    reliable ``checkpoint()`` — localCheckpoint blocks die with a lost
+    executor, which kills a long merge loop on a real cluster).
     """
     import pandas as pd
 
-    word_counts = (
+    from real_time_data_pipeline_spark.operators.graph import _checkpointer
+
+    chk = _checkpointer(df.sparkSession, checkpoint_dir)
+    word_counts = chk(
         df.select(F.explode(tokens_col(text_col)).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
     )
     spark = df.sparkSession
     vocab_size = word_counts.count()
@@ -690,8 +696,8 @@ def learn_bpe_merges(
         # so the per-round jobs aren't task-overhead-bound.  Raise for
         # billion-type vocabularies; the rounds stay vocab-bounded.
         .repartition(vocab_partitions)
-        .localCheckpoint()
     )
+    words = chk(words)
 
     def _pairs(syms_col):
         # adjacent pairs as "l r" strings (symbols never contain spaces:
@@ -743,7 +749,7 @@ def learn_bpe_merges(
         touched = words.filter(has_pair).mapInPandas(
             rewrite, "syms array<string>, n long"
         )
-        words = touched.unionAll(words.filter(~has_pair)).localCheckpoint()
+        words = chk(touched.unionAll(words.filter(~has_pair)))
 
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"

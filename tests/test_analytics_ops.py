@@ -615,6 +615,31 @@ def test_learn_bpe_merges_sennrich_example(spark):
     assert got_dist == got
 
 
+def test_learn_bpe_merges_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes the distributed merge loop through reliable
+    checkpoint() (same result, durable blocks)."""
+    import os
+
+    from real_time_data_pipeline_spark.operators.text import learn_bpe_merges
+
+    text = " ".join(["low"] * 5 + ["newest"] * 6)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    cdir = str(tmp_path / "bpe_chk")
+    got = [
+        (r["merge_rank"], r["left"], r["right"])
+        for r in learn_bpe_merges(
+            df, n_merges=2, driver_vocab_limit=0, checkpoint_dir=cdir
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # merge 1: "e s"=6 ties "n e"/"s t"... lexicographic -> (e,s); after
+    # the fuse, newest = n e w es t, so count-6 pairs are
+    # {"n e","e w","w es","es t"} and lexicographic min is (e,w)
+    assert got == [(0, "e", "s"), (1, "e", "w")]
+    assert any(os.scandir(cdir))
+
+
 def test_session_paths_gap_split_and_order(spark):
     from real_time_data_pipeline_spark.operators.aggregates import session_paths
 

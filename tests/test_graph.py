@@ -152,3 +152,52 @@ def test_pagerank_deterministic_under_repartition(spark):
         for r in pagerank(e.repartition(17), iters=4).collect()
     }
     assert a == b
+
+
+# -- broadcast union-find exit vs distributed fixpoint --------------------
+
+
+def test_broadcast_and_distributed_paths_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df).collect()
+    }
+    # broadcast_limit=0 forces the alternating-star fixpoint
+    slow = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df, broadcast_limit=0).collect()
+    }
+    assert fast == slow
+    assert fast == _union_find(edges, sorted({n for e in edges for n in e}))
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches the fixpoint to reliable checkpoint()
+    (survives executor loss); exercise both iterative ops through it."""
+    import os
+
+    cdir = str(tmp_path / "chk")
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(
+            df, broadcast_limit=0, checkpoint_dir=cdir
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
+    # reliable checkpoints actually hit the dir
+    assert any(os.scandir(cdir))
+
+    pr_dir = str(tmp_path / "chk_pr")
+    ranks = graph.pagerank(
+        _edges(spark, [(1, 2), (2, 1)]), iters=3, checkpoint_dir=pr_dir
+    )
+    assert {r["node"] for r in ranks.collect()} == {1, 2}
+    assert any(os.scandir(pr_dir))

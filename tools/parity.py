@@ -18,6 +18,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from real_time_data_pipeline_spark.operators import cache  # noqa: E402
 from real_time_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -140,7 +141,8 @@ def main() -> int:
             continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
-        spark.catalog.clearCache()  # drop operator-internal persists
+        cache.release_all()  # drop operator-tracked persists
+        spark.catalog.clearCache()  # backstop for untracked caching
         scols = [f.name.lower() for f in sdf.schema.fields]
         stypes = [canon_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields]
         sorder = sorted(range(len(scols)), key=lambda i: scols[i])
