@@ -93,6 +93,7 @@ _R4_PRIORITY = [
     "monthly_rollup",
     "dedup_incremental",
     # (c) new round-4 oracle-backed entries (appended as built)
+    "stream_dedup_incremental",
 ]
 
 

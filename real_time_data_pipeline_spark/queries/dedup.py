@@ -141,6 +141,63 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_stream_dedup_incremental(spark, sf_dir):
+    """Watermarked-ingest twin of `dedup_incremental`: the daily
+    increment ARRIVES AS A STREAM and every micro-batch probes the
+    persisted corpus MinHash index via foreachBatch — the steady-state
+    production shape (new documents dedup against history as they land;
+    the history is never re-sketched).  Per-batch probe outputs are
+    disjoint (each pair carries its batch's new_id), so the union of
+    micro-batch results is hash-identical to the one-shot batch probe —
+    checked against the SAME exact corpus×increment Jaccard oracle as
+    `dedup_incremental`."""
+    import os
+
+    from real_time_data_pipeline_spark.operators import cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"minhash_index_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dedup.build_minhash_index(corpus, path, num_perm=128, bands=32)
+    # Schema of the probe output, resolved lazily (no action) from a
+    # zero-row probe so the streaming capture frame matches exactly.
+    out_schema = dedup.incremental_minhash_pairs(
+        spark, docs.limit(0), corpus, path,
+        num_perm=128, bands=32, verify_threshold=0.8,
+    ).schema
+    cache.release_all()
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents*.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    rows: list = []
+
+    def probe(batch, _i):
+        out = dedup.incremental_minhash_pairs(
+            spark, batch, corpus, path,
+            num_perm=128, bands=32, verify_threshold=0.8,
+        )
+        rows.extend(out.collect())
+        # the probe tracks a per-batch persist; free it before the next
+        # micro-batch so a long-running stream holds no stale cache
+        cache.release_all()
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, out_schema)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: exact 3-gram Jaccard pairs at 0.8
     resolved into connected components (large-star/small-star), every doc
@@ -178,6 +235,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "stream_dedup_incremental": q_stream_dedup_incremental,
 }
 
 _JACCARD_ORACLE = f"""
@@ -337,6 +395,9 @@ _INCREMENTAL_ORACLE = f"""
 
 ORACLES = {
     "dedup_incremental": _INCREMENTAL_ORACLE,
+    # the streaming twin unions per-micro-batch probes of the same
+    # persisted index — identical output, same oracle
+    "stream_dedup_incremental": _INCREMENTAL_ORACLE,
     "dedup_pipeline": _PIPELINE_ORACLE,
     "dedup_clusters": _CLUSTERS_ORACLE,
     # MinHash-verified pair set == exact pair set w.h.p. (see
