@@ -770,6 +770,59 @@ def ewma_smooth(
     )
 
 
+def ewma_smooth_cents(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha_bp: int = 5000,
+) -> DataFrame:
+    """Deterministic integer-cents EWMA: per key, the latest smoothed
+    level of the time-ordered series under
+
+        y_1 = c_1;  y_i = floor((alpha_bp*c_i + (1e4-alpha_bp)*y_{i-1}) / 1e4)
+
+    with c = ROUND(value*100) cents and alpha in basis points — every
+    step is exact integer arithmetic (products < 2^53, floor division),
+    so the result is bit-identical on any engine, unlike the float
+    recursion of :func:`ewma_smooth` (the production smoothing pass,
+    which this operator makes oracle-checkable).
+
+    Plan: one hash aggregate per key collecting the time-ordered
+    (order..., cents) structs via ``array_sort`` (never a bare
+    collect_list — its order is partitioning-dependent), then a
+    JVM-side ``F.aggregate`` fold over the value array.  Single
+    shuffle, no Python; per-key series must fit one array — the same
+    per-group bound the pandas twin already requires.
+
+    Returns (key, ewma_cents bigint, n_points bigint).
+    """
+    from real_time_data_pipeline_spark.functions import stable
+
+    beta = 10_000 - alpha_bp
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.expr(stable.cents_sql(value_col)).alias("_c"),
+            )
+        )
+    ).alias("_seq")
+    per_key = df.groupBy(key_col).agg(seq)
+    vals = F.transform(F.col("_seq"), lambda s: s["_c"])
+    return per_key.select(
+        key_col,
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1).cast("bigint"),
+            lambda acc, x: F.floor(
+                (F.lit(alpha_bp) * x + F.lit(beta) * acc) / F.lit(10_000)
+            ).cast("bigint"),
+        ).alias("ewma_cents"),
+        F.size(vals).cast("bigint").alias("n_points"),
+    )
+
+
 def session_paths(
     df: DataFrame,
     key_col: str = "user_id",

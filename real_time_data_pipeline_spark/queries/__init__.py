@@ -94,6 +94,8 @@ _R4_PRIORITY = [
     "dedup_incremental",
     # (c) new round-4 oracle-backed entries (appended as built)
     "stream_dedup_incremental",
+    "clean_corpus",      # promoted rows-only -> oracle (join of leg oracles)
+    "ewma_user_value",   # promoted rows-only -> oracle (integer-cents fold)
 ]
 
 

@@ -1039,31 +1039,45 @@ ORACLES["attribution_last_touch"] = """
 
 
 def q_ewma_user_value(spark, sf_dir):
-    """Per-user EWMA-smoothed event value
-    (operators/aggregates.ewma_smooth, alpha=0.5), reported as each
-    user's latest smoothed level — rows-only (float recursion has no
-    integer-exact oracle; the recursion itself is pinned in
-    tests/test_analytics_ops.py on dyadic cases)."""
-    from real_time_data_pipeline_spark.operators.aggregates import ewma_smooth
+    """Per-user EWMA-smoothed event value, reported as each user's
+    latest smoothed level.  Promoted to oracle-backed in round 4 via
+    the integer-cents fold (operators/aggregates.ewma_smooth_cents,
+    alpha = 5000 bp): every step is exact integer arithmetic, and the
+    DuckDB twin is list(cents ORDER BY ts, event_id) + list_reduce with
+    the identical recursion — hash-identical across engines.  The float
+    pandas variant (ewma_smooth) remains the production operator,
+    pinned on dyadic cases in tests/test_analytics_ops.py."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        ewma_smooth_cents,
+    )
 
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("user_id", "ts", "event_id", "value")
     )
-    sm = ewma_smooth(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
-    return (
-        sm.groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.col("ewma"), F.struct(F.col("ts"), F.col("event_id"))
-            ).alias("ewma_latest"),
-            F.count("*").cast("bigint").alias("n_points"),
-        )
+    return ewma_smooth_cents(
+        ev, "user_id", ["ts", "event_id"], "value", alpha_bp=5000
     )
 
 
-QUERIES["ewma_user_value"] = q_ewma_user_value  # rows-only
+QUERIES["ewma_user_value"] = q_ewma_user_value
+
+ORACLES["ewma_user_value"] = """
+    WITH vals AS (
+      SELECT user_id,
+             list(CAST(ROUND(value * 100) AS BIGINT)
+                  ORDER BY ts, event_id) AS vs
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           list_reduce(vs, (acc, x) ->
+             CAST(FLOOR((5000*x + 5000*acc) / 10000) AS BIGINT)
+           ) AS ewma_cents,
+           CAST(len(vs) AS BIGINT) AS n_points
+    FROM vals
+"""
 
 
 def q_session_paths(spark, sf_dir):

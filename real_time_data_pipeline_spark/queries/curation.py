@@ -485,9 +485,9 @@ def q_clean_corpus(spark, sf_dir):
     decontamination) with cluster-canonical dedup survival
     (near_dup_verdicts) — ``keep_final`` is what actually ships to
     tokenization.  One co-partitioned doc-id join between the two
-    composite legs; rows-only (both legs are oracle-checked separately
-    as doc_quality and dedup_pipeline; the conjunction is pinned by
-    pytest equality against those registry outputs)."""
+    composite legs; oracle-backed (round 4): the oracle is the join of
+    the doc_quality and dedup_pipeline oracles with the same
+    conjunction gate."""
     from real_time_data_pipeline_spark.operators.dedup import (
         near_dup_verdicts,
     )
@@ -511,7 +511,29 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
-QUERIES["clean_corpus"] = q_clean_corpus  # rows-only (conjunction of oracle-checked legs)
+QUERIES["clean_corpus"] = q_clean_corpus
+
+
+def _clean_corpus_oracle() -> str:
+    """Composite oracle: the quality leg's oracle joined to the dedup
+    leg's oracle on doc_id with the conjunction gate — the same
+    composition q_clean_corpus performs in Spark.  (Promoted from
+    rows-only in round 4: both legs were already oracle SQL, so the
+    join of the two IS a valid DuckDB oracle.)"""
+    from real_time_data_pipeline_spark.queries import dedup as dedup_q
+
+    return f"""
+        SELECT q.doc_id,
+               q.keep AS keep_quality,
+               d.keep AS keep_dedup,
+               d.cluster_id,
+               (q.keep AND d.keep) AS keep_final
+        FROM ({_doc_quality_oracle()}) q
+        JOIN ({dedup_q.ORACLES["dedup_pipeline"]}) d ON q.doc_id = d.doc_id
+    """
+
+
+ORACLES["clean_corpus"] = _clean_corpus_oracle()
 
 
 def q_corpus_report(spark, sf_dir):

@@ -773,3 +773,40 @@ def test_gap_sessionization_matches_native_session_window(spark):
     # same multiset of session sizes (paths are all 'e>e>...'), so the
     # boundaries coincide, not just the counts
     assert gap_sizes == native_sizes
+
+
+def test_ewma_smooth_cents_hand_computed(spark):
+    """Integer EWMA fold: [1.00, 0.50, 0.30] at alpha=0.5 ->
+    (100+50)//2=75, (75+30)//2=52; single point passes through."""
+    import datetime
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        ewma_smooth_cents,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 1.00),
+        (1, t0 + datetime.timedelta(hours=1), 2, 0.50),
+        (1, t0 + datetime.timedelta(hours=2), 3, 0.30),
+        (2, t0, 4, 9.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["ewma_cents"], r["n_points"])
+        for r in ewma_smooth_cents(
+            df, "user_id", ["ts", "event_id"], "value", alpha_bp=5000
+        ).collect()
+    }
+    assert got == {1: (52, 3), 2: (999, 1)}
+    # order-independence: shuffled input, same fold
+    got2 = {
+        r["user_id"]: (r["ewma_cents"], r["n_points"])
+        for r in ewma_smooth_cents(
+            df.orderBy(F.desc("event_id")).repartition(7),
+            "user_id", ["ts", "event_id"], "value", alpha_bp=5000,
+        ).collect()
+    }
+    assert got2 == got
