@@ -960,3 +960,92 @@ def publish_clean_corpus(
         "rows_published": out.count(),
         "path": out_path,
     }
+
+
+def step_provenance(
+    df: DataFrame,
+    n_shards: int,
+    batch_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-batch provenance: map every document of the shuffled
+    corpus to the (global_index, step, slot) a sequential loader gives
+    it when it consumes :func:`shuffle_shards` output in (shard asc,
+    pos_in_shard asc) order with ``batch_size`` rows per optimizer
+    step.  This answers "which documents were in training step N" —
+    the audit a loss-spike investigation or a contamination incident
+    response starts from — without the training job having to log
+    per-step document ids.
+
+    global_index = shard_offset + pos_in_shard, where shard_offset is
+    the exclusive cumulative sum of shard sizes — an ``n_shards``-row
+    aggregate windowed driver-side and broadcast back, so the corpus
+    itself pays only shuffle_shards' one window exchange and a
+    broadcast-joined projection.  step = global_index div batch_size;
+    slot = global_index mod batch_size.  All integer, deterministic,
+    engine-portable.
+    """
+    sh = shuffle_shards(df, n_shards, id_col)
+    sizes = sh.groupBy("shard").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "shard", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    gi = (F.col("_off") + F.col("pos_in_shard")).cast("bigint")
+    return (
+        sh.join(F.broadcast(offsets), "shard")
+        .select(
+            F.col(id_col),
+            "shard",
+            "pos_in_shard",
+            gi.alias("global_index"),
+            F.floor(gi / F.lit(batch_size)).cast("bigint").alias("step"),
+            F.pmod(gi, F.lit(batch_size)).cast("bigint").alias("slot"),
+        )
+    )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum construction: order the corpus cleanest-first
+    (quality_score desc, id tiebreak) and cut it into fixed-token-budget
+    phases — phase k spans tokens [k*budget, (k+1)*budget), and a doc
+    belongs to the phase its FIRST token falls in (the same straddle
+    rule as :func:`pack_sequences`).  The schedule a curriculum-ordered
+    training run reads shard-by-shard.
+
+    The global quality order needs a corpus-wide prefix sum of token
+    counts; that is aggregates.scalable_running_sum's two-phase
+    range-partitioned scan — NO global single-partition sort anywhere,
+    so the plan holds at 100 TB.  All integer arithmetic.
+    """
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+    from real_time_data_pipeline_spark.operators.text import quality_score
+
+    q = quality_score(df, id_col, text_col)
+    toks = df.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens")
+    )
+    base = toks.join(q, id_col).withColumn(
+        "_negq", -F.col("quality_score")
+    )
+    run = scalable_running_sum(
+        base, [], ["_negq", id_col], "n_tokens", out_col="cum_tokens"
+    )
+    return run.select(
+        F.col(id_col),
+        "quality_score",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget_tokens))
+        .cast("bigint")
+        .alias("phase"),
+    )

@@ -96,6 +96,9 @@ _R4_PRIORITY = [
     "stream_dedup_incremental",
     "clean_corpus",      # promoted rows-only -> oracle (join of leg oracles)
     "ewma_user_value",   # promoted rows-only -> oracle (integer-cents fold)
+    "rollup_incremental",   # merge(rollup(old), new) == full recompute
+    "step_provenance",      # training step -> doc ids over det. shuffle
+    "curriculum_phases",    # quality-ordered token-budget phases
 ]
 
 

@@ -125,6 +125,29 @@ def q_dataset_shuffle(spark, sf_dir):
     return curation.shuffle_shards(_docs(spark, sf_dir).select("doc_id"), N_SHARDS)
 
 
+BATCH_SIZE = 32
+CURRICULUM_BUDGET_TOKENS = 2048
+
+
+def q_step_provenance(spark, sf_dir):
+    """Training-step -> document provenance over the deterministic
+    shuffle (operators/curation.step_provenance): batch_size=32 over
+    the 8-shard layout; oracle replays the same Lehmer permutation and
+    offsets in SQL."""
+    return curation.step_provenance(
+        _docs(spark, sf_dir).select("doc_id"), N_SHARDS, BATCH_SIZE
+    )
+
+
+def q_curriculum_phases(spark, sf_dir):
+    """Quality-ordered curriculum schedule with a 2048-token phase
+    budget (operators/curation.curriculum_phases) — global prefix sum
+    via the two-phase range-partitioned scan, no global sort."""
+    return curation.curriculum_phases(
+        _docs(spark, sf_dir), CURRICULUM_BUDGET_TOKENS
+    )
+
+
 QUERIES = {
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
@@ -138,6 +161,8 @@ QUERIES = {
     "source_profile": q_source_profile,
     "dataset_split": q_dataset_split,
     "group_split": q_group_split,
+    "step_provenance": q_step_provenance,
+    "curriculum_phases": q_curriculum_phases,
 }
 
 
@@ -276,6 +301,46 @@ _SHUFFLE_ORACLE = f"""
     FROM documents
 """
 
+_PROVENANCE_ORACLE = f"""
+    WITH sh AS ({_SHUFFLE_ORACLE.replace('doc_id,', 'doc_id,', 1)}),
+    sizes AS (SELECT shard, count(*) AS n FROM sh GROUP BY 1),
+    off AS (
+      SELECT shard,
+             COALESCE(sum(n) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM sizes
+    )
+    SELECT sh.doc_id, sh.shard, sh.pos_in_shard,
+           CAST(o + pos_in_shard AS BIGINT) AS global_index,
+           CAST(FLOOR((o + pos_in_shard) / {BATCH_SIZE}) AS BIGINT) AS step,
+           CAST((o + pos_in_shard) % {BATCH_SIZE} AS BIGINT) AS slot
+    FROM sh JOIN off USING (shard)
+"""
+
+
+def _curriculum_oracle() -> str:
+    from real_time_data_pipeline_spark.queries import text as text_q
+
+    return f"""
+        WITH q AS ({text_q.ORACLES["text_quality_score"]}),
+        t AS (
+          SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        r AS (
+          SELECT t.doc_id, q.quality_score, t.n_tokens,
+                 CAST(sum(t.n_tokens) OVER (
+                   ORDER BY -q.quality_score, t.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t JOIN q USING (doc_id)
+        )
+        SELECT doc_id, quality_score, n_tokens, cum_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens)
+                    / {CURRICULUM_BUDGET_TOKENS}) AS BIGINT) AS phase
+        FROM r
+    """
+
+
 def _doc_quality_oracle() -> str:
     """Composite oracle: each signal's existing oracle SQL becomes a
     parenthesized subquery (DuckDB allows WITH inside subqueries), joined
@@ -384,6 +449,8 @@ ORACLES = {
     "dataset_upsample": _UPSAMPLE_ORACLE,
     "dataset_shuffle": _SHUFFLE_ORACLE,
     "doc_quality": _doc_quality_oracle(),
+    "step_provenance": _PROVENANCE_ORACLE,
+    "curriculum_phases": _curriculum_oracle(),
     "corpus_dup_spans": _DUP_SPAN_ORACLE,
     "source_profile": _SOURCE_PROFILE_ORACLE,
     "dataset_split": _SPLIT_ORACLE,

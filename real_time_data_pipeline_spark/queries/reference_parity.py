@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.functions.stable import (
     avg_money_sql,
+    cents_sql,
     sum_money_sql,
 )
 from real_time_data_pipeline_spark.operators import aggregates
@@ -213,6 +214,42 @@ def q_monthly_rollup(spark, sf_dir):
     )
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental maintenance of the A7 monthly rollup under the hash
+    gate: history (pre-Jan-16) is rolled up first, the rest of the month
+    is folded in via operators/aggregates.merge_monthly_rollup — and the
+    oracle is a FULL recompute over all events, so the driver verifies
+    merge(rollup(old), new) == rollup(old ∪ new) value-for-value.  Runs
+    on integer cents (value NULLs pass through) so the round-4 NULL fix
+    — avg derived from the (total, value_count) partials, never
+    total/count(*) — is exactly what the hash pins."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        merge_monthly_rollup,
+        monthly_rollup,
+    )
+    from real_time_data_pipeline_spark.functions.stable import cents_sql
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", F.expr(cents_sql("value")).alias("cents")
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    prev = monthly_rollup(
+        ev.filter(F.col("ts") < cutoff), "ts", "user_id", "cents"
+    )
+    merged = merge_monthly_rollup(
+        prev, ev.filter(F.col("ts") >= cutoff), "ts", "user_id", "cents"
+    )
+    return merged.select(
+        "year",
+        "month",
+        "user_id",
+        "transaction_count",
+        "value_count",
+        F.col("total_amount").cast("bigint").alias("total_cents"),
+        F.col("avg_amount").alias("avg_cents"),
+    )
+
+
 def q_session_agg(spark, sf_dir):
     """N5: session windows (30 min gap) per user via built-in
     session_window; money-stable sum."""
@@ -336,6 +373,7 @@ QUERIES = {
     "enrich_join": q_enrich_join,
     "self_join": q_self_join,
     "monthly_rollup": q_monthly_rollup,
+    "rollup_incremental": q_rollup_incremental,
     "session_agg": q_session_agg,
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
@@ -481,6 +519,18 @@ ORACLES = {
                count(*) AS transaction_count,
                {sum_money_sql('value')} AS total_amount,
                {avg_money_sql('value')} AS avg_amount
+        FROM events GROUP BY 1,2,3
+    """,
+    # FULL recompute — the Spark side merges an increment into a prior
+    # rollup, so hash equality proves incremental == full.
+    "rollup_incremental": f"""
+        SELECT year(ts) AS year, month(ts) AS month, user_id,
+               count(*) AS transaction_count,
+               CAST(count(value) AS BIGINT) AS value_count,
+               CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents,
+               CASE WHEN count(value) > 0
+                    THEN sum({cents_sql('value')}) / count(value)
+               END AS avg_cents
         FROM events GROUP BY 1,2,3
     """,
     # Gaps-and-islands sessionization == Spark session_window for batch.
