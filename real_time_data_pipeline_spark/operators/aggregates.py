@@ -251,12 +251,19 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_hours: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel completion: for each step i, how many users
     performed step i STRICTLY AFTER their completion of step i-1 (the
     product-analytics funnel — signup → activation → purchase).  A user's
     step-i time is their EARLIEST qualifying step-i event; ties at the
     exact same timestamp do not advance the funnel (strict >).
+
+    ``max_gap_hours`` adds the time-bound variant: step i must also
+    land within that many hours of the user's step-(i-1) time, the
+    "converted within 24h" funnel product teams actually report.  Same
+    plan shape — the bound is one extra predicate on the already
+    co-partitioned step join.
 
     Output one row per step: ``step``, ``step_idx`` (1-based),
     ``n_users``, ``conv_from_first_bp``, ``conv_from_prev_bp``.
@@ -287,9 +294,13 @@ def funnel_counts(
             ev.filter(F.col("t") == step)
             .join(per_user.select("u", F.col(f"t{i-1}").alias("_prev")), "u")
             .filter(F.col("ts") > F.col("_prev"))
-            .groupBy("u")
-            .agg(F.min("ts").alias(f"t{i}"))
         )
+        if max_gap_hours is not None:
+            nxt = nxt.filter(
+                F.col("ts")
+                <= F.col("_prev") + F.expr(f"INTERVAL {max_gap_hours} HOURS")
+            )
+        nxt = nxt.groupBy("u").agg(F.min("ts").alias(f"t{i}"))
         per_user = per_user.join(nxt, "u", "left")
     counts = per_user.agg(
         *[F.count(f"t{i}").alias(f"c{i}") for i in range(1, len(steps) + 1)]

@@ -99,6 +99,7 @@ _R4_PRIORITY = [
     "rollup_incremental",   # merge(rollup(old), new) == full recompute
     "step_provenance",      # training step -> doc ids over det. shuffle
     "curriculum_phases",    # quality-ordered token-budget phases
+    "funnel_windowed",      # time-bound funnel (24h step gap)
 ]
 
 

@@ -260,6 +260,23 @@ def q_funnel_counts(spark, sf_dir):
     return funnel_counts(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
 
 
+FUNNEL_WINDOW_HOURS = 24
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """Time-bound signup→click→purchase funnel: each step must land
+    within 24h of the previous step (the "converted within a day"
+    report) — same co-partitioned step-join plan, one extra
+    predicate."""
+    from real_time_data_pipeline_spark.operators.aggregates import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        FUNNEL_STEPS,
+        max_gap_hours=FUNNEL_WINDOW_HOURS,
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """First-active-day cohorts × day-offset return counts."""
     from real_time_data_pipeline_spark.operators.aggregates import cohort_retention
@@ -352,6 +369,7 @@ QUERIES = {
     "order_window_ranks": q_order_window_ranks,
     "rolling_7d_value": q_rolling_7d_value,
     "funnel_counts": q_funnel_counts,
+    "funnel_windowed": q_funnel_windowed,
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
@@ -520,6 +538,23 @@ _FUNNEL_STEP_CTES = """
                  (SELECT count(*) FROM s3) AS c3)
 """
 
+_FUNNEL_WINDOWED_CTES = """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS t, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    s1 AS (SELECT u, min(ts) AS t1 FROM ev WHERE t = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+           WHERE e.t = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 24 HOURS GROUP BY 1),
+    s3 AS (SELECT e.u, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.u = s2.u
+           WHERE e.t = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 24 HOURS GROUP BY 1),
+    c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2,
+                 (SELECT count(*) FROM s3) AS c3)
+"""
+
 ORACLES["funnel_counts"] = _FUNNEL_STEP_CTES + """
     SELECT step, step_idx, n_users, conv_from_first_bp, conv_from_prev_bp
     FROM (
@@ -540,6 +575,28 @@ ORACLES["funnel_counts"] = _FUNNEL_STEP_CTES + """
       FROM c
     )
 """
+
+ORACLES["funnel_windowed"] = _FUNNEL_WINDOWED_CTES + """
+    SELECT step, step_idx, n_users, conv_from_first_bp, conv_from_prev_bp
+    FROM (
+      SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_idx,
+             CAST(c1 AS BIGINT) AS n_users,
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c1 // c1 ELSE 0 END AS BIGINT) AS conv_from_first_bp,
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c1 // c1 ELSE 0 END AS BIGINT) AS conv_from_prev_bp
+      FROM c
+      UNION ALL
+      SELECT 'click', CAST(2 AS BIGINT), CAST(c2 AS BIGINT),
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c2 // c1 ELSE 0 END AS BIGINT),
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c2 // c1 ELSE 0 END AS BIGINT)
+      FROM c
+      UNION ALL
+      SELECT 'purchase', CAST(3 AS BIGINT), CAST(c3 AS BIGINT),
+             CAST(CASE WHEN c1 > 0 THEN 10000 * c3 // c1 ELSE 0 END AS BIGINT),
+             CAST(CASE WHEN c2 > 0 THEN 10000 * c3 // c2 ELSE 0 END AS BIGINT)
+      FROM c
+    )
+"""
+
 
 ORACLES["cohort_retention"] = """
     WITH d AS (

@@ -810,3 +810,30 @@ def test_ewma_smooth_cents_hand_computed(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_funnel_max_gap_bound(spark):
+    """24h-bound funnel: a user whose click lands 25h after signup does
+    not advance, while the unbounded funnel counts them."""
+    from real_time_data_pipeline_spark.operators.aggregates import funnel_counts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        (1, "signup", t0), (1, "click", t0 + 2 * h),     # inside 24h
+        (2, "signup", t0), (2, "click", t0 + 25 * h),    # outside 24h
+        (3, "signup", t0), (3, "click", t0),             # tie: never advances
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    unbounded = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["signup", "click"]).collect()
+    }
+    bounded = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            df, ["signup", "click"], max_gap_hours=24
+        ).collect()
+    }
+    assert unbounded == {"signup": 3, "click": 2}
+    assert bounded == {"signup": 3, "click": 1}
