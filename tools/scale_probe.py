@@ -131,6 +131,14 @@ def main() -> int:
             def run_hash_embed():
                 return text.hash_embed(docs).count()
 
+            def run_step_provenance():
+                return curation.step_provenance(
+                    docs.select("doc_id"), 8, 32
+                ).count()
+
+            def run_curriculum():
+                return curation.curriculum_phases(docs, 2048).count()
+
             def run_bloom():
                 # fixed-size benchmark (replica 0's bench-source docs):
                 # probe cost should scale with the corpus, build is constant
@@ -153,7 +161,11 @@ def main() -> int:
                 ("editdistance_pairs", run_editdistance),
                 ("hash_embed", run_hash_embed),
                 ("bloom_decontaminate", run_bloom),
+                ("step_provenance", run_step_provenance),
+                ("curriculum_phases", run_curriculum),
             ]:
+                from real_time_data_pipeline_spark.operators import cache
+                cache.release_all()
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 wall, rows = timed(fn)
