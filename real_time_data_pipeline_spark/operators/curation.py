@@ -1049,3 +1049,93 @@ def curriculum_phases(
         .cast("bigint")
         .alias("phase"),
     )
+
+
+def scrub_dup_spans(
+    df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (the transform, not
+    just the diagnostic): every corpus-wide duplicated n-token span
+    keeps only its FIRST occurrence (global (doc_id, slot) order) and
+    every token covered by a later occurrence is deleted from the
+    emitted text.  This is the Lee-et-al-2022-shaped "deduplicate the
+    training text itself" pass — dup_span_stats measures the overlap,
+    this produces the cleaned corpus.  (Reference pipelines use a
+    suffix array over the whole corpus; the n-gram-keyed form is the
+    shared-nothing Spark equivalent — exact for spans >= n tokens at
+    the cost of n-grams instead of maximal substrings.)
+
+    Plan: one explode to (id, slot, gram) occurrences; global first
+    occurrence per gram via a hash-aggregate ``min(struct(id, slot))``
+    (map-side combined — NO window over gram partitions, so a
+    degenerate gram that occurs millions of times costs a combine, not
+    a single-task sort); later occurrences join back (gram-keyed),
+    explode to covered token positions, anti-join against the token
+    list, and per-doc reassembly sorts each doc's kept (pos, tok)
+    structs — bounded by document length.  All shuffles carry
+    occurrence/token grain, never quadratic pairs.
+
+    Returns (id, n_tokens, n_kept, n_removed, scrub_text).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
+    )
+    occ = (
+        base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
+                    ),
+                    lambda s: F.struct(
+                        s.alias("slot"),
+                        F.concat_ws(" ", F.slice("toks", s + 1, n)).alias(
+                            "gram"
+                        ),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("id", F.col("o.slot").alias("slot"), F.col("o.gram").alias("gram"))
+    )
+    first = occ.groupBy("gram").agg(
+        F.min(F.struct(F.col("id"), F.col("slot"))).alias("f")
+    )
+    dup = (
+        occ.join(first, "gram")
+        .filter(F.struct(F.col("id"), F.col("slot")) != F.col("f"))
+        .select("id", "slot")
+    )
+    covered = dup.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("slot"), F.col("slot") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokpos = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ks"))
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform("ks", lambda s: s["tok"])
+            ).alias("scrub_text"),
+            F.size("ks").cast("bigint").alias("n_kept"),
+        )
+    )
+    stats = base.select("id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return stats.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
+    )

@@ -100,6 +100,7 @@ _R4_PRIORITY = [
     "step_provenance",      # training step -> doc ids over det. shuffle
     "curriculum_phases",    # quality-ordered token-budget phases
     "funnel_windowed",      # time-bound funnel (24h step gap)
+    "dedup_span_scrub",     # ExactSubstr-style duplicated-span removal
 ]
 
 

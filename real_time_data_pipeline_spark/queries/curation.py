@@ -139,6 +139,14 @@ def q_step_provenance(spark, sf_dir):
     )
 
 
+def q_dedup_span_scrub(spark, sf_dir):
+    """Duplicated-span removal (operators/curation.scrub_dup_spans,
+    4-gram spans matching corpus_dup_spans' grain): the cleaned text a
+    ExactSubstr-style pass ships — later occurrences of any duplicated
+    span deleted, first occurrence kept."""
+    return curation.scrub_dup_spans(_docs(spark, sf_dir), n=DUP_SPAN_N)
+
+
 def q_curriculum_phases(spark, sf_dir):
     """Quality-ordered curriculum schedule with a 2048-token phase
     budget (operators/curation.curriculum_phases) — global prefix sum
@@ -163,6 +171,7 @@ QUERIES = {
     "group_split": q_group_split,
     "step_provenance": q_step_provenance,
     "curriculum_phases": q_curriculum_phases,
+    "dedup_span_scrub": q_dedup_span_scrub,
 }
 
 
@@ -299,6 +308,47 @@ _SHUFFLE_ORACLE = f"""
              ORDER BY {_LEHMER_KEY}, doc_id
            ) - 1 AS BIGINT) AS pos_in_shard
     FROM documents
+"""
+
+_SCRUB_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, u.s AS slot,
+             array_to_string(toks[u.s+1:u.s+{DUP_SPAN_N}], ' ') AS gram
+      FROM t, LATERAL (
+        SELECT unnest(range(0, greatest(len(toks)-{DUP_SPAN_N},0)+1)) AS s
+      ) u
+    ),
+    fst AS (SELECT gram, min(row(doc_id, slot)) AS f FROM occ GROUP BY gram),
+    dup AS (
+      SELECT o.doc_id, o.slot FROM occ o JOIN fst fi ON o.gram = fi.gram
+      WHERE row(o.doc_id, o.slot) != fi.f
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM dup, LATERAL (
+        SELECT unnest(range(slot, slot+{DUP_SPAN_N})) AS p
+      ) u
+    ),
+    tp AS (
+      SELECT doc_id, u.pos - 1 AS pos, toks[u.pos] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS pos) u
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+      LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+      WHERE cov.pos IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrub_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(reb.scrub_text, '') AS scrub_text
+    FROM t LEFT JOIN reb USING (doc_id)
 """
 
 _PROVENANCE_ORACLE = f"""
@@ -450,6 +500,7 @@ ORACLES = {
     "dataset_shuffle": _SHUFFLE_ORACLE,
     "doc_quality": _doc_quality_oracle(),
     "step_provenance": _PROVENANCE_ORACLE,
+    "dedup_span_scrub": _SCRUB_ORACLE,
     "curriculum_phases": _curriculum_oracle(),
     "corpus_dup_spans": _DUP_SPAN_ORACLE,
     "source_profile": _SOURCE_PROFILE_ORACLE,

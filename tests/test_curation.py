@@ -588,3 +588,32 @@ def test_publish_clean_corpus_contract_lineage_layout(spark, tmp_path):
     bad = docs.select("doc_id", "source")
     with pytest.raises(ValueError, match="break"):
         publish_clean_corpus(bad, verdicts, out)
+
+
+def test_scrub_dup_spans_keeps_first_occurrence(spark):
+    """doc1 owns the span; doc2's copy is deleted; unique text survives;
+    a doc duplicating its own span loses the second copy."""
+    from real_time_data_pipeline_spark.operators.curation import scrub_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one"),
+            (2, "intro alpha beta gamma delta outro words"),
+            (3, "self same span here self same span here"),
+            (4, "totally fresh text nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_dup_spans(df, n=4).collect()}
+    # doc1 first occurrence of 'alpha beta gamma delta' -> untouched
+    assert rows[1]["scrub_text"] == "alpha beta gamma delta unique one"
+    assert rows[1]["n_removed"] == 0
+    # doc2's copy removed, surrounding tokens kept
+    assert rows[2]["scrub_text"] == "intro outro words"
+    assert rows[2]["n_removed"] == 4
+    # within-doc repeat: second 'self same span here' removed
+    assert rows[3]["scrub_text"] == "self same span here"
+    assert rows[3]["n_removed"] == 4
+    # untouched doc
+    assert rows[4]["n_removed"] == 0
+    assert rows[4]["scrub_text"] == "totally fresh text nothing shared"
