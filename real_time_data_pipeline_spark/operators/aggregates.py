@@ -953,3 +953,49 @@ def merge_monthly_rollup(
             ),
         )
     )
+
+
+def value_trend(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    x0: str = "2024-01-01",
+) -> DataFrame:
+    """Per-key linear trend (least-squares slope) of value over time,
+    in basis points of cents/day — the "is this account's activity
+    growing or decaying" feature behind churn/health scoring.
+
+    Deterministic across engines: with x = day offset from ``x0`` and
+    y = integer cents, slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is an
+    exact-BIGINT-over-exact-BIGINT division; both engines convert the
+    same integers to double and floor the same quotient.  (The slope
+    is shift-invariant in x; ``x0`` only keeps the integer partials
+    small — keep it within a few decades of the data so the ×1e4
+    numerator stays under 2^63.)  Keys with fewer than 2 distinct days
+    have zero x-variance and emit NULL slope.
+
+    One hash aggregate, map-side combined — the cheapest possible
+    plan; no window, no join.
+    """
+    from real_time_data_pipeline_spark.functions import stable
+
+    x = F.datediff(F.to_date(ts_col), F.lit(x0).cast("date")).cast("bigint")
+    y = F.expr(stable.cents_sql(value_col))
+    ok = y.isNotNull()
+    agg = df.filter(ok).groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    den = F.col("n_points") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = F.col("n_points") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    return agg.select(
+        key_col,
+        "n_points",
+        F.when(den > 0, F.floor(F.lit(10_000) * num / den))
+        .cast("bigint")
+        .alias("slope_bp"),
+    )

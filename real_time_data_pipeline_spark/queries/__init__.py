@@ -101,6 +101,7 @@ _R4_PRIORITY = [
     "curriculum_phases",    # quality-ordered token-budget phases
     "funnel_windowed",      # time-bound funnel (24h step gap)
     "dedup_span_scrub",     # ExactSubstr-style duplicated-span removal
+    "value_trend",          # exact-integer least-squares slope per key
 ]
 
 

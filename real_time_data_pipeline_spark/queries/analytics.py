@@ -277,6 +277,15 @@ def q_funnel_windowed(spark, sf_dir):
     )
 
 
+def q_value_trend(spark, sf_dir):
+    """Per-user least-squares value trend in bp of cents/day
+    (operators/aggregates.value_trend) — exact integer partials, one
+    hash aggregate."""
+    from real_time_data_pipeline_spark.operators.aggregates import value_trend
+
+    return value_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_cohort_retention(spark, sf_dir):
     """First-active-day cohorts × day-offset return counts."""
     from real_time_data_pipeline_spark.operators.aggregates import cohort_retention
@@ -370,6 +379,7 @@ QUERIES = {
     "rolling_7d_value": q_rolling_7d_value,
     "funnel_counts": q_funnel_counts,
     "funnel_windowed": q_funnel_windowed,
+    "value_trend": q_value_trend,
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
@@ -553,6 +563,27 @@ _FUNNEL_WINDOWED_CTES = """
     c AS (SELECT (SELECT count(*) FROM s1) AS c1,
                  (SELECT count(*) FROM s2) AS c2,
                  (SELECT count(*) FROM s3) AS c3)
+"""
+
+ORACLES["value_trend"] = """
+    WITH a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_points,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM (
+        SELECT user_id,
+               CAST(datediff('day', DATE '2024-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+      ) GROUP BY 1
+    )
+    SELECT user_id, n_points,
+           CASE WHEN n_points * sxx - sx * sx > 0
+                THEN CAST(FLOOR(10000 * (n_points * sxy - sx * sy)
+                                / (n_points * sxx - sx * sx)) AS BIGINT)
+           END AS slope_bp
+    FROM a
 """
 
 ORACLES["funnel_counts"] = _FUNNEL_STEP_CTES + """

@@ -837,3 +837,25 @@ def test_funnel_max_gap_bound(spark):
     }
     assert unbounded == {"signup": 3, "click": 2}
     assert bounded == {"signup": 3, "click": 1}
+
+
+def test_value_trend_exact_slope(spark):
+    """y = 100 + 50x cents over days 0..2 -> slope 50 cents/day =
+    500000 bp; constant series -> slope 0; single day -> NULL."""
+    from real_time_data_pipeline_spark.operators.aggregates import value_trend
+
+    d = datetime.date(2024, 1, 1)
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 1.00),
+        (1, datetime.datetime(2024, 1, 2), 1.50),
+        (1, datetime.datetime(2024, 1, 3), 2.00),
+        (2, datetime.datetime(2024, 1, 1), 5.00),
+        (2, datetime.datetime(2024, 1, 2), 5.00),
+        (3, datetime.datetime(2024, 1, 5), 7.00),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["user_id"]: (r["n_points"], r["slope_bp"])
+        for r in value_trend(df, x0=str(d)).collect()
+    }
+    assert got == {1: (3, 500_000), 2: (2, 0), 3: (1, None)}
