@@ -102,6 +102,7 @@ _R4_PRIORITY = [
     "funnel_windowed",      # time-bound funnel (24h step gap)
     "dedup_span_scrub",     # ExactSubstr-style duplicated-span removal
     "value_trend",          # exact-integer least-squares slope per key
+    "stream_rollup_incremental",  # streaming A7 maintenance, same oracle
 ]
 
 

@@ -250,6 +250,62 @@ def q_rollup_incremental(spark, sf_dir):
     )
 
 
+def q_stream_rollup_incremental(spark, sf_dir):
+    """Streaming A7 maintenance — the third evidence layer on the same
+    full-recompute oracle as `monthly_rollup`/`rollup_incremental`: the
+    pre-cutoff rollup is the seeded state, post-cutoff events ARRIVE AS
+    A STREAM, and every micro-batch folds into the state via
+    merge_monthly_rollup (associative partials, so any batch split
+    yields the identical final table).  State is materialized at
+    ROLLUP grain between batches (|months × keys| rows — bounded;
+    the production shape upserts the same partials into the warehouse
+    table instead of holding them on the driver)."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        merge_monthly_rollup,
+        monthly_rollup,
+    )
+
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", F.expr(cents_sql("value")).alias("cents")
+    )
+    state = monthly_rollup(
+        ev.filter(F.col("ts") < cutoff), "ts", "user_id", "cents"
+    )
+    holder = {"state": state}
+
+    def fold(batch, _i):
+        inc = batch.filter(F.col("ts") >= cutoff).select(
+            "user_id", "ts", F.expr(cents_sql("value")).alias("cents")
+        )
+        merged = merge_monthly_rollup(
+            holder["state"], inc, "ts", "user_id", "cents"
+        )
+        # materialize between batches: bounds plan depth AND models the
+        # warehouse-table handoff a production maintainer performs
+        holder["state"] = spark.createDataFrame(
+            merged.collect(), merged.schema
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return holder["state"].select(
+        "year",
+        "month",
+        "user_id",
+        "transaction_count",
+        "value_count",
+        F.col("total_amount").cast("bigint").alias("total_cents"),
+        F.col("avg_amount").alias("avg_cents"),
+    )
+
+
 def q_session_agg(spark, sf_dir):
     """N5: session windows (30 min gap) per user via built-in
     session_window; money-stable sum."""
@@ -374,6 +430,7 @@ QUERIES = {
     "self_join": q_self_join,
     "monthly_rollup": q_monthly_rollup,
     "rollup_incremental": q_rollup_incremental,
+    "stream_rollup_incremental": q_stream_rollup_incremental,
     "session_agg": q_session_agg,
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
@@ -522,7 +579,8 @@ ORACLES = {
         FROM events GROUP BY 1,2,3
     """,
     # FULL recompute — the Spark side merges an increment into a prior
-    # rollup, so hash equality proves incremental == full.
+    # rollup (batch) or folds streamed micro-batches into seeded state
+    # (streaming twin), so hash equality proves incremental == full.
     "rollup_incremental": f"""
         SELECT year(ts) AS year, month(ts) AS month, user_id,
                count(*) AS transaction_count,
@@ -645,6 +703,9 @@ from real_time_data_pipeline_spark.functions.stable import (  # noqa: E402
     avg_money_sql,
     sum_money_sql,
 )
+
+# streaming fold of micro-batches == batch merge == full recompute
+ORACLES["stream_rollup_incremental"] = ORACLES["rollup_incremental"]
 
 ORACLES["stream_windowed_agg"] = f"""
     SELECT
