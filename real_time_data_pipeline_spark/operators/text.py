@@ -934,3 +934,65 @@ def hash_embed(
     return vec.select(
         F.col(id_col), unit.alias("embedding"), "n_tokens"
     )
+
+
+def build_search_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the inverted index as parquet partitioned by a term-hash
+    bucket — the text twin of similarity.ivf_index_build: a query
+    hashes its terms to bucket ids and reads ONLY those partitions
+    (partition pruning), so serving cost scales with the query's
+    postings, never the corpus.  ``repartition("bucket")`` keeps file
+    count tracking bucket count rather than tasks × buckets.
+
+    Bucket id = pmod(xxhash64(term), n_buckets) — computed by the SAME
+    engine at build and query time, so there is no cross-language hash
+    skew to manage.
+    """
+    idx = inverted_index(df, id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    idx.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def search_index_query(
+    spark,
+    path: str,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Conjunctive search against a :func:`build_search_index` artifact.
+
+    The query terms' bucket ids are resolved with one |terms|-row Spark
+    job (same xxhash64 as the build — never re-implemented driver-side),
+    then the index read carries BOTH the bucket filter (partition
+    pruning: only the terms' directories are listed/read) and the term
+    filter (row pruning inside those buckets).  Ranking semantics are
+    identical to :func:`conjunctive_search` — hash-equal results, index
+    path vs direct path.
+    """
+    lowered = [t.lower() for t in terms]
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in lowered], "term string"
+        )
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(lowered))
+    )
+    return conjunctive_search(idx, lowered, id_col, k)

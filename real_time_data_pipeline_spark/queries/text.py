@@ -438,6 +438,26 @@ def q_keyword_search(spark, sf_dir):
 
 QUERIES["keyword_search"] = q_keyword_search
 
+
+def q_keyword_search_indexed(spark, sf_dir):
+    """Same conjunctive search served from the PERSISTED bucket-
+    partitioned index (operators/text.build_search_index /
+    search_index_query): query terms hash to bucket ids, the read
+    prunes to those partitions, ranking identical to the direct path —
+    same oracle, hash-equal."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"search_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    T.build_search_index(_docs(spark, sf_dir), path)
+    return T.search_index_query(spark, path, SEARCH_TERMS, k=SEARCH_K)
+
+
+QUERIES["keyword_search_indexed"] = q_keyword_search_indexed
+
 ORACLES["keyword_search"] = f"""
     WITH toks AS (
       SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
@@ -452,6 +472,9 @@ ORACLES["keyword_search"] = f"""
     ORDER BY tf_sum DESC, doc_id
     LIMIT {SEARCH_K}
 """
+
+# index path == direct path: same ranking semantics, same oracle
+ORACLES["keyword_search_indexed"] = ORACLES["keyword_search"]
 
 
 BPE_N_MERGES = 10

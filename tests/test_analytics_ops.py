@@ -859,3 +859,30 @@ def test_value_trend_exact_slope(spark):
         for r in value_trend(df, x0=str(d)).collect()
     }
     assert got == {1: (3, 500_000), 2: (2, 0), 3: (1, None)}
+
+
+def test_search_index_matches_direct_and_prunes(spark, tmp_path):
+    """Persisted bucket-partitioned index returns exactly the direct
+    conjunctive_search results, and the read is partition-pruned to the
+    query terms' buckets."""
+    from real_time_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine spark shuffle"),
+            (2, "engine room"),
+            (3, "spark engine engine"),
+            (4, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sidx")
+    T.build_search_index(df, path, n_buckets=16)
+    direct = T.conjunctive_search(T.inverted_index(df), ["spark", "engine"], k=10)
+    indexed = T.search_index_query(spark, path, ["spark", "engine"], k=10, n_buckets=16)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in direct.collect()]
+    # docs 1 and 3 contain both terms; tf_sum 3 each -> id tiebreak
+    assert [r["doc_id"] for r in indexed.collect()] == [1, 3]
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0] and "PartitionFilters: []" not in pf[0]
