@@ -996,3 +996,61 @@ def search_index_query(
         .filter(F.col("term").isin(lowered))
     )
     return conjunctive_search(idx, lowered, id_col, k)
+
+
+def source_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-distribution divergence vs the whole corpus —
+    the "which source's language deviates most" triage that feeds
+    mixture-rate decisions.  For each source s,
+
+        excess_bits(s) = Σ_t cf_st · (info_corpus(t) − info_source(s,t))
+        mean_excess_bp(s) = floor(1e4 · excess_bits / T_s)
+
+    with info = floor(log2(total DIV cf)) in dyadic integer bits (the
+    same engine-exact ``bin``-length trick as unigram_surprisal, so the
+    oracle hashes identically).  Positive mean = the source concentrates
+    on globally-rare tokens (its own code length beats the corpus
+    model's); negative = it leans on globally-common tokens.  A dyadic
+    integer KL proxy, not exact KL — documented, deterministic,
+    cross-engine.
+
+    Plan: one token explode feeds all four aggregates (corpus term
+    counts, corpus total, per-source term counts, per-source totals);
+    the join back is term-keyed (vocab-bounded) and the final rollup is
+    source-keyed (tiny).  No window, no pairwise anything.
+    """
+    ex = cache.track(
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+    )
+    cf = ex.groupBy("term").agg(F.count("*").cast("bigint").alias("cf"))
+    tot = ex.agg(F.count("*").cast("bigint").alias("total_toks"))
+    scf = ex.groupBy("src", "term").agg(
+        F.count("*").cast("bigint").alias("scf")
+    )
+    stot = ex.groupBy("src").agg(F.count("*").cast("bigint").alias("stotal"))
+    joined = (
+        scf.join(cf, "term")
+        .join(F.broadcast(stot), "src")
+        .crossJoin(F.broadcast(tot))
+    )
+    icorp = _dyadic_log2("total_toks DIV cf")
+    isrc = _dyadic_log2("stotal DIV scf")
+    contrib = (F.col("scf") * (icorp - isrc)).cast("bigint")
+    return (
+        joined.select("src", F.col("stotal"), contrib.alias("_c"))
+        .groupBy(F.col("src").alias(source_col))
+        .agg(
+            F.max("stotal").cast("bigint").alias("n_tokens"),
+            F.sum("_c").cast("bigint").alias("excess_bits"),
+            F.floor(F.lit(10_000) * F.sum("_c") / F.max("stotal"))
+            .cast("bigint")
+            .alias("mean_excess_bp"),
+        )
+    )

@@ -436,6 +436,42 @@ def q_keyword_search(spark, sf_dir):
     return T.conjunctive_search(idx, SEARCH_TERMS, k=SEARCH_K)
 
 
+def q_source_divergence(spark, sf_dir):
+    """Per-source dyadic-bits divergence from the corpus unigram model
+    (operators/text.source_divergence)."""
+    return T.source_divergence(_docs(spark, sf_dir))
+
+
+QUERIES["source_divergence"] = q_source_divergence
+
+ORACLES["source_divergence"] = f"""
+    WITH ex AS (
+      SELECT source AS src, unnest({DUCK_TOKENS}) AS term FROM documents
+    ), cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf FROM ex GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_toks FROM ex
+    ), scf AS (
+      SELECT src, term, CAST(count(*) AS BIGINT) AS scf
+      FROM ex GROUP BY 1, 2
+    ), stot AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS stotal FROM ex GROUP BY 1
+    ), j AS (
+      SELECT s.src, st.stotal,
+             CAST(s.scf * ({_dyadic_log2_sql('total_toks // cf')}
+                  - {_dyadic_log2_sql('stotal // scf')}) AS BIGINT) AS c
+      FROM scf s JOIN cf ON s.term = cf.term
+      JOIN stot st ON s.src = st.src CROSS JOIN tot
+    )
+    SELECT src AS source,
+           CAST(MAX(stotal) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS excess_bits,
+           CAST(FLOOR(10000 * CAST(SUM(c) AS BIGINT) / MAX(stotal))
+                AS BIGINT) AS mean_excess_bp
+    FROM j GROUP BY 1
+"""
+
+
 QUERIES["keyword_search"] = q_keyword_search
 
 
