@@ -1139,3 +1139,94 @@ def scrub_dup_spans(
         .alias("n_removed"),
         F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
     )
+
+
+def scrub_contaminated_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination TRANSFORM — the removal counterpart of
+    :func:`decontaminate` (which only flags): every n-token span of the
+    corpus that also appears in the benchmark set is deleted from the
+    emitted text, so a partially-contaminated document keeps its clean
+    remainder instead of being dropped whole (the higher-yield policy
+    when contamination is a few quoted lines inside a long doc).
+
+    Unlike :func:`scrub_dup_spans` there is no first-occurrence
+    exemption — EVERY occurrence of a benchmark gram is removed.  The
+    benchmark's distinct gram set is the only broadcast-scale artifact;
+    the corpus pays one occurrence explode, one gram-keyed join, one
+    anti-join, one per-doc reassembly.
+
+    Returns (id, n_tokens, n_kept, n_removed, scrub_text).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
+    )
+    occ = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
+                ),
+                lambda s: F.struct(
+                    s.alias("slot"),
+                    F.concat_ws(" ", F.slice("toks", s + 1, n)).alias("gram"),
+                ),
+            )
+        ).alias("o"),
+    ).select("id", F.col("o.slot").alias("slot"), F.col("o.gram").alias("gram"))
+    bgrams = (
+        bench.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(
+                                F.size(tokens_col(text_col)) - n, F.lit(0)
+                            ),
+                        ),
+                        lambda s: F.concat_ws(
+                            " ", F.slice(tokens_col(text_col), s + 1, n)
+                        ),
+                    )
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    hit = occ.join(bgrams, "gram").select("id", "slot")
+    covered = hit.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("slot"), F.col("slot") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokpos = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ks"))
+        .select(
+            "id",
+            F.concat_ws(" ", F.transform("ks", lambda s: s["tok"])).alias(
+                "scrub_text"
+            ),
+            F.size("ks").cast("bigint").alias("n_kept"),
+        )
+    )
+    stats = base.select("id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return stats.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
+    )

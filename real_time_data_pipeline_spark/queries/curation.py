@@ -147,6 +147,18 @@ def q_dedup_span_scrub(spark, sf_dir):
     return curation.scrub_dup_spans(_docs(spark, sf_dir), n=DUP_SPAN_N)
 
 
+def q_decontaminate_scrub(spark, sf_dir):
+    """Span-level decontamination transform
+    (operators/curation.scrub_contaminated_spans): the non-benchmark
+    corpus with every benchmark-overlapping 4-gram span removed
+    (4-gram grain matches corpus_dup_spans — collisions exist at this
+    SF, so both the removal and pass-through branches execute)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    corpus = docs.filter(docs.source != BENCH_SOURCE)
+    return curation.scrub_contaminated_spans(corpus, bench, n=DUP_SPAN_N)
+
+
 def q_curriculum_phases(spark, sf_dir):
     """Quality-ordered curriculum schedule with a 2048-token phase
     budget (operators/curation.curriculum_phases) — global prefix sum
@@ -172,6 +184,7 @@ QUERIES = {
     "step_provenance": q_step_provenance,
     "curriculum_phases": q_curriculum_phases,
     "dedup_span_scrub": q_dedup_span_scrub,
+    "decontaminate_scrub": q_decontaminate_scrub,
 }
 
 
@@ -351,6 +364,55 @@ _SCRUB_ORACLE = f"""
     FROM t LEFT JOIN reb USING (doc_id)
 """
 
+_DECONTAM_SCRUB_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+      WHERE source != '{BENCH_SOURCE}'
+    ),
+    bg AS (
+      SELECT DISTINCT
+             array_to_string(toks[u.s+1:u.s+{DUP_SPAN_N}], ' ') AS gram
+      FROM (SELECT {DUCK_TOKENS} AS toks FROM documents
+            WHERE source = '{BENCH_SOURCE}') b,
+      LATERAL (
+        SELECT unnest(range(0, greatest(len(toks)-{DUP_SPAN_N},0)+1)) AS s
+      ) u
+    ),
+    occ AS (
+      SELECT doc_id, u.s AS slot,
+             array_to_string(toks[u.s+1:u.s+{DUP_SPAN_N}], ' ') AS gram
+      FROM corpus, LATERAL (
+        SELECT unnest(range(0, greatest(len(toks)-{DUP_SPAN_N},0)+1)) AS s
+      ) u
+    ),
+    hit AS (SELECT o.doc_id, o.slot FROM occ o JOIN bg ON o.gram = bg.gram),
+    cov AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM hit, LATERAL (
+        SELECT unnest(range(slot, slot+{DUP_SPAN_N})) AS p
+      ) u
+    ),
+    tp AS (
+      SELECT doc_id, u.pos - 1 AS pos, toks[u.pos] AS tok
+      FROM corpus, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS pos) u
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+      LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+      WHERE cov.pos IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrub_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(c.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(reb.scrub_text, '') AS scrub_text
+    FROM corpus c LEFT JOIN reb USING (doc_id)
+"""
+
 _PROVENANCE_ORACLE = f"""
     WITH sh AS ({_SHUFFLE_ORACLE.replace('doc_id,', 'doc_id,', 1)}),
     sizes AS (SELECT shard, count(*) AS n FROM sh GROUP BY 1),
@@ -501,6 +563,7 @@ ORACLES = {
     "doc_quality": _doc_quality_oracle(),
     "step_provenance": _PROVENANCE_ORACLE,
     "dedup_span_scrub": _SCRUB_ORACLE,
+    "decontaminate_scrub": _DECONTAM_SCRUB_ORACLE,
     "curriculum_phases": _curriculum_oracle(),
     "corpus_dup_spans": _DUP_SPAN_ORACLE,
     "source_profile": _SOURCE_PROFILE_ORACLE,

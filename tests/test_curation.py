@@ -617,3 +617,31 @@ def test_scrub_dup_spans_keeps_first_occurrence(spark):
     # untouched doc
     assert rows[4]["n_removed"] == 0
     assert rows[4]["scrub_text"] == "totally fresh text nothing shared"
+
+
+def test_scrub_contaminated_spans_removes_all_occurrences(spark):
+    from real_time_data_pipeline_spark.operators.curation import (
+        scrub_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the exact eval question here")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro the exact eval question here outro"),
+            # contaminated span twice -> both removed (no first-occurrence pass)
+            (2, "the exact eval question and the exact eval question"),
+            (3, "totally clean document text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in scrub_contaminated_spans(corpus, bench, n=4).collect()
+    }
+    assert rows[1]["scrub_text"] == "intro outro"
+    # doc2: grams 'the exact eval question' at slots 0 and 5; slot 4 gram
+    # 'and the exact eval' is not a bench gram; covered = 0-3,5-8 -> 'and'
+    assert rows[2]["scrub_text"] == "and"
+    assert rows[3]["n_removed"] == 0
