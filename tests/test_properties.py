@@ -355,3 +355,85 @@ def test_lsh_tuning_recovers_package_default(spark):
     assert low["bands"] > got["bands"]
     # inflection always respects the constraint
     assert low["inflection"] <= 0.4 and got["inflection"] <= 0.8
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_dup_spans_matches_bruteforce(spark, docs):
+    """scrub_dup_spans == a direct python implementation of
+    'remove tokens covered by any non-first occurrence of a duplicated
+    n-gram' on random small corpora."""
+    from real_time_data_pipeline_spark.operators.curation import scrub_dup_spans
+
+    n = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["scrub_text"], r["n_removed"])
+        for r in scrub_dup_spans(df, n=n).collect()
+    }
+    # brute force
+    occ = []  # (doc, slot, gram)
+    toks_by_doc = {i: t for i, t in enumerate(docs)}
+    for i, toks in toks_by_doc.items():
+        for s in range(max(len(toks) - n, 0) + 1):
+            occ.append((i, s, " ".join(toks[s : s + n])))
+    first = {}
+    for i, s, g in sorted(occ):
+        first.setdefault(g, (i, s))
+    covered = {}
+    for i, s, g in occ:
+        if first[g] != (i, s):
+            for p in range(s, s + n):
+                covered.setdefault(i, set()).add(p)
+    for i, toks in toks_by_doc.items():
+        kept = [t for p, t in enumerate(toks) if p not in covered.get(i, set())]
+        assert got[i] == (" ".join(kept), len(toks) - len(kept)), (i, docs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+def test_step_provenance_is_a_bijection(spark, ids):
+    """global_index must be a permutation of 0..N-1 with consistent
+    (step, slot) decomposition, for any id set."""
+    from real_time_data_pipeline_spark.operators.curation import step_provenance
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = step_provenance(df, n_shards=4, batch_size=8).collect()
+    gi = sorted(r["global_index"] for r in rows)
+    assert gi == list(range(len(ids)))
+    for r in rows:
+        assert r["step"] == r["global_index"] // 8
+        assert r["slot"] == r["global_index"] % 8
+
+
+def test_curriculum_phases_invariants(spark):
+    """Phases follow quality-desc order; cum_tokens is the prefix sum in
+    that order; phase = (cum - n) // budget."""
+    from real_time_data_pipeline_spark.operators.curation import (
+        curriculum_phases,
+    )
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i % 5))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(
+        curriculum_phases(df, budget_tokens=16).collect(),
+        key=lambda r: (-r["quality_score"], r["doc_id"]),
+    )
+    cum = 0
+    prev_phase = 0
+    for r in rows:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["phase"] == (cum - r["n_tokens"]) // 16
+        assert r["phase"] >= prev_phase
+        prev_phase = r["phase"]
