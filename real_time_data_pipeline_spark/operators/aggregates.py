@@ -999,3 +999,54 @@ def value_trend(
         .cast("bigint")
         .alias("slope_bp"),
     )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season_days: int = 7,
+) -> DataFrame:
+    """Forecast-baseline audit: score the seasonal-naive predictor
+    (tomorrow == same day last week) per key, as integer-cents WAPE —
+    the sanity floor every real forecasting model must beat, and a
+    cheap drift signal when a stable series' WAPE jumps.
+
+    Daily totals (integer cents) self-join on (key, day − season): only
+    days with both an actual and a lagged observation score.  WAPE =
+    floor(1e4 · Σ|actual − forecast| / Σ|actual|), NULL when the actual
+    mass is zero.  Two hash aggregates + one co-partitioned equi-join —
+    both sides keyed on the key column, no window over unbounded
+    partitions.
+    """
+    from real_time_data_pipeline_spark.functions import stable
+
+    daily = df.groupBy(
+        F.col(key_col).alias("k"), F.to_date(ts_col).alias("day")
+    ).agg(F.sum(F.expr(stable.cents_sql(value_col))).alias("cents"))
+    lagged = daily.select(
+        F.col("k"),
+        F.date_add("day", season_days).alias("day"),
+        F.col("cents").alias("fcast"),
+    )
+    scored = daily.join(lagged, ["k", "day"])
+    return (
+        scored.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored_days"),
+            F.sum(F.abs(F.col("cents") - F.col("fcast")))
+            .cast("bigint")
+            .alias("abs_err_cents"),
+            F.when(
+                F.sum(F.abs("cents")) > 0,
+                F.floor(
+                    F.lit(10_000)
+                    * F.sum(F.abs(F.col("cents") - F.col("fcast")))
+                    / F.sum(F.abs("cents"))
+                ),
+            )
+            .cast("bigint")
+            .alias("wape_bp"),
+        )
+    )

@@ -286,6 +286,16 @@ def q_value_trend(spark, sf_dir):
     return value_trend(load_table(spark, sf_dir, "events"))
 
 
+def q_seasonal_naive_error(spark, sf_dir):
+    """Per-user WAPE of the same-day-last-week forecast baseline
+    (operators/aggregates.seasonal_naive_error)."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        seasonal_naive_error,
+    )
+
+    return seasonal_naive_error(load_table(spark, sf_dir, "events"))
+
+
 def q_cohort_retention(spark, sf_dir):
     """First-active-day cohorts × day-offset return counts."""
     from real_time_data_pipeline_spark.operators.aggregates import cohort_retention
@@ -380,6 +390,7 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "funnel_windowed": q_funnel_windowed,
     "value_trend": q_value_trend,
+    "seasonal_naive_error": q_seasonal_naive_error,
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
@@ -563,6 +574,26 @@ _FUNNEL_WINDOWED_CTES = """
     c AS (SELECT (SELECT count(*) FROM s1) AS c1,
                  (SELECT count(*) FROM s2) AS c2,
                  (SELECT count(*) FROM s3) AS c3)
+"""
+
+ORACLES["seasonal_naive_error"] = """
+    WITH daily AS (
+      SELECT user_id AS k, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             sum(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a.k, a.cents, b.cents AS fcast
+      FROM daily a JOIN daily b ON a.k = b.k AND a.day = b.day + 7
+    )
+    SELECT k AS user_id,
+           CAST(count(*) AS BIGINT) AS n_scored_days,
+           CAST(sum(abs(cents - fcast)) AS BIGINT) AS abs_err_cents,
+           CASE WHEN sum(abs(cents)) > 0
+                THEN CAST(FLOOR(10000 * sum(abs(cents - fcast))
+                                / sum(abs(cents))) AS BIGINT)
+           END AS wape_bp
+    FROM scored GROUP BY 1
 """
 
 ORACLES["value_trend"] = """
