@@ -899,3 +899,59 @@ def lsh_tuning(
         best = min(cands, key=lambda c: c["p_miss_at_threshold"])
         best["meets_miss_target"] = False
     return best
+
+
+def source_dup_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix — the corpus-governance
+    table behind licensing/provenance questions ("how much of source B
+    is already in source A?"): for every ordered source pair (a, b),
+    the number and share of b's documents whose normalized-text hash
+    also occurs in a.
+
+    The only corpus-scale artifacts are the (source, hash) projection
+    and its distinct form; the pair join is hash-keyed (duplicate-
+    bounded), and the output is |sources|² rows.  Uses the same
+    sha256(normalized text) key as the exact-dedup verdict, so the
+    matrix is consistent with `near_dup_verdicts.is_exact_dup`.
+    """
+    h = df.select(
+        F.col(source_col).alias("src"),
+        F.col(id_col).alias("id"),
+        F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256).alias("h"),
+    )
+    totals = h.groupBy("src").agg(F.count("*").cast("bigint").alias("n_docs"))
+    hashes = h.select("src", "h").distinct()
+    hits = (
+        h.alias("b")
+        .join(
+            hashes.alias("a"),
+            (F.col("b.h") == F.col("a.h")) & (F.col("b.src") != F.col("a.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_dup_docs"))
+    )
+    grid = (
+        totals.select(F.col("src").alias("source_a"))
+        .crossJoin(
+            totals.select(F.col("src").alias("source_b"), "n_docs")
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    return grid.join(hits, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.col("n_docs").alias("n_docs_b"),
+        F.coalesce("n_dup_docs", F.lit(0)).cast("bigint").alias("n_dup_docs"),
+        F.floor(
+            F.lit(10_000) * F.coalesce("n_dup_docs", F.lit(0)) / F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("dup_rate_bp"),
+    )

@@ -198,6 +198,13 @@ def q_stream_dedup_incremental(spark, sf_dir):
     return spark.createDataFrame(rows, out_schema)
 
 
+def q_source_dup_matrix(spark, sf_dir):
+    """Cross-source exact-duplicate matrix
+    (operators/dedup.source_dup_matrix): per ordered source pair, how
+    many of b's docs are textual duplicates of something in a."""
+    return dedup.source_dup_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: exact 3-gram Jaccard pairs at 0.8
     resolved into connected components (large-star/small-star), every doc
@@ -236,6 +243,7 @@ QUERIES = {
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_incremental": q_dedup_incremental,
     "stream_dedup_incremental": q_stream_dedup_incremental,
+    "source_dup_matrix": q_source_dup_matrix,
 }
 
 _JACCARD_ORACLE = f"""
@@ -394,6 +402,30 @@ _INCREMENTAL_ORACLE = f"""
 """
 
 ORACLES = {
+    "source_dup_matrix": f"""
+        WITH h AS (
+          SELECT source AS src, doc_id,
+                 array_to_string({DUCK_TOKENS}, ' ') AS norm
+          FROM documents
+        ),
+        totals AS (SELECT src, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+        hashes AS (SELECT DISTINCT src, norm FROM h),
+        hits AS (
+          SELECT a.src AS source_a, b.src AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_dup_docs
+          FROM h b JOIN hashes a ON b.norm = a.norm AND b.src != a.src
+          GROUP BY 1, 2
+        )
+        SELECT g.source_a, g.source_b, t.n_docs AS n_docs_b,
+               CAST(COALESCE(hits.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+               CAST(FLOOR(10000 * COALESCE(hits.n_dup_docs, 0) / t.n_docs)
+                    AS BIGINT) AS dup_rate_bp
+        FROM (SELECT a.src AS source_a, b.src AS source_b
+              FROM totals a, totals b WHERE a.src != b.src) g
+        JOIN totals t ON g.source_b = t.src
+        LEFT JOIN hits ON g.source_a = hits.source_a
+                      AND g.source_b = hits.source_b
+    """,
     "dedup_incremental": _INCREMENTAL_ORACLE,
     # the streaming twin unions per-micro-batch probes of the same
     # persisted index — identical output, same oracle
