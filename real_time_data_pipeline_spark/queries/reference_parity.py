@@ -327,6 +327,47 @@ def q_session_agg(spark, sf_dir):
     )
 
 
+def q_stream_session_agg(spark, sf_dir):
+    """N5 executed by the STREAMING engine — the fourth streaming
+    operator class under the value-hash gate (merging session-window
+    state, vs tumbling-window aggregate / stream-static join /
+    stateless transform): 30-minute-gap sessions per user over the
+    streamed events, complete-mode foreachBatch capture (latest
+    snapshot only), hash-checked against `session_agg`'s batch
+    oracle."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("session"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(sum_money_sql("value")).alias("total_value"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    rows: list = []
+
+    def _cap(b, _i):
+        rows.clear()
+        rows.extend(b.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(_cap)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, agg.schema)
+
+
 def q_scalar_functions(spark, sf_dir):
     """F1-F11 smoke: timestamp parts, ISO formatting, concat hash
     (sha256), initcap — all cross-checkable in DuckDB."""
@@ -431,6 +472,7 @@ QUERIES = {
     "monthly_rollup": q_monthly_rollup,
     "rollup_incremental": q_rollup_incremental,
     "stream_rollup_incremental": q_stream_rollup_incremental,
+    "stream_session_agg": q_stream_session_agg,
     "session_agg": q_session_agg,
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
@@ -706,6 +748,9 @@ from real_time_data_pipeline_spark.functions.stable import (  # noqa: E402
 
 # streaming fold of micro-batches == batch merge == full recompute
 ORACLES["stream_rollup_incremental"] = ORACLES["rollup_incremental"]
+
+# streaming session-window state == batch gaps-and-islands oracle
+ORACLES["stream_session_agg"] = ORACLES["session_agg"]
 
 ORACLES["stream_windowed_agg"] = f"""
     SELECT
