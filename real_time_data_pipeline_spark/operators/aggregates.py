@@ -449,8 +449,9 @@ def scalable_running_sum(
     yields NULL+offset = NULL, which diverges from SQL when earlier
     slices held non-NULL rows — pre-filter or coalesce NULLs when SQL
     null semantics matter.  The persist of the range-partitioned input
-    (read by both the subtotal and cumsum passes) is cleared by the
-    caller/harness via ``spark.catalog.clearCache()``.
+    (read by both the subtotal and cumsum passes) is tracked via
+    operators/cache.py; callers release it with ``cache.release_all()``
+    after evaluating the result (bench.py / tools/parity.py do).
     """
     from pyspark.sql import Window
 

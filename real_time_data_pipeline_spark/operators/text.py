@@ -239,9 +239,9 @@ def oov_rate(
     membership join (tokenizer runs once).  The vocab side is
     df-thresholded and therefore vocab-bounded — AQE broadcasts it when
     it fits; the join never shuffles more than (token row, term) pairs.
-    The persist is cleared by the caller/harness via
-    ``spark.catalog.clearCache()`` (bench.py and tools/parity.py do this
-    after every query)."""
+    The persist is tracked via operators/cache.py; the caller releases
+    it with ``cache.release_all()`` after evaluating the result
+    (bench.py and tools/parity.py do, after every query)."""
     ex = cache.track(df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
     ))
@@ -311,8 +311,8 @@ def tfidf_topk(
     bm25_topk, so the two IDFs agree on multi-row-per-doc inputs;
     tokens_col never yields an empty array, so no doc vanishes).  The
     persist is cleared by the caller/harness via
-    ``spark.catalog.clearCache()`` (bench.py and tools/parity.py do this
-    after every query)."""
+    tracked via operators/cache.py — callers release with
+    ``cache.release_all()`` (bench.py and tools/parity.py do)."""
     from pyspark.sql import Window
 
     ex = cache.track(df.select(
@@ -384,8 +384,8 @@ def bm25_topk(
     single-partition global window, so a common query term whose
     candidate set is the whole corpus still never funnels through one
     task; the rank window then runs over only the k surviving rows.
-    The persist is cleared by the caller/harness via
-    ``spark.catalog.clearCache()``."""
+    The persist is tracked via operators/cache.py — callers release
+    with ``cache.release_all()``."""
     from pyspark.sql import Window
 
     ex = cache.track(df.select(
@@ -452,8 +452,8 @@ def unigram_surprisal(
     Plan: one persisted explode feeds the term-frequency aggregate
     (vocab-bounded → AQE broadcast) and the per-token membership join;
     corpus total rides a 1-row broadcast.  Two shuffles total (term agg,
-    doc agg) regardless of corpus size.  The persist is cleared by the
-    caller/harness via ``spark.catalog.clearCache()``."""
+    doc agg) regardless of corpus size.  The persist is tracked via
+    operators/cache.py — callers release with ``cache.release_all()``."""
     ex = cache.track(df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
     ))
