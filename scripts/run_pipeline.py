@@ -115,9 +115,36 @@ def cmd_batch(args) -> None:
     dag["aggregates"].orderBy(F.desc("transaction_count")).show(20, truncate=False)
 
 
+def cmd_query(args) -> None:
+    """Run any registry query by name against a testdata scale-factor
+    directory and show the result — the ad-hoc entry point a user of
+    the engine reaches for (`--name list` prints the catalog)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from real_time_data_pipeline_spark.operators import cache
+    from real_time_data_pipeline_spark.session import get_spark
+
+    qs = entrymod.queries()
+    if args.name in (None, "list"):
+        oracles = entrymod.oracle_sql()
+        for name in qs:
+            tag = "oracle" if name in oracles else "rows-only"
+            print(f"{name:32s} {tag}")
+        return
+    if args.name not in qs:
+        raise SystemExit(f"unknown query {args.name!r} — use --name list")
+    spark = get_spark("query")
+    df = qs[args.name](spark, args.sf_dir)
+    df.show(args.show, truncate=False)
+    print(f"rows: {df.count()}")
+    cache.release_all()
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["generate", "stream", "batch"], required=True)
+    p.add_argument("--mode", choices=["generate", "stream", "batch", "query"], required=True)
     p.add_argument("--data-dir", default="data/inbox")
     p.add_argument("--out-dir", default="data/out")
     p.add_argument("--num", type=int, default=1000)
@@ -129,8 +156,12 @@ def main() -> int:
     p.add_argument("--bootstrap-servers", default="localhost:9092")
     p.add_argument("--watermark", default="30 minutes")
     p.add_argument("--trigger", type=int, default=10)
+    p.add_argument("--name", default=None, help="query mode: registry query name, or 'list'")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="query mode: testdata dir")
+    p.add_argument("--show", type=int, default=20, help="query mode: rows to display")
     args = p.parse_args()
-    {"generate": cmd_generate, "stream": cmd_stream, "batch": cmd_batch}[args.mode](args)
+    {"generate": cmd_generate, "stream": cmd_stream, "batch": cmd_batch,
+     "query": cmd_query}[args.mode](args)
     return 0
 
 
