@@ -368,6 +368,44 @@ def q_stream_session_agg(spark, sf_dir):
     return spark.createDataFrame(rows, agg.schema)
 
 
+def q_stream_sliding_window_agg(spark, sf_dir):
+    """A3 executed by the streaming engine: the declared-tier sliding
+    window (1h window / 30min slide, spark_config.yml:36-37) over the
+    streamed events, complete-mode latest-snapshot capture — same
+    oracle as the batch `sliding_window_agg`."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("window"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("event_id").alias("transaction_count"),
+            F.expr(sum_money_sql("value")).alias("total_amount"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "transaction_count",
+            "total_amount",
+        )
+    )
+    rows: list = []
+
+    def _cap(b, _i):
+        rows.clear()
+        rows.extend(b.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(_cap)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, agg.schema)
+
+
 def q_scalar_functions(spark, sf_dir):
     """F1-F11 smoke: timestamp parts, ISO formatting, concat hash
     (sha256), initcap — all cross-checkable in DuckDB."""
@@ -473,6 +511,7 @@ QUERIES = {
     "rollup_incremental": q_rollup_incremental,
     "stream_rollup_incremental": q_stream_rollup_incremental,
     "stream_session_agg": q_stream_session_agg,
+    "stream_sliding_window_agg": q_stream_sliding_window_agg,
     "session_agg": q_session_agg,
     "scalar_functions": q_scalar_functions,
     "json_extract": q_json_extract,
@@ -751,6 +790,9 @@ ORACLES["stream_rollup_incremental"] = ORACLES["rollup_incremental"]
 
 # streaming session-window state == batch gaps-and-islands oracle
 ORACLES["stream_session_agg"] = ORACLES["session_agg"]
+
+# streaming sliding-window state == batch overlapping-window oracle
+ORACLES["stream_sliding_window_agg"] = ORACLES["sliding_window_agg"]
 
 ORACLES["stream_windowed_agg"] = f"""
     SELECT
