@@ -546,3 +546,81 @@ def keyframe_select(
             )
 
     return df.mapInPandas(select, KEYFRAME_SCHEMA)
+
+
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_segment", T.LongType()),
+    ]
+)
+
+
+def audio_active_segments(
+    df: DataFrame,
+    frame_samples: int = 16,
+    energy_threshold: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """VAD-shaped activity segmentation over int8 PCM bytes: the track
+    is cut into ``frame_samples``-sample frames, a frame is ACTIVE when
+    its summed |amplitude| exceeds ``energy_threshold``, and runs of
+    active frames become segments — the speech/silence gating pass an
+    audio-curation pipeline runs before transcription (here over the
+    deterministic synthetic PCM; a real VAD swaps the energy rule for a
+    model, the Spark plumbing — binary column in, Arrow-batched numpy
+    per frame, integer summary out — is identical).
+
+    Per-doc run-length work is sequential by nature and happens inside
+    the Arrow batch (numpy diff on the active mask — no per-sample
+    Python).  Trailing partial frames are dropped (standard framing).
+
+    Returns (id, n_frames, n_active, n_segments, longest_segment).
+    """
+    import numpy as np
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, na, ns, lg = [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf["content"]):
+                samples = np.frombuffer(bytes(buf), dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+                k = len(samples) // frame_samples
+                frames = samples[: k * frame_samples].reshape(
+                    k, frame_samples
+                )
+                energy = np.abs(frames).sum(axis=1)
+                active = energy > energy_threshold
+                # run-length encode the active mask
+                if k and active.any():
+                    edges = np.diff(active.astype(np.int8))
+                    starts = np.where(edges == 1)[0] + 1
+                    ends = np.where(edges == -1)[0] + 1
+                    if active[0]:
+                        starts = np.insert(starts, 0, 0)
+                    if active[-1]:
+                        ends = np.append(ends, k)
+                    runs = ends - starts
+                    n_seg, longest = len(runs), int(runs.max())
+                else:
+                    n_seg, longest = 0, 0
+                ids.append(int(doc_id))
+                nf.append(k)
+                na.append(int(active.sum()))
+                ns.append(n_seg)
+                lg.append(longest)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_active": pd.Series(na, dtype="int64"),
+                    "n_segments": pd.Series(ns, dtype="int64"),
+                    "longest_segment": pd.Series(lg, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(seg, AUDIO_SEGMENTS_SCHEMA)

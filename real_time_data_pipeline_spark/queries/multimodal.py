@@ -48,6 +48,14 @@ def q_audio_stats(spark, sf_dir):
     return M.audio_stats(audio)
 
 
+def q_audio_segments(spark, sf_dir):
+    """VAD-shaped activity segmentation over the synthetic PCM
+    (operators/multimodal.audio_active_segments, 16-sample frames,
+    energy threshold 1024)."""
+    audio = M.attach_fake_audio(_doc_lengths(spark, sf_dir), len_col="n")
+    return M.audio_active_segments(audio)
+
+
 def q_frame_sample(spark, sf_dir):
     audio = M.attach_fake_audio(_doc_lengths(spark, sf_dir), len_col="n")
     return M.frame_sample(audio, frame_bytes=16, every=4)
@@ -57,6 +65,7 @@ QUERIES = {
     "mm_image_decode": q_image_decode,
     "mm_image_downsample": q_image_downsample,
     "mm_audio_stats": q_audio_stats,
+    "mm_audio_segments": q_audio_segments,
     "mm_frame_sample": q_frame_sample,
 }
 
@@ -101,6 +110,45 @@ ORACLES = {
     # frames of 16 bytes over the audio payload, every 4th kept; first
     # byte of kept frame k is sample index 64*k.  Comma-joined string,
     # not array<int>: the driver's pandas canonicalizer can't hash lists.
+    # 16-sample frames; frame k active iff sum |amp| > 1024; segments =
+    # runs of active frames (gaps-and-islands on k - row_number)
+    "mm_audio_segments": f"""
+        WITH fr AS (
+          SELECT doc_id, u.k AS k,
+                 list_sum(list_transform(range(16*u.k, 16*u.k + 16),
+                      i -> abs((doc_id * 13 + i * 7) % 256 - 128))) AS e
+          FROM documents, LATERAL (
+            SELECT unnest(range(0, {_N_AUDIO} // 16)) AS k
+          ) u
+        ),
+        act AS (SELECT doc_id, k, (e > 1024) AS a FROM fr),
+        isl AS (
+          SELECT doc_id, k, a,
+                 k - row_number() OVER (PARTITION BY doc_id, a ORDER BY k)
+                     AS grp
+          FROM act
+        ),
+        seg AS (
+          SELECT doc_id, grp, count(*) AS len
+          FROM isl WHERE a GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT a.doc_id,
+                 count(*) AS n_frames,
+                 sum(CASE WHEN a.a THEN 1 ELSE 0 END) AS n_active
+          FROM act a GROUP BY 1
+        ),
+        segagg AS (
+          SELECT doc_id, count(*) AS n_segments, max(len) AS longest
+          FROM seg GROUP BY 1
+        )
+        SELECT per.doc_id,
+               CAST(per.n_frames AS BIGINT) AS n_frames,
+               CAST(per.n_active AS BIGINT) AS n_active,
+               CAST(COALESCE(segagg.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(COALESCE(segagg.longest, 0) AS BIGINT) AS longest_segment
+        FROM per LEFT JOIN segagg USING (doc_id)
+    """,
     "mm_frame_sample": f"""
         SELECT doc_id,
                CAST({_N_AUDIO} // 16 AS INT) AS n_frames,

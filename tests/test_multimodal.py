@@ -158,3 +158,35 @@ def test_keyframe_select_picks_high_delta_frames(spark):
     )
     r1 = keyframe_select(df1, frame_bytes=4, top_n=2).collect()[0]
     assert (r1["n_frames"], r1["keyframe_idxs"], r1["max_delta"]) == (1, "0", 0)
+
+
+def test_audio_active_segments_islands(spark):
+    """Hand-built PCM: active/inactive frame runs produce the expected
+    island count and longest run; all-silent track yields zero
+    segments."""
+    import numpy as np
+
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        audio_active_segments,
+    )
+
+    def pcm(frames):  # each frame: 'A' (active, amp 127) or 's' (silent, 0)
+        out = []
+        for f in frames:
+            amp = 127 if f == "A" else 0
+            out.extend([(amp + 128) % 256] * 16)
+        return bytes(bytearray(out))
+
+    rows = [
+        (1, pcm("AAssAsss")),   # runs: AA, A -> 2 segments, longest 2
+        (2, pcm("ssss")),       # silent
+        (3, pcm("AAAA")),       # one full run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (
+            r["n_frames"], r["n_active"], r["n_segments"], r["longest_segment"]
+        )
+        for r in audio_active_segments(df).collect()
+    }
+    assert got == {1: (8, 3, 2, 2), 2: (4, 0, 0, 0), 3: (4, 4, 1, 4)}
