@@ -1054,3 +1054,47 @@ def source_divergence(
             .alias("mean_excess_bp"),
         )
     )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer Flesch-style readability proxy — the classic cheap
+    "is this prose or gibberish/boilerplate" curation feature:
+
+        words           = whitespace tokens
+        sentences       = runs of [.!?] (clamped to >= 1)
+        syllable proxy  = vowel runs [aeiouy]+ in the lowercased text
+        flesch_milli    = 206835 − floor(1015·wps_milli/1000)
+                                 − floor(84600·spw_milli/1000)
+
+    with wps_milli = floor(1000·words/sentences) and spw_milli =
+    floor(1000·vowel_runs/words) — every step exact integer arithmetic
+    (the published Flesch constants ×1000), so the score is engine-
+    identical; both engines count the same non-overlapping regex
+    matches.  Pure codegen projection — no shuffle at all.
+    """
+    toks = tokens_col(text_col)
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_vruns = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")
+    ).cast("bigint")
+    wps_milli = F.floor(F.lit(1000) * n_words / n_sent).cast("bigint")
+    spw_milli = F.floor(F.lit(1000) * n_vruns / n_words).cast("bigint")
+    flesch = (
+        F.lit(206835)
+        - F.floor(F.lit(1015) * wps_milli / F.lit(1000))
+        - F.floor(F.lit(84600) * spw_milli / F.lit(1000))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_vruns.alias("n_vowel_runs"),
+        wps_milli.alias("words_per_sentence_milli"),
+        spw_milli.alias("syllables_per_word_milli"),
+        flesch.alias("flesch_milli"),
+    )

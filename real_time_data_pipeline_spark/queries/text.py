@@ -436,6 +436,42 @@ def q_keyword_search(spark, sf_dir):
     return T.conjunctive_search(idx, SEARCH_TERMS, k=SEARCH_K)
 
 
+def q_readability(spark, sf_dir):
+    """Integer Flesch-style readability proxy per document
+    (operators/text.readability)."""
+    return T.readability(_docs(spark, sf_dir))
+
+
+QUERIES["readability"] = q_readability
+
+ORACLES["readability"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             greatest(len({DUCK_TOKENS}), 1) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vruns
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_sent AS BIGINT) AS n_sentences,
+             CAST(n_vruns AS BIGINT) AS n_vowel_runs,
+             CAST(FLOOR(1000 * n_words / n_sent) AS BIGINT)
+                 AS words_per_sentence_milli,
+             CAST(FLOOR(1000 * n_vruns / n_words) AS BIGINT)
+                 AS syllables_per_word_milli
+      FROM b
+    )
+    SELECT *,
+           CAST(206835
+                - FLOOR(1015 * words_per_sentence_milli / 1000)
+                - FLOOR(84600 * syllables_per_word_milli / 1000)
+                AS BIGINT) AS flesch_milli
+    FROM m
+"""
+
+
 def q_source_divergence(spark, sf_dir):
     """Per-source dyadic-bits divergence from the corpus unigram model
     (operators/text.source_divergence)."""
