@@ -624,3 +624,62 @@ def audio_active_segments(
             )
 
     return df.mapInPandas(seg, AUDIO_SEGMENTS_SCHEMA)
+
+
+IMAGE_TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tiles_x", T.IntegerType()),
+        T.StructField("n_tiles_y", T.IntegerType()),
+        T.StructField("n_tiles", T.LongType()),
+        T.StructField("tile_max_sum", T.LongType()),
+    ]
+)
+
+
+def image_tiles(
+    df: DataFrame, patch: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """ViT-style patch extraction summary over SMF images: the image is
+    cut into ``patch``×``patch`` tiles (edge remainders dropped — the
+    standard crop-to-multiple), and per doc we emit the tile grid shape
+    plus the integer sum of each tile's MAX pixel — a checksum that
+    pins the exact tiling geometry AND per-tile pooling (the same
+    reshape/pool numpy pattern a real patch embedder runs before the
+    projection matmul).
+
+    Arrow-batched mapInPandas; per-image work is one numpy reshape +
+    amax, no per-pixel Python.
+    """
+    import numpy as np
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, txs, tys, ns, sums = [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf["content"]):
+                b = bytes(buf)
+                if b[:2] != SMF_MAGIC or len(b) < SMF_HEADER_LEN:
+                    continue
+                w, h = struct.unpack(">II", b[2:SMF_HEADER_LEN])
+                img = np.frombuffer(
+                    b[SMF_HEADER_LEN : SMF_HEADER_LEN + w * h], dtype=np.uint8
+                ).reshape(h, w)
+                tx, ty = w // patch, h // patch
+                crop = img[: ty * patch, : tx * patch]
+                pooled = crop.reshape(ty, patch, tx, patch).max(axis=(1, 3))
+                ids.append(int(doc_id))
+                txs.append(tx)
+                tys.append(ty)
+                ns.append(tx * ty)
+                sums.append(int(pooled.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_tiles_x": pd.Series(txs, dtype="int32"),
+                    "n_tiles_y": pd.Series(tys, dtype="int32"),
+                    "n_tiles": pd.Series(ns, dtype="int64"),
+                    "tile_max_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(tiles, IMAGE_TILES_SCHEMA)

@@ -48,6 +48,13 @@ def q_audio_stats(spark, sf_dir):
     return M.audio_stats(audio)
 
 
+def q_image_tiles(spark, sf_dir):
+    """ViT-style 2x2 patch grid + per-tile max-pool checksum
+    (operators/multimodal.image_tiles)."""
+    imgs = M.attach_fake_image(_doc_lengths(spark, sf_dir), len_col="n")
+    return M.image_tiles(imgs, patch=2)
+
+
 def q_audio_segments(spark, sf_dir):
     """VAD-shaped activity segmentation over the synthetic PCM
     (operators/multimodal.audio_active_segments, 16-sample frames,
@@ -66,6 +73,7 @@ QUERIES = {
     "mm_image_downsample": q_image_downsample,
     "mm_audio_stats": q_audio_stats,
     "mm_audio_segments": q_audio_segments,
+    "mm_image_tiles": q_image_tiles,
     "mm_frame_sample": q_frame_sample,
 }
 
@@ -110,6 +118,37 @@ ORACLES = {
     # frames of 16 bytes over the audio payload, every 4th kept; first
     # byte of kept frame k is sample index 64*k.  Comma-joined string,
     # not array<int>: the driver's pandas canonicalizer can't hash lists.
+    # 2x2 tiles over the closed-form image; per-tile max of the 4 pixels
+    "mm_image_tiles": f"""
+        WITH g AS (
+          SELECT doc_id, {_W} AS w, {_H} AS h,
+                 {_W} // 2 AS tx, {_H} // 2 AS ty
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, tx, ty,
+                 u.i % tx AS x, u.i // tx AS y, w
+          FROM g, LATERAL (
+            SELECT unnest(range(0, tx * ty)) AS i
+          ) u
+        ),
+        pooled AS (
+          SELECT doc_id, tx, ty,
+                 greatest(
+                   (doc_id * 31 + ((2*y) * w + 2*x) * 17) % 256,
+                   (doc_id * 31 + ((2*y) * w + 2*x + 1) * 17) % 256,
+                   (doc_id * 31 + ((2*y + 1) * w + 2*x) * 17) % 256,
+                   (doc_id * 31 + ((2*y + 1) * w + 2*x + 1) * 17) % 256
+                 ) AS mx
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(MAX(tx) AS INT) AS n_tiles_x,
+               CAST(MAX(ty) AS INT) AS n_tiles_y,
+               CAST(count(*) AS BIGINT) AS n_tiles,
+               CAST(SUM(mx) AS BIGINT) AS tile_max_sum
+        FROM pooled GROUP BY doc_id
+    """,
     # 16-sample frames; frame k active iff sum |amp| > 1024; segments =
     # runs of active frames (gaps-and-islands on k - row_number)
     "mm_audio_segments": f"""
