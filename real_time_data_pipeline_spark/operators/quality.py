@@ -507,3 +507,48 @@ def impute_median(
             F.col(value_col).isNull().alias("was_imputed"),
         )
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: L2 distance between the reference
+    window's and the current window's MEAN embedding, in exact integer
+    micro-units — the "did the upstream embedding model (or the content
+    mix) shift?" alarm run between corpus snapshots.
+
+    Determinism: components are scaled to exact integers
+    (ROUND(x·1e6) AS BIGINT) BEFORE summing, so the per-dimension sums
+    are order-independent; means floor-divide, the squared distance is
+    an exact BIGINT, and the final sqrt runs on the same exact integer
+    in both engines.  One posexplode + one (side, dim) hash aggregate —
+    shuffle is dims-bounded, never corpus-bounded.
+
+    Returns one row: (n_ref, n_cur, n_dims, l2_micro).
+    """
+    def sums(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(F.posexplode(vec_col).alias("dim", "v"))
+        return ex.groupBy("dim").agg(
+            F.sum(F.expr("CAST(ROUND(v * 1e6) AS BIGINT)")).alias(f"s_{tag}"),
+            F.count("*").cast("bigint").alias(f"n_{tag}"),
+        )
+    a = sums(ref, "ref")
+    b = sums(cur, "cur")
+    per_dim = a.join(b, "dim").select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        (
+            F.expr("s_ref div n_ref") - F.expr("s_cur div n_cur")
+        ).alias("d"),
+    )
+    return per_dim.agg(
+        F.floor(F.max("n_ref")).cast("bigint").alias("n_ref"),
+        F.floor(F.max("n_cur")).cast("bigint").alias("n_cur"),
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.floor(F.sqrt(F.sum(F.col("d") * F.col("d")))).cast("bigint").alias(
+            "l2_micro"
+        ),
+    )

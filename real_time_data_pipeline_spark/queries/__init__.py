@@ -105,6 +105,13 @@ _R4_PRIORITY = [
     "stream_rollup_incremental",  # streaming A7 maintenance, same oracle
 ]
 
+# Round-5 rotation candidates (oracle-backed, registered after the
+# round-4 window filled; judge-parity green this round, no driver
+# verdict yet — front-load these next round): source_dup_matrix,
+# keyword_search_indexed, source_divergence, decontaminate_scrub,
+# seasonal_naive_error, stream_session_agg, stream_sliding_window_agg,
+# mm_audio_segments, mm_image_tiles, readability.
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:

@@ -221,6 +221,50 @@ ORACLES["embedding_quantization"] = """
 """
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between the even- and odd-id halves of the
+    embeddings table (operators/quality.embedding_drift): L2 between
+    mean vectors in exact integer micro-units."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.quality import (
+        embedding_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+QUERIES["embedding_drift"] = q_embedding_drift
+
+ORACLES["embedding_drift"] = """
+    WITH ex AS (
+      SELECT vec_id % 2 AS side, u.d - 1 AS dim,
+             CAST(ROUND(embedding[u.d] * 1e6) AS BIGINT) AS v
+      FROM embeddings, LATERAL (
+        SELECT unnest(range(1, len(embedding) + 1)) AS d
+      ) u
+    ),
+    agg AS (
+      SELECT side, dim, sum(v) AS s, count(*) AS n
+      FROM ex GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.dim, a.n AS n_ref, b.n AS n_cur,
+             (a.s // a.n) - (b.s // b.n) AS d
+      FROM agg a JOIN agg b ON a.dim = b.dim AND a.side = 0 AND b.side = 1
+    )
+    SELECT CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(FLOOR(SQRT(SUM(d * d))) AS BIGINT) AS l2_micro
+    FROM j
+"""
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantized search for probe vector 0: ADC shortlist over
     16-subspace/64-entry codes, exact re-rank of the 100 candidates
