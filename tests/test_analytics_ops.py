@@ -886,3 +886,18 @@ def test_search_index_matches_direct_and_prunes(spark, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "bucket" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. it ran!' -> 5 words, 2 sentences, vowel runs:
+    e,a,a,i,a = 5; wps=2500, spw=1000 -> flesch = 206835-2537-84600."""
+    from real_time_data_pipeline_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran!")], "doc_id long, text string"
+    )
+    r = readability(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_vowel_runs"]) == (5, 2, 5)
+    assert r["words_per_sentence_milli"] == 2500
+    assert r["syllables_per_word_milli"] == 1000
+    assert r["flesch_milli"] == 206835 - (1015 * 2500) // 1000 - (84600 * 1000) // 1000

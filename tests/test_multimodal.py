@@ -190,3 +190,24 @@ def test_audio_active_segments_islands(spark):
         for r in audio_active_segments(df).collect()
     }
     assert got == {1: (8, 3, 2, 2), 2: (4, 0, 0, 0), 3: (4, 4, 1, 4)}
+
+
+def test_image_tiles_geometry_and_pooling(spark):
+    """4x3 image, 2x2 patches: 2x1 grid (bottom row cropped), per-tile
+    max over the 4 source pixels."""
+    import struct as _struct
+
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        SMF_HEADER_LEN, SMF_MAGIC, image_tiles,
+    )
+
+    w, h = 4, 3
+    pixels = bytes(range(w * h))  # 0..11 row-major
+    content = SMF_MAGIC + _struct.pack(">II", w, h) + pixels
+    df = spark.createDataFrame(
+        [(7, content)], "doc_id long, content binary"
+    )
+    r = image_tiles(df, patch=2).collect()[0]
+    assert (r["n_tiles_x"], r["n_tiles_y"], r["n_tiles"]) == (2, 1, 2)
+    # tile (0,0): pixels {0,1,4,5} -> 5 ; tile (1,0): {2,3,6,7} -> 7
+    assert r["tile_max_sum"] == 5 + 7
