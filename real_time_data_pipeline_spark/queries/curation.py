@@ -159,6 +159,64 @@ def q_decontaminate_scrub(spark, sf_dir):
     return curation.scrub_contaminated_spans(corpus, bench, n=DUP_SPAN_N)
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Classifier-calibration audit: corpus-wide deciles of the linear
+    quality model's score vs the heuristic quality gate — per decile,
+    keep rates of both and their agreement in bp.  The "is the model
+    monotone against the rules it should approximate" table reviewed
+    before swapping a gate for a model.  Decile boundaries come from
+    ONE global percentile aggregate (broadcast back — no global sort);
+    both legs are themselves oracle-checked queries."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.text import (
+        quality_logit_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    scores = quality_logit_score(docs)
+    labels = curation.quality_verdicts(docs, bench).select(
+        "doc_id", F.col("keep").alias("keep_heuristic")
+    )
+    joined = scores.join(labels, "doc_id")
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = joined.agg(
+        F.expr(
+            f"percentile(score_micro, array({', '.join(str(q) for q in qs)}))"
+        ).alias("_b")
+    )
+    bin_ = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("_b"),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(b <= F.col("score_micro"), 1).otherwise(0),
+        )
+    ).cast("bigint")
+    agree = F.col("keep_model") == F.col("keep_heuristic")
+    return (
+        joined.crossJoin(F.broadcast(bounds))
+        .withColumn("decile", bin_)
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep_model").cast("int")).cast("bigint").alias(
+                "n_model_keep"
+            ),
+            F.sum(F.col("keep_heuristic").cast("int")).cast("bigint").alias(
+                "n_heuristic_keep"
+            ),
+            F.floor(
+                F.lit(10_000) * F.sum(agree.cast("int")) / F.count("*")
+            )
+            .cast("bigint")
+            .alias("agreement_bp"),
+        )
+    )
+
+
 def q_curriculum_phases(spark, sf_dir):
     """Quality-ordered curriculum schedule with a 2048-token phase
     budget (operators/curation.curriculum_phases) — global prefix sum
@@ -185,6 +243,7 @@ QUERIES = {
     "curriculum_phases": q_curriculum_phases,
     "dedup_span_scrub": q_dedup_span_scrub,
     "decontaminate_scrub": q_decontaminate_scrub,
+    "quality_calibration": q_quality_calibration,
 }
 
 
@@ -715,6 +774,38 @@ def _clean_corpus_oracle() -> str:
 
 
 ORACLES["clean_corpus"] = _clean_corpus_oracle()
+
+
+def _quality_calibration_oracle() -> str:
+    from real_time_data_pipeline_spark.queries import text as text_q
+
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    return f"""
+        WITH s AS ({text_q.ORACLES["quality_model"]}),
+        lab AS (SELECT doc_id, keep FROM ({_doc_quality_oracle()})),
+        j AS (SELECT s.doc_id, s.score_micro, s.keep_model, lab.keep
+              FROM s JOIN lab USING (doc_id)),
+        b AS (SELECT quantile_cont(score_micro, [{qs}]) AS bounds FROM j),
+        binned AS (
+          SELECT j.*,
+                 1 + len(list_filter(b.bounds, x -> x <= j.score_micro))
+                     AS decile
+          FROM j CROSS JOIN b
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep_model THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_model_keep,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_heuristic_keep,
+               CAST(FLOOR(1e4 * sum(CASE WHEN keep_model = keep
+                                         THEN 1 ELSE 0 END) / count(*))
+                    AS BIGINT) AS agreement_bp
+        FROM binned GROUP BY 1
+    """
+
+
+ORACLES["quality_calibration"] = _quality_calibration_oracle()
 
 
 def q_corpus_report(spark, sf_dir):
