@@ -286,6 +286,25 @@ def q_value_trend(spark, sf_dir):
     return value_trend(load_table(spark, sf_dir, "events"))
 
 
+def q_layout_advice(spark, sf_dir):
+    """Physical-layout advisor over events (warehouse.layout_advice):
+    ndv/null/rows-per-value profile + partition/bucket/neither verdict
+    per candidate column, one aggregate pass.  Thresholds scaled for
+    the testdata (verdict rule itself is what's under test)."""
+    from real_time_data_pipeline_spark.warehouse import layout_advice
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return layout_advice(
+        ev,
+        ["event_type", "day", "user_id", "event_id"],
+        partition_max_ndv=100,
+        partition_min_rows_per_value=100,
+        bucket_min_ndv=5000,
+    )
+
+
 def q_seasonal_naive_error(spark, sf_dir):
     """Per-user WAPE of the same-day-last-week forecast baseline
     (operators/aggregates.seasonal_naive_error)."""
@@ -391,6 +410,7 @@ QUERIES = {
     "funnel_windowed": q_funnel_windowed,
     "value_trend": q_value_trend,
     "seasonal_naive_error": q_seasonal_naive_error,
+    "layout_advice": q_layout_advice,
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
@@ -574,6 +594,40 @@ _FUNNEL_WINDOWED_CTES = """
     c AS (SELECT (SELECT count(*) FROM s1) AS c1,
                  (SELECT count(*) FROM s2) AS c2,
                  (SELECT count(*) FROM s3) AS c3)
+"""
+
+ORACLES["layout_advice"] = """
+    WITH b AS (
+      SELECT count(*) AS total,
+             count(DISTINCT event_type) AS ndv_t,
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_t,
+             count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS ndv_d,
+             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_d,
+             count(DISTINCT user_id) AS ndv_u,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_u,
+             count(DISTINCT event_id) AS ndv_e,
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_e
+      FROM events
+    ),
+    rows_out AS (
+      SELECT 'event_type' AS col_name, ndv_t AS ndv, null_t AS n_null,
+             total // greatest(ndv_t, 1) AS rows_per_value, total FROM b
+      UNION ALL
+      SELECT 'day', ndv_d, null_d, total // greatest(ndv_d, 1), total FROM b
+      UNION ALL
+      SELECT 'user_id', ndv_u, null_u, total // greatest(ndv_u, 1), total FROM b
+      UNION ALL
+      SELECT 'event_id', ndv_e, null_e, total // greatest(ndv_e, 1), total FROM b
+    )
+    SELECT col_name,
+           CAST(ndv AS BIGINT) AS ndv,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(rows_per_value AS BIGINT) AS rows_per_value,
+           CASE WHEN ndv <= 100 AND rows_per_value >= 100 THEN 'partition'
+                WHEN ndv >= 5000 THEN 'bucket'
+                ELSE 'neither' END AS advice,
+           CAST(total AS BIGINT) AS total_rows
+    FROM rows_out
 """
 
 ORACLES["seasonal_naive_error"] = """

@@ -340,3 +340,62 @@ def assert_append_compatible(df: DataFrame, path: str) -> dict:
     if not diff["append_compatible"]:
         raise ValueError(f"append would break readers of {path}: {diff}")
     return diff
+
+
+def layout_advice(
+    df: "DataFrame",
+    candidate_cols: list[str],
+    partition_max_ndv: int = 1000,
+    partition_min_rows_per_value: int = 10_000,
+    bucket_min_ndv: int = 100_000,
+) -> "DataFrame":
+    """Physical-layout advisor: for each candidate column, measure the
+    cardinality profile and emit the partitioning verdict a warehouse
+    reviewer would reach — the codified version of the §2.1 S9 design
+    rule (partition on low-cardinality columns whose values carry
+    enough rows to make useful files; bucket on high-cardinality join
+    keys; otherwise rely on range-sort/z-order file skipping).
+
+    Verdict rule (deterministic, documented):
+      'partition'  ndv <= partition_max_ndv AND
+                   rows/ndv >= partition_min_rows_per_value
+      'bucket'     ndv >= bucket_min_ndv  (join-key class)
+      'neither'    otherwise (use range-sort / z-order instead)
+
+    One pass: a single aggregate computes exact ndv + null counts for
+    every candidate at once (count_distinct per column — for
+    unbounded-cardinality audits swap approx_count_distinct); the
+    verdict is a projection.  Output one row per candidate.
+    """
+    aggs = [F.count("*").cast("bigint").alias("_total")]
+    for i, c in enumerate(candidate_cols):
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"_ndv{i}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"_null{i}")
+        )
+    one = df.agg(*aggs)
+    rows = []
+    for i, c in enumerate(candidate_cols):
+        ndv, nnull = F.col(f"_ndv{i}"), F.col(f"_null{i}")
+        rpv = F.expr(f"_total div greatest(_ndv{i}, 1)")
+        verdict = (
+            F.when(
+                (ndv <= partition_max_ndv)
+                & (rpv >= partition_min_rows_per_value),
+                "partition",
+            )
+            .when(ndv >= bucket_min_ndv, "bucket")
+            .otherwise("neither")
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                ndv.alias("ndv"),
+                nnull.alias("n_null"),
+                rpv.cast("bigint").alias("rows_per_value"),
+                verdict.alias("advice"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("m"), F.col("_total").alias("total_rows")
+    ).select("m.*", "total_rows")
