@@ -1098,3 +1098,37 @@ def readability(
         spw_milli.alias("syllables_per_word_milli"),
         flesch.alias("flesch_milli"),
     )
+
+
+def language_mixing(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-switching detector on top of :func:`language_id`'s stopword
+    profiles: how many language profiles a document hits, and the
+    second-best/best score ratio in bp — near 0 means one clear
+    language, near 10000 means the doc mixes two languages about
+    equally (the docs a monolingual pipeline should route or drop).
+    Same single explode+aggregate as language_id; the mixing math is a
+    projection over the materialized scores.
+    """
+    base = language_id(df, id_col, text_col)
+    langs = sorted(STOPWORDS)
+    scores = [F.col(f"score_{lang}").cast("bigint") for lang in langs]
+    arr = F.array_sort(F.array(*scores))
+    n = len(langs)
+    top = F.element_at(arr, n)
+    second = F.element_at(arr, n - 1)
+    n_hit = sum(
+        (s > 0).cast("int") for s in scores
+    ).cast("bigint")
+    return base.select(
+        F.col(id_col),
+        "predicted_lang",
+        n_hit.alias("n_langs_hit"),
+        top.alias("top_score"),
+        second.alias("second_score"),
+        F.when(top > 0, F.floor(F.lit(10_000) * second / top))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mixing_bp"),
+    )

@@ -110,7 +110,8 @@ _R4_PRIORITY = [
 # verdict yet — front-load these next round): source_dup_matrix,
 # keyword_search_indexed, source_divergence, decontaminate_scrub,
 # seasonal_naive_error, stream_session_agg, stream_sliding_window_agg,
-# mm_audio_segments, mm_image_tiles, readability, embedding_drift.
+# mm_audio_segments, mm_image_tiles, readability, embedding_drift,
+# quality_calibration, layout_advice, language_mixing.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -436,6 +436,45 @@ def q_keyword_search(spark, sf_dir):
     return T.conjunctive_search(idx, SEARCH_TERMS, k=SEARCH_K)
 
 
+def q_language_mixing(spark, sf_dir):
+    """Code-switching audit (operators/text.language_mixing): languages
+    hit + second-best/best stopword-score ratio per doc."""
+    return T.language_mixing(_docs(spark, sf_dir))
+
+
+QUERIES["language_mixing"] = q_language_mixing
+
+ORACLES["language_mixing"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST({_SCORES['de']} AS BIGINT) AS s_de,
+             CAST({_SCORES['en']} AS BIGINT) AS s_en,
+             CAST({_SCORES['es']} AS BIGINT) AS s_es,
+             CAST({_SCORES['fr']} AS BIGINT) AS s_fr,
+             {_ARGMAX} AS predicted_lang
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, predicted_lang,
+             CAST((CASE WHEN s_de > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN s_en > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN s_es > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN s_fr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_langs_hit,
+             list_sort([s_de, s_en, s_es, s_fr])[4] AS top_score,
+             list_sort([s_de, s_en, s_es, s_fr])[3] AS second_score
+      FROM s
+    )
+    SELECT doc_id, predicted_lang, n_langs_hit,
+           CAST(top_score AS BIGINT) AS top_score,
+           CAST(second_score AS BIGINT) AS second_score,
+           CAST(CASE WHEN top_score > 0
+                     THEN FLOOR(10000 * second_score / top_score)
+                     ELSE 0 END AS BIGINT) AS mixing_bp
+    FROM m
+"""
+
+
 def q_readability(spark, sf_dir):
     """Integer Flesch-style readability proxy per document
     (operators/text.readability)."""
