@@ -901,3 +901,22 @@ def test_readability_hand_computed(spark):
     assert r["words_per_sentence_milli"] == 2500
     assert r["syllables_per_word_milli"] == 1000
     assert r["flesch_milli"] == 206835 - (1015 * 2500) // 1000 - (84600 * 1000) // 1000
+
+
+def test_language_mixing_golden(spark):
+    """Pure-English doc: near-zero mixing; EN/ES half-and-half doc: both
+    profiles hit with a high ratio."""
+    from real_time_data_pipeline_spark.operators.text import language_mixing
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house with some food"),
+            (2, "the cat and el perro pero una casa the dog por los"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in language_mixing(df).collect()}
+    assert rows[1]["predicted_lang"] == "en"
+    assert rows[1]["mixing_bp"] < 5000
+    assert rows[2]["n_langs_hit"] >= 2
+    assert rows[2]["mixing_bp"] > 5000

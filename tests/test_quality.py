@@ -195,3 +195,22 @@ def test_distribution_drift_identical_and_shifted(spark):
     assert (rows["c"]["tv_bp"], rows["c"]["n_ref"], rows["c"]["n_cur"]) == (
         10_000, 0, 3,
     )
+
+
+def test_embedding_drift_hand_vectors(spark):
+    """ref means (1.0, 0.0), cur means (0.0, 1.0) -> per-dim micro
+    deltas ±1e6 -> L2 = floor(sqrt(2)*1e6) = 1414213."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        embedding_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [([1.0, 0.0],), ([1.0, 0.0],)], "embedding array<double>"
+    )
+    cur = spark.createDataFrame([([0.0, 1.0],)], "embedding array<double>")
+    r = embedding_drift(ref, cur).collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["n_dims"]) == (2, 1, 2)
+    assert r["l2_micro"] == 1_414_213
+    # identical windows -> zero drift
+    z = embedding_drift(ref, ref).collect()[0]
+    assert z["l2_micro"] == 0

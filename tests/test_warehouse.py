@@ -283,3 +283,26 @@ def test_schema_diff_and_append_guard(spark, tmp_path):
     assert assert_append_compatible(base, str(tmp_path / "missing"))[
         "append_compatible"
     ]
+
+
+def test_layout_advice_verdict_rule(spark):
+    """Low-ndv/high-rows -> partition; high-ndv -> bucket; in-between ->
+    neither; NULLs counted not crashed."""
+    from real_time_data_pipeline_spark.warehouse import layout_advice
+
+    rows = [(i, i % 2, i if i % 10 else None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "uid long, parity long, sparse long")
+    got = {
+        r["col_name"]: (r["ndv"], r["advice"], r["n_null"])
+        for r in layout_advice(
+            df,
+            ["parity", "uid", "sparse"],
+            partition_max_ndv=10,
+            partition_min_rows_per_value=100,
+            bucket_min_ndv=900,
+        ).collect()
+    }
+    assert got["parity"] == (2, "partition", 0)
+    assert got["uid"] == (1000, "bucket", 0)
+    # sparse: 900 distinct non-null values, 100 nulls -> bucket-class ndv
+    assert got["sparse"] == (900, "bucket", 100)
