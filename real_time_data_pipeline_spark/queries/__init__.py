@@ -111,7 +111,8 @@ _R4_PRIORITY = [
 # keyword_search_indexed, source_divergence, decontaminate_scrub,
 # seasonal_naive_error, stream_session_agg, stream_sliding_window_agg,
 # mm_audio_segments, mm_image_tiles, readability, embedding_drift,
-# quality_calibration, layout_advice, language_mixing.
+# quality_calibration, layout_advice, language_mixing,
+# order_reconciliation.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

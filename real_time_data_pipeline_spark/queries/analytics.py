@@ -286,6 +286,52 @@ def q_value_trend(spark, sf_dir):
     return value_trend(load_table(spark, sf_dir, "events"))
 
 
+def q_order_reconciliation(spark, sf_dir):
+    """Cross-table financial reconciliation audit: per order-status
+    bucket, how many orders' stored o_totalprice agrees (within 1 cent)
+    with the total recomputed from their line items as
+    sum(extendedprice·(1−discount)·(1+tax)) — the books-balance check a
+    warehouse closes the day with.  All comparison in integer cents;
+    orders with no line items count as unmatched.  One lineitem
+    aggregate + one key join + one status rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100) AS BIGINT)"
+            )
+        ).alias("recomputed_cents")
+    )
+    j = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "stored_cents"
+        ),
+    ).join(recomputed, orders.o_orderkey == recomputed.l_orderkey, "left")
+    match = (
+        F.col("recomputed_cents").isNotNull()
+        & (F.abs(F.col("stored_cents") - F.col("recomputed_cents")) <= 1)
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(match.cast("int")).cast("bigint").alias("n_reconciled"),
+            F.sum(F.col("recomputed_cents").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_no_lineitems"),
+            F.floor(
+                F.lit(10_000) * F.sum(match.cast("int")) / F.count("*")
+            )
+            .cast("bigint")
+            .alias("reconciled_bp"),
+        )
+    )
+
+
 def q_layout_advice(spark, sf_dir):
     """Physical-layout advisor over events (warehouse.layout_advice):
     ndv/null/rows-per-value profile + partition/bucket/neither verdict
@@ -411,6 +457,7 @@ QUERIES = {
     "value_trend": q_value_trend,
     "seasonal_naive_error": q_seasonal_naive_error,
     "layout_advice": q_layout_advice,
+    "order_reconciliation": q_order_reconciliation,
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
@@ -594,6 +641,34 @@ _FUNNEL_WINDOWED_CTES = """
     c AS (SELECT (SELECT count(*) FROM s1) AS c1,
                  (SELECT count(*) FROM s2) AS c2,
                  (SELECT count(*) FROM s3) AS c3)
+"""
+
+ORACLES["order_reconciliation"] = """
+    WITH rec AS (
+      SELECT l_orderkey,
+             sum(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100) AS BIGINT))
+                 AS recomputed_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS stored_cents,
+             rec.recomputed_cents
+      FROM orders o LEFT JOIN rec ON o.o_orderkey = rec.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN recomputed_cents IS NOT NULL
+                          AND abs(stored_cents - recomputed_cents) <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+           CAST(sum(CASE WHEN recomputed_cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lineitems,
+           CAST(FLOOR(10000 * sum(CASE WHEN recomputed_cents IS NOT NULL
+                          AND abs(stored_cents - recomputed_cents) <= 1
+                         THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+               AS reconciled_bp
+    FROM j GROUP BY 1
 """
 
 ORACLES["layout_advice"] = """
