@@ -112,7 +112,7 @@ _R4_PRIORITY = [
 # seasonal_naive_error, stream_session_agg, stream_sliding_window_agg,
 # mm_audio_segments, mm_image_tiles, readability, embedding_drift,
 # quality_calibration, layout_advice, language_mixing,
-# order_reconciliation.
+# order_reconciliation, wow_change.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

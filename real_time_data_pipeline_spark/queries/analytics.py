@@ -286,6 +286,35 @@ def q_value_trend(spark, sf_dir):
     return value_trend(load_table(spark, sf_dir, "events"))
 
 
+def q_wow_change(spark, sf_dir):
+    """Week-over-week volume change per event type: weekly counts with
+    the previous week's count and the change in bp (NULL for the first
+    week of a series).  One (type, week) aggregate + a lag window over
+    the weeks of each type — partitions bounded by the calendar, never
+    by event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.weekofyear("ts").alias("week"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        prev.cast("bigint").alias("prev_week_events"),
+        F.when(
+            prev > 0,
+            F.floor(F.lit(10_000) * (F.col("n_events") - prev) / prev),
+        )
+        .cast("bigint")
+        .alias("change_bp"),
+    )
+
+
 def q_order_reconciliation(spark, sf_dir):
     """Cross-table financial reconciliation audit: per order-status
     bucket, how many orders' stored o_totalprice agrees (within 1 cent)
@@ -458,6 +487,7 @@ QUERIES = {
     "seasonal_naive_error": q_seasonal_naive_error,
     "layout_advice": q_layout_advice,
     "order_reconciliation": q_order_reconciliation,
+    "wow_change": q_wow_change,
     "cohort_retention": q_cohort_retention,
     "profile_columns": q_profile_columns,
     "daily_anomalies": q_daily_anomalies,
@@ -641,6 +671,26 @@ _FUNNEL_WINDOWED_CTES = """
     c AS (SELECT (SELECT count(*) FROM s1) AS c1,
                  (SELECT count(*) FROM s2) AS c2,
                  (SELECT count(*) FROM s3) AS c3)
+"""
+
+ORACLES["wow_change"] = """
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS week,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n_events,
+           CAST(lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_week_events,
+           CAST(CASE WHEN lag(n_events) OVER (PARTITION BY event_type
+                                              ORDER BY week) > 0
+                THEN FLOOR(10000.0 * (n_events - lag(n_events) OVER (
+                         PARTITION BY event_type ORDER BY week))
+                     / lag(n_events) OVER (PARTITION BY event_type
+                                           ORDER BY week))
+           END AS BIGINT) AS change_bp
+    FROM weekly
 """
 
 ORACLES["order_reconciliation"] = """
