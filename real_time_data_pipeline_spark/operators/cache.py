@@ -11,39 +11,84 @@ leaks cached blocks in a long-lived production session (and nukes any
 caching the application itself set up).
 
 This module is the explicit handle: operators route persists through
-:func:`track`, and whoever evaluates the returned DataFrame calls
-:func:`release_all` when done (bench.py and tools/parity.py do, after
-every query).  ``release_all`` unpersists ONLY operator-tracked frames,
-never the application's own caches.
+:func:`track`, and whoever evaluates the returned DataFrame releases
+when done.  Two release modes:
 
-Thread-safety: tracking appends under a lock; ``release_all`` swaps the
-list atomically, so concurrent query runners release only what was
-tracked before their call.
+* :func:`scoped` — a context manager giving PER-CALLER isolation.  While
+  a scope is active on a thread, every frame tracked FROM THAT THREAD
+  lands in the scope, and exiting the scope unpersists exactly those
+  frames.  Concurrent query runners each open their own scope and can
+  never release each other's in-use intermediates.  This is the correct
+  tool for multi-threaded drivers.
+* :func:`release_all` — unpersists EVERY globally tracked frame (those
+  tracked outside any scope).  It never touches the application's own
+  caches, but it is GLOBAL across threads: calling it while another
+  thread's un-scoped query is still executing releases that query's
+  intermediates too (a recompute hazard, not a correctness one —
+  unpersist only drops cached blocks).  Single-threaded harnesses
+  (bench.py, tools/parity.py) call it after every query; concurrent
+  runners should use :func:`scoped` instead.
 """
 
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
+_LOCAL = threading.local()
 
 
 def track(df: DataFrame, storage_level=None) -> DataFrame:
-    """persist() the frame and register it for a later release_all()."""
+    """persist() the frame and register it for a later release.
+
+    If the calling thread has an active :func:`scoped` context, the
+    frame is registered with that scope (released on scope exit);
+    otherwise it lands in the global list released by
+    :func:`release_all`."""
     if storage_level is not None:
         df.persist(storage_level)
     else:
         df.persist()
-    with _LOCK:
-        _TRACKED.append(df)
+    stack = getattr(_LOCAL, "scopes", None)
+    if stack:
+        stack[-1].append(df)
+    else:
+        with _LOCK:
+            _TRACKED.append(df)
     return df
 
 
+@contextmanager
+def scoped():
+    """Per-caller release scope: frames tracked by THIS thread while the
+    context is active are unpersisted on exit — isolation for concurrent
+    query runners that release_all() cannot give.  Scopes nest (inner
+    scope captures, releases first).  Yields the scope's frame list so
+    callers can assert on it in tests."""
+    stack = getattr(_LOCAL, "scopes", None)
+    if stack is None:
+        stack = _LOCAL.scopes = []
+    frames: list[DataFrame] = []
+    stack.append(frames)
+    try:
+        yield frames
+    finally:
+        stack.pop()
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+
+
 def release_all() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every GLOBALLY tracked frame (see module docstring for
+    the multi-threaded caveat); returns how many were released.  Frames
+    inside an active :func:`scoped` context are not touched."""
     with _LOCK:
         frames, _TRACKED[:] = list(_TRACKED), []
     n = 0

@@ -294,6 +294,56 @@ def minhash_lsh_candidates(
 
 # --------------------------------------------- incremental (index) dedup
 
+# Version of the signature hash family persisted by build_minhash_index.
+# v2 = hash-once scheme sig[i] = min(xxhash64(xxhash64(shingle), i));
+# v1 (pre-round-4) hashed the shingle STRING per permutation.  Probe and
+# index signatures only match under the SAME scheme, so a probe against
+# an index persisted under a different version silently returns
+# wrong/empty candidates — the marker makes that a loud error instead
+# (round-4 advisor finding: the (n, num_perm, bands) compat rule alone
+# does not cover hash-scheme changes).
+MINHASH_SCHEME_VERSION = 2
+
+
+def _write_index_meta(
+    docs: DataFrame, path: str, n: int, num_perm: int, bands: int
+) -> None:
+    """Persist the index's scheme/config marker as a 1-row parquet at
+    ``<path>/_scheme``.  Underscore-prefixed children are invisible to
+    Spark's directory scan (same convention as _SUCCESS), so the marker
+    rides inside the index directory on any filesystem — local, HDFS,
+    or object store — without touching the data-read path."""
+    docs.sparkSession.createDataFrame(
+        [(MINHASH_SCHEME_VERSION, n, num_perm, bands)],
+        "scheme_version int, n int, num_perm int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_scheme")
+
+
+def check_index_meta(spark, path: str, n: int, num_perm: int, bands: int) -> None:
+    """Fail loudly if the persisted index at ``path`` was written under
+    a different hash scheme or (n, num_perm, bands) config than the
+    probe will use.  A missing marker (pre-versioning index) is treated
+    as incompatible — rebuild with build_minhash_index."""
+    try:
+        row = spark.read.parquet(path + "/_scheme").head()
+    except Exception as exc:  # AnalysisException: path does not exist
+        raise ValueError(
+            f"minhash index at {path!r} has no _scheme marker; it predates "
+            f"scheme versioning (current v{MINHASH_SCHEME_VERSION}) and its "
+            "signatures cannot be trusted to match this probe's hash family "
+            "— rebuild it with build_minhash_index"
+        ) from exc
+    got = (row["scheme_version"], row["n"], row["num_perm"], row["bands"])
+    want = (MINHASH_SCHEME_VERSION, n, num_perm, bands)
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path!r} was built with (scheme, n, num_perm, "
+            f"bands)={got} but the probe uses {want}; signatures from "
+            "different schemes/configs never match — rebuild the index or "
+            "probe with the index's config"
+        )
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,
@@ -317,6 +367,7 @@ def build_minhash_index(
     minhash_band_hashes(docs, id_col, text_col, n, num_perm, bands).repartition(
         "band_idx"
     ).write.mode("overwrite").partitionBy("band_idx").parquet(path)
+    _write_index_meta(docs, path, n, num_perm, bands)
 
 
 def incremental_minhash_pairs(
@@ -351,9 +402,10 @@ def incremental_minhash_pairs(
        docs are re-read).
 
     ``corpus_docs`` must be the corpus the index was built from with the
-    same (n, num_perm, bands); band hashes only match under an identical
-    config (enforced structurally: different configs hash different
-    sub-signatures)."""
+    same (n, num_perm, bands) AND the same signature hash scheme; both
+    are enforced against the index's ``_scheme`` marker before any probe
+    work (check_index_meta — mismatch or missing marker raises)."""
+    check_index_meta(spark, index_path, n, num_perm, bands)
     probe = cache.track(minhash_band_hashes(
         new_docs, id_col, text_col, n, num_perm, bands
     ))

@@ -166,17 +166,27 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
     )
-    if broadcast_limit > 0 and e_plan.count() <= broadcast_limit:
-        # No checkpoint on this path: the plan is evaluated twice (count
-        # + collect, both cheap — upstream pair emitters persist their
-        # outputs) and nothing is left cached in the session.
-        pairs = [(r["u"], r["v"]) for r in e_plan.toLocalIterator()]
-        labels = _union_find_components(pairs)
-        return edges.sparkSession.createDataFrame(
-            labels, "node bigint, component bigint"
-        )
     chk = _checkpointer(edges.sparkSession, checkpoint_dir)
-    e = chk(e_plan)
+    if broadcast_limit > 0:
+        # Persist before the size gate so count(), collect, and (on the
+        # fall-through path) the first checkpoint all see ONE evaluation
+        # of the edge plan: an expensive upstream emitter is not
+        # recomputed, and a nondeterministic edge source cannot yield a
+        # different edge set between gate and collect (round-4 advisor
+        # finding).  Released in the finally whichever branch runs.
+        e_plan.persist()
+        try:
+            if e_plan.count() <= broadcast_limit:
+                pairs = [(r["u"], r["v"]) for r in e_plan.toLocalIterator()]
+                labels = _union_find_components(pairs)
+                return edges.sparkSession.createDataFrame(
+                    labels, "node bigint, component bigint"
+                )
+            e = chk(e_plan)
+        finally:
+            e_plan.unpersist()
+    else:
+        e = chk(e_plan)
     prev = _checksum(e)
     for _ in range(max_iter):
         e2 = chk(_small_star(_large_star(e)))

@@ -364,7 +364,11 @@ def distribution_drift(
     signal — has no reference bounds to bin against; it is emitted with
     ``tv_bp = 10000`` (total drift) and ``n_ref = 0`` rather than
     silently dropped.  Groups present only in the reference (vanished
-    groups) keep their row too via the full-outer bin grid.  All
+    groups — the symmetric alarm) are emitted with ``tv_bp = 10000``
+    and ``n_cur = 0``: their per-bin current share is defined as 0
+    (not NULL), and the group-level verdict is pinned to total drift
+    so a ``tv_bp > threshold`` monitor catches disappearances exactly
+    like appearances.  All
     arithmetic is integer basis points (per-bin shares floored,
     TV = Σ|p−q|/2), so the output hashes identically on any engine.
 
@@ -403,13 +407,25 @@ def distribution_drift(
     tot = grid.groupBy(group_col).agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    p = F.floor(F.lit(10_000) * F.col("n_ref") / F.col("t_ref"))
-    q = F.floor(F.lit(10_000) * F.col("n_cur") / F.col("t_cur"))
+    # Guard the vanished-group division: t_cur = 0 would make q NULL
+    # (0/0), NULL out the whole TV sum, and let a disappeared group
+    # slip past a tv_bp > threshold filter (round-4 advisor finding).
+    p = F.when(
+        F.col("t_ref") > 0,
+        F.floor(F.lit(10_000) * F.col("n_ref") / F.col("t_ref")),
+    ).otherwise(F.lit(0))
+    q = F.when(
+        F.col("t_cur") > 0,
+        F.floor(F.lit(10_000) * F.col("n_cur") / F.col("t_cur")),
+    ).otherwise(F.lit(0))
     seen = (
         grid.join(tot, group_col)
         .groupBy(group_col)
         .agg(
-            F.floor(F.sum(F.abs(p - q)) / 2).cast("bigint").alias("tv_bp"),
+            F.when(F.max("t_cur") == 0, F.lit(10_000))
+            .otherwise(F.floor(F.sum(F.abs(p - q)) / 2))
+            .cast("bigint")
+            .alias("tv_bp"),
             F.max("t_ref").cast("bigint").alias("n_ref"),
             F.max("t_cur").cast("bigint").alias("n_cur"),
         )

@@ -289,21 +289,26 @@ def q_value_trend(spark, sf_dir):
 def q_wow_change(spark, sf_dir):
     """Week-over-week volume change per event type: weekly counts with
     the previous week's count and the change in bp (NULL for the first
-    week of a series).  One (type, week) aggregate + a lag window over
-    the weeks of each type — partitions bounded by the calendar, never
-    by event volume."""
+    week of a series).  Weeks are keyed by their Monday start date
+    (``date_trunc('week', ts)``), NOT the bare ISO week number — a
+    bare ``weekofyear`` merges same-numbered weeks from different
+    years and mis-orders the lag across year boundaries (week 52/53 of
+    one year vs week 1 of the next), so the year-qualified key is the
+    only correct one on multi-year data (round-4 advisor finding).
+    One (type, week) aggregate + a lag window over the weeks of each
+    type — partitions bounded by the calendar, never by event volume."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
         "event_type",
-        F.weekofyear("ts").alias("week"),
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
     ).agg(F.count("*").cast("bigint").alias("n_events"))
-    w = Window.partitionBy("event_type").orderBy("week")
+    w = Window.partitionBy("event_type").orderBy("week_start")
     prev = F.lag("n_events").over(w)
     return weekly.select(
         "event_type",
-        "week",
+        "week_start",
         "n_events",
         prev.cast("bigint").alias("prev_week_events"),
         F.when(
@@ -676,19 +681,21 @@ _FUNNEL_WINDOWED_CTES = """
 ORACLES["wow_change"] = """
     WITH weekly AS (
       SELECT event_type,
-             CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS week,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS week_start,
              CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1, 2
     )
-    SELECT event_type, week, n_events,
-           CAST(lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+    SELECT event_type, week_start, n_events,
+           CAST(lag(n_events) OVER (PARTITION BY event_type
+                                    ORDER BY week_start)
                 AS BIGINT) AS prev_week_events,
            CAST(CASE WHEN lag(n_events) OVER (PARTITION BY event_type
-                                              ORDER BY week) > 0
+                                              ORDER BY week_start) > 0
                 THEN FLOOR(10000.0 * (n_events - lag(n_events) OVER (
-                         PARTITION BY event_type ORDER BY week))
+                         PARTITION BY event_type ORDER BY week_start))
                      / lag(n_events) OVER (PARTITION BY event_type
-                                           ORDER BY week))
+                                           ORDER BY week_start))
            END AS BIGINT) AS change_bp
     FROM weekly
 """
@@ -1483,9 +1490,15 @@ ORACLES["distribution_drift"] = """
       FROM grid GROUP BY 1
     )
     SELECT g.event_type,
-           CAST(FLOOR(SUM(ABS(FLOOR(1e4 * g.n_ref / t.t_ref)
-                          - FLOOR(1e4 * g.n_cur / t.t_cur))) / 2) AS BIGINT)
-               AS tv_bp,
+           -- vanished groups (t_cur = 0): pin to total drift instead of
+           -- letting 0/0 NULL the TV sum (mirrors the novel-group leg)
+           CAST(CASE WHEN MAX(t.t_cur) = 0 THEN 10000
+                ELSE FLOOR(SUM(ABS(
+                    CASE WHEN t.t_ref > 0
+                         THEN FLOOR(1e4 * g.n_ref / t.t_ref) ELSE 0 END
+                  - CASE WHEN t.t_cur > 0
+                         THEN FLOOR(1e4 * g.n_cur / t.t_cur) ELSE 0 END)) / 2)
+                END AS BIGINT) AS tv_bp,
            CAST(MAX(t.t_ref) AS BIGINT) AS n_ref,
            CAST(MAX(t.t_cur) AS BIGINT) AS n_cur
     FROM grid g JOIN tot t USING (event_type)

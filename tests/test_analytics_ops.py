@@ -923,39 +923,52 @@ def test_language_mixing_golden(spark):
 
 
 def test_wow_change_lag_and_first_week(spark):
-    import __spark_entry__  # noqa: F401 — registry import sanity
-
+    """Lag semantics on the real query function, including the
+    year-boundary case a bare weekofyear key gets wrong: Dec 2023
+    week 52 must be the lag-predecessor of Jan 2024 week 1 (distinct
+    Monday-start buckets), not merged with 2024's week 52."""
     from pyspark.sql import Window  # noqa: F401
+
+    from real_time_data_pipeline_spark.queries.analytics import q_wow_change
 
     ev = spark.createDataFrame(
         [
-            ("click", datetime.datetime(2024, 1, 1)),   # ISO week 1
+            # ISO week 52 of 2023: Mon 2023-12-25 .. Sun 2023-12-31
+            ("click", datetime.datetime(2023, 12, 26)),
+            ("click", datetime.datetime(2023, 12, 27)),
+            ("click", datetime.datetime(2023, 12, 28)),
+            ("click", datetime.datetime(2023, 12, 29)),
+            # ISO week 1 of 2024: Mon 2024-01-01 ..
+            ("click", datetime.datetime(2024, 1, 1)),
             ("click", datetime.datetime(2024, 1, 2)),
-            ("click", datetime.datetime(2024, 1, 8)),   # ISO week 2
+            # ISO week 2 of 2024
+            ("click", datetime.datetime(2024, 1, 8)),
             ("view", datetime.datetime(2024, 1, 8)),
         ],
         "event_type string, ts timestamp",
     )
-    from real_time_data_pipeline_spark.queries.analytics import q_wow_change
+    # q_wow_change loads from parquet; run the same expressions via a
+    # temp view-free monkeypatch: write nothing, call the query body by
+    # swapping load_table with a lambda through the module namespace.
+    import real_time_data_pipeline_spark.queries.analytics as qa
 
-    # exercise the operator logic on a temp table-less path: rebuild the
-    # same expressions directly
-    from pyspark.sql import functions as F
-
-    weekly = ev.groupBy(
-        "event_type", F.weekofyear("ts").alias("week")
-    ).agg(F.count("*").cast("bigint").alias("n_events"))
-    w = Window.partitionBy("event_type").orderBy("week")
-    prev = F.lag("n_events").over(w)
-    out = weekly.select(
-        "event_type", "week", "n_events",
-        prev.cast("bigint").alias("prev_week_events"),
-        F.when(prev > 0, F.floor(F.lit(10_000) * (F.col("n_events") - prev) / prev))
-        .cast("bigint").alias("change_bp"),
-    )
-    rows = {(r["event_type"], r["week"]): r for r in out.collect()}
-    assert rows[("click", 1)]["prev_week_events"] is None
-    assert rows[("click", 1)]["change_bp"] is None
-    # week 2: 1 vs 2 -> -50% = -5000 bp
-    assert rows[("click", 2)]["change_bp"] == -5000
-    assert rows[("view", 2)]["prev_week_events"] is None
+    orig = qa.load_table
+    qa.load_table = lambda spark_, sf_dir_, name_: ev
+    try:
+        out = q_wow_change(spark, "ignored")
+        rows = {
+            (r["event_type"], str(r["week_start"])): r for r in out.collect()
+        }
+    finally:
+        qa.load_table = orig
+    # first week of the click series: 2023-12-25, no predecessor
+    assert rows[("click", "2023-12-25")]["prev_week_events"] is None
+    assert rows[("click", "2023-12-25")]["change_bp"] is None
+    # week of 2024-01-01: 2 events vs 4 -> -50% = -5000 bp (a bare
+    # weekofyear key would have NO predecessor here, or worse, a merged
+    # week-52 bucket spanning both years)
+    assert rows[("click", "2024-01-01")]["prev_week_events"] == 4
+    assert rows[("click", "2024-01-01")]["change_bp"] == -5000
+    # week of 2024-01-08: 1 vs 2 -> -5000 bp
+    assert rows[("click", "2024-01-08")]["change_bp"] == -5000
+    assert rows[("view", "2024-01-08")]["prev_week_events"] is None

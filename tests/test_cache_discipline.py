@@ -54,3 +54,38 @@ def test_release_all_is_idempotent_and_scoped(spark):
     # application-owned caches are untouched
     assert _n_cached(spark) == 1
     user_cached.unpersist()
+
+
+def test_scoped_release_isolates_concurrent_runners(spark):
+    """cache.scoped(): frames tracked inside a scope are released on
+    scope exit only, and release_all() from another logical runner
+    cannot touch them — the per-caller isolation the round-4 advisor
+    asked for (release_all alone is global across threads)."""
+    outside = spark.range(20)
+    cache.track(outside)  # global-tracked, simulating another runner
+    outside.count()
+    with cache.scoped() as frames:
+        inner = spark.range(30)
+        cache.track(inner)
+        inner.count()
+        assert frames == [inner]
+        # a concurrent release_all() must NOT free the scope's frame
+        assert cache.release_all() == 1  # released `outside` only
+        assert inner.storageLevel.useMemory
+    # scope exit released `inner`
+    assert not inner.storageLevel.useMemory
+    assert _n_cached(spark) == 0
+    assert cache.n_tracked() == 0
+
+
+def test_scoped_nests(spark):
+    with cache.scoped() as outer:
+        a = cache.track(spark.range(5))
+        a.count()
+        with cache.scoped() as inner:
+            b = cache.track(spark.range(6))
+            b.count()
+            assert inner == [b] and outer == [a]
+        assert not b.storageLevel.useMemory
+        assert a.storageLevel.useMemory
+    assert not a.storageLevel.useMemory

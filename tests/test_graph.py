@@ -201,3 +201,44 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     )
     assert {r["node"] for r in ranks.collect()} == {1, 2}
     assert any(os.scandir(pr_dir))
+
+
+def test_broadcast_path_evaluates_edge_plan_once(spark):
+    """The size gate persists the edge plan, so an expensive upstream
+    emitter runs ONE pass for count()+collect (round-4 advisor: the
+    un-cached plan was evaluated twice, and a nondeterministic source
+    could change between gate and collect)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    def tagged_edges(acc):
+        def tag(x):
+            acc.add(1)
+            return x
+
+        tag_udf = F.udf(tag, LongType())
+        return spark.range(100).select(
+            tag_udf(F.col("id")).alias("id_a"),
+            (F.col("id") + 1).alias("id_b"),
+        )
+
+    # measured single-pass baseline: Catalyst inlines the UDF into both
+    # the filter and the project of connected_components' edge plan, so
+    # "one evaluation" is ~2 calls/row — measure it rather than assume
+    base_acc = spark.sparkContext.accumulator(0)
+    e = tagged_edges(base_acc)
+    e.select(
+        F.col("id_a").cast("bigint").alias("u"),
+        F.col("id_b").cast("bigint").alias("v"),
+    ).filter(F.col("u") != F.col("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    ).distinct().count()
+    single_pass = base_acc.value
+
+    acc = spark.sparkContext.accumulator(0)
+    out = graph.connected_components(tagged_edges(acc), broadcast_limit=1_000_000)
+    assert out.agg(F.countDistinct("component")).head()[0] == 1
+    assert acc.value <= single_pass, (
+        f"edge plan evaluated more than once: {acc.value} UDF calls vs "
+        f"{single_pass} for a single pass"
+    )

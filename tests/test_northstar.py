@@ -498,6 +498,23 @@ def test_incremental_minhash_matches_batch_pairs(spark, sf_dir, tmp_path):
     # appending a later increment's signatures is an append-mode write of
     # the same layout; re-probing then also matches the new docs
     dedup.build_minhash_index(new, idx + "_inc", num_perm=128, bands=32)
+    # -- scheme/config marker (round-4 advisor): a probe under a
+    # different (n, num_perm, bands) than the index was built with must
+    # fail LOUDLY, not silently return empty candidates
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup.incremental_minhash_pairs(
+            spark, new, corpus, idx, num_perm=64, bands=32
+        )
+    # a marker-less index (pre-versioning, or a foreign parquet dir)
+    # is treated as incompatible
+    bare = str(tmp_path / "bare_index")
+    dedup.minhash_band_hashes(corpus, num_perm=128, bands=32).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(bare)
+    with pytest.raises(ValueError, match="_scheme marker"):
+        dedup.check_index_meta(spark, bare, 3, 128, 32)
+    # the happy path still matches after the marker check
+    assert dedup.check_index_meta(spark, idx, 3, 128, 32) is None
 
 
 # -- centroid_outliers ----------------------------------------------------

@@ -197,6 +197,43 @@ def test_distribution_drift_identical_and_shifted(spark):
     )
 
 
+def test_distribution_drift_vanished_group(spark):
+    """A group present ONLY in the reference window must register total
+    drift (tv_bp = 10000), not a NULL that slips past a tv_bp >
+    threshold monitor (round-4 advisor: 0/0 made q NULL and NULLed the
+    whole TV sum for vanished groups)."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("keep", float(i)) for i in range(10)]
+        + [("gone", float(i)) for i in range(5)],
+        "g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("keep", float(i)) for i in range(10)],
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r for r in distribution_drift(ref, cur, "g", "v").collect()
+    }
+    assert rows["keep"]["tv_bp"] == 0
+    assert (
+        rows["gone"]["tv_bp"],
+        rows["gone"]["n_ref"],
+        rows["gone"]["n_cur"],
+    ) == (10_000, 5, 0)
+    # and a threshold filter CATCHES the disappearance
+    flagged = {
+        r["g"]
+        for r in distribution_drift(ref, cur, "g", "v")
+        .filter("tv_bp > 5000")
+        .collect()
+    }
+    assert "gone" in flagged
+
+
 def test_embedding_drift_hand_vectors(spark):
     """ref means (1.0, 0.0), cur means (0.0, 1.0) -> per-dim micro
     deltas ±1e6 -> L2 = floor(sqrt(2)*1e6) = 1414213."""
