@@ -68,24 +68,7 @@ def main() -> int:
     cache.release_all()
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    failed: dict[str, str] = {}
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.perf_counter()
-        try:
-            _force(fn(spark, sf_dir))
-        except Exception as e:  # noqa: BLE001 — one bad query must not
-            # lose the other 100 timings (the r2 bench artifact was lost
-            # to exactly this all-or-nothing failure mode).
-            failed[name] = f"{type(e).__name__}: {e}"[:200]
-            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
-            cache.release_all()
-            spark.catalog.clearCache()
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    def _cleanup() -> None:
         # Operators route persist() through operators/cache.py; release
         # their tracked frames (untimed) so queries are measured
         # independently instead of under the accumulated storage
@@ -100,6 +83,55 @@ def main() -> int:
         # (untimed) to model per-query isolation.
         spark.sparkContext._jvm.System.gc()
 
+    # Variance protocol (BASELINE.md "Timing protocol"): this container's
+    # wall clock swings 20-30% run-to-run on the heavy queries (7.4 vs
+    # 9.3 s observed for the same dedup_pipeline binary across r4 runs),
+    # so any query whose FIRST timing is >= MEDIAN_THRESHOLD seconds is
+    # re-run twice more and records the MEDIAN of the three — a
+    # single-shot number on those queries measures the container's mood,
+    # not the plan.  Sub-threshold queries keep single-shot timings (their
+    # absolute jitter is small and 170+ extra runs would triple the
+    # suite wall).
+    MEDIAN_THRESHOLD = 5.0
+    timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
+    failed: dict[str, str] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # lose the other 100 timings (the r2 bench artifact was lost
+            # to exactly this all-or-nothing failure mode).
+            failed[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
+            _cleanup()
+            continue
+        first = round(time.perf_counter() - t0, 3)
+        _cleanup()
+        if first >= MEDIAN_THRESHOLD:
+            samples = [first]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    _force(fn(spark, sf_dir))
+                    samples.append(round(time.perf_counter() - t0, 3))
+                except Exception as e:  # noqa: BLE001 — keep the first
+                    print(f"# {name}: rep failed {e}", file=sys.stderr)
+                _cleanup()
+            samples.sort()
+            timings[name] = samples[len(samples) // 2]
+            reps[name] = samples
+            print(
+                f"# {name}: {timings[name]:.3f}s (median of {samples})",
+                file=sys.stderr,
+            )
+        else:
+            timings[name] = first
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
     full = {
         "metric": "total_query_wall",
         "value": round(sum(timings.values()), 3),
@@ -107,6 +139,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if reps:
+        full["median_reps"] = reps  # raw samples behind each median
     if failed:
         full["failed"] = failed
     # The driver captures only a finite stdout TAIL, and BENCH_r02/r03

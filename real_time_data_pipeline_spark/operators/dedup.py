@@ -157,15 +157,18 @@ def minhash_signatures(
             F.explode(shingles_col(text_col, n)).alias("shingle"),
         )
     # sequence() elements are INT, so hash the permutation index as INT too
-    # (xxhash64 is type-sensitive) to keep signatures stable across shapes.
+    # (xxhash64 is type-sensitive — SQL integer literals parse as INT, the
+    # same type F.lit(i) produced, so persisted-index signatures are
+    # unchanged) to keep signatures stable across shapes.  The num_perm
+    # aggregates are built as ONE parsed SQL expression rather than
+    # num_perm Column objects: each F.min(F.xxhash64(...)) is a py4j
+    # round-trip, and at 128 permutations the driver spent ~1 s per call
+    # just CONSTRUCTING the plan (measured; the executed plan is
+    # identical either way).
     hashed = ex.select("id", F.xxhash64("shingle").alias("h0"))
-    mins = [
-        F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    agg = hashed.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    sig = ", ".join(f"min(xxhash64(h0, {i}))" for i in range(num_perm))
+    return hashed.groupBy("id").agg(
+        F.expr(f"array({sig})").alias("signature")
     )
 
 
@@ -187,27 +190,23 @@ def minhash_band_hashes(
     assert num_perm % bands == 0
     rpb = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, shingled)
+    # One parsed SQL expression for the whole banding array (same
+    # plan-construction rationale as the signature aggregate above:
+    # bands x rows_per_band Column objects cost ~1 s of py4j driver time
+    # per call).  SQL get() is 0-based like F.get; CAST AS STRING is the
+    # same cast F.Column.cast applied, so band hashes — and therefore
+    # every persisted index — are unchanged.
+    structs = ", ".join(
+        f"struct({b} AS band_idx, xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(get(signature, {b * rpb + j}) AS string)"
+            for j in range(rpb)
+        )
+        + ")) AS band_hash)"
+        for b in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.get(F.col("signature"), b * rpb + j).cast("string")
-                                    for j in range(rpb)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        "id", F.expr(f"explode(array({structs}))").alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
 
 

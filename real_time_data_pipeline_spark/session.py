@@ -62,6 +62,15 @@ def get_spark(
         # cost.  Same setting matters on real clusters for long-lived
         # multi-tenant driver sessions.
         .config("spark.cleaner.periodicGC.interval", "45s")
+        # The MinHash signature aggregate carries num_perm (128) min()
+        # buffer fields; the default codegen cutoff (100 fields) silently
+        # dropped the whole dedup signature stage out of whole-stage
+        # codegen into interpreted evaluation (measured 2.4x slower at
+        # sf0.1).  256 keeps every 128-permutation aggregate inside
+        # codegen while still guarding against pathological 1000-column
+        # plans.  Same knob matters on a real cluster — it is plan-shape,
+        # not data-scale, dependent.
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.ui.enabled", "false")
         # Keep harness stdout parseable: the console progress bar can
         # interleave with the one-line JSON contract bench.py prints.
