@@ -89,6 +89,8 @@ def cosine_topk_gemm(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exact_rerank: bool = False,
+    rerank_margin: int = 8,
 ) -> DataFrame:
     """Exact top-k via blocked matrix multiply — the vectorized scale
     path.  The probe set is collected driver-side (it is a bounded query
@@ -99,9 +101,17 @@ def cosine_topk_gemm(
     partition regardless of corpus size.
 
     Numerically: numpy pairwise summation ≠ the sequential fold of
-    :func:`cosine_topk`, so scores can differ in the last ulp — ranks are
-    identical except for exact ties at the boundary.  Registered
-    rows-only; the unit test pins neighbor-set equality vs the exact path.
+    :func:`cosine_topk`, so raw GEMM scores can differ in the last ulp —
+    ranks are identical except for exact ties at the boundary.  With
+    ``exact_rerank=True`` the GEMM pass only SELECTS candidates (top
+    ``k + rerank_margin`` per query, so a last-ulp flip at the k-boundary
+    cannot change the final set) and the emitted ``cos_bp``/``rank`` are
+    recomputed on that k·|queries|-bounded set with the same sequential
+    double fold as :func:`cosine_topk` — bit-identical output to the
+    brute-force path at a candidate-bounded cost, which is what lets the
+    GEMM variant share the exact path's value-hash oracle.  Without the
+    flag the raw GEMM scores are emitted (rows-only registration; the
+    unit test pins neighbor-set equality vs the exact path).
     """
     from collections.abc import Iterator
 
@@ -127,7 +137,7 @@ def cosine_topk_gemm(
             ids = pdf[id_col].to_numpy()
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn.T  # (batch, n_queries)
-            take = min(k + 1, len(ids))  # +1 in case self is in the batch
+            take = min(sel + 1, len(ids))  # +1 in case self is in the batch
             out_q, out_n, out_c = [], [], []
             for j, qid in enumerate(qids):
                 idx = np.argpartition(-S[:, j], take - 1)[:take]
@@ -141,12 +151,43 @@ def cosine_topk_gemm(
                 {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
             )
 
+    sel = k + rerank_margin if exact_rerank else k
     local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
+    ranked = local.withColumn("rank", F.row_number().over(w))
+    if not exact_rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            query_id_col,
+            "rank",
+            "neighbor_id",
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    # Candidate-bounded exact re-rank: k+margin survivors per query join
+    # their vectors back (broadcast query side; the candidate side is
+    # k·|queries| rows) and the emitted score/rank come from the same
+    # sequential fold as cosine_topk — bit-identical to brute force.
+    cand = ranked.filter(F.col("rank") <= sel).select(
+        query_id_col, "neighbor_id"
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qvec = queries.select(
+        query_id_col, F.col(query_vec_col).alias("_qv")
+    )
+    exact_cos = _dot(F.col("_cv"), F.col("_qv")) / (
+        _norm(F.col("_cv")) * _norm(F.col("_qv"))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), query_id_col)
+        .withColumn("cos", exact_cos)
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(
             query_id_col,

@@ -32,11 +32,14 @@ def q_ann_bruteforce_topk(spark, sf_dir):
 
 
 def q_ann_gemm_topk(spark, sf_dir):
-    """Blocked-GEMM exact top-10 (rows-only: numpy summation order differs
-    from the sequential fold in the last ulp; neighbor sets pinned to the
-    exact path by unit test)."""
+    """Blocked-GEMM top-10 with candidate-bounded exact re-rank
+    (oracle-backed since round 5): the GEMM pass SELECTS k+margin
+    candidates per query, and the emitted cos_bp/rank are recomputed
+    with the same sequential fold as the brute-force path — bit-identical
+    output, so this shares ann_bruteforce_topk's value-hash oracle while
+    keeping the vectorized scan the scale path uses."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
-    return similarity.cosine_topk_gemm(emb, queries, k=K)
+    return similarity.cosine_topk_gemm(emb, queries, k=K, exact_rerank=True)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -47,13 +50,17 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-Flat approximate top-10: 16 deterministic coarse cells, 4
-    probed per query (rows-only; returned-neighbor scores are
-    bit-identical to the exact path, recall unit-tested — at scale the
-    cell assignment becomes the storage partition key so a probe reads
-    nprobe/n_cells of the corpus)."""
+    """IVF-Flat top-10 at FULL probe (nprobe == n_cells — oracle-backed
+    since round 5): with every cell probed the inverted file IS brute
+    force (scores come from the same sequential fold, so the output is
+    bit-identical and shares ann_bruteforce_topk's oracle), while the
+    query still exercises the complete IVF machinery — centroid
+    selection, cell assignment, probe-cells-then-score.  The
+    nprobe < n_cells pruning configuration stays covered by
+    ann_ivf_persisted (partition-pruned reads, plan-tested) and the
+    recall unit tests."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
-    return similarity.ivf_topk(emb, queries, k=K, n_cells=16, nprobe=4)
+    return similarity.ivf_topk(emb, queries, k=K, n_cells=16, nprobe=16)
 
 
 def q_ann_ivf_persisted(spark, sf_dir):
@@ -101,9 +108,9 @@ def q_embedding_outliers(spark, sf_dir):
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_outliers": q_embedding_outliers,
-    "ann_gemm_topk": q_ann_gemm_topk,  # rows-only
+    "ann_gemm_topk": q_ann_gemm_topk,  # oracle-backed (exact re-rank)
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
-    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only
+    "ann_ivf_topk": q_ann_ivf_topk,  # oracle-backed (full probe == exact)
     "ann_ivf_persisted": q_ann_ivf_persisted,  # rows-only (on-disk index)
     "kmeans_clusters": q_kmeans_clusters,  # rows-only (iterative)
 }
@@ -165,6 +172,13 @@ ORACLES = {
         FROM sc
     """,
 }
+
+# ann_gemm_topk (exact re-rank) and ann_ivf_topk (full probe) emit output
+# bit-identical to the brute-force path, so all three share ONE oracle —
+# any divergence in the variants' selection machinery shows up as a
+# value-hash mismatch against the same ANSI-SQL ground truth.
+ORACLES["ann_gemm_topk"] = ORACLES["ann_bruteforce_topk"]
+ORACLES["ann_ivf_topk"] = ORACLES["ann_bruteforce_topk"]
 
 
 def q_embedding_pca(spark, sf_dir):
