@@ -32,6 +32,13 @@ def main() -> int:
     for name, fn in qs:
         t0 = time.perf_counter()
         try:
+            # Full driver-side collect BY DESIGN: this replicates the
+            # driver's own correctness harness (which collects every
+            # result to hash it).  That is fine at the sf0.001/sf0.01
+            # preflight scales this tool exists for — do NOT point it at
+            # sf1+ corpora, where a full-corpus query result would
+            # flood the driver; use bench.py (noop sink) for timing at
+            # larger scales.
             rows = fn(spark, sf_dir).collect()
         except Exception as e:  # noqa: BLE001 — report all, fail at end
             failed.append((name, f"{type(e).__name__}: {e}"[:160]))
