@@ -191,7 +191,11 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
 
     # --- cache discipline under sustained execution -------------------
     assert cache.n_tracked() == 0
-    assert _n_cached(spark) == cached_before
+    # <= not ==: the session is shared across the test suite, and the
+    # ContextCleaner may free OTHER tests' lingering localCheckpoint
+    # blocks during the 2-minute soak (count can only legitimately
+    # drop); what this asserts is that the soak itself added none.
+    assert _n_cached(spark) <= cached_before
 
     rate = wh_in / elapsed
     print(
