@@ -311,11 +311,19 @@ def _write_index_meta(
     ``<path>/_scheme``.  Underscore-prefixed children are invisible to
     Spark's directory scan (same convention as _SUCCESS), so the marker
     rides inside the index directory on any filesystem — local, HDFS,
-    or object store — without touching the data-read path."""
-    docs.sparkSession.createDataFrame(
-        [(MINHASH_SCHEME_VERSION, n, num_perm, bands)],
-        "scheme_version int, n int, num_perm int, bands int",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_scheme")
+    or object store — without touching the data-read path.
+
+    Built from ``spark.range(1)`` + literals, NOT ``createDataFrame`` of
+    a local row: a Python-sourced 1-row frame writes through a Python
+    runner task (measured 4-5 s per write — it dominated the whole index
+    build), while the JVM-literal plan commits in ~0.3 s."""
+    spark = docs.sparkSession
+    spark.range(1).select(
+        F.lit(MINHASH_SCHEME_VERSION).cast("int").alias("scheme_version"),
+        F.lit(n).cast("int").alias("n"),
+        F.lit(num_perm).cast("int").alias("num_perm"),
+        F.lit(bands).cast("int").alias("bands"),
+    ).write.mode("overwrite").parquet(path + "/_scheme")
 
 
 def check_index_meta(spark, path: str, n: int, num_perm: int, bands: int) -> None:

@@ -185,8 +185,19 @@ def connected_components(
                 # benefit once the gate has passed.
                 pairs = [(r["u"], r["v"]) for r in e_plan.collect()]
                 labels = _union_find_components(pairs)
+                # Ship the labels back as a pandas frame: createDataFrame
+                # from local tuples evaluates through a Python-runner
+                # task on EVERY downstream action (~0.3 s each, 3.7 s on
+                # first touch), while the pandas input takes the Arrow
+                # fast path (~0.1 s) and the result plan is a pure
+                # LocalRelation.
+                import pandas as pd
+
+                pdf = pd.DataFrame(
+                    labels or None, columns=["node", "component"]
+                ).astype("int64")
                 return edges.sparkSession.createDataFrame(
-                    labels, "node bigint, component bigint"
+                    pdf, "node bigint, component bigint"
                 )
             e = chk(e_plan)
         finally:
@@ -294,7 +305,7 @@ def pagerank(
     )
     nodes = nodes.repartition(F.col("node")).persist()
     ranks = nodes.withColumn("rank_micro", F.lit(ONE).cast("bigint"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e_deg.join(ranks, e_deg.src == ranks.node)
             .select(
@@ -304,23 +315,28 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # eager checkpoint: truncates lineage AND keeps Catalyst from
-        # re-analyzing an iters-deep plan tree on the final action
-        # (measured 3-4x on a 600k-edge graph vs lazy checkpoints).
-        ranks = chk(
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_ppm).cast("bigint")
-                    + F.expr(
-                        f"({damping_ppm} * coalesce(in_sum, 0L)) div {ONE}"
-                    )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base_ppm).cast("bigint")
+                + F.expr(
+                    f"({damping_ppm} * coalesce(in_sum, 0L)) div {ONE}"
                 )
-                .cast("bigint")
-                .alias("rank_micro"),
             )
+            .cast("bigint")
+            .alias("rank_micro"),
         )
+        # Eager checkpoint every SECOND iteration (and always on the
+        # last): truncates lineage and keeps Catalyst from re-analyzing
+        # an iters-deep plan tree on the final action (measured 3-4x on
+        # a 600k-edge graph vs lazy checkpoints), while halving the
+        # number of rank-frame materializations vs per-iteration
+        # checkpoints — a 2-iteration lineage tail (two joins + one agg)
+        # re-analyzes in ms and re-computes from the previous checkpoint
+        # on failure, so the cadence trades nothing structural.  Values
+        # are integer arithmetic: checkpoint cadence cannot change them.
+        if i % 2 == 1 or i == iters - 1:
+            ranks = chk(ranks)
     e_deg.unpersist()
     nodes.unpersist()
     return ranks
