@@ -378,26 +378,78 @@ def distribution_drift(
     full-outer on (group, bin) with zero-fill before the per-group TV
     fold.  Nothing shuffles at row grain except the two counts.
     """
+    bounds = drift_bounds(ref, group_col, value_col)
+    a = drift_bin_counts(ref, bounds, group_col, value_col, n_bins)
+    b = drift_bin_counts(cur, bounds, group_col, value_col, n_bins)
+    novel = drift_novel_counts(cur, bounds, group_col)
+    return drift_finalize(a, b, novel, group_col)
+
+
+# -- mergeable-partial decomposition of distribution_drift --------------
+# The three partials below are ASSOCIATIVE in the current window: bin
+# counts and novel counts are plain sums, so a streaming maintainer can
+# fold micro-batches into (group, bin)-grain state and finalize at any
+# point — the same decomposition monthly_rollup/merge_monthly_rollup use
+# for A7.  The batch operator composes exactly these pieces, so the
+# streaming twin shares ALL the drift logic rather than re-implementing
+# it (queries/reference_parity.q_stream_distribution_drift).
+
+def drift_bounds(ref: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Frozen per-group [min, max] of the reference window — the bin
+    edges every current-window partial is computed against."""
     v = F.col(value_col)
-    bounds = ref.groupBy(group_col).agg(
+    return ref.groupBy(group_col).agg(
         F.min(v).alias("_mn"), F.max(v).alias("_mx")
     )
 
-    def binned(df: DataFrame) -> DataFrame:
-        j = df.join(F.broadcast(bounds), group_col)
-        width = (F.col("_mx") - F.col("_mn")) / F.lit(n_bins)
-        raw = F.when(
-            width > 0, F.floor((v - F.col("_mn")) / width)
-        ).otherwise(F.lit(0))
-        bin_ = F.least(
-            F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
-        ).cast("bigint")
-        return j.groupBy(F.col(group_col), bin_.alias("bin")).agg(
-            F.count("*").alias("n")
-        )
 
-    a = binned(ref).withColumnRenamed("n", "n_ref")
-    b = binned(cur).withColumnRenamed("n", "n_cur")
+def drift_bin_counts(
+    df: DataFrame,
+    bounds: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """(group, bin, n) counts against the FROZEN reference bounds;
+    out-of-range values clamp to the edge bins.  Additive across any
+    split of ``df`` — the streaming-mergeable partial."""
+    v = F.col(value_col)
+    j = df.join(F.broadcast(bounds), group_col)
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_bins)
+    raw = F.when(
+        width > 0, F.floor((v - F.col("_mn")) / width)
+    ).otherwise(F.lit(0))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("bigint")
+    return j.groupBy(F.col(group_col), bin_.alias("bin")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def drift_novel_counts(
+    cur: DataFrame, bounds: DataFrame, group_col: str
+) -> DataFrame:
+    """(group, n) counts of current rows whose group has NO reference
+    bounds — the brand-new-group signal.  Additive across batches."""
+    return (
+        cur.join(F.broadcast(bounds), group_col, "left_anti")
+        .groupBy(group_col)
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def drift_finalize(
+    ref_binned: DataFrame,
+    cur_binned: DataFrame,
+    novel_counts: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """TV distance in basis points from the accumulated partials —
+    identical output to :func:`distribution_drift` however the current
+    partials were produced (one batch or many merged micro-batches)."""
+    a = ref_binned.withColumnRenamed("n", "n_ref")
+    b = cur_binned.withColumnRenamed("n", "n_cur")
     grid = a.join(b, [group_col, "bin"], "full_outer").select(
         group_col,
         "bin",
@@ -430,20 +482,14 @@ def distribution_drift(
             F.max("t_cur").cast("bigint").alias("n_cur"),
         )
     )
-    # Reference-absent groups: binned() inner-joins to the reference
-    # bounds, so without this leg a novel group would vanish from the
-    # output entirely.  Anti-join is against the group-grain bounds
-    # table (tiny), not the row-grain reference.
-    novel = (
-        cur.join(F.broadcast(bounds), group_col, "left_anti")
-        .groupBy(group_col)
-        .agg(F.count("*").cast("bigint").alias("n_cur"))
-        .select(
-            group_col,
-            F.lit(10_000).cast("bigint").alias("tv_bp"),
-            F.lit(0).cast("bigint").alias("n_ref"),
-            "n_cur",
-        )
+    # Reference-absent groups: drift_bin_counts inner-joins to the
+    # reference bounds, so without this leg a novel group would vanish
+    # from the output entirely.
+    novel = novel_counts.select(
+        group_col,
+        F.lit(10_000).cast("bigint").alias("tv_bp"),
+        F.lit(0).cast("bigint").alias("n_ref"),
+        F.col("n").cast("bigint").alias("n_cur"),
     )
     return seen.unionByName(novel)
 

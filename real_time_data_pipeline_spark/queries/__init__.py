@@ -75,6 +75,7 @@ _R5_PRIORITY = [
     "wow_change",            # also (b): year-qualified week fix
     # (b) code paths modified this round — driver re-verifies
     "distribution_drift",    # vanished-group tv_bp fix (advisor #1)
+    "stream_distribution_drift",  # NEW r5: streaming twin, same oracle
     "category_drift",        # same operator family
     "dedup_minhash_lsh",     # expr-string signature construction
     "dedup_incremental",     # index _scheme marker + signature rewrite
@@ -109,7 +110,6 @@ _R5_PRIORITY = [
     "vocab_oov",
     "dedup_ngram_jaccard",
     "categorize",
-    "validate",
 ]
 
 

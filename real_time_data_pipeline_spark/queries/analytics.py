@@ -1451,6 +1451,91 @@ def q_distribution_drift(spark, sf_dir):
 
 QUERIES["distribution_drift"] = q_distribution_drift
 
+
+def q_stream_distribution_drift(spark, sf_dir):
+    """Streaming drift monitoring on the SAME oracle as
+    `distribution_drift`: the reference window is a frozen batch frame,
+    the current window ARRIVES AS A STREAM, and each micro-batch folds
+    its (group, bin) and novel-group partials into bounded state
+    (|groups × bins| rows — the operators/quality mergeable
+    decomposition), so the monitor never re-reads the current window.
+    Finalize over the merged state is hash-identical to the batch
+    answer — the fourth streaming-engine entry sharing a batch oracle.
+
+    State is materialized between batches as Arrow-backed pandas
+    (groups × bins ≈ dozens of rows; the production shape upserts the
+    same partials into a monitoring table instead)."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.quality import (
+        drift_bin_counts,
+        drift_bounds,
+        drift_finalize,
+        drift_novel_counts,
+    )
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _stream_events,
+    )
+
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    ref = ev.filter(F.col("ts") < cutoff)
+    bounds = drift_bounds(ref, "event_type", "value")
+    # Freeze the tiny per-group bounds as a LocalRelation so every
+    # micro-batch reuses them without re-aggregating the reference.
+    bounds = spark.createDataFrame(
+        bounds.toPandas(), "event_type string, _mn double, _mx double"
+    )
+    ref_binned = drift_bin_counts(ref, bounds, "event_type", "value", 10)
+
+    state = {
+        "binned": pd.DataFrame(columns=["event_type", "bin", "n"]),
+        "novel": pd.DataFrame(columns=["event_type", "n"]),
+    }
+
+    def fold(batch, _i):
+        b = batch.filter(
+            (F.col("ts") >= cutoff) & F.col("value").isNotNull()
+        ).select("event_type", "ts", "value")
+        inc_binned = drift_bin_counts(
+            b, bounds, "event_type", "value", 10
+        ).toPandas()
+        inc_novel = drift_novel_counts(b, bounds, "event_type").toPandas()
+        state["binned"] = (
+            pd.concat([state["binned"], inc_binned])
+            .groupby(["event_type", "bin"], as_index=False)["n"]
+            .sum()
+        )
+        state["novel"] = (
+            pd.concat([state["novel"], inc_novel])
+            .groupby(["event_type"], as_index=False)["n"]
+            .sum()
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("event_type", "ts", "value")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cur_binned = spark.createDataFrame(
+        state["binned"], "event_type string, bin bigint, n long"
+    )
+    novel = spark.createDataFrame(
+        state["novel"], "event_type string, n long"
+    )
+    return drift_finalize(ref_binned, cur_binned, novel, "event_type")
+
+
+QUERIES["stream_distribution_drift"] = q_stream_distribution_drift
+# its oracle is assigned right after the batch oracle literal below
+
 ORACLES["distribution_drift"] = """
     WITH ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
@@ -1514,6 +1599,10 @@ ORACLES["distribution_drift"] = """
     )
     GROUP BY 1
 """
+
+# The streaming twin folds micro-batch partials into the identical
+# final table, so it shares the batch oracle verbatim.
+ORACLES["stream_distribution_drift"] = ORACLES["distribution_drift"]
 
 
 def q_category_drift(spark, sf_dir):
