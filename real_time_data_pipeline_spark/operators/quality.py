@@ -509,12 +509,24 @@ def categorical_drift(
     share).  Two category-keyed counts (map-side combined, vocab-
     bounded shuffle) + one full-outer join on the category key.
     """
-    a = ref.groupBy(F.col(cat_col).alias("cat")).agg(
-        F.count("*").alias("n_ref")
+    a = categorical_counts(ref, cat_col).withColumnRenamed("n", "n_ref")
+    b = categorical_counts(cur, cat_col).withColumnRenamed("n", "n_cur")
+    return categorical_drift_finalize(a, b)
+
+
+def categorical_counts(df: DataFrame, cat_col: str) -> DataFrame:
+    """(cat, n) counts — the streaming-mergeable partial of
+    :func:`categorical_drift` (plain sums, additive across any batch
+    split of the window)."""
+    return df.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count("*").alias("n")
     )
-    b = cur.groupBy(F.col(cat_col).alias("cat")).agg(
-        F.count("*").alias("n_cur")
-    )
+
+
+def categorical_drift_finalize(a: DataFrame, b: DataFrame) -> DataFrame:
+    """TV + top-mover from accumulated (cat, n_ref)/(cat, n_cur) counts —
+    identical output to :func:`categorical_drift` however the current
+    counts were produced (one batch or many merged micro-batches)."""
     grid = a.join(b, "cat", "full_outer").select(
         "cat",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),

@@ -77,6 +77,7 @@ _R5_PRIORITY = [
     "distribution_drift",    # vanished-group tv_bp fix (advisor #1)
     "stream_distribution_drift",  # NEW r5: streaming twin, same oracle
     "category_drift",        # same operator family
+    "stream_category_drift",  # NEW r5: streaming twin, same oracle
     "dedup_minhash_lsh",     # expr-string signature construction
     "dedup_incremental",     # index _scheme marker + signature rewrite
     "stream_dedup_incremental",
@@ -109,7 +110,6 @@ _R5_PRIORITY = [
     "unigram_surprisal",
     "vocab_oov",
     "dedup_ngram_jaccard",
-    "categorize",
 ]
 
 

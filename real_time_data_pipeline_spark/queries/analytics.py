@@ -1623,6 +1623,58 @@ def q_category_drift(spark, sf_dir):
 
 QUERIES["category_drift"] = q_category_drift
 
+
+def q_stream_category_drift(spark, sf_dir):
+    """Streaming twin of `category_drift` on the same oracle: the
+    current window's per-category counts are additive, so each
+    micro-batch folds into |categories|-row state and the finalize over
+    merged counts is hash-identical to the batch answer (same
+    mergeable-partial pattern as stream_distribution_drift)."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.quality import (
+        categorical_counts,
+        categorical_drift_finalize,
+    )
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _stream_events,
+    )
+
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    ref_counts = categorical_counts(
+        ev.filter(F.col("ts") < cutoff), "event_type"
+    ).withColumnRenamed("n", "n_ref")
+
+    state = {"counts": pd.DataFrame(columns=["cat", "n"])}
+
+    def fold(batch, _i):
+        inc = categorical_counts(
+            batch.filter(F.col("ts") >= cutoff), "event_type"
+        ).toPandas()
+        state["counts"] = (
+            pd.concat([state["counts"], inc])
+            .groupby(["cat"], as_index=False)["n"]
+            .sum()
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("event_type", "ts")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cur_counts = spark.createDataFrame(
+        state["counts"], "cat string, n long"
+    ).withColumnRenamed("n", "n_cur")
+    return categorical_drift_finalize(ref_counts, cur_counts)
+
+
+QUERIES["stream_category_drift"] = q_stream_category_drift
+# oracle assigned right after the batch oracle literal below
+
 ORACLES["category_drift"] = """
     WITH ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -1652,6 +1704,9 @@ ORACLES["category_drift"] = """
            CAST(MAX(t_cur) AS BIGINT) AS n_cur
     FROM d
 """
+
+# streaming twin folds micro-batch counts into the identical final row
+ORACLES["stream_category_drift"] = ORACLES["category_drift"]
 
 
 def q_item_similarity(spark, sf_dir):
