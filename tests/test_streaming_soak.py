@@ -70,6 +70,7 @@ def _n_cached(spark) -> int:
 @pytest.mark.slow
 def test_streaming_soak_two_sink_dag(spark, tmp_path):
     cached_before = _n_cached(spark)
+    tracked_before = cache.n_tracked()
     listener = _InputRowCounter()
     spark.streams.addListener(listener)
 
@@ -190,7 +191,12 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
     assert dead.filter("is_valid").count() == 0
 
     # --- cache discipline under sustained execution -------------------
-    assert cache.n_tracked() == 0
+    # Baseline-relative on BOTH counters: earlier suite tests exercise
+    # cache.track-ing operators directly (their persists are released by
+    # whichever harness evaluates them, not mid-suite), so the soak
+    # asserts it added nothing rather than that the shared session is
+    # globally clean.
+    assert cache.n_tracked() <= tracked_before
     # <= not ==: the session is shared across the test suite, and the
     # ContextCleaner may free OTHER tests' lingering localCheckpoint
     # blocks during the 2-minute soak (count can only legitimately
