@@ -1230,3 +1230,72 @@ def scrub_contaminated_spans(
         .alias("n_removed"),
         F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
     )
+
+
+# ------------------------------------------------------------------ PII
+
+# Detection patterns shared by pii_stats/pii_scrub and the DuckDB
+# oracles.  Kept to the regex subset where Java regex (Spark) and RE2
+# (DuckDB) agree exactly — character classes, bounded repetition, \b,
+# \d — so the same pattern string is the ground truth on both engines.
+# Replacement ORDER is load-bearing (ssn before phone before ipv4 keeps
+# digit-dash/digit-dot shapes from partially consuming each other), so
+# both sides iterate this tuple in order.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII detection counts — the audit half of the scrub
+    pass a training-data pipeline runs before release: one row per doc
+    with a non-overlapping match count per category plus the total.
+
+    Pure codegen'd ``regexp_count`` per pattern in ONE projection over
+    the corpus scan — no shuffle, no UDF; at 100 TB this is a map-only
+    pass whose cost is the scan itself."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total.cast("bigint"))
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redaction half: every PII match replaced by its ``[CATEGORY]``
+    token, applied in the fixed ``PII_PATTERNS`` order.  Same map-only
+    shape as :func:`pii_stats`; emits the scrubbed text plus the counts
+    (what was removed), which is the artifact a release pipeline ships.
+    """
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS
+    ]
+    total = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    # counts and redaction in the SAME projection — a join of the two
+    # map-only halves would shuffle the corpus for nothing
+    return df.select(
+        F.col(id_col), scrubbed.alias("scrubbed_text"), *counts
+    ).withColumn("n_pii_total", total.cast("bigint"))

@@ -112,6 +112,10 @@ _R5_PRIORITY = [
     "dedup_ngram_jaccard",
 ]
 
+# Round-6 rotation candidates (oracle-backed entries registered after
+# the round-5 window filled; parity green, no driver verdict yet —
+# front-load next round): pii_scrub.
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:

@@ -896,3 +896,74 @@ ORACLES["corpus_report"] = f"""
            q.mean_quality_c
     FROM base b, toks t, qual q
 """
+
+
+# ------------------------------------------------------------------ PII
+
+# ONE SQL fragment, valid verbatim in both Spark SQL and DuckDB (||,
+# lpad, lower, replace, % all agree), builds deterministic PII-bearing
+# text from customer keys — the synthetic corpus carries no real PII,
+# so the scrub is exercised against planted emails/phones/ssns/ips
+# whose expected redaction both engines can derive independently.
+_PII_TEXT_SQL = (
+    "'Reach ' || c_name || ' <' || lower(replace(c_name, '#', '')) || "
+    "'@example.com> call 555-' || "
+    "lpad(cast((c_custkey * 7) % 1000 as string), 3, '0') || '-' || "
+    "lpad(cast((c_custkey * 13) % 10000 as string), 4, '0') || ' ssn ' || "
+    "lpad(cast(c_custkey % 1000 as string), 3, '0') || '-' || "
+    "lpad(cast(c_nationkey % 100 as string), 2, '0') || '-' || "
+    "lpad(cast((c_custkey * 3) % 10000 as string), 4, '0') || "
+    "' ip 10.' || cast(c_custkey % 256 as string) || '.' || "
+    "cast(c_nationkey % 256 as string) || '.7 done'"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (operators/curation.pii_scrub): per customer
+    record, the planted email/phone/ssn/ip occurrences counted and
+    replaced by [CATEGORY] tokens — the release-gate scrub pass of a
+    training-data pipeline, as a single map-only codegen projection
+    (regexp_count + ordered regexp_replace; no UDF, no shuffle)."""
+    from real_time_data_pipeline_spark.operators.curation import pii_scrub
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_PII_TEXT_SQL} AS text"
+    )
+    return pii_scrub(cust, id_col="c_custkey", text_col="text")
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+
+# DuckDB twin: same text construction fragment, same patterns in the
+# same replacement order (regexp_replace ... 'g'), counts via
+# len(regexp_extract_all) — non-overlapping like Spark's regexp_count.
+_PII_RE = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone": "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+}
+ORACLES["pii_scrub"] = f"""
+    WITH src AS (
+      SELECT c_custkey, {_PII_TEXT_SQL.replace("as string", "as varchar")} AS text
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{_PII_RE["email"]}', '[EMAIL]', 'g'),
+               '{_PII_RE["ssn"]}', '[SSN]', 'g'),
+               '{_PII_RE["phone"]}', '[PHONE]', 'g'),
+               '{_PII_RE["ipv4"]}', '[IPV4]', 'g') AS scrubbed_text,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["ssn"]}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}'))
+              + len(regexp_extract_all(text, '{_PII_RE["ssn"]}'))
+              + len(regexp_extract_all(text, '{_PII_RE["phone"]}'))
+              + len(regexp_extract_all(text, '{_PII_RE["ipv4"]}')) AS BIGINT)
+               AS n_pii_total
+    FROM src
+"""

@@ -645,3 +645,37 @@ def test_scrub_contaminated_spans_removes_all_occurrences(spark):
     # 'and the exact eval' is not a bench gram; covered = 0-3,5-8 -> 'and'
     assert rows[2]["scrub_text"] == "and"
     assert rows[3]["n_removed"] == 0
+
+
+def test_pii_stats_and_scrub_goldens(spark):
+    from real_time_data_pipeline_spark.operators.curation import (
+        pii_scrub,
+        pii_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-mail.co.uk or x@y.io, call 555-123-4567"),
+            (2, "ssn 123-45-6789 from 192.168.0.1 and 10.0.0.255"),
+            (3, "no pii here, just 1234-5678 and version 1.2.3"),
+            (4, "phone 555-000-1111 ssn 999-11-2222 ip 8.8.8.8 e a@b.cc"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (stats[1]["n_email"], stats[1]["n_phone"]) == (2, 1)
+    assert (stats[2]["n_ssn"], stats[2]["n_ipv4"]) == (1, 2)
+    # 1234-5678 is neither a phone (3-3-4) nor an ssn (3-2-4); 1.2.3 is
+    # not a dotted quad
+    assert stats[3]["n_pii_total"] == 0
+    assert stats[4]["n_pii_total"] == 4
+
+    scrub = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert scrub[1]["scrubbed_text"] == "mail [EMAIL] or [EMAIL], call [PHONE]"
+    assert scrub[2]["scrubbed_text"] == "ssn [SSN] from [IPV4] and [IPV4]"
+    assert scrub[3]["scrubbed_text"] == df.collect()[2]["text"] or scrub[3][
+        "scrubbed_text"
+    ] == "no pii here, just 1234-5678 and version 1.2.3"
+    assert scrub[4]["scrubbed_text"] == "phone [PHONE] ssn [SSN] ip [IPV4] e [EMAIL]"
+    # counts ride along with the redaction in the same row
+    assert scrub[4]["n_pii_total"] == 4

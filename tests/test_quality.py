@@ -251,3 +251,72 @@ def test_embedding_drift_hand_vectors(spark):
     # identical windows -> zero drift
     z = embedding_drift(ref, ref).collect()[0]
     assert z["l2_micro"] == 0
+
+
+def test_drift_partials_merge_associative(spark):
+    """The streaming drift twins rest on this property: folding the
+    current window through ANY batch split and summing the (group, bin)
+    / novel partials must finalize to the exact batch answer."""
+    import random
+
+    from real_time_data_pipeline_spark.operators.quality import (
+        distribution_drift,
+        drift_bin_counts,
+        drift_bounds,
+        drift_finalize,
+        drift_novel_counts,
+    )
+
+    rng = random.Random(7)
+    ref_rows = [
+        (g, float(rng.randint(0, 100)))
+        for g in ["a", "b", "gone"]
+        for _ in range(rng.randint(5, 20))
+    ]
+    cur_rows = [
+        (g, float(rng.randint(-20, 140)))  # includes out-of-range clamps
+        for g in ["a", "b", "novel"]
+        for _ in range(rng.randint(5, 20))
+    ]
+    ref = spark.createDataFrame(ref_rows, "g string, v double")
+    cur = spark.createDataFrame(cur_rows, "g string, v double")
+    expected = {
+        (r["g"], r["tv_bp"], r["n_ref"], r["n_cur"])
+        for r in distribution_drift(ref, cur, "g", "v").collect()
+    }
+
+    bounds = drift_bounds(ref, "g", "v")
+    ref_binned = drift_bin_counts(ref, bounds, "g", "v", 10)
+    # random 3-way split of the current window, partials summed in pandas
+    # exactly like the streaming fold
+    import pandas as pd
+
+    splits = [[], [], []]
+    for row in cur_rows:
+        splits[rng.randrange(3)].append(row)
+    binned = pd.DataFrame(columns=["g", "bin", "n"])
+    novel = pd.DataFrame(columns=["g", "n"])
+    for part in splits:
+        if not part:
+            continue
+        b = spark.createDataFrame(part, "g string, v double")
+        binned = (
+            pd.concat([binned, drift_bin_counts(b, bounds, "g", "v", 10).toPandas()])
+            .groupby(["g", "bin"], as_index=False)["n"].sum()
+        )
+        novel = (
+            pd.concat([novel, drift_novel_counts(b, bounds, "g").toPandas()])
+            .groupby(["g"], as_index=False)["n"].sum()
+        )
+    got = {
+        (r["g"], r["tv_bp"], r["n_ref"], r["n_cur"])
+        for r in drift_finalize(
+            ref_binned,
+            spark.createDataFrame(binned, "g string, bin bigint, n long"),
+            spark.createDataFrame(novel, "g string, n long"),
+            "g",
+        ).collect()
+    }
+    assert got == expected
+    # the vanished group is pinned to total drift in both shapes
+    assert any(g == "gone" and tv == 10_000 for g, tv, _, _ in got)
