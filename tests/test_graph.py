@@ -9,6 +9,7 @@ in O(diameter) rounds — cycles, stars, and random graphs).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
@@ -242,3 +243,31 @@ def test_broadcast_path_evaluates_edge_plan_once(spark):
         f"edge plan evaluated more than once: {acc.value} UDF calls vs "
         f"{single_pass} for a single pass"
     )
+
+
+@pytest.mark.slow
+def test_distributed_cc_matches_union_find_at_scale(spark):
+    """The alternating-star fixpoint (the 100 TB path, forced via
+    broadcast_limit=0) must agree with the driver union-find on a graph
+    big enough to need multiple rounds — 1M random edges over ~300k
+    nodes — and converge within the iteration bound.  The small
+    agreement tests pin correctness; this pins it at a scale where the
+    fixpoint actually iterates."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    e = spark.range(1_000_000).select(
+        F.expr("pmod(xxhash64(id, 1), 300000)").alias("id_a"),
+        F.expr("pmod(xxhash64(id, 2), 300000)").alias("id_b"),
+    )
+    t0 = time.monotonic()
+    dist = graph.connected_components(e, broadcast_limit=0)
+    dist_rows = dist.collect()
+    wall = time.monotonic() - t0
+    fast = graph.connected_components(e, broadcast_limit=10_000_000)
+    assert {(r["node"], r["component"]) for r in dist_rows} == {
+        (r["node"], r["component"]) for r in fast.collect()
+    }
+    # wall printed for BASELINE tracking; no hard bound (container noise)
+    print(f"\ndistributed CC: 1M edges in {wall:.1f}s")
