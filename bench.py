@@ -131,7 +131,13 @@ def main() -> int:
                     print(f"# {name}: rep failed {e}", file=sys.stderr)
                 _cleanup()
             samples.sort()
-            timings[name] = samples[len(samples) // 2]
+            # statistics.median averages the middle pair on an even
+            # count — if one rep failed, [a, b] must not record the MAX
+            # (that would skew the flaky-heavy queries high, the exact
+            # opposite of the protocol's purpose)
+            import statistics
+
+            timings[name] = round(statistics.median(samples), 3)
             reps[name] = samples
             print(
                 f"# {name}: {timings[name]:.3f}s (median of {samples})",

@@ -1249,53 +1249,51 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def _pii_progressive(text_col: str):
+    """Shared construction for pii_stats/pii_scrub: walk PII_PATTERNS in
+    order, COUNTING each category on the text as it stands AFTER earlier
+    categories were replaced, then replacing it.  Progressive counting
+    makes every ``n_<category>`` equal the number of ``[CATEGORY]``
+    tokens actually emitted — counting every category on the ORIGINAL
+    text would double-count spans an earlier replacement consumed (e.g.
+    ``555-123-4567@example.com`` is one [EMAIL], not an email AND a
+    phone).  Replacement tokens contain no digits/@ so they can never
+    feed a later pattern.  Returns (scrubbed, counts, total)."""
+    cur = F.col(text_col)
+    counts = []
+    total = None
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        counts.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+        cur = F.regexp_replace(cur, pat, f"[{name.upper()}]")
+    return cur, counts, total.cast("bigint").alias("n_pii_total")
+
+
 def pii_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document PII detection counts — the audit half of the scrub
     pass a training-data pipeline runs before release: one row per doc
-    with a non-overlapping match count per category plus the total.
+    with the per-category count of spans the scrub WOULD redact (see
+    :func:`_pii_progressive` for the overlap semantics) plus the total.
 
-    Pure codegen'd ``regexp_count`` per pattern in ONE projection over
-    the corpus scan — no shuffle, no UDF; at 100 TB this is a map-only
-    pass whose cost is the scan itself."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(
-            f"n_{name}"
-        )
-        for name, pat in PII_PATTERNS
-    ]
-    out = df.select(F.col(id_col), *counts)
-    total = None
-    for name, _ in PII_PATTERNS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
-    return out.withColumn("n_pii_total", total.cast("bigint"))
+    Pure codegen'd ``regexp_count``/``regexp_replace`` in ONE projection
+    over the corpus scan — no shuffle, no UDF; at 100 TB this is a
+    map-only pass whose cost is the scan itself."""
+    _, counts, total = _pii_progressive(text_col)
+    return df.select(F.col(id_col), *counts, total)
 
 
 def pii_scrub(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Redaction half: every PII match replaced by its ``[CATEGORY]``
-    token, applied in the fixed ``PII_PATTERNS`` order.  Same map-only
-    shape as :func:`pii_stats`; emits the scrubbed text plus the counts
-    (what was removed), which is the artifact a release pipeline ships.
-    """
-    scrubbed = F.col(text_col)
-    for name, pat in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(
-            f"n_{name}"
-        )
-        for name, pat in PII_PATTERNS
-    ]
-    total = None
-    for name, _ in PII_PATTERNS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
-    # counts and redaction in the SAME projection — a join of the two
-    # map-only halves would shuffle the corpus for nothing
+    token, applied in the fixed ``PII_PATTERNS`` order, plus the counts
+    of what was removed (each count == the [CATEGORY] tokens emitted).
+    Counts and redaction ride ONE map-only projection — a join of the
+    two halves would shuffle the corpus for nothing."""
+    scrubbed, counts, total = _pii_progressive(text_col)
     return df.select(
-        F.col(id_col), scrubbed.alias("scrubbed_text"), *counts
-    ).withColumn("n_pii_total", total.cast("bigint"))
+        F.col(id_col), scrubbed.alias("scrubbed_text"), *counts, total
+    )

@@ -331,15 +331,26 @@ def check_index_meta(spark, path: str, n: int, num_perm: int, bands: int) -> Non
     a different hash scheme or (n, num_perm, bands) config than the
     probe will use.  A missing marker (pre-versioning index) is treated
     as incompatible — rebuild with build_minhash_index."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(path + "/_scheme").head()
-    except Exception as exc:  # AnalysisException: path does not exist
+    except AnalysisException as exc:
+        # ONLY the missing-marker case maps to "rebuild": a transient
+        # IO/permission error must propagate as itself, not send an
+        # operator to rebuild a healthy 100 TB index for a retryable
+        # failure.
         raise ValueError(
             f"minhash index at {path!r} has no _scheme marker; it predates "
             f"scheme versioning (current v{MINHASH_SCHEME_VERSION}) and its "
             "signatures cannot be trusted to match this probe's hash family "
             "— rebuild it with build_minhash_index"
         ) from exc
+    if row is None:  # 0-row marker: interrupted/corrupt write
+        raise ValueError(
+            f"minhash index at {path!r} has an EMPTY _scheme marker "
+            "(interrupted build?); rebuild it with build_minhash_index"
+        )
     got = (row["scheme_version"], row["n"], row["num_perm"], row["bands"])
     want = (MINHASH_SCHEME_VERSION, n, num_perm, bands)
     if got != want:

@@ -52,17 +52,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query set against the
     corpus scan, window-rank per query.  Ties broken by corpus id so the
-    result is fully deterministic."""
+    result is fully deterministic.
+
+    Zero-norm vectors (on either side) are EXCLUDED: their cosine is
+    undefined (0/0 → NaN, which under Spark's ANSI mode aborts the
+    basis-point cast rather than ranking), and a zero embedding is
+    degenerate input, never a meaningful neighbor.  The GEMM/IVF/LSH
+    variants apply the same rule, which is what keeps them
+    output-identical to this path."""
     # Norms computed once per row on each side before the join — the
     # quadratic pair stage only pays for the dot product.
     q = F.broadcast(
         queries.select(
             query_id_col, query_vec_col, _norm(F.col(query_vec_col)).alias("qnrm")
-        )
+        ).filter(F.col("qnrm") > 0)
     )
     joined = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("cnrm")
-    ).crossJoin(q)
+    ).filter(F.col("cnrm") > 0).crossJoin(q)
     cos = _dot(F.col(vec_col), F.col(query_vec_col)) / (
         F.col("cnrm") * F.col("qnrm")
     )
@@ -119,6 +126,11 @@ def cosine_topk_gemm(
     import pandas as pd
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    # zero-norm queries have no defined cosine to anything — excluded,
+    # matching cosine_topk (see its docstring)
+    qrows = [
+        r for r in qrows if any(float(x) != 0.0 for x in r[1])
+    ]
     qids = [r[0] for r in qrows]
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -135,7 +147,16 @@ def cosine_topk_gemm(
                 continue
             C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             ids = pdf[id_col].to_numpy()
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            # zero-norm corpus vectors excluded, matching cosine_topk
+            # (their NaN score would otherwise silently fall out of
+            # numpy's selection while crashing the exact path's cast)
+            keep = norms[:, 0] > 0
+            if not keep.all():
+                C, ids, norms = C[keep], ids[keep], norms[keep]
+            if not len(ids):
+                continue
+            Cn = C / norms
             S = Cn @ Qn.T  # (batch, n_queries)
             take = min(sel + 1, len(ids))  # +1 in case self is in the batch
             out_q, out_n, out_c = [], [], []
@@ -251,7 +272,7 @@ def lsh_topk(
     c = random_hyperplane_buckets(
         corpus.select(
             F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("cnrm")
-        ),
+        ).filter(F.col("cnrm") > 0),  # undefined cosine — see cosine_topk
         planes,
         vec_col,
         "bucket",
@@ -259,7 +280,7 @@ def lsh_topk(
     q = random_hyperplane_buckets(
         queries.select(
             query_id_col, query_vec_col, _norm(F.col(query_vec_col)).alias("qnrm")
-        ),
+        ).filter(F.col("qnrm") > 0),
         planes,
         query_vec_col,
         "qbucket",
@@ -327,6 +348,9 @@ def _ivf_centroid_matrix(corpus, n_cells, seed, id_col, vec_col):
 
     cent_rows = (
         corpus.select(id_col, vec_col)
+        # a zero-norm vector cannot serve as a centroid (its normalized
+        # row would be all-NaN and poison every assignment against it)
+        .filter(_norm(F.col(vec_col)) > 0)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
         .limit(n_cells)
         .collect()
@@ -350,8 +374,18 @@ def _ivf_assign(corpus, Cm, id_col, vec_col):
             if not len(pdf):
                 continue
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            pdf = pdf.copy()
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm vectors have no defined cell (or cosine) —
+            # excluded from the index, matching cosine_topk's rule
+            keep = norms[:, 0] > 0
+            if not keep.all():
+                pdf = pdf.loc[keep].copy()
+                V, norms = V[keep], norms[keep]
+            else:
+                pdf = pdf.copy()
+            if not len(pdf):
+                continue
+            Vn = V / norms
             pdf["cell"] = np.argmax(Vn @ Cm.T, axis=1).astype("int32")
             yield pdf
 
@@ -372,7 +406,10 @@ def _probe_cells(queries, Cm, nprobe, query_id_col, query_vec_col):
     probe_q = []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
-        sims = (qv / np.linalg.norm(qv)) @ Cm.T
+        nrm = np.linalg.norm(qv)
+        if nrm == 0:  # undefined cosine — excluded, see cosine_topk
+            continue
+        sims = (qv / nrm) @ Cm.T
         for cell in np.argsort(-sims)[: min(nprobe, n_cells)]:
             probe_q.append((r[0], int(cell)))
     return probe_q

@@ -137,6 +137,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no_oracle = [k for k in _R5_PRIORITY if k not in oracles]
     if no_oracle:
         raise ValueError(f"_R5_PRIORITY entries lack oracles: {no_oracle}")
+    # The driver checks 50 slots and __spark_entry__ takes slot 1, so a
+    # 50th priority entry would silently land OUTSIDE the window — the
+    # exact failure this ordering exists to prevent; fail loudly.
+    if len(_R5_PRIORITY) > 49:
+        raise ValueError(
+            f"_R5_PRIORITY has {len(_R5_PRIORITY)} entries; only 49 fit "
+            "the driver's 50-slot window behind the flagship"
+        )
     ordered = {k: out[k] for k in _R5_PRIORITY}
     ordered.update({k: v for k, v in out.items() if k in oracles})
     ordered.update({k: v for k, v in out.items() if k not in oracles})

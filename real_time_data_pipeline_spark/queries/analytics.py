@@ -1523,7 +1523,15 @@ def q_stream_distribution_drift(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Finalizing over PARTIAL state while foreachBatch still mutates
+        # it would hand a nondeterministic, silently-wrong result to the
+        # oracle; stop the straggler and fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            "stream_distribution_drift: availableNow stream did not "
+            "finish within 300s; refusing to finalize partial state"
+        )
     cur_binned = spark.createDataFrame(
         state["binned"], "event_type string, bin bigint, n long"
     )
@@ -1665,7 +1673,12 @@ def q_stream_category_drift(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_category_drift: availableNow stream did not finish "
+            "within 300s; refusing to finalize partial state"
+        )
     cur_counts = spark.createDataFrame(
         state["counts"], "cat string, n long"
     ).withColumnRenamed("n", "n_cur")

@@ -944,26 +944,39 @@ _PII_RE = {
     "phone": "\\b\\d{3}-\\d{3}-\\d{4}\\b",
     "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
 }
+# Progressive counting, mirroring operators/curation._pii_progressive:
+# each category is counted on the text AFTER earlier categories were
+# replaced, so counts == [CATEGORY] tokens emitted (a span consumed by
+# an earlier replacement is not double-counted).
 ORACLES["pii_scrub"] = f"""
     WITH src AS (
       SELECT c_custkey, {_PII_TEXT_SQL.replace("as string", "as varchar")} AS text
       FROM customer
+    ),
+    s1 AS (
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '{_PII_RE["email"]}', '[EMAIL]', 'g') AS t
+      FROM src
+    ),
+    s2 AS (
+      SELECT c_custkey, n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_RE["ssn"]}')) AS BIGINT) AS n_ssn,
+             regexp_replace(t, '{_PII_RE["ssn"]}', '[SSN]', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT c_custkey, n_email, n_ssn,
+             CAST(len(regexp_extract_all(t, '{_PII_RE["phone"]}')) AS BIGINT) AS n_phone,
+             regexp_replace(t, '{_PII_RE["phone"]}', '[PHONE]', 'g') AS t
+      FROM s2
     )
     SELECT c_custkey,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               text,
-               '{_PII_RE["email"]}', '[EMAIL]', 'g'),
-               '{_PII_RE["ssn"]}', '[SSN]', 'g'),
-               '{_PII_RE["phone"]}', '[PHONE]', 'g'),
-               '{_PII_RE["ipv4"]}', '[IPV4]', 'g') AS scrubbed_text,
-           CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '{_PII_RE["ssn"]}')) AS BIGINT) AS n_ssn,
-           CAST(len(regexp_extract_all(text, '{_PII_RE["phone"]}')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text, '{_PII_RE["ipv4"]}')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}'))
-              + len(regexp_extract_all(text, '{_PII_RE["ssn"]}'))
-              + len(regexp_extract_all(text, '{_PII_RE["phone"]}'))
-              + len(regexp_extract_all(text, '{_PII_RE["ipv4"]}')) AS BIGINT)
+           regexp_replace(t, '{_PII_RE["ipv4"]}', '[IPV4]', 'g') AS scrubbed_text,
+           n_email, n_ssn, n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_RE["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(n_email + n_ssn + n_phone
+              + len(regexp_extract_all(t, '{_PII_RE["ipv4"]}')) AS BIGINT)
                AS n_pii_total
-    FROM src
+    FROM s3
 """

@@ -194,7 +194,11 @@ def q_stream_dedup_incremental(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    await_streaming(q, "stream_dedup_incremental")
     return spark.createDataFrame(rows, out_schema)
 
 

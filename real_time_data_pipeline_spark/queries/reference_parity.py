@@ -294,7 +294,7 @@ def q_stream_rollup_incremental(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, "streaming query")
     return holder["state"].select(
         "year",
         "month",
@@ -364,7 +364,7 @@ def q_stream_session_agg(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -402,7 +402,7 @@ def q_stream_sliding_window_agg(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -774,7 +774,7 @@ def q_stream_windowed_agg(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -854,7 +854,7 @@ def q_stream_enrich_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, joined.schema)
 
 
@@ -881,6 +881,20 @@ def _stream_events(spark, sf_dir):
     return stream
 
 
+def await_streaming(q, name: str, timeout_s: int = 300) -> None:
+    """availableNow streams must COMPLETE before their driver-side state
+    is finalized: awaitTermination returning False means foreachBatch is
+    still mutating the captured state from the streaming thread, and
+    finalizing over it would be nondeterministically wrong.  Stop the
+    straggler and fail loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"{name}: availableNow stream did not finish within "
+            f"{timeout_s}s; refusing to finalize partial state"
+        )
+
+
 def _collect_stream(df):
     rows: list = []
     q = (
@@ -889,7 +903,7 @@ def _collect_stream(df):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, "streaming query")
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 

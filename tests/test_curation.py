@@ -659,6 +659,9 @@ def test_pii_stats_and_scrub_goldens(spark):
             (2, "ssn 123-45-6789 from 192.168.0.1 and 10.0.0.255"),
             (3, "no pii here, just 1234-5678 and version 1.2.3"),
             (4, "phone 555-000-1111 ssn 999-11-2222 ip 8.8.8.8 e a@b.cc"),
+            # one physical span: the email match consumes the phone-shaped
+            # prefix, so progressive counting must report email=1, phone=0
+            (5, "call 555-123-4567@example.com now"),
         ],
         "doc_id long, text string",
     )
@@ -669,6 +672,9 @@ def test_pii_stats_and_scrub_goldens(spark):
     # not a dotted quad
     assert stats[3]["n_pii_total"] == 0
     assert stats[4]["n_pii_total"] == 4
+    assert (stats[5]["n_email"], stats[5]["n_phone"], stats[5]["n_pii_total"]) == (
+        1, 0, 1,
+    )
 
     scrub = {r["doc_id"]: r for r in pii_scrub(df).collect()}
     assert scrub[1]["scrubbed_text"] == "mail [EMAIL] or [EMAIL], call [PHONE]"
@@ -679,3 +685,6 @@ def test_pii_stats_and_scrub_goldens(spark):
     assert scrub[4]["scrubbed_text"] == "phone [PHONE] ssn [SSN] ip [IPV4] e [EMAIL]"
     # counts ride along with the redaction in the same row
     assert scrub[4]["n_pii_total"] == 4
+    # overlap case: ONE token emitted, counts agree with the emission
+    assert scrub[5]["scrubbed_text"] == "call [EMAIL] now"
+    assert (scrub[5]["n_email"], scrub[5]["n_phone"]) == (1, 0)

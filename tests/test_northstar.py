@@ -732,3 +732,37 @@ def test_ivfpq_self_match_and_probe_pruning(spark, sf_dir):
 
     assert np.array_equal(np.asarray(books), np.asarray(books2))
     assert np.array_equal(np.asarray(Cm), np.asarray(Cm2))
+
+
+def test_topk_paths_exclude_zero_norm_vectors(spark):
+    """A zero-norm embedding has no defined cosine (0/0 -> NaN, which
+    ANSI mode turns into a crash at the bp cast); every top-k path must
+    EXCLUDE such vectors — as corpus members, as queries, and as IVF
+    centroids — and the exact/GEMM/IVF outputs must stay identical
+    (round-5 review finding: numpy silently dropped the NaN while the
+    exact path blew up)."""
+    import random
+
+    from real_time_data_pipeline_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ] + [(40, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 3 OR vec_id = 40").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = sorted(map(tuple, similarity.cosine_topk(emb, queries, k=5).collect()))
+    gemm = sorted(map(tuple, similarity.cosine_topk_gemm(
+        emb, queries, k=5, exact_rerank=True
+    ).collect()))
+    ivf = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, k=5, n_cells=4, nprobe=4
+    ).collect()))
+    assert exact == gemm == ivf
+    # the zero vector appears neither as a neighbor nor as a query
+    assert not any(t[2] == 40 for t in exact)
+    assert not any(t[0] == 40 for t in exact)
+    assert len({t[0] for t in exact}) == 3

@@ -78,7 +78,13 @@ def build_sf1(spark, sf_dir: str, out_dir: str) -> str:
                 ),
                 "lang",
                 "source",
+            ).withColumn(
+                # the suffixing lengthens every token; carrying the
+                # original n_chars would make quality/selectivity gates
+                # behave differently at sf1 than at sf0.1 and corrupt
+                # the measured scale ratio
                 "n_chars",
+                F.length("text").cast("long"),
             )
         )
     scaled = parts[0]
@@ -145,8 +151,12 @@ def main() -> int:
     try:
         sf1_dir = build_sf1(spark, args.sf_dir, out_dir)
         # warm codegen/worker pools once so first-touch JIT is not billed
-        # to whichever probe runs first (same rationale as bench.py)
-        force(qs["dedup_pipeline"](spark, "/root/testdata/sf0.001"))
+        # to whichever probe runs first (same rationale as bench.py);
+        # best-effort — the warmup corpus may not exist off this host
+        try:
+            force(qs["dedup_pipeline"](spark, "/root/testdata/sf0.001"))
+        except Exception as e:  # noqa: BLE001 — warmup must never kill the probe
+            print(f"# warmup skipped: {e}", file=sys.stderr)
         cache.release_all()
         spark.catalog.clearCache()
 
