@@ -104,3 +104,31 @@ def release_all() -> int:
 def n_tracked() -> int:
     with _LOCK:
         return len(_TRACKED)
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the block-store blocks pinned by a ``localCheckpoint()``ed
+    frame.
+
+    ``DataFrame.unpersist()`` only consults the SQL cache manager, so
+    the MEMORY_AND_DISK blocks a local checkpoint pins stay resident
+    until the ContextCleaner happens to GC the underlying RDD — in an
+    iterative loop (BPE merge rounds, CC/PageRank fixpoints) that is an
+    unbounded accumulation of dead blocks.  This digs the checkpointed
+    RDD out of the ``LogicalRDD`` plan node and unpersists it directly.
+
+    Safe no-op for reliable ``checkpoint()`` frames (their LogicalRDD
+    is backed by files, the RDD is simply not persisted) and for
+    non-checkpoint plans (not a LogicalRDD).  The frame must NOT be
+    used again: a local checkpoint's lineage is truncated, so once its
+    blocks are dropped it cannot be recomputed.  Returns True when a
+    LogicalRDD was found and unpersisted.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:
+        pass
+    return False

@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators import cache
+
 __all__ = ["connected_components", "attach_components", "pagerank"]
 
 
@@ -208,6 +210,12 @@ def connected_components(
     for _ in range(max_iter):
         e2 = chk(_small_star(_large_star(e)))
         cur = _checksum(e2)
+        # e2 is eagerly materialized — the previous round's local
+        # checkpoint blocks are dead; without the release a long
+        # fixpoint pins O(iterations) superseded edge sets in the block
+        # store.  (The FINAL frame stays resident for the lazy result;
+        # it is GC'd with the returned plan.)
+        cache.release_local_checkpoint(e)
         e = e2
         if cur == prev:
             break
@@ -305,6 +313,7 @@ def pagerank(
     )
     nodes = nodes.repartition(F.col("node")).persist()
     ranks = nodes.withColumn("rank_micro", F.lit(ONE).cast("bigint"))
+    prev_chk: DataFrame | None = None
     for i in range(iters):
         contrib = (
             e_deg.join(ranks, e_deg.src == ranks.node)
@@ -337,6 +346,13 @@ def pagerank(
         # are integer arithmetic: checkpoint cadence cannot change them.
         if i % 2 == 1 or i == iters - 1:
             ranks = chk(ranks)
+            # The new eager checkpoint supersedes the previous one —
+            # release its blocks so the loop holds at most one resident
+            # rank snapshot (the final one backs the lazy result and is
+            # GC'd with the returned plan).
+            if prev_chk is not None:
+                cache.release_local_checkpoint(prev_chk)
+            prev_chk = ranks
     e_deg.unpersist()
     nodes.unpersist()
     return ranks

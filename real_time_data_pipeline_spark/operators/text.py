@@ -681,6 +681,10 @@ def learn_bpe_merges(
     vocab_size = word_counts.count()
     if vocab_size <= driver_vocab_limit:
         local = [(r["word"], int(r["n"])) for r in word_counts.collect()]
+        # The merge table is driver-local from here — the checkpoint's
+        # blocks are dead weight (DataFrame.unpersist cannot free a
+        # local checkpoint; without this they linger until RDD GC).
+        cache.release_local_checkpoint(word_counts)
         merges = _bpe_merges_local(local, n_merges)
         return spark.createDataFrame(
             merges, "merge_rank int, left string, right string, pair_count long"
@@ -698,6 +702,8 @@ def learn_bpe_merges(
         .repartition(vocab_partitions)
     )
     words = chk(words)
+    # The symbol table is materialized; word_counts' blocks are now dead.
+    cache.release_local_checkpoint(word_counts)
 
     def _pairs(syms_col):
         # adjacent pairs as "l r" strings (symbols never contain spaces:
@@ -749,8 +755,16 @@ def learn_bpe_merges(
         touched = words.filter(has_pair).mapInPandas(
             rewrite, "syms array<string>, n long"
         )
+        prev = words
         words = chk(touched.unionAll(words.filter(~has_pair)))
+        # The new eager checkpoint no longer needs the previous round's
+        # blocks — without this release the loop pins O(n_merges) dead
+        # symbol tables in the block store.
+        cache.release_local_checkpoint(prev)
 
+    # The merge table is already on the driver; the last round's blocks
+    # are dead too.
+    cache.release_local_checkpoint(words)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )

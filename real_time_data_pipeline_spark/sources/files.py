@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from real_time_data_pipeline_spark.operators import cache
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -54,8 +56,13 @@ def read_jsonl(
     )
     # Spark requires a materialization barrier between referencing the
     # corrupt column and filtering on it (SPARK-21610): cache the parsed
-    # frame once; both halves reuse it.
-    df = df.cache()
+    # frame once; both halves reuse it.  Tracked so callers release it
+    # (cache.release_all / scoped) instead of leaking per read — but the
+    # cache doubles as the corrupt-column barrier, so evaluate both
+    # splits BEFORE releasing: a post-release evaluation of the
+    # quarantine split raises QUERY_ONLY_CORRUPT_RECORD_COLUMN (loud,
+    # pinned in tests) rather than recomputing.
+    df = cache.track(df)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantined = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, quarantined
@@ -80,7 +87,7 @@ def read_csv(
         .option("delimiter", delimiter)
         .csv(path)
     )
-    df = df.cache()
+    df = cache.track(df)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantined = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, quarantined

@@ -89,3 +89,50 @@ def test_scoped_nests(spark):
         assert not b.storageLevel.useMemory
         assert a.storageLevel.useMemory
     assert not a.storageLevel.useMemory
+
+
+def test_bpe_distributed_loop_releases_local_checkpoints(spark):
+    """learn_bpe_merges' distributed round loop localCheckpoints per
+    round; every one of those blocks must be freed before return (the
+    merge table is driver-local — DataFrame.unpersist cannot free a
+    local checkpoint, so the operator releases the LogicalRDD blocks
+    explicitly).  Regression: this leaked 5 blocks per call."""
+    from real_time_data_pipeline_spark.operators.text import learn_bpe_merges
+
+    base = _n_cached(spark)
+    df = spark.createDataFrame(
+        [(1, "low low lower newest newest widest")], "doc_id long, text string"
+    )
+    # driver_vocab_limit=0 forces the distributed per-round path
+    learn_bpe_merges(df, n_merges=3, driver_vocab_limit=0).collect()
+    assert _n_cached(spark) == base
+
+
+def test_cc_fixpoint_holds_at_most_one_resident_checkpoint(spark):
+    """The distributed CC fixpoint supersedes each round's local
+    checkpoint; only the FINAL edge snapshot may stay resident (it
+    backs the lazy result and dies with the plan) — previously every
+    round's snapshot stayed pinned."""
+    from real_time_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    base = _n_cached(spark)
+    # path graph 0-1-2-...-9 forces several fixpoint rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    comp = connected_components(edges, "src", "dst", broadcast_limit=0)
+    assert comp.agg({"component": "min"}).collect()[0][0] == 0
+    assert _n_cached(spark) - base <= 1
+
+
+def test_release_local_checkpoint_frees_blocks_and_noops_elsewhere(spark):
+    base = _n_cached(spark)
+    c = spark.range(100).localCheckpoint()
+    assert _n_cached(spark) == base + 1
+    assert cache.release_local_checkpoint(c)
+    assert _n_cached(spark) == base
+    # non-checkpoint plan: no-op, returns False
+    assert not cache.release_local_checkpoint(spark.range(5))
+    assert _n_cached(spark) == base

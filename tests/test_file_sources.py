@@ -58,3 +58,27 @@ def test_csv_corrupt_split(spark, tmp_path):
     assert {r["transaction_id"] for r in clean.collect()} == {"t1", "t3"}
     brows = bad.collect()
     assert len(brows) == 1 and "oops" in brows[0][files.CORRUPT_COL]
+
+
+def test_quarantine_split_is_tracked_and_fails_loud_after_release(
+    spark, tmp_path
+):
+    """The corrupt-column cache is routed through cache.track (no leak
+    per read).  The cache doubles as Spark's corrupt-column barrier, so
+    a post-release evaluation of the quarantine split must fail LOUDLY
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — never silently recompute."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from real_time_data_pipeline_spark.operators import cache
+
+    p = tmp_path / "q.jsonl"
+    p.write_text('{"a": 1}\n{bad\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    before = cache.n_tracked()
+    clean, quar = files.read_jsonl(spark, str(p), schema)
+    assert cache.n_tracked() == before + 1
+    assert clean.count() == 1 and quar.count() == 1
+    cache.release_all()
+    with pytest.raises(AnalysisException):
+        quar.count()
