@@ -649,6 +649,67 @@ def event_transitions(
     )
 
 
+def _mg_src(items: DataFrame, item_col: str) -> DataFrame:
+    # nulls are excluded: a NaN key would collide with the None row the
+    # MG pass uses as its partition-total marker
+    return items.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
+
+
+def mg_summary(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Pass 1 of :func:`heavy_hitters`, exposed on its own so a
+    STREAMING consumer can fold each micro-batch's summaries into
+    bounded state: per-partition Misra-Gries summaries — at most ``k``
+    (item, residual-count) rows per partition plus one null-keyed row
+    carrying the partition's total item count.  Arrow-batched (pandas
+    ``value_counts`` per batch + dict merge), no per-row Python."""
+    import pandas as pd
+
+    src = _mg_src(items, item_col)
+
+    def mg_partition(batches):
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["item"].value_counts(dropna=False)
+            total += int(vc.sum())
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k:
+                cut = sorted(counts.values(), reverse=True)[k]
+                counts = {
+                    v: c - cut for v, c in counts.items() if c - cut > 0
+                }
+        out = pd.DataFrame(
+            {"item": list(counts.keys()) + [None],
+             "n": list(counts.values()) + [total]}
+        )
+        yield out
+
+    return src.mapInPandas(mg_partition, "item string, n long")
+
+
+def mg_merge_counts(state: dict, incoming, k: int) -> dict:
+    """Merge Misra-Gries summaries (Agarwal et al., "Mergeable
+    Summaries"): add counts, and when more than ``k`` counters survive,
+    subtract the (k+1)-th largest count from all and drop the
+    non-positive.  The merged summary keeps the MG guarantee — any item
+    with true count > N/(k+1) retains a positive counter — for ANY
+    merge tree, which is what lets a streaming consumer fold
+    per-micro-batch summaries into one bounded driver state without a
+    batch boundary ever evicting a true heavy hitter.  Pure dict-level
+    function (driver-side; the summaries are k-bounded by
+    construction)."""
+    merged = dict(state)
+    for item, n in incoming:
+        merged[item] = merged.get(item, 0) + int(n)
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {v: c - cut for v, c in merged.items() if c - cut > 0}
+    return merged
+
+
 def heavy_hitters(
     items: DataFrame,
     item_col: str,
@@ -687,36 +748,10 @@ def heavy_hitters(
     """
     import math
 
-    import pandas as pd
-
     k_min = math.ceil(10_000 / threshold_bp)
     k = max(counters, k_min) if counters is not None else k_min
-    # nulls are excluded: a NaN key would collide with the None row the
-    # MG pass uses as its partition-total marker
-    src = items.select(
-        F.col(item_col).cast("string").alias("item")
-    ).filter(F.col("item").isNotNull())
-
-    def mg_partition(batches):
-        counts: dict = {}
-        total = 0
-        for pdf in batches:
-            vc = pdf["item"].value_counts(dropna=False)
-            total += int(vc.sum())
-            for v, c in vc.items():
-                counts[v] = counts.get(v, 0) + int(c)
-            if len(counts) > k:
-                cut = sorted(counts.values(), reverse=True)[k]
-                counts = {
-                    v: c - cut for v, c in counts.items() if c - cut > 0
-                }
-        out = pd.DataFrame(
-            {"item": list(counts.keys()) + [None],
-             "n": list(counts.values()) + [total]}
-        )
-        yield out
-
-    summary = src.mapInPandas(mg_partition, "item string, n long")
+    src = _mg_src(items, item_col)
+    summary = mg_summary(items, item_col, k)
     cands = summary.filter(F.col("item").isNotNull()).select("item").distinct()
     totals = summary.filter(F.col("item").isNull()).agg(
         F.sum("n").alias("n_total")

@@ -498,6 +498,32 @@ def ivf_index_build(
     ).partitionBy("cell").parquet(f"{path}/assignments")
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the incremental-dedup posture
+    applied to ANN: assign ONLY the new vectors to the index's EXISTING
+    frozen centroids and append them to the partitioned assignments
+    layout.  The history is never re-scanned and the directory
+    layout/pruning story is unchanged, so steady-state cost scales with
+    the increment, not the corpus.  Freezing the coarse quantizer on
+    append is standard IVF practice (train once, add forever; re-train
+    + rebuild is the rare offline path).  Append-mode partitionBy write
+    adds files INSIDE the existing cell directories, so a probe sees
+    one unified index with the same partition pruning."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    Cm = np.array([np.asarray(r.centroid, dtype=np.float64) for r in cent])
+    _ivf_assign(new_vectors, Cm, id_col, vec_col).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/assignments")
+
+
 def ivf_index_topk(
     spark,
     path: str,

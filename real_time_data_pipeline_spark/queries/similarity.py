@@ -83,6 +83,32 @@ def q_ann_ivf_persisted(spark, sf_dir):
     return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=4)
 
 
+def q_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance under the exact oracle: build
+    the index on 90% of the corpus, APPEND the 10% increment against
+    the frozen centroids (similarity.ivf_index_append — history never
+    re-scanned, cost scales with the increment), then probe at FULL
+    nprobe: every cell scanned makes the inverted file exhaustive over
+    base+increment, so the result is bit-identical to brute force over
+    the whole corpus and shares ann_bruteforce_topk's value-hash
+    oracle — appends provably lose nothing.  The pruned-probe (nprobe <
+    n_cells) configuration stays covered by ann_ivf_persisted's plan
+    tests."""
+    import os
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"ivf_index_incr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    similarity.ivf_index_build(base, path, n_cells=16)
+    similarity.ivf_index_append(delta, path)
+    return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=16)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Spherical k-means assignments after 3 Lloyd's iterations
     (rows-only: iterative algorithm, output row count == corpus size;
@@ -112,6 +138,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
     "ann_ivf_topk": q_ann_ivf_topk,  # oracle-backed (full probe == exact)
     "ann_ivf_persisted": q_ann_ivf_persisted,  # rows-only (on-disk index)
+    "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle-backed (append + full probe)
     "kmeans_clusters": q_kmeans_clusters,  # rows-only (iterative)
 }
 
@@ -179,6 +206,7 @@ ORACLES = {
 # value-hash mismatch against the same ANSI-SQL ground truth.
 ORACLES["ann_gemm_topk"] = ORACLES["ann_bruteforce_topk"]
 ORACLES["ann_ivf_topk"] = ORACLES["ann_bruteforce_topk"]
+ORACLES["ann_ivf_incremental"] = ORACLES["ann_bruteforce_topk"]
 
 
 def q_embedding_pca(spark, sf_dir):

@@ -424,6 +424,94 @@ ORACLES["heavy_hitters"] = f"""
 """
 
 
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming twin of `heavy_hitters` on the SAME exact oracle: the
+    corpus ARRIVES AS A STREAM (staged as 8 files, maxFilesPerTrigger=1
+    → 8 real micro-batches), each batch's per-partition Misra-Gries
+    summaries (operators/aggregates.mg_summary — the distributed pass
+    of the batch operator) fold into ONE k-counter driver state via the
+    mergeable-summaries property (mg_merge_counts: merge = add counts,
+    subtract the (k+1)-th largest, drop non-positive — the guarantee
+    that every item with global count > N/(k+1) survives holds for ANY
+    merge tree, so batch boundaries cannot evict a true heavy hitter).
+    The drained state's candidate set (≤ k items) is exactly recounted
+    against the static corpus (broadcast semi-join) and filtered by the
+    integer threshold — hash-identical to the batch answer.  At 100 TB
+    this is the monitoring shape: per-batch summaries are tiny
+    (≤ k·partitions rows), history is never re-scanned, and only the
+    final recount touches the corpus once."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        mg_merge_counts,
+        mg_summary,
+    )
+    from real_time_data_pipeline_spark.operators.dedup import tokens_col
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    k = math.ceil(10_000 / HH_THRESHOLD_BP)
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"stream_hh_docs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _docs(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    state = {"counts": {}, "n_total": 0}
+
+    def fold(batch, _i):
+        toks = batch.select(F.explode(tokens_col("text")).alias("token"))
+        rows = mg_summary(toks, "token", k).collect()  # ≤ k·partitions rows
+        state["n_total"] += sum(r["n"] for r in rows if r["item"] is None)
+        state["counts"] = mg_merge_counts(
+            state["counts"],
+            ((r["item"], r["n"]) for r in rows if r["item"] is not None),
+            k,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_heavy_hitters")
+
+    n_total = state["n_total"]
+    cand = spark.createDataFrame(
+        pd.DataFrame({"item": list(state["counts"])}), "item string"
+    )
+    toks_static = _docs(spark, sf_dir).select(
+        F.explode(tokens_col("text")).alias("item")
+    )
+    return (
+        toks_static.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .filter(
+            F.lit(10_000) * F.col("n_occurrences")
+            >= F.lit(HH_THRESHOLD_BP) * F.lit(n_total)
+        )
+        .select(
+            F.col("item").alias("token"),
+            "n_occurrences",
+            F.lit(n_total).cast("bigint").alias("n_total"),
+        )
+    )
+
+
+QUERIES["stream_heavy_hitters"] = q_stream_heavy_hitters
+ORACLES["stream_heavy_hitters"] = ORACLES["heavy_hitters"]
+
+
 SEARCH_TERMS = ["hash", "join", "filter"]
 SEARCH_K = 20
 

@@ -766,3 +766,43 @@ def test_topk_paths_exclude_zero_norm_vectors(spark):
     assert not any(t[2] == 40 for t in exact)
     assert not any(t[0] == 40 for t in exact)
     assert len({t[0] for t in exact}) == 3
+
+
+def test_ivf_index_append_equals_one_shot_assignment(spark, sf_dir, tmp_path):
+    """ivf_index_append must leave the on-disk index EXACTLY as if the
+    full corpus had been assigned against the same frozen centroids in
+    one shot (set-equality of (vec_id, cell) rows), and the appended
+    index must keep partition pruning (files land INSIDE the existing
+    cell directories).  Full-probe top-k equality with brute force is
+    covered by the ann_ivf_incremental oracle."""
+    from real_time_data_pipeline_spark.operators import similarity
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ivf_incr")
+    similarity.ivf_index_build(base, idx, n_cells=8, seed=42)
+    similarity.ivf_index_append(delta, idx)
+
+    Cm = similarity._ivf_centroid_matrix(base, 8, 42, "vec_id", "embedding")
+    expected = {
+        (r["vec_id"], r["cell"])
+        for r in similarity._ivf_assign(emb, Cm, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == expected
+    # pruning still applies post-append
+    filtered = spark.read.parquet(f"{idx}/assignments").filter(
+        F.col("cell").isin([0, 1])
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]

@@ -437,3 +437,45 @@ def test_curriculum_phases_invariants(spark):
         assert r["phase"] == (cum - r["n_tokens"]) // 16
         assert r["phase"] >= prev_phase
         prev_phase = r["phase"]
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),
+        min_size=1,
+        max_size=120,
+    ),
+    splits=st.lists(st.integers(1, 20), min_size=1, max_size=8),
+    k=st.integers(2, 12),
+)
+@settings(max_examples=120, deadline=None)
+def test_mg_merge_guarantee_under_arbitrary_batch_splits(data, splits, k):
+    """Mergeable-summaries property behind stream_heavy_hitters: folding
+    Misra-Gries summaries over ANY chunking of the input (micro-batch
+    boundaries are arbitrary) keeps a counter for every item whose true
+    count exceeds N/(k+1) — no batch split may evict a true heavy
+    hitter — and no surviving counter overstates its true count."""
+    from collections import Counter
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        mg_merge_counts,
+    )
+
+    expanded = [str(v) for v, c in data for _ in range(c)]
+    true = Counter(expanded)
+    n = len(expanded)
+    state: dict = {}
+    i = 0
+    si = 0
+    while i < len(expanded):
+        step = splits[si % len(splits)]
+        si += 1
+        chunk = expanded[i : i + step]
+        i += step
+        state = mg_merge_counts(state, Counter(chunk).items(), k)
+    assert len(state) <= k
+    for item, cnt in true.items():
+        if cnt > n / (k + 1):
+            assert item in state, (item, cnt, n, k)
+    for item, residual in state.items():
+        assert 0 < residual <= true[item]
