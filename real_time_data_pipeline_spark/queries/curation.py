@@ -611,6 +611,60 @@ _GROUP_SPLIT_ORACLE = f"""
     FROM keyed
 """
 
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-stable train/val/test split — the leakage guard a
+    source-keyed grouped_split cannot give when near-duplicates span
+    sources: documents are first resolved into transitive near-dup
+    clusters (exact 3-gram Jaccard >= 0.8 → connected components, the
+    dedup_clusters pipeline), then the split key is hashed from the
+    CLUSTER id, so a near-duplicate of an eval document can never land
+    in train — the contamination channel per-document (and even
+    per-source) splits leave open.  Growth-stable like every split
+    here: cluster membership and the hash key depend only on content,
+    not corpus size.  At 100 TB the cluster labels come from the
+    already-materialized dedup tier; the split itself stays a per-row
+    expression."""
+    from real_time_data_pipeline_spark.operators import dedup, graph
+
+    docs = _docs(spark, sf_dir)
+    # n=3 / 0.8: the dedup_clusters parameters — the oracle reuses that
+    # query's recursive-CTE closure verbatim, so these must stay in sync
+    # with q_dedup_clusters.
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    )
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    labeled = graph.attach_components(docs.select("doc_id"), cc, "doc_id")
+    return curation.grouped_split(
+        labeled.select("doc_id", "cluster_id"), "cluster_id"
+    )
+
+
+def _leakage_split_oracle() -> str:
+    # Compose the dedup_clusters recursive-CTE closure (subquery form —
+    # DuckDB allows WITH RECURSIVE in a derived table) with the same
+    # sha256-hexfold split key as _GROUP_SPLIT_ORACLE, keyed on the
+    # cluster id rendered exactly as Spark's bigint->string cast.
+    from real_time_data_pipeline_spark.queries.dedup import _CLUSTERS_ORACLE
+
+    key = _duck_hexfold("CAST(cluster_id AS VARCHAR)")
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, cluster_id,
+                 CAST({key} AS BIGINT) AS group_key_bp
+          FROM ({_CLUSTERS_ORACLE}) clustered
+        )
+        SELECT doc_id, cluster_id, group_key_bp,
+               CASE WHEN group_key_bp < {curation.SPLIT_TRAIN_BP} THEN 'train'
+                    WHEN group_key_bp < {curation.SPLIT_VAL_BP} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    """
+
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+
 ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
@@ -629,6 +683,8 @@ ORACLES = {
     "dataset_split": _SPLIT_ORACLE,
     "group_split": _GROUP_SPLIT_ORACLE,
 }
+
+ORACLES["leakage_safe_split"] = _leakage_split_oracle()
 
 
 def q_source_overlap(spark, sf_dir):

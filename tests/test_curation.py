@@ -688,3 +688,38 @@ def test_pii_stats_and_scrub_goldens(spark):
     # overlap case: ONE token emitted, counts agree with the emission
     assert scrub[5]["scrubbed_text"] == "call [EMAIL] now"
     assert (scrub[5]["n_email"], scrub[5]["n_phone"]) == (1, 0)
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """The cluster-keyed split's defining property: for EVERY near-dup
+    pair (exact 3-gram Jaccard >= 0.8 — the same pair set the split
+    clusters on), both documents land in the SAME split, which a
+    doc-keyed split does not guarantee."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators import dedup
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    split = entrymod.queries()["leakage_safe_split"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    )
+    a = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert pairs.count() > 0  # the property must not hold vacuously
+    assert straddling == 0
+    # sanity: all three splits are realized on independent docs
+    assert {r["split"] for r in split.select("split").distinct().collect()} == {
+        "train", "val", "test"
+    }
