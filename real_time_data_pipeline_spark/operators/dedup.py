@@ -477,6 +477,101 @@ def incremental_minhash_pairs(
     )
 
 
+def incremental_clusters(
+    spark,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_labels: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental duplicate-CLUSTER maintenance: fold an increment into
+    an existing cluster labeling without recomputing connected
+    components over history — the steady-state companion to
+    :func:`incremental_minhash_pairs` (which answers "is this new doc a
+    dup"; this answers "which cluster does it join, and which clusters
+    does it MERGE").
+
+    ``corpus_labels`` is the persisted labeling (doc_id, cluster_id)
+    where cluster_id is the cluster's min doc id (the
+    :func:`~real_time_data_pipeline_spark.operators.graph.attach_components`
+    invariant this function relies on).  Steps, all increment-bounded:
+
+    1. cross pairs: increment probed against the persisted signature
+       index (history never re-sketched);
+    2. new×new pairs: LSH over the increment alone;
+    3. a DELTA graph whose nodes are new doc ids and the TOUCHED old
+       clusters' labels (each old cluster collapses to its label — its
+       internal edges are already resolved), one connected-components
+       pass over that tiny graph;
+    4. relabel: a doc's new cluster id is its delta-component min if its
+       old label (or its own id, for new docs) was touched, else
+       unchanged.  Because every old label IS its cluster's min doc id,
+       the delta-component min over {touched labels, new ids} equals the
+       full-recompute min over all member docs — so the output is
+       EXACTLY the batch :mod:`graph` clustering of corpus ∪ increment
+       (oracle-checked), including the hard case where one new document
+       bridges two previously separate clusters.
+
+    Returns (doc_id, cluster_id, is_canonical) over corpus ∪ increment.
+    """
+    from real_time_data_pipeline_spark.operators import graph
+
+    cross = incremental_minhash_pairs(
+        spark, new_docs, corpus_docs, index_path,
+        id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
+        bands=bands, verify_threshold=verify_threshold,
+    )
+    nn = minhash_lsh_candidates(
+        new_docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+        verify_threshold=verify_threshold,
+    ).select("id_a", "id_b")
+    bridge = (
+        cross.join(
+            corpus_labels,
+            cross["corpus_id"] == corpus_labels[id_col],
+        )
+        .select(
+            F.col("cluster_id").alias("u"),
+            F.col("new_id").alias("v"),
+        )
+    )
+    delta_edges = bridge.union(
+        nn.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    comp = graph.connected_components(delta_edges, "u", "v")
+
+    relabeled = (
+        corpus_labels.join(
+            comp, corpus_labels["cluster_id"] == comp["node"], "left"
+        )
+        .select(
+            corpus_labels[id_col],
+            F.coalesce(F.col("component"), F.col("cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    new_ids = new_docs.select(id_col)
+    new_labeled = (
+        new_ids.join(comp, new_ids[id_col] == comp["node"], "left")
+        .select(
+            new_ids[id_col],
+            F.coalesce(F.col("component"), new_ids[id_col]).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return relabeled.union(new_labeled).withColumn(
+        "is_canonical", F.col(id_col) == F.col("cluster_id")
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(

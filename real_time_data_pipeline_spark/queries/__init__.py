@@ -115,7 +115,7 @@ _R5_PRIORITY = [
 # Round-6 rotation candidates (oracle-backed entries registered after
 # the round-5 window filled; parity green, no driver verdict yet —
 # front-load next round): pii_scrub, stream_heavy_hitters,
-# ann_ivf_incremental, leakage_safe_split.
+# ann_ivf_incremental, leakage_safe_split, dedup_clusters_incremental.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -233,6 +233,44 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     return graph.attach_components(docs.select("doc_id"), cc, "doc_id")
 
 
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Incremental cluster maintenance (operators/dedup.
+    incremental_clusters): 90% of the corpus carries a persisted
+    labeling + signature index; the 10% increment joins/merges clusters
+    through ONE delta-graph CC pass over {touched labels, new ids} —
+    history is never re-clustered.  Verified against the SAME
+    full-recompute recursive-CTE closure oracle as dedup_clusters: the
+    incremental labeling must equal the batch clustering of the union,
+    including new docs that bridge two previously separate clusters."""
+    import os
+
+    from real_time_data_pipeline_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"minhash_index_ccincr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dedup.build_minhash_index(corpus, path, num_perm=128, bands=32)
+    # The persisted corpus labeling (in production this is a table
+    # maintained by earlier increments; here derived once from corpus
+    # pairs — n=3 / 0.8, the dedup_clusters parameters the oracle uses).
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.8
+    )
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    labels = graph.attach_components(
+        corpus.select("doc_id"), cc, "doc_id"
+    ).select("doc_id", "cluster_id")
+    return dedup.incremental_clusters(
+        spark, new, corpus, labels, path,
+        n=3, num_perm=128, bands=32, verify_threshold=0.8,
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_lineitem": q_dedup_exact_lineitem,
@@ -245,6 +283,7 @@ QUERIES = {
     "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # rows-only
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "dedup_incremental": q_dedup_incremental,
     "stream_dedup_incremental": q_stream_dedup_incremental,
     "source_dup_matrix": q_source_dup_matrix,
@@ -439,6 +478,9 @@ ORACLES = {
     # MinHash-verified pair set == exact pair set w.h.p. (see
     # q_dedup_clusters_lsh docstring), so the clusters coincide too.
     "dedup_clusters_lsh": _CLUSTERS_ORACLE,
+    # Incremental maintenance must equal the full recompute exactly
+    # (label-collapse argument in operators/dedup.incremental_clusters).
+    "dedup_clusters_incremental": _CLUSTERS_ORACLE,
     "dedup_exact": f"""
         SELECT min(doc_id) AS doc_id FROM (
           SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS norm_text

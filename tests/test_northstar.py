@@ -806,3 +806,58 @@ def test_ivf_index_append_equals_one_shot_assignment(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+def test_incremental_clusters_merges_bridged_clusters(spark, tmp_path):
+    """The hard case of incremental cluster maintenance: an increment
+    chain whose consecutive docs are near-dups (1-token drift, Jaccard
+    ~0.81) connects cluster {A1,A2} to cluster {B1,B2} — previously
+    SEPARATE corpus clusters must merge under the chain, and the
+    incremental labeling must equal the batch clustering of the union."""
+    from real_time_data_pipeline_spark.operators import dedup, graph
+
+    A = [f"alpha{i}" for i in range(30)]
+    B = [f"beta{i}" for i in range(30)]
+    corpus_rows = [
+        (0, " ".join(A)),
+        (1, " ".join(A[:-1] + ["alphavar"])),     # near-dup of A1
+        (100, " ".join(B)),
+        (101, " ".join(B[:-1] + ["betavar"])),    # near-dup of B1
+    ]
+    # chain doc j replaces the first j+1 tokens of A with B's: each
+    # consecutive pair differs by ONE token (3 of ~31 shingles -> ~0.81)
+    new_rows = [
+        (200 + j, " ".join(B[: j + 1] + A[j + 1 :])) for j in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    # precondition: the corpus alone really is TWO clusters
+    cpairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+    ccc = graph.connected_components(cpairs, "id_a", "id_b")
+    labels = graph.attach_components(corpus.select("doc_id"), ccc, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    assert {r["cluster_id"] for r in labels.collect()} == {0, 100}
+
+    idx = str(tmp_path / "ccincr")
+    dedup.build_minhash_index(corpus, idx, num_perm=128, bands=32)
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.incremental_clusters(
+            spark, new, corpus, labels, idx, verify_threshold=0.8
+        ).collect()
+    }
+
+    union = corpus.union(new)
+    upairs = dedup.ngram_jaccard_pairs(union, "doc_id", "text", n=3, threshold=0.8)
+    ucc = graph.connected_components(upairs, "id_a", "id_b")
+    expected = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.attach_components(union.select("doc_id"), ucc, "doc_id")
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    assert got == expected
+    # and the merge actually happened: every doc in ONE cluster, min id 0
+    assert {c for _, c in got} == {0}
