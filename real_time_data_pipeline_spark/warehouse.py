@@ -399,3 +399,161 @@ def layout_advice(
     return one.select(
         F.explode(F.array(*rows)).alias("m"), F.col("_total").alias("total_rows")
     ).select("m.*", "total_rows")
+
+
+# ------------------------------------------------------------ snapshots
+#
+# Manifest-pinned snapshot versions (the Iceberg/Delta *pattern*,
+# dependency-free): every commit writes an immutable manifest listing
+# exactly the data files that version owns, and the commit itself is an
+# atomic manifest rename.  What this buys at 100 TB:
+#
+# - **Reproducible training runs**: a run records the snapshot version
+#   it read; re-reading that version later returns byte-identical input
+#   even after arbitrary later appends/compactions.
+# - **Safe compaction**: compaction writes NEW files and a NEW manifest;
+#   pinned readers of older versions never see files disappear.
+# - **Atomic multi-file commits**: readers see all of an append or none
+#   of it (the manifest rename is the commit point).
+#
+# All file IO goes through the Hadoop FileSystem API, so the same code
+# addresses local disk, HDFS, or object stores.
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return hpath.getFileSystem(conf), hpath, jvm
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write-then-rename: the rename is the atomic commit point, and a
+    failed rename (destination exists) is the optimistic-concurrency
+    conflict signal — of two racing commits for the same version, one
+    wins and the other fails loudly instead of silently clobbering."""
+    fs, p, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"snapshot commit conflict: {path} already exists "
+            "(a concurrent commit won this version)"
+        )
+
+
+def _data_files(spark: SparkSession, directory: str) -> list[str]:
+    fs, _, jvm = _fs(spark, directory)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{directory}/*.parquet")
+    return sorted(
+        s.getPath().toString() for s in fs.globStatus(glob) or []
+    )
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed snapshot versions at ``root``, ascending."""
+    fs, _, jvm = _fs(spark, root)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{root}/_manifests/v*.json")
+    out = []
+    for s in fs.globStatus(glob) or []:
+        name = s.getPath().getName()
+        out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return f"{root}/_manifests/v{version:06d}.json"
+
+
+def _manifest_files(spark: SparkSession, root: str, version: int) -> list[str]:
+    import json
+
+    m = json.loads(_read_text(spark, _manifest_path(root, version)))
+    if m.get("version") != version or "files" not in m:
+        raise ValueError(f"corrupt snapshot manifest v{version} at {root}")
+    return m["files"]
+
+
+def snapshot_append(df: DataFrame, root: str) -> int:
+    """Commit ``df`` as the next snapshot version: data files land in an
+    immutable per-version directory, and the new manifest lists the
+    previous version's files PLUS the new ones (append semantics, no
+    data rewritten).  Returns the committed version number."""
+    import json
+
+    spark = df.sparkSession
+    vers = snapshot_versions(spark, root)
+    new_v = (vers[-1] if vers else 0) + 1
+    data_dir = f"{root}/data/v{new_v:06d}"
+    df.write.mode("error").parquet(data_dir)
+    new_files = _data_files(spark, data_dir)
+    prev_files = _manifest_files(spark, root, vers[-1]) if vers else []
+    manifest = {
+        "version": new_v,
+        "files": prev_files + new_files,
+        "added": len(new_files),
+        "parent": vers[-1] if vers else None,
+    }
+    _write_text_atomic(
+        spark, _manifest_path(root, new_v), json.dumps(manifest)
+    )
+    return new_v
+
+
+def snapshot_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot version (default: latest).  The read is pinned to
+    the manifest's exact file list, so later appends and compactions can
+    never change what a pinned reader sees."""
+    vers = snapshot_versions(spark, root)
+    if not vers:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    v = vers[-1] if version is None else version
+    if v not in vers:
+        raise ValueError(f"snapshot v{v} does not exist at {root}: {vers}")
+    files = _manifest_files(spark, root, v)
+    return spark.read.parquet(*files)
+
+
+def snapshot_compact(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> int:
+    """Rewrite the LATEST snapshot's rows into ``target_files`` files and
+    commit the result as a new version (a replacement manifest: only the
+    new files).  Old versions keep their manifests and files, so pinned
+    readers are untouched — the safe-compaction half of the snapshot
+    contract.  Returns the new version."""
+    import json
+
+    vers = snapshot_versions(spark, root)
+    if not vers:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    cur = snapshot_read(spark, root, vers[-1])
+    new_v = vers[-1] + 1
+    data_dir = f"{root}/data/v{new_v:06d}"
+    cur.coalesce(target_files).write.mode("error").parquet(data_dir)
+    manifest = {
+        "version": new_v,
+        "files": _data_files(spark, data_dir),
+        "compacted_from": vers[-1],
+        "parent": vers[-1],
+    }
+    _write_text_atomic(
+        spark, _manifest_path(root, new_v), json.dumps(manifest)
+    )
+    return new_v

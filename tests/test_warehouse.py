@@ -306,3 +306,76 @@ def test_layout_advice_verdict_rule(spark):
     assert got["uid"] == (1000, "bucket", 0)
     # sparse: 900 distinct non-null values, 100 nulls -> bucket-class ndv
     assert got["sparse"] == (900, "bucket", 100)
+
+
+class TestSnapshots:
+    """Manifest-pinned snapshot versions (warehouse.snapshot_*)."""
+
+    def test_append_read_and_time_travel(self, spark, tmp_path):
+        root = str(tmp_path / "snap")
+        v1 = warehouse.snapshot_append(
+            spark.range(0, 10).withColumn("tag", F.lit("a")), root
+        )
+        v2 = warehouse.snapshot_append(
+            spark.range(10, 15).withColumn("tag", F.lit("b")), root
+        )
+        assert (v1, v2) == (1, 2)
+        assert warehouse.snapshot_versions(spark, root) == [1, 2]
+        assert warehouse.snapshot_read(spark, root, 1).count() == 10
+        assert warehouse.snapshot_read(spark, root).count() == 15  # latest
+        ids = {
+            r["id"] for r in warehouse.snapshot_read(spark, root, 2).collect()
+        }
+        assert ids == set(range(15))
+
+    def test_compaction_never_disturbs_pinned_readers(self, spark, tmp_path):
+        root = str(tmp_path / "snap")
+        warehouse.snapshot_append(
+            spark.range(0, 20).repartition(8), root
+        )
+        before = sorted(
+            r["id"] for r in warehouse.snapshot_read(spark, root, 1).collect()
+        )
+        v = warehouse.snapshot_compact(spark, root, target_files=1)
+        assert v == 2
+        # the compacted version holds the same rows in fewer files
+        files_v1 = warehouse._manifest_files(spark, root, 1)
+        files_v2 = warehouse._manifest_files(spark, root, 2)
+        assert len(files_v2) < len(files_v1)
+        assert sorted(
+            r["id"] for r in warehouse.snapshot_read(spark, root, 2).collect()
+        ) == before
+        # the PINNED v1 read is byte-identical: same files, same rows
+        assert sorted(
+            r["id"] for r in warehouse.snapshot_read(spark, root, 1).collect()
+        ) == before
+
+    def test_commit_conflict_fails_loudly(self, spark, tmp_path):
+        import json
+
+        import pytest
+
+        root = str(tmp_path / "snap")
+        warehouse.snapshot_append(spark.range(5), root)
+        # simulate a racing writer that already committed v2
+        warehouse._write_text_atomic(
+            spark,
+            warehouse._manifest_path(root, 2),
+            json.dumps({"version": 2, "files": []}),
+        )
+        with pytest.raises(IOError, match="conflict"):
+            warehouse._write_text_atomic(
+                spark,
+                warehouse._manifest_path(root, 2),
+                json.dumps({"version": 2, "files": []}),
+            )
+
+    def test_missing_version_and_empty_root_raise(self, spark, tmp_path):
+        import pytest
+
+        root = str(tmp_path / "snap")
+        with pytest.raises(FileNotFoundError):
+            warehouse.snapshot_read(spark, root)
+        warehouse.snapshot_append(spark.range(3), root)
+        with pytest.raises(ValueError, match="does not exist"):
+            warehouse.snapshot_read(spark, root, 7)
