@@ -1086,3 +1086,80 @@ def seasonal_naive_error(
             .alias("wape_bp"),
         )
     )
+
+
+def ohlc(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Open/high/low/close bars per group — the resampling aggregate
+    behind candlestick charts and coarse-grained telemetry rollups.
+
+    ``value_col`` must already be an exact integer (cents/micro-units);
+    open/close pick the value of the first/last row in ``(ts, seq)``
+    order, with ``seq_col`` breaking timestamp ties deterministically.
+
+    Plan: ONE hash aggregate — ``min_by``/``max_by`` keyed on a
+    ``struct(ts, seq)`` ordering tuple replace the window-sort a naive
+    first/last would need, so the shuffle carries four scalars per group
+    per input partition (partial aggregation works: min_by merges
+    associatively).  No per-key sort anywhere — this is the same
+    max_by shape as ``cdc.latest_snapshot`` and scales identically.
+    """
+    order = F.struct(F.col(ts_col), F.col(seq_col))
+    return df.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min_by(F.col(value_col), order).cast("bigint").alias("open_c"),
+        F.max(value_col).cast("bigint").alias("high_c"),
+        F.min(value_col).cast("bigint").alias("low_c"),
+        F.max_by(F.col(value_col), order).cast("bigint").alias("close_c"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation's value is
+    held until the next observation, so irregular sampling doesn't bias
+    the mean toward burst periods — the standard estimator for sensor /
+    price / utilization series.
+
+    ``value_col`` must be exact integer units.  All math is integer:
+    weights are microsecond interval lengths from ``lead`` over
+    ``(ts, seq)``, the weighted mean is a single bigint integer
+    division (``div``) — cross-engine exact, no float accumulation
+    (sum(value*dt) can exceed 2^53, where float division would lose
+    ulps).
+
+    Plan: one window (``lead``) = one shuffle+sort on the key, then a
+    hash aggregate that reuses the same partitioning (Catalyst elides
+    the second exchange).  The final row of each key has no successor
+    and carries zero weight — dropped by the ``dt IS NOT NULL`` filter.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, seq_col)
+    # testdata timestamps are TIMESTAMP_NTZ; the session runs UTC, so the
+    # cast to instant-typed TIMESTAMP (which unix_micros requires) is a
+    # semantic no-op.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt = F.lead(us).over(w) - us
+    stepped = df.select(
+        *key_cols,
+        F.col(value_col).cast("bigint").alias("_v"),
+        dt.alias("_dt_us"),
+    ).filter(F.col("_dt_us").isNotNull())
+    return stepped.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("_dt_us").cast("bigint").alias("span_us"),
+        F.expr("CAST(SUM(_v * _dt_us) DIV SUM(_dt_us) AS BIGINT)").alias(
+            "twap_c"
+        ),
+    )

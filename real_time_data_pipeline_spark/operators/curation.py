@@ -1297,3 +1297,44 @@ def pii_scrub(
     return df.select(
         F.col(id_col), scrubbed.alias("scrubbed_text"), *counts, total
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows, inclusion pressure
+    proportional to ``weight_col`` — the "sample long documents more"
+    primitive for corpus audits and eval-set drawing, reproducible
+    across runs and engines.
+
+    Exponential-clock scheme (the integer-exact cousin of
+    Efraimidis–Spirakis A-Res): each row draws a uniform 48-bit integer
+    ``H`` from sha256(id) and competes with key ``H / weight``; the k
+    smallest keys win.  P(key < t) = t·w / 2^48, so a row's hazard rate
+    is proportional to its weight, and doubling a weight doubles its
+    selection pressure.  The division is one IEEE double op on two
+    exactly-representable integers (H < 2^48 < 2^53), hence correctly
+    rounded and bit-identical on every engine — the whole sample is a
+    pure function of the id set, no RNG state.
+
+    Plan: per-row expression + global top-k = TakeOrderedAndProject
+    (each task keeps k rows, driver merges k·partitions) — no full sort,
+    no shuffle of the corpus.  Ties (astronomically rare: equal H/w
+    doubles) break on id for full determinism.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = (
+        portable_hash48(F.col(id_col))
+        .cast("double")
+        / F.col(weight_col).cast("double")
+    ).alias("sample_key")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col).cast("bigint").alias("weight"), key)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )

@@ -1120,3 +1120,80 @@ def source_dup_matrix(
         .cast("bigint")
         .alias("dup_rate_bp"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 3,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: document A is *contained* in
+    document B when |shingles(A) ∩ shingles(B)| / |shingles(A)| >= t.
+
+    Jaccard misses the quote/extension case — a short doc fully embedded
+    in a much longer one has low Jaccard (union is large) but containment
+    1.0; this is the signal for "article + appended boilerplate" and
+    "excerpt of a longer source" duplicates that symmetric dedup keeps.
+    Tiny docs (< ``min_shingles`` shingles) are excluded: with 1-2
+    shingles, containment is a coin flip, not evidence.
+
+    Plan: the same explode → shingle self-join → pair-count shape as
+    :func:`ngram_jaccard_pairs` (one tokenize, sizes from the persisted
+    exploded table), but each unordered candidate pair emits up to two
+    ordered verdict rows (a-in-b, b-in-a) from the SAME joined row — no
+    second join.  Containment in exact integer basis points.
+    """
+    ex = cache.track(df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    ))
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("id").alias("id_a"), "shingle")
+    b = ex.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    paired = common.join(sa, "id_a").join(sb, "id_b")
+    # One unordered pair row fans out to its two ordered directions via
+    # an inline array — pure projection, no extra join or shuffle.
+    directed = paired.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("n_common"),
+                    F.col("n_a").alias("n_contained"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("n_common"),
+                    F.col("n_b").alias("n_contained"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return (
+        directed.filter(F.col("n_contained") >= min_shingles)
+        .withColumn(
+            "containment_bp",
+            F.expr("CAST(FLOOR(1e4 * n_common / n_contained) AS BIGINT)"),
+        )
+        .filter(F.col("containment_bp") >= int(threshold * 10000))
+        .select(
+            "contained_id",
+            "container_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_contained").cast("bigint").alias("n_contained"),
+            "containment_bp",
+        )
+    )

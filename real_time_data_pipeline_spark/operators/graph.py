@@ -356,3 +356,85 @@ def pagerank(
     e_deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: triangle count,
+    wedge (open-triad) count, and the transitivity ratio in basis
+    points — the one-row audit that distinguishes a clique-y duplicate
+    graph from a star-shaped one (hub pages duplicated everywhere vs
+    mutually-similar clusters).
+
+    ``edges`` needs ``src``/``dst`` columns; direction and duplicates
+    are normalized away here.
+
+    Plan (the standard distributed triangle count, cf. Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orient every edge from the lower-degree endpoint to the higher
+    (ties by id), so each triangle is counted exactly once and the
+    join fan-out of a degree-d hub drops from O(d²) to O(d^{3/2})
+    summed over the graph — the skew killer at scale.  Two shuffles:
+    one wedge-building self-join on the oriented edge list, one
+    semi-join of wedges against the (broadcast-eligible) edge set.
+    Wedges come from the degree table alone: sum(d*(d-1)/2).
+    """
+    canon = cache.track(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("d_a") < F.col("d_b"))
+                | ((F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
+    wedges_o = (
+        w1.join(w2, "pivot")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+    )
+    tri_n = wedges_o.join(canon, ["a", "b"], "left_semi").count()
+    stats = canon.agg(F.count("*").cast("bigint").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges"),
+        )
+    )
+    # canon stays tracked (not released here): the returned lazy plan
+    # still reads it for n_edges/degrees; callers release via cache
+    # (bench/parity release_all after each query, same as the jaccard ops).
+    spark = edges.sparkSession
+    return stats.crossJoin(
+        spark.createDataFrame([(int(tri_n),)], "n_triangles bigint")
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST(CASE WHEN n_wedges > 0 THEN FLOOR(1e4 * 3 * n_triangles / n_wedges) ELSE 0 END AS BIGINT)"
+        ).alias("transitivity_bp"),
+    )

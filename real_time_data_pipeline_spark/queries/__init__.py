@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_data_pipeline_spark.queries import (
     analytics,
+    analytics_ext,
     curation,
     dedup,
     joins_ext,
@@ -33,8 +34,8 @@ from real_time_data_pipeline_spark.queries import (
 )
 
 _MODULES = [
-    reference_parity, tpch, analytics, joins_ext, lineage_q, dedup, text,
-    curation, similarity, multimodal,
+    reference_parity, tpch, analytics, analytics_ext, joins_ext, lineage_q,
+    dedup, text, curation, similarity, multimodal,
 ]
 
 
@@ -115,7 +116,10 @@ _R5_PRIORITY = [
 # Round-6 rotation candidates (oracle-backed entries registered after
 # the round-5 window filled; parity green, no driver verdict yet —
 # front-load next round): pii_scrub, stream_heavy_hitters,
-# ann_ivf_incremental, leakage_safe_split, dedup_clusters_incremental.
+# ann_ivf_incremental, leakage_safe_split, dedup_clusters_incremental,
+# stream_distribution_drift, stream_category_drift, ohlc_bars,
+# time_weighted_avg, cube_order_stats, weighted_sample,
+# dedup_containment, triangle_count.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,138 @@
+"""Unit goldens for the round-5 extension operators: OHLC bars, TWAP,
+weighted sampling, containment dedup, and triangle stats.
+
+Each test pins the semantic edge the oracle can't isolate on synthetic
+data: tie-breaking, zero-weight intervals, asymmetric direction,
+min-shingle gating, weight monotonicity, and degree-orientation
+correctness on graphs with known triangle counts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.aggregates import (
+    ohlc,
+    time_weighted_avg,
+)
+from real_time_data_pipeline_spark.operators.curation import weighted_sample
+from real_time_data_pipeline_spark.operators.dedup import (
+    ngram_containment_pairs,
+)
+from real_time_data_pipeline_spark.operators.graph import triangle_stats
+
+
+def _ts(minute: int, sec: int = 0):
+    return dt.datetime(2024, 1, 1, 10, minute, sec)
+
+
+def test_ohlc_open_close_tiebreak_on_seq(spark):
+    # Two rows share the opening timestamp: the lower seq wins open;
+    # two share the closing timestamp: the higher seq wins close.
+    rows = [
+        ("k", _ts(0), 2, 500),   # same ts as seq 1 — seq 1 is open
+        ("k", _ts(0), 1, 300),
+        ("k", _ts(5), 3, 900),   # high
+        ("k", _ts(9), 4, 100),   # low; same ts as seq 5
+        ("k", _ts(9), 5, 400),   # close (higher seq at last ts)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, seq int, v long")
+    out = ohlc(df, ["g"], "ts", "seq", "v").collect()[0]
+    assert (out.n_events, out.open_c, out.high_c, out.low_c, out.close_c) == (
+        5, 300, 900, 100, 400
+    )
+
+
+def test_twap_holds_value_until_next_observation(spark):
+    # value 100 held 3 min, then 400 held 1 min; final row carries no
+    # weight.  TWAP = (100*180e6 + 400*60e6) div 240e6 = 175.
+    rows = [
+        ("u", _ts(0), 1, 100),
+        ("u", _ts(3), 2, 400),
+        ("u", _ts(4), 3, 999_999),  # last observation — zero weight
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, seq int, v long")
+    out = time_weighted_avg(df, ["u"], "ts", "seq", "v").collect()[0]
+    assert out.n_intervals == 2
+    assert out.span_us == 240_000_000
+    assert out.twap_c == 175
+
+
+def test_twap_simultaneous_rows_carry_zero_weight(spark):
+    # Duplicate timestamps produce a 0-length interval: included as an
+    # interval row but contributing 0 weight — TWAP is the survivor's.
+    rows = [
+        ("u", _ts(0), 1, 100),
+        ("u", _ts(0), 2, 700),  # same instant, later seq
+        ("u", _ts(2), 3, 700),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, seq int, v long")
+    out = time_weighted_avg(df, ["u"], "ts", "seq", "v").collect()[0]
+    assert out.n_intervals == 2
+    assert out.span_us == 120_000_000
+    # seq 1 spans 0 us (its successor is the same instant), so the
+    # later-seq row at the duplicated timestamp is what gets held.
+    assert out.twap_c == 700
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    # Same ids, two weight configurations: raising one id's weight can
+    # only improve (never worsen) its rank, and the draw is reproducible.
+    base = [(i, 10) for i in range(200)]
+    df = spark.createDataFrame(base, "doc_id long, w long")
+    got1 = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 20).collect()]
+    got2 = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 20).collect()]
+    assert got1 == got2  # deterministic
+    # Boost one excluded id's weight 1000x: its key shrinks 1000x and it
+    # must enter the sample (with uniform weights the cut is ~10% of the
+    # key range; a 1000x shrink beats that with huge margin).
+    loser = next(i for i in range(200) if i not in set(got1))
+    boosted = [(i, 10_000 if i == loser else 10) for i in range(200)]
+    df2 = spark.createDataFrame(boosted, "doc_id long, w long")
+    got3 = {r.doc_id for r in weighted_sample(df2, "doc_id", "w", 20).collect()}
+    assert loser in got3
+    # Zero/negative weights are excluded entirely.
+    df3 = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, w long"
+    )
+    assert {r.doc_id for r in weighted_sample(df3, "doc_id", "w", 3).collect()} == {3}
+
+
+def test_containment_is_asymmetric_and_gated(spark):
+    quote = "alpha beta gamma delta epsilon"  # 3 shingles
+    article = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )  # contains every quote shingle + many more
+    tiny = "alpha beta gamma"  # 1 shingle — below min_shingles
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, tiny)], "doc_id long, text string"
+    )
+    out = ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    rows = {(r.contained_id, r.container_id): r for r in out.collect()}
+    # quote-in-article: 3/3 shingles → 10000 bp; reverse direction far
+    # below threshold; tiny doc gated out despite full containment.
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)].containment_bp == 10_000
+    assert rows[(1, 2)].n_common == 3
+
+
+def test_triangle_stats_known_graphs(spark):
+    # K4 (complete on 4 nodes): 4 triangles, 12 wedges, transitivity 1.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    out = triangle_stats(df).collect()[0]
+    assert (out.n_nodes, out.n_edges, out.n_wedges, out.n_triangles) == (
+        4, 6, 12, 4
+    )
+    assert out.transitivity_bp == 10_000
+    # Star graph: wedges but zero triangles; duplicate/reversed/self
+    # edges normalized away.
+    star = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)] + [(2, 2)]
+    df2 = spark.createDataFrame(star, "src long, dst long")
+    out2 = triangle_stats(df2).collect()[0]
+    assert (out2.n_edges, out2.n_triangles) == (4, 0)
+    assert out2.n_wedges == 6  # C(4,2) at the hub
+    assert out2.transitivity_bp == 0
