@@ -139,3 +139,63 @@ def snapshot_diff(
         *[F.col(f"{c}_old") for c in compare_cols],
         *[F.col(f"{c}_new") for c in compare_cols],
     )
+
+
+def latest_state(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Mergeable CDC state: per key, the winning row by ``seq_cols``
+    PLUS the accumulated changelog depth — and, unlike
+    :func:`latest_snapshot`, delete winners are KEPT (a later update can
+    resurrect a key, so dropping deletes loses merge information; filter
+    ``op != 'D'`` only at the presentation edge).
+
+    ``weight_col`` makes the summary re-mergeable: when the input rows
+    are themselves state rows, pass their ``n_changes`` so depths add
+    instead of resetting to row counts.  ``latest_state`` over any
+    partition of the log, merged by :func:`merge_snapshot_state`, equals
+    ``latest_state`` over the whole log — the associativity the
+    streaming maintainer and its full-recompute oracle both rely on.
+    """
+    payload = [
+        c for c in log.columns if c not in key_cols and c != weight_col
+    ]
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    summary = log.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in seq_cols]),
+        ).alias("_last"),
+        F.sum(w).cast("bigint").alias("n_changes"),
+    )
+    return summary.select(
+        *key_cols,
+        *[F.col(f"_last.{c}").alias(c) for c in payload],
+        "n_changes",
+    )
+
+
+def merge_snapshot_state(
+    state: DataFrame,
+    increment_state: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+) -> DataFrame:
+    """Fold one :func:`latest_state` summary into another: union the two
+    state tables and re-reduce, weighting each row by its accumulated
+    ``n_changes``.  One shuffle on the key; both inputs are already one
+    row per key, so the shuffle volume is |keys|, independent of how
+    much history each summary has absorbed — the steady-state cost a
+    100 TB changelog maintainer needs.
+    """
+    cols = state.columns
+    if set(cols) != set(increment_state.columns):
+        raise ValueError(
+            f"state column mismatch: {sorted(cols)} vs "
+            f"{sorted(increment_state.columns)}"
+        )
+    unioned = state.select(*cols).unionAll(increment_state.select(*cols))
+    return latest_state(unioned, key_cols, seq_cols, weight_col="n_changes")

@@ -119,7 +119,8 @@ _R5_PRIORITY = [
 # ann_ivf_incremental, leakage_safe_split, dedup_clusters_incremental,
 # stream_distribution_drift, stream_category_drift, ohlc_bars,
 # time_weighted_avg, cube_order_stats, weighted_sample,
-# dedup_containment, triangle_count.
+# dedup_containment, triangle_count, cdc_apply_incremental,
+# stream_cdc_apply.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

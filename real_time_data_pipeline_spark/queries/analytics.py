@@ -1931,3 +1931,131 @@ ORACLES["rfm_segments"] = f"""
                 AS BIGINT) AS m_bin
     FROM per_cust, b
 """
+
+
+def _cdc_log(spark, sf_dir):
+    """The events-as-CDC changelog shared by cdc_snapshot and its
+    incremental/streaming maintainers (signup=insert, error=delete,
+    else update, keyed by user_id, sequenced by (ts, event_id))."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+_CDC_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _cdc_present(state):
+    """Presentation edge shared by the two maintainers: drop keys whose
+    winner is a delete, project to the cdc_snapshot column names."""
+    return state.filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        "n_changes",
+    )
+
+
+def q_cdc_apply_incremental(spark, sf_dir):
+    """Incremental CDC maintenance under the full-recompute oracle:
+    compact the pre-cutoff changelog into mergeable state
+    (operators/cdc.latest_state — delete winners retained, depths
+    accumulated), fold the post-cutoff increment in via
+    merge_snapshot_state, and present.  The oracle is cdc_snapshot's
+    one-shot compaction over ALL events, so the driver verifies
+    merge(state(old), state(new)) == state(old ∪ new) value-for-value —
+    including resurrection (delete then later update) and
+    tombstone-wins cases the increment can create."""
+    from real_time_data_pipeline_spark.operators.cdc import (
+        latest_state,
+        merge_snapshot_state,
+    )
+
+    log = _cdc_log(spark, sf_dir)
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    state = latest_state(
+        log.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"]
+    )
+    inc = latest_state(
+        log.filter(F.col("ts") >= cutoff), ["user_id"], ["ts", "event_id"]
+    )
+    merged = merge_snapshot_state(state, inc, ["user_id"], ["ts", "event_id"])
+    return _cdc_present(merged)
+
+
+def q_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC-apply — the upsert/MERGE-INTO operator class on the
+    streaming engine, on the same full-recompute oracle: pre-cutoff
+    state is seeded, post-cutoff change rows ARRIVE AS A STREAM, and
+    every micro-batch compacts itself (latest_state) then folds into
+    the held state (merge_snapshot_state).  Associativity of the
+    weighted max_by/sum partials means ANY batch split yields the
+    identical final snapshot — the property the oracle hash pins.
+    State is one row per key between batches (the production shape
+    upserts into the warehouse table; collecting it here is the bounded
+    test-harness capture, |users| rows)."""
+    from real_time_data_pipeline_spark.operators.cdc import (
+        latest_state,
+        merge_snapshot_state,
+    )
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _stream_events,
+        await_streaming,
+    )
+
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    seed = latest_state(
+        _cdc_log(spark, sf_dir).filter(F.col("ts") < cutoff),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    holder = {"state": spark.createDataFrame(seed.collect(), seed.schema)}
+
+    def fold(batch, _i):
+        inc_log = batch.filter(F.col("ts") >= cutoff).select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.when(F.col("event_type") == "signup", F.lit("I"))
+            .when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        inc = latest_state(inc_log, ["user_id"], ["ts", "event_id"])
+        merged = merge_snapshot_state(
+            holder["state"], inc, ["user_id"], ["ts", "event_id"]
+        )
+        holder["state"] = batch.sparkSession.createDataFrame(
+            merged.collect(), merged.schema
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_cdc_apply")
+    return _cdc_present(holder["state"])
+
+
+QUERIES["cdc_apply_incremental"] = q_cdc_apply_incremental
+QUERIES["stream_cdc_apply"] = q_stream_cdc_apply
+
+# Both maintainers are pinned against the ONE-SHOT compaction oracle —
+# the merge path must be indistinguishable from recomputing from scratch.
+ORACLES["cdc_apply_incremental"] = ORACLES["cdc_snapshot"]
+ORACLES["stream_cdc_apply"] = ORACLES["cdc_snapshot"]

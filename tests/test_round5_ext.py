@@ -136,3 +136,33 @@ def test_triangle_stats_known_graphs(spark):
     assert (out2.n_edges, out2.n_triangles) == (4, 0)
     assert out2.n_wedges == 6  # C(4,2) at the hub
     assert out2.transitivity_bp == 0
+
+
+def test_cdc_mergeable_state_resurrection_and_depth(spark):
+    from real_time_data_pipeline_spark.operators.cdc import (
+        latest_state,
+        merge_snapshot_state,
+    )
+
+    # key 1: insert then delete (old) then update (new) — resurrected,
+    # depth 3.  key 2: update (old) then delete (new) — tombstone wins.
+    # key 3: stale replay in the increment — idempotent, no effect on
+    # the winner, and the replayed row still deepens the count exactly
+    # as the full recompute over the unioned log would.
+    old = [(1, 1, "I", 10), (1, 2, "D", 0), (2, 1, "U", 5), (3, 5, "U", 7)]
+    new = [(1, 3, "U", 99), (2, 2, "D", 0), (3, 5, "U", 7)]
+    schema = "k long, seq long, op string, v long"
+    s_old = latest_state(spark.createDataFrame(old, schema), ["k"], ["seq"])
+    s_new = latest_state(spark.createDataFrame(new, schema), ["k"], ["seq"])
+    merged = merge_snapshot_state(s_old, s_new, ["k"], ["seq"])
+    rows = {r.k: r for r in merged.collect()}
+    assert (rows[1].op, rows[1].v, rows[1].n_changes) == ("U", 99, 3)
+    assert (rows[2].op, rows[2].n_changes) == ("D", 2)
+    assert (rows[3].op, rows[3].v, rows[3].n_changes) == ("U", 7, 2)
+    # Associativity against the one-shot compaction of the full log.
+    full = latest_state(
+        spark.createDataFrame(old + new, schema), ["k"], ["seq"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
