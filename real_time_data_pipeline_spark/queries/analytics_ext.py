@@ -299,3 +299,236 @@ ORACLES = {
                     ELSE 0 END AS BIGINT) AS transitivity_bp
     """,
 }
+
+
+def q_value_correlation(spark, sf_dir):
+    """Pearson correlation between the daily value series of every
+    event-type pair — the co-movement matrix behind metric dashboards
+    ("do errors rise with purchases?").
+
+    Exactness: daily totals are integer dollars (cents // 100 keeps
+    every sum product inside bigint through sf1000 — cents would
+    overflow Sx² beyond sf0.1); the five moment sums are exact bigints,
+    and the final r uses one sqrt/divide on exactly-representable
+    integers — IEEE-identical across engines.  Missing (type, day)
+    cells are genuine zeros (the series is "value observed that day"),
+    densified by a calendar × type cross join so every pair correlates
+    over the SAME n days.
+
+    Plan: one hash agg to daily grain (tiny: |types|×|days|), densify
+    against the broadcast calendar, one self-join on day (output
+    |types|²×|days| — still tiny), one final hash agg per pair.  All
+    heavy lifting happens at the pre-aggregated grain; the event scan
+    aggregates map-side first."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("day")
+    ).agg(
+        F.expr(f"CAST(SUM({_CENTS}) DIV 100 AS BIGINT)").alias("v")
+    )
+    days = daily.select("day").distinct()
+    types = daily.select("t").distinct()
+    dense = (
+        days.crossJoin(types)
+        .join(daily, ["t", "day"], "left")
+        .select("t", "day", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    a = dense.select(F.col("t").alias("type_a"), "day", F.col("v").alias("x"))
+    b = dense.select(F.col("t").alias("type_b"), "day", F.col("v").alias("y"))
+    paired = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    sums = paired.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    corr = (
+        "CAST(FLOOR(1e4 * (n_days * sxy - sx * sy) / "
+        "(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) * "
+        "sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.expr(corr).alias("corr_bp"),
+    )
+
+
+def q_cusum_shift(spark, sf_dir):
+    """CUSUM level-shift audit per event type: the peak absolute
+    cumulative deviation of the daily value series from its own mean,
+    and the day it peaks — the classic change-point locator for "did
+    this metric shift regime mid-window?".
+
+    Integer-exact: deviations are scaled by n_days (D_i = n·x_i − S, an
+    integer), so the running sum needs no fractional mean.  Plan: daily
+    hash agg, then ONE shuffle on event_type feeding both windows (the
+    running sum and the peak pick) — Catalyst reuses the partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("day")
+    ).agg(F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("x"))
+    per_t = Window.partitionBy("t")
+    run = Window.partitionBy("t").orderBy("day")
+    scored = daily.select(
+        "t",
+        "day",
+        (F.count("*").over(per_t) * F.col("x") - F.sum("x").over(per_t)).alias(
+            "dev_n"
+        ),
+        F.count("*").over(per_t).cast("bigint").alias("n_days"),
+    ).select(
+        "t",
+        "day",
+        "n_days",
+        F.abs(F.sum("dev_n").over(run)).alias("cusum_abs"),
+    )
+    pick = Window.partitionBy("t").orderBy(
+        F.col("cusum_abs").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("event_type"),
+            "n_days",
+            F.col("day").alias("peak_day"),
+            F.col("cusum_abs").cast("bigint").alias("cusum_peak_n_cents"),
+        )
+    )
+
+
+# Benford expected first-digit shares, floor(1e4*log10(1+1/d)): pinned
+# as integer constants so neither engine's libm rounding can differ.
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669,
+               7: 579, 8: 511, 9: 457}
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the forensic DQ check
+    for fabricated or truncated monetary data: observed share of each
+    leading digit vs the Benford expectation, deviation in basis points.
+
+    One hash aggregate over a per-row digit expression; expectations are
+    broadcast literals (a CASE), so the whole audit is a single pass."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+    )
+    exp_case = "CASE first_digit " + " ".join(
+        f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()
+    ) + " END"
+    counted = orders.groupBy(digit.alias("first_digit")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    total = counted.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n_orders",
+            F.expr("CAST(FLOOR(1e4 * n_orders / n_total) AS BIGINT)").alias(
+                "observed_bp"
+            ),
+            F.expr(exp_case).cast("bigint").alias("benford_bp"),
+        )
+        .withColumn(
+            "deviation_bp", F.col("observed_bp") - F.col("benford_bp")
+        )
+    )
+
+
+QUERIES["value_correlation"] = q_value_correlation
+QUERIES["cusum_shift"] = q_cusum_shift
+QUERIES["benford_audit"] = q_benford_audit
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()
+) + " END"
+
+ORACLES["value_correlation"] = f"""
+    WITH daily AS (
+      SELECT event_type AS t, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM({_CENTS}) // 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT tt.t, dd.day, COALESCE(daily.v, 0) AS v
+      FROM (SELECT DISTINCT day FROM daily) dd
+      CROSS JOIN (SELECT DISTINCT t FROM daily) tt
+      LEFT JOIN daily ON daily.t = tt.t AND daily.day = dd.day
+    ),
+    sums AS (
+      SELECT a.t AS type_a, b.t AS type_b,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(a.v) AS BIGINT) AS sx,
+             CAST(SUM(b.v) AS BIGINT) AS sy,
+             CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+             CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+             CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+      FROM dense a JOIN dense b ON a.day = b.day AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days,
+           CAST(FLOOR(1e4 * (n_days * sxy - sx * sy) /
+                (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+               AS corr_bp
+    FROM sums
+"""
+
+ORACLES["cusum_shift"] = f"""
+    WITH daily AS (
+      SELECT event_type AS t, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT t, day, x,
+             CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n_days,
+             CAST(SUM(x) OVER (PARTITION BY t) AS BIGINT) AS s
+      FROM daily
+    ),
+    scored AS (
+      SELECT t, day, n_days,
+             ABS(SUM(n_days * x - s)
+                 OVER (PARTITION BY t ORDER BY day)) AS cusum_abs
+      FROM stats
+    ),
+    picked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY t
+                                   ORDER BY cusum_abs DESC, day ASC) AS rn
+      FROM scored
+    )
+    SELECT t AS event_type, n_days, day AS peak_day,
+           CAST(cusum_abs AS BIGINT) AS cusum_peak_n_cents
+    FROM picked WHERE rn = 1
+"""
+
+ORACLES["benford_audit"] = f"""
+    WITH counted AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS first_digit,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    )
+    SELECT first_digit, n_orders,
+           CAST(FLOOR(1e4 * n_orders
+                      / (SELECT SUM(n_orders) FROM counted)) AS BIGINT)
+               AS observed_bp,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_bp,
+           CAST(FLOOR(1e4 * n_orders
+                      / (SELECT SUM(n_orders) FROM counted)) AS BIGINT)
+               - CAST({_BENFORD_CASE} AS BIGINT) AS deviation_bp
+    FROM counted
+"""

@@ -166,3 +166,90 @@ def test_cdc_mergeable_state_resurrection_and_depth(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def _write_events(spark, tmp_path, rows):
+    """Materialize synthetic events as parquet so the sf_dir-shaped
+    queries (which load via schemas.load_table) can run on goldens."""
+    import os
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_value_correlation_perfect_pairs(spark, tmp_path):
+    from real_time_data_pipeline_spark.queries.analytics_ext import (
+        q_value_correlation,
+    )
+
+    # Three types over 3 days: b = 2a (r=+1), c = -a + const (r=-1).
+    rows = []
+    eid = 0
+    for i, day in enumerate([1, 2, 3]):
+        ts = dt.datetime(2024, 1, day, 12, 0)
+        for t, v in [("a", 100.0 * (i + 1)), ("b", 200.0 * (i + 1)),
+                     ("c", 100.0 * (3 - i))]:
+            eid += 1
+            rows.append((eid, ts, 1, t, v, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    out = {(r.type_a, r.type_b): r.corr_bp
+           for r in q_value_correlation(spark, d).collect()}
+    # FLOOR(1e4·r) with r through two sqrt roundings: perfect ±1
+    # correlation may land one ulp inside (9999 / -10001), never outside
+    # by more.
+    assert 9_999 <= out[("a", "b")] <= 10_000
+    assert -10_001 <= out[("a", "c")] <= -10_000
+    assert -10_001 <= out[("b", "c")] <= -10_000
+
+
+def test_cusum_peak_locates_level_shift(spark, tmp_path):
+    from real_time_data_pipeline_spark.queries.analytics_ext import (
+        q_cusum_shift,
+    )
+
+    # 6 days: 100 for 3 days then 200 for 3 days — mean 150, CUSUM of
+    # n-scaled deviations peaks at the shift boundary (day 3).
+    rows = []
+    for i in range(6):
+        v = 100.0 if i < 3 else 200.0
+        rows.append((i + 1, dt.datetime(2024, 2, i + 1, 9, 0), 1, "m", v, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    out = q_cusum_shift(spark, d).collect()[0]
+    assert out.n_days == 6
+    assert out.peak_day == dt.date(2024, 2, 3)
+    # |sum of 3 days of (6*10000c - 90000c)| = 3 * 30000 n-cents... in
+    # n-scaled cents: dev_n per low day = 6*10000 - 90000 = -30000.
+    assert out.cusum_peak_n_cents == 90_000
+
+
+def test_benford_constants_and_shares(spark, tmp_path):
+    from real_time_data_pipeline_spark.queries.analytics_ext import (
+        _BENFORD_BP,
+        q_benford_audit,
+    )
+    import math
+
+    # The pinned constants ARE floor(1e4*log10(1+1/d)).
+    for dgt, bp in _BENFORD_BP.items():
+        assert bp == math.floor(1e4 * math.log10(1 + 1 / dgt))
+    import os
+
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate([123.0, 150.0, 190.0, 25.0, 0.5])],
+        "o_orderkey long, o_totalprice double",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    out = {r.first_digit: r for r in q_benford_audit(spark, d).collect()}
+    # 0.5 excluded (< 1); three 1xx rows and one 2x row.
+    assert set(out) == {1, 2}
+    assert out[1].n_orders == 3 and out[1].observed_bp == 7500
+    assert out[2].n_orders == 1 and out[2].observed_bp == 2500
+    assert out[1].deviation_bp == 7500 - 3010
