@@ -129,17 +129,40 @@ def q_dedup_containment(spark, sf_dir):
 
 
 def q_triangle_count(spark, sf_dir):
-    """Triangle census of the supplier co-supply graph (suppliers linked
-    when lineitem ships them the same part): triangle/wedge counts and
-    transitivity — clique-iness audit of a similarity/dup graph
-    (operators/graph.triangle_stats, degree-oriented join)."""
+    """Triangle census of the same-nation supplier co-supply graph
+    (suppliers of one nation linked when lineitem ships them the same
+    part): triangle/wedge counts and transitivity — clique-iness audit
+    of a similarity/dup graph (operators/graph.triangle_stats,
+    degree-oriented join).
+
+    The nation restriction keeps node degree bounded by nation size —
+    the UNRESTRICTED co-supply graph densifies toward a clique as SF
+    grows (every supplier eventually shares a part with every other),
+    which no triangle algorithm survives because the answer itself is
+    Θ(n³); bounded-community graphs are the shape the operator is for."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("src"))
-    b = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("dst"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "s_nationkey")
+    )
+    a = ps.select(
+        F.col("l_partkey").alias("p"),
+        F.col("l_suppkey").alias("src"),
+        F.col("s_nationkey").alias("n_a"),
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("p"),
+        F.col("l_suppkey").alias("dst"),
+        F.col("s_nationkey").alias("n_b"),
+    )
     edges = (
         a.join(b, "p")
-        .filter(F.col("src") < F.col("dst"))
+        .filter((F.col("src") < F.col("dst")) & (F.col("n_a") == F.col("n_b")))
         .select("src", "dst")
         .distinct()
     )
@@ -272,11 +295,12 @@ ORACLES = {
     """,
     "triangle_count": """
         WITH ps AS (
-          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s, s_nationkey AS n
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         ),
         e AS (
           SELECT DISTINCT LEAST(a.s, b.s) AS a, GREATEST(a.s, b.s) AS b
-          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s AND a.n = b.n
         ),
         deg AS (
           SELECT v, count(*) AS d FROM (
