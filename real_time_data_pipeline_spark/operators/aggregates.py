@@ -1163,3 +1163,58 @@ def time_weighted_avg(
             "twap_c"
         ),
     )
+
+
+def ohlc_state(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mergeable OHLC summary: :func:`ohlc` plus the winning ordering
+    keys (``open_at``/``close_at`` structs), which is exactly what makes
+    the bar re-mergeable — two summaries of disjoint slices fold by
+    letting the earlier ``open_at`` keep its open and the later
+    ``close_at`` keep its close.  ``ohlc_state`` over any partition of
+    the rows, merged by :func:`merge_ohlc_state`, equals ``ohlc_state``
+    over the whole input (min/max/min_by/max_by/sum are all
+    associative+commutative) — the invariant the streaming maintainer
+    and its batch oracle share.
+    """
+    order = F.struct(
+        F.col(ts_col).alias("t"), F.col(seq_col).cast("long").alias("s")
+    )
+    return df.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(order).alias("open_at"),
+        F.min_by(F.col(value_col), order).cast("bigint").alias("open_c"),
+        F.max(value_col).cast("bigint").alias("high_c"),
+        F.min(value_col).cast("bigint").alias("low_c"),
+        F.max(order).alias("close_at"),
+        F.max_by(F.col(value_col), order).cast("bigint").alias("close_c"),
+    )
+
+
+def merge_ohlc_state(state: DataFrame, increment: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold one :func:`ohlc_state` summary into another: union + one
+    re-reduce where min_by/max_by now key on the summaries' own
+    ``open_at``/``close_at``.  Both sides are one row per group, so the
+    shuffle volume is |groups| regardless of absorbed history — the
+    steady-state bar maintainer for a 100 TB event stream.
+    """
+    cols = state.columns
+    if set(cols) != set(increment.columns):
+        raise ValueError(
+            f"state column mismatch: {sorted(cols)} vs {sorted(increment.columns)}"
+        )
+    u = state.select(*cols).unionAll(increment.select(*cols))
+    return u.groupBy(*key_cols).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("open_at").alias("open_at"),
+        F.min_by(F.col("open_c"), F.col("open_at")).cast("bigint").alias("open_c"),
+        F.max("high_c").cast("bigint").alias("high_c"),
+        F.min("low_c").cast("bigint").alias("low_c"),
+        F.max("close_at").alias("close_at"),
+        F.max_by(F.col("close_c"), F.col("close_at")).cast("bigint").alias("close_c"),
+    )

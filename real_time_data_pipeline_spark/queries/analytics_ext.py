@@ -556,3 +556,69 @@ ORACLES["benford_audit"] = f"""
                - CAST({_BENFORD_CASE} AS BIGINT) AS deviation_bp
     FROM counted
 """
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC maintenance — order-statistics summaries as
+    mergeable state: each micro-batch reduces to per-(type, day) bars
+    WITH their winning ordering keys (operators/aggregates.ohlc_state),
+    then folds into the held state via merge_ohlc_state.  Associativity
+    of min/max/min_by/max_by partials means any batch split yields the
+    identical final bars, which is exactly what sharing the batch
+    ``ohlc_bars`` oracle pins.  State is one row per bar between batches
+    (|types × days| — bounded; production upserts the same summaries
+    into the warehouse bar table)."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        merge_ohlc_state,
+        ohlc_state,
+    )
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _stream_events,
+        await_streaming,
+    )
+
+    holder = {"state": None}
+
+    def fold(batch, _i):
+        ev = batch.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.expr(_CENTS).alias("value_c"),
+        )
+        inc = ohlc_state(
+            ev, ["event_type", "day"], "ts", "event_id", "value_c"
+        )
+        merged = (
+            inc
+            if holder["state"] is None
+            else merge_ohlc_state(holder["state"], inc, ["event_type", "day"])
+        )
+        holder["state"] = batch.sparkSession.createDataFrame(
+            merged.collect(), merged.schema
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("event_type", "ts", "event_id", "value")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_ohlc")
+    state = holder["state"]
+    return state.select(
+        "event_type",
+        "day",
+        "n_events",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+    )
+
+
+QUERIES["stream_ohlc"] = q_stream_ohlc
+# The maintained bars must equal the one-shot batch aggregate exactly.
+ORACLES["stream_ohlc"] = ORACLES["ohlc_bars"]

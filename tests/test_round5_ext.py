@@ -253,3 +253,94 @@ def test_benford_constants_and_shares(spark, tmp_path):
     assert out[1].n_orders == 3 and out[1].observed_bp == 7500
     assert out[2].n_orders == 1 and out[2].observed_bp == 2500
     assert out[1].deviation_bp == 7500 - 3010
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ohlc_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # group
+        st.integers(0, 59),                   # minute
+        st.integers(1, 50),                   # seq (may collide across rows)
+        st.integers(-1000, 1000),             # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_ohlc_rows, cut=st.integers(0, 30))
+def test_ohlc_state_merge_equals_one_shot(spark, rows, cut):
+    """NO split of the input can change the merged bars (the streaming
+    maintainer's invariant) — including splits that separate ties."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        merge_ohlc_state,
+        ohlc_state,
+    )
+
+    # Deduplicate full (g, ts, seq) collisions: equal ordering keys with
+    # different values make open/close genuinely ambiguous — outside the
+    # operator's contract (seq must totalize each group's order).
+    seen, data = set(), []
+    for g, minute, seq, v in rows:
+        if (g, minute, seq) in seen:
+            continue
+        seen.add((g, minute, seq))
+        data.append((g, _ts(minute), seq, v))
+    cut = min(cut, len(data))
+    schema = "g string, ts timestamp, seq long, v long"
+    full = ohlc_state(
+        spark.createDataFrame(data, schema), ["g"], "ts", "seq", "v"
+    )
+    lo = spark.createDataFrame(data[:cut] or [], schema)
+    hi = spark.createDataFrame(data[cut:] or [], schema)
+    merged = merge_ohlc_state(
+        ohlc_state(lo, ["g"], "ts", "seq", "v"),
+        ohlc_state(hi, ["g"], "ts", "seq", "v"),
+        ["g"],
+    )
+    cols = ["g", "n_events", "open_c", "high_c", "low_c", "close_c"]
+    assert sorted(map(tuple, merged.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),                    # key
+            st.integers(1, 30),                   # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 99),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cut=st.integers(0, 25),
+)
+def test_cdc_state_merge_equals_one_shot(spark, rows, cut):
+    from real_time_data_pipeline_spark.operators.cdc import (
+        latest_state,
+        merge_snapshot_state,
+    )
+
+    seen, data = set(), []
+    for k, seq, op, v in rows:
+        if (k, seq) in seen:  # seq must totalize per-key order
+            continue
+        seen.add((k, seq))
+        data.append((k, seq, op, v))
+    cut = min(cut, len(data))
+    schema = "k long, seq long, op string, v long"
+    full = latest_state(spark.createDataFrame(data, schema), ["k"], ["seq"])
+    merged = merge_snapshot_state(
+        latest_state(spark.createDataFrame(data[:cut] or [], schema), ["k"], ["seq"]),
+        latest_state(spark.createDataFrame(data[cut:] or [], schema), ["k"], ["seq"]),
+        ["k"],
+        ["seq"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
