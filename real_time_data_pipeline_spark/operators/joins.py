@@ -259,3 +259,90 @@ def interval_join(
     return facts.join(d, cond, how).drop("_dk").withColumnsRenamed(
         {"_vf": valid_from, "_vt": valid_to}
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str],
+    right_cols: tuple[str, str, str],
+    bucket_width: int,
+) -> DataFrame:
+    """Keyless interval×interval overlap join at scale — the spatial/
+    temporal banding trick: a naive ``a.start <= b.end AND b.start <=
+    a.end`` join has no equality conjunct, so Spark plans a broadcast
+    nested-loop (O(|A|·|B|) compares).  Banding restores an equi-join:
+    every interval explodes to the fixed-width buckets it touches, the
+    join runs per bucket, and each overlapping pair is kept at exactly
+    ONE bucket — ``greatest(bucketof(a.start), bucketof(b.start))`` —
+    which both intervals provably cover (the later-starting interval
+    covers its own start bucket; the earlier one reaches it because the
+    overlap means it extends past the later start).  No post-hoc
+    dedup shuffle, no double counting.
+
+    ``left_cols``/``right_cols`` are ``(id, start, end)`` with integer
+    closed bounds in the caller's unit (µs, days, …); ``bucket_width``
+    is in the same unit.  Output: ``a_id a_start a_end b_id b_start
+    b_end overlap_len`` (closed-interval intersection length, ≥ 0).
+
+    Choosing the width: replication factor is ~span/width + 1 per row,
+    join fan-in per bucket is the interval density at that width — pick
+    width ≈ typical span so both stay O(1); a long-tail interval set
+    (a few year-long spans among minutes) wants the long tail split or
+    handled on a second coarser pass.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    li, ls, le = left_cols
+    ri, rs, re_ = right_cols
+    a = left.select(
+        F.col(li).alias("a_id"),
+        F.col(ls).cast("long").alias("a_start"),
+        F.col(le).cast("long").alias("a_end"),
+    )
+    b = right.select(
+        F.col(ri).alias("b_id"),
+        F.col(rs).cast("long").alias("b_start"),
+        F.col(re_).cast("long").alias("b_end"),
+    )
+    ax = a.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start div {int(bucket_width)}"),
+                F.expr(f"a_end div {int(bucket_width)}"),
+            )
+        ).alias("bucket"),
+    )
+    bx = b.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_start div {int(bucket_width)}"),
+                F.expr(f"b_end div {int(bucket_width)}"),
+            )
+        ).alias("bucket"),
+    )
+    joined = ax.join(bx, "bucket")
+    canonical = F.greatest(
+        F.expr(f"a_start div {int(bucket_width)}"),
+        F.expr(f"b_start div {int(bucket_width)}"),
+    )
+    return (
+        joined.filter(
+            (F.col("bucket") == canonical)
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select(
+            "a_id",
+            "a_start",
+            "a_end",
+            "b_id",
+            "b_start",
+            "b_end",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_len"),
+        )
+    )

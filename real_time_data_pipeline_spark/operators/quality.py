@@ -626,3 +626,86 @@ def embedding_drift(
             "l2_micro"
         ),
     )
+
+
+def wasserstein_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    cents_col: str,
+    bin_width_cents: int = 1000,
+) -> DataFrame:
+    """Per-group 1-Wasserstein (earth-mover) distance between two
+    windows' value distributions, binned — the ORDER-AWARE drift metric:
+    total-variation (``distribution_drift``) scores "10 % of mass moved"
+    identically whether it moved one bin or across the whole range,
+    while W₁ charges mass × distance, which is what "values drifted
+    upward" actually means.
+
+    Integer-exact: with per-window totals Nr/Nc and cumulative bin
+    counts Cr/Cc, W₁ = Σ_bins |Cr·Nc − Cc·Nr| · gap · width / (Nr·Nc) —
+    every term a bigint (the cross-multiplication clears both
+    normalizations), one integer division at the presentation edge.
+    Empty-bin runs between occupied bins contribute via the ``gap``
+    multiplier (lead(bin) − bin), so sparse histograms need no
+    densification; after the last occupied bin both CDFs are complete
+    and the difference is identically zero.
+
+    Overflow headroom: terms are ≤ Nr·Nc ≤ (rows/group)² — fine to
+    ~3·10⁹ rows per group per window; beyond that pre-scale the counts.
+
+    Plan: one hash agg to (group, bin) grain with conditional partials
+    for both windows (the two inputs union — a single scan when both
+    windows filter the same table), one window over the tiny binned
+    frame, one final agg.
+    """
+    r = ref.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"({cents_col}) div {int(bin_width_cents)}").alias("bin"),
+        F.lit(1).alias("in_ref"),
+    )
+    c = cur.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"({cents_col}) div {int(bin_width_cents)}").alias("bin"),
+        F.lit(0).alias("in_ref"),
+    )
+    binned = (
+        r.unionAll(c)
+        .groupBy("g", "bin")
+        .agg(
+            F.sum("in_ref").cast("bigint").alias("nr"),
+            F.sum(1 - F.col("in_ref")).cast("bigint").alias("nc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    per_g = Window.partitionBy("g")
+    run = Window.partitionBy("g").orderBy("bin")
+    scored = binned.select(
+        "g",
+        F.sum("nr").over(per_g).alias("n_ref"),
+        F.sum("nc").over(per_g).alias("n_cur"),
+        F.sum("nr").over(run).alias("cr"),
+        F.sum("nc").over(run).alias("cc"),
+        (F.lead("bin").over(run) - F.col("bin")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.max("n_ref").cast("bigint").alias("n_ref"),
+            F.max("n_cur").cast("bigint").alias("n_cur"),
+            F.sum(
+                F.abs(F.col("cr") * F.col("n_cur") - F.col("cc") * F.col("n_ref"))
+                * F.col("gap")
+            ).alias("s"),
+        )
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            F.col("g").alias(group_col),
+            "n_ref",
+            "n_cur",
+            F.expr(
+                f"CAST((s * {int(bin_width_cents)}) DIV (n_ref * n_cur) AS BIGINT)"
+            ).alias("w1_cents"),
+        )
+    )

@@ -120,7 +120,8 @@ _R5_PRIORITY = [
 # stream_distribution_drift, stream_category_drift, ohlc_bars,
 # time_weighted_avg, cube_order_stats, weighted_sample,
 # dedup_containment, triangle_count, cdc_apply_incremental,
-# stream_cdc_apply.
+# stream_cdc_apply, value_correlation, cusum_shift, benford_audit,
+# stream_ohlc, session_overlap, wasserstein_drift.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -622,3 +622,167 @@ def q_stream_ohlc(spark, sf_dir):
 QUERIES["stream_ohlc"] = q_stream_ohlc
 # The maintained bars must equal the one-shot batch aggregate exactly.
 ORACLES["stream_ohlc"] = ORACLES["ohlc_bars"]
+
+
+def q_session_overlap(spark, sf_dir):
+    """Concurrent-session pairs across users via the BANDED interval
+    overlap join (operators/joins.interval_overlap_join): sessionize
+    each user (30-min gap), take each session's observed [min_ts,
+    max_ts] span, and count overlapping cross-user session pairs with
+    their total overlap time — the co-presence matrix behind fraud
+    rings and shared-device detection.
+
+    Without banding this is a keyless range join = broadcast nested
+    loop; with 1-hour buckets it's an equi-join whose fan-in is the
+    per-hour session density.  Sessions are closed integer-µs
+    intervals; pairs are kept at exactly one bucket (no dedup pass)."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us")
+    marked = ev.select(
+        "user_id",
+        "us",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = (
+        marked.select(
+            "user_id",
+            "us",
+            F.sum("new_session").over(w).alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+        .select(
+            F.struct("user_id", "session_no").alias("sid"),
+            "user_id",
+            "s_start",
+            "s_end",
+        )
+    )
+    pairs = interval_overlap_join(
+        sessions,
+        sessions,
+        ("sid", "s_start", "s_end"),
+        ("sid", "s_start", "s_end"),
+        bucket_width=3_600_000_000,  # 1 hour in µs
+    )
+    return (
+        pairs.filter(F.col("a_id.user_id") < F.col("b_id.user_id"))
+        .groupBy(
+            F.col("a_id.user_id").alias("user_a"),
+            F.col("b_id.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum("overlap_len").cast("bigint").alias("overlap_us"),
+        )
+    )
+
+
+def q_wasserstein_drift(spark, sf_dir):
+    """Per-type W₁ (earth-mover) drift of the event value distribution
+    between the first and second half of January — the order-aware
+    companion to the TV-distance monitor
+    (operators/quality.wasserstein_drift, 10-dollar bins)."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        wasserstein_drift,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "ts", F.expr(_CENTS).alias("cents")
+        )
+    )
+    cutoff = F.lit(_SPLIT_CUTOFF).cast("timestamp")
+    return wasserstein_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        group_col="event_type",
+        cents_col="cents",
+        bin_width_cents=1000,
+    )
+
+
+_SPLIT_CUTOFF = "2024-01-16 00:00:00"
+
+QUERIES["session_overlap"] = q_session_overlap
+QUERIES["wasserstein_drift"] = q_wasserstein_drift
+
+ORACLES["session_overlap"] = """
+    WITH marked AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             MIN(us) AS s_start, MAX(us) AS s_end
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(LEAST(a.s_end, b.s_end)
+                    - GREATEST(a.s_start, b.s_start)) AS BIGINT) AS overlap_us
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY 1, 2
+"""
+
+ORACLES["wasserstein_drift"] = f"""
+    WITH binned AS (
+      SELECT event_type AS g, ({_CENTS}) // 1000 AS bin,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                       < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                       >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT g,
+             SUM(nr) OVER (PARTITION BY g) AS n_ref,
+             SUM(nc) OVER (PARTITION BY g) AS n_cur,
+             SUM(nr) OVER (PARTITION BY g ORDER BY bin) AS cr,
+             SUM(nc) OVER (PARTITION BY g ORDER BY bin) AS cc,
+             LEAD(bin) OVER (PARTITION BY g ORDER BY bin) - bin AS gap
+      FROM binned
+    )
+    SELECT g AS event_type,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           CAST((SUM(ABS(cr * n_cur - cc * n_ref) * gap) * 1000)
+                // (MAX(n_ref) * MAX(n_cur)) AS BIGINT) AS w1_cents
+    FROM scored WHERE gap IS NOT NULL
+    GROUP BY g
+    HAVING MAX(n_ref) > 0 AND MAX(n_cur) > 0
+"""

@@ -344,3 +344,57 @@ def test_cdc_state_merge_equals_one_shot(spark, rows, cut):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 80)),  # start, span
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([1, 7, 50, 1000]),
+)
+def test_banded_overlap_join_equals_naive(spark, ivs, width):
+    """Banding is an optimization, never a semantics change: for ANY
+    bucket width the banded join returns exactly the naive
+    quadratic-predicate join's pairs, each exactly once."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [(i, s, s + span) for i, (s, span) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    banded = interval_overlap_join(
+        df, df, ("id", "s", "e"), ("id", "s", "e"), bucket_width=width
+    ).filter(F.col("a_id") < F.col("b_id"))
+    got = sorted(
+        (r.a_id, r.b_id, r.overlap_len) for r in banded.collect()
+    )
+    want = sorted(
+        (a[0], b[0], min(a[2], b[2]) - max(a[1], b[1]))
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
+    )
+    assert got == want
+
+
+def test_wasserstein_shift_by_k_bins_is_k_widths(spark):
+    """Shifting a distribution bodily by k bins must cost exactly
+    k·bin_width — the defining property TV distance fails."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        wasserstein_drift,
+    )
+
+    ref_rows = [("g", c) for c in [0, 1000, 2000, 3000]]
+    cur_rows = [("g", c + 5000) for c in [0, 1000, 2000, 3000]]
+    ref = spark.createDataFrame(ref_rows, "g string, cents long")
+    cur = spark.createDataFrame(cur_rows, "g string, cents long")
+    out = wasserstein_drift(ref, cur, "g", "cents", bin_width_cents=1000)
+    row = out.collect()[0]
+    assert (row.n_ref, row.n_cur) == (4, 4)
+    assert row.w1_cents == 5000
+    # And identical distributions have zero drift.
+    zero = wasserstein_drift(ref, ref, "g", "cents", 1000).collect()[0]
+    assert zero.w1_cents == 0
