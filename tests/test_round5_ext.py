@@ -398,3 +398,40 @@ def test_wasserstein_shift_by_k_bins_is_k_widths(spark):
     # And identical distributions have zero drift.
     zero = wasserstein_drift(ref, ref, "g", "cents", 1000).collect()[0]
     assert zero.w1_cents == 0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extension_tier_plans(spark, sf_dir):
+    """Physical-plan guarantees for the round-5 extension operators —
+    the properties that make them survive a 100 TB input, asserted so a
+    refactor can't silently lose them."""
+    from real_time_data_pipeline_spark.queries.analytics_ext import (
+        q_ohlc_bars,
+        q_session_overlap,
+        q_time_weighted_avg,
+        q_weighted_sample,
+    )
+
+    # OHLC: a single aggregate pair (partial+final) with map-side
+    # partial aggregation — no window/sort-per-key of the raw events,
+    # exactly one exchange.
+    p = _plan(q_ohlc_bars(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in p and "Window" not in p
+    # TWAP: the lead-window shuffle is REUSED by the final aggregate —
+    # one hash exchange total.
+    p = _plan(q_time_weighted_avg(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    # Weighted sample: global top-k must be TakeOrderedAndProject (each
+    # task keeps k), never a full Sort.
+    p = _plan(q_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [sample_key" not in p
+    # Banded overlap join: an equi-join on the bucket — the keyless
+    # range predicate must NOT degrade to a nested-loop join.
+    p = _plan(q_session_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
