@@ -574,24 +574,55 @@ def incremental_clusters(
 
 # -------------------------------------------------------------- simhash
 
+def _portable_hash60(col: F.Column) -> F.Column:
+    """Engine-portable 60-bit token hash: fold the first 15 hex chars of
+    sha256 via ascii arithmetic (the curation.portable_hash48 recipe,
+    widened).  60 bits — not 64 — because the 16th nibble would carry
+    into the sign bit, and bigint overflow is an ERROR under Spark's
+    ANSI mode and DuckDB alike; 60 independent sign-vote bits lose
+    nothing SimHash cares about.
+
+    Spark side uses ``conv(hex, 16, 10)`` (one expression; verified
+    value-equal to the ascii fold); the DuckDB oracle twin keeps the
+    per-char ascii fold because DuckDB has no base-conv builtin."""
+    h = F.sha2(col.cast("string"), 256)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash over distinct tokens: bit j of the fingerprint is 1 iff the
-    sum over tokens of sign(bit j of xxhash64(token)) is positive.  The
-    fingerprint is emitted as a 16-hex-char string (MSB first).
+    sum over tokens of sign(bit j of hash(token)) is positive.  The
+    fingerprint is emitted as hex (MSB first) plus a single long.
 
-    Shape: explode distinct tokens once → xxhash64 per token (codegen'd)
+    ``portable=False`` (default) hashes with xxhash64 — fastest, but
+    engine-specific.  ``portable=True`` uses the sha256 60-bit fold
+    (``bits`` forced to 60): the SAME fingerprints are computable in any
+    engine with sha256, which is what upgrades the dedup_simhash query
+    from rows-only to a DuckDB-oracle-checked entry.
+
+    Shape: explode distinct tokens once → one hash per token (codegen'd)
     → one hash-aggregate with `bits` conditional-sum vote columns → fold
     votes to hex nibbles driver-declared, executor-evaluated.  (A nested
     transform/aggregate expression form re-runs the interpreted tokenizer
     per bit — see minhash_signatures docstring; same pathology.)
     Docs whose token array is empty produce no exploded rows and drop out,
     matching "no content → no fingerprint"."""
+    if portable:
+        bits = 60
+    if bits % 4 != 0:
+        raise ValueError(f"bits must be a multiple of 4, got {bits}")
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", _portable_hash60(F.col("tok")) if portable else F.xxhash64("tok")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -630,16 +661,23 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Band join: split the 16-hex fingerprint into (max_hamming+1) blocks;
-    by pigeonhole any pair within the distance budget shares at least one
-    exact block → join on (block_idx, block), verify Hamming exactly.
-    This is the standard scalable SimHash join (no all-pairs)."""
+    Band join: split the fingerprint's bit range into (max_hamming+1)
+    blocks (masked out of the long — banding is independent of the hex
+    rendering); by pigeonhole any pair within the distance budget shares
+    at least one exact block → join on (block_idx, block), verify
+    Hamming exactly.  This is the standard scalable SimHash join (no
+    all-pairs).  ``portable=True`` selects the sha256 hash family
+    (bits=60) whose output an oracle engine can reproduce."""
     nblocks = max_hamming + 1
-    blk = 16 // nblocks
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, bits=bits, portable=portable)
+    if portable:
+        bits = 60
+    width = -(-bits // nblocks)  # ceil: blocks partition the bit range
     banded = sh.select(
         "id",
         "simhash_long",
@@ -648,7 +686,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("block_idx"),
-                        F.substring(F.col("simhash"), b * blk + 1, blk).alias("block"),
+                        F.shiftright(F.col("simhash_long"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block"),
                     )
                     for b in range(nblocks)
                 ]

@@ -82,11 +82,17 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 3 over 64 bits).  No oracle —
-    xxhash64 isn't available in DuckDB; correctness is pinned by unit
-    tests against handcrafted near-identical docs."""
+    """SimHash near-dup pairs (Hamming <= 3 over 60 bits), PORTABLE hash
+    family: token hashes are a sha256 60-bit fold instead of xxhash64,
+    so DuckDB reproduces the exact fingerprints and this entry is
+    oracle-checked (promoted from rows-only in round 5 — the oracle
+    recomputes every vote, fingerprint, and all-pairs Hamming distance
+    independently; the Spark side still runs the banded pigeonhole join,
+    so the oracle also certifies the banding loses no pair)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, portable=True
+    )
 
 
 def q_dedup_pipeline(spark, sf_dir):
@@ -729,4 +735,49 @@ ORACLES["blocking_eval"] = f"""
                 / GREATEST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END), 1)) AS BIGINT)
                AS precision_bp
     FROM pairs
+"""
+
+
+def _duck_fold60(col_expr: str) -> str:
+    """DuckDB twin of operators/dedup._portable_hash60 (15 hex chars of
+    sha256 folded via ascii arithmetic — 60 bits, sign-safe)."""
+    hv = lambda i: (  # noqa: E731
+        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
+        f"THEN CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 87 "
+        f"ELSE CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 48 END)"
+    )
+    folded = hv(1)
+    for i in range(2, 16):
+        folded = f"({folded} * 16 + {hv(i)})"
+    return f"(SELECT {folded} FROM (SELECT sha256({col_expr}) AS h))"
+
+
+# Full independent recomputation: votes → fingerprints → ALL-PAIRS
+# Hamming (the oracle affords quadratic; the Spark side must not).
+ORACLES["dedup_simhash"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({DUCK_TOKENS})) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {_duck_fold60("tok")} AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, CAST(r.range AS INTEGER) AS j,
+             SUM(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM hashed, range(60) r
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                 AS f
+      FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
 """

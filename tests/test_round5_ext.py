@@ -435,3 +435,43 @@ def test_extension_tier_plans(spark, sf_dir):
     p = _plan(q_session_overlap(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_portable_simhash_matches_ascii_fold_and_pairs(spark):
+    """The conv()-based 60-bit token hash equals the documented ascii
+    fold (the oracle's recipe), and the portable pair join still finds
+    near-identical docs while separating unrelated ones."""
+    from real_time_data_pipeline_spark.operators.dedup import (
+        _portable_hash60,
+        simhash_near_pairs,
+    )
+
+    toks = spark.createDataFrame([("alpha",), ("beta",), ("",)], "tok string")
+    h = F.sha2(F.col("tok").cast("string"), 256)
+    v = F.lit(0).cast("bigint")
+    for i in range(1, 16):
+        c = F.ascii(F.substring(h, i, 1))
+        v = v * 16 + F.when(c >= 97, c - 87).otherwise(c - 48).cast("bigint")
+    rows = toks.select(
+        _portable_hash60(F.col("tok")).alias("fast"), v.alias("fold")
+    ).collect()
+    assert all(r.fast == r.fold for r in rows)
+    assert all(0 <= r.fast < (1 << 60) for r in rows)
+
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # one token off — tiny Hamming
+            (3, " ".join(f"z{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=3, portable=True
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)
