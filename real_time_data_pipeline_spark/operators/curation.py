@@ -1338,3 +1338,85 @@ def weighted_sample(
         .orderBy("sample_key", id_col)
         .limit(k)
     )
+
+
+def decontaminate_bloom_verified(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shared_bp: int = 1000,
+    m_bits: int = BLOOM_M_BITS_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """Bloom prefilter + exact verification — the production decontam
+    shape at 100 TB: the broadcast bitmap answers "definitely clean" for
+    the overwhelming majority of grams with zero shuffle, and only the
+    bloom-HIT grams (true collisions + the ~bp-level false-positive
+    residue) enter the exact join against the benchmark gram set.
+    Output is IDENTICAL to :func:`decontaminate` (no false negatives →
+    every true collision reaches the verify join; the verify join then
+    removes every false positive), which is why this entry shares the
+    exact oracle — the hash pins both the bitmap's completeness and the
+    verifier's precision on real data.
+
+    Cost: the exact path joins |all distinct doc-grams| against the
+    benchmark set; here the join side shrinks to |hits| ≈ collisions +
+    fp_rate·|grams| — at the default 1 % fp rate, a ~100× smaller
+    shuffle for a clean corpus, the asymmetry that matters when the
+    corpus is 100 TB and the benchmark is megabytes.
+    """
+    bitmap, m_bits, k = build_bloom_bitmap(
+        benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k
+    )
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap)
+
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        bm = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.array(pos.tolist(), dtype=np.int64)
+        words = arr >> 6
+        bits = (arr & 63).astype(np.uint64)
+        present = (bm[words] >> bits) & np.uint64(1)
+        return pd.Series(present.all(axis=1))
+
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
+    ).withColumn(
+        "_bloom_hit", _probe(_bloom_positions(F.col("gram"), m_bits, k))
+    )
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_col(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_confirmed", F.lit(1))
+    )
+    # Only bloom hits reach the verify join; misses keep a NULL
+    # _confirmed through the left join unconditionally (they never
+    # entered).  One broadcast join, one per-doc aggregate — same
+    # exchange count as the exact path with a ~fp-rate-sized probe side.
+    verified = doc_grams.join(
+        bench_grams,
+        (F.col("_bloom_hit") == F.lit(True)) & (doc_grams.gram == bench_grams.gram),
+        "left",
+    )
+    agg = verified.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_confirmed"), F.lit(0))).alias("shared_grams"),
+    )
+    shared_bp = F.floor(
+        F.lit(10000) * F.col("shared_grams") / F.col("n_grams")
+    ).cast("bigint")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("shared_grams").cast("bigint").alias("shared_grams"),
+        shared_bp.alias("shared_bp"),
+        (shared_bp <= F.lit(max_shared_bp)).alias("keep_decontaminated"),
+    )

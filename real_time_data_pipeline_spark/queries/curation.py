@@ -1036,3 +1036,18 @@ ORACLES["pii_scrub"] = f"""
                AS n_pii_total
     FROM s3
 """
+
+
+def q_decontaminate_bloom_verified(spark, sf_dir):
+    """Bloom prefilter + exact verify — output identical to the exact
+    decontamination pass, so it shares `decontaminate`'s oracle: the
+    hash certifies zero bloom false negatives AND full false-positive
+    removal on real data, while the verify join's probe side is only
+    the bloom hits (operators/curation.decontaminate_bloom_verified)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.decontaminate_bloom_verified(docs, bench)
+
+
+QUERIES["decontaminate_bloom_verified"] = q_decontaminate_bloom_verified
+ORACLES["decontaminate_bloom_verified"] = _DECONTAMINATE_ORACLE
