@@ -1043,7 +1043,14 @@ def q_decontaminate_bloom_verified(spark, sf_dir):
     decontamination pass, so it shares `decontaminate`'s oracle: the
     hash certifies zero bloom false negatives AND full false-positive
     removal on real data, while the verify join's probe side is only
-    the bloom hits (operators/curation.decontaminate_bloom_verified)."""
+    the bloom hits (operators/curation.decontaminate_bloom_verified).
+
+    At local test scale this is SLOWER than the exact path (3.6 s vs
+    1.6 s at sf0.1): the benchmark gram set broadcasts for pennies here,
+    so the bitmap only adds an Arrow probe.  The entry exists for the
+    regime the bitmap is built for (benchmark gram sets too large to
+    broadcast-join cheaply) and to oracle-certify the bitmap's
+    one-sidedness end-to-end."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
     return curation.decontaminate_bloom_verified(docs, bench)
