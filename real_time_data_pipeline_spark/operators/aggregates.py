@@ -1159,9 +1159,15 @@ def time_weighted_avg(
     return stepped.groupBy(*key_cols).agg(
         F.count("*").cast("bigint").alias("n_intervals"),
         F.sum("_dt_us").cast("bigint").alias("span_us"),
-        F.expr("CAST(SUM(_v * _dt_us) DIV SUM(_dt_us) AS BIGINT)").alias(
-            "twap_c"
-        ),
+        # A key whose every interval is zero-length (all rows at one
+        # instant) has no time to average over: NULL, guarded explicitly
+        # because integer division by zero is an ERROR under ANSI mode
+        # (and NULL, not an error, in oracle engines — the CASE makes
+        # both produce NULL).
+        F.expr(
+            "CASE WHEN SUM(_dt_us) > 0 "
+            "THEN CAST(SUM(_v * _dt_us) DIV SUM(_dt_us) AS BIGINT) END"
+        ).alias("twap_c"),
     )
 
 

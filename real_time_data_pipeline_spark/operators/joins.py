@@ -295,16 +295,19 @@ def interval_overlap_join(
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     li, ls, le = left_cols
     ri, rs, re_ = right_cols
+    # Malformed rows (start > end) denote EMPTY intervals and must match
+    # nothing — but the raw predicate can still accept them (a [10,5]
+    # "interval" matches any b spanning [5,10]), so drop them here.
     a = left.select(
         F.col(li).alias("a_id"),
         F.col(ls).cast("long").alias("a_start"),
         F.col(le).cast("long").alias("a_end"),
-    )
+    ).filter(F.col("a_start") <= F.col("a_end"))
     b = right.select(
         F.col(ri).alias("b_id"),
         F.col(rs).cast("long").alias("b_start"),
         F.col(re_).cast("long").alias("b_end"),
-    )
+    ).filter(F.col("b_start") <= F.col("b_end"))
     ax = a.select(
         "*",
         F.explode(

@@ -243,7 +243,8 @@ ORACLES = {
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_intervals,
                CAST(SUM(dt) AS BIGINT) AS span_us,
-               CAST(SUM(v * dt) // SUM(dt) AS BIGINT) AS twap_c
+               CASE WHEN SUM(dt) > 0
+               THEN CAST(SUM(v * dt) // SUM(dt) AS BIGINT) END AS twap_c
         FROM d WHERE dt IS NOT NULL
         GROUP BY 1
     """,
@@ -368,10 +369,14 @@ def q_value_correlation(spark, sf_dir):
         F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
         F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
     )
+    # Zero-variance series have no defined correlation: NULL, guarded
+    # explicitly because double division by zero ERRORS under Spark's
+    # ANSI mode while oracle engines return NULL — the CASE aligns both.
     corr = (
-        "CAST(FLOOR(1e4 * (n_days * sxy - sx * sy) / "
+        "CASE WHEN n_days * sxx > sx * sx AND n_days * syy > sy * sy "
+        "THEN CAST(FLOOR(1e4 * (n_days * sxy - sx * sy) / "
         "(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) * "
-        "sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+        "sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))) AS BIGINT) END"
     )
     return sums.select(
         "type_a",
@@ -502,10 +507,11 @@ ORACLES["value_correlation"] = f"""
       GROUP BY 1, 2
     )
     SELECT type_a, type_b, n_days,
-           CAST(FLOOR(1e4 * (n_days * sxy - sx * sy) /
+           CASE WHEN n_days * sxx > sx * sx AND n_days * syy > sy * sy
+           THEN CAST(FLOOR(1e4 * (n_days * sxy - sx * sy) /
                 (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
                  sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))) AS BIGINT)
-               AS corr_bp
+           END AS corr_bp
     FROM sums
 """
 

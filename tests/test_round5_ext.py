@@ -475,3 +475,44 @@ def test_portable_simhash_matches_ascii_fold_and_pairs(spark):
     }
     assert (1, 2) in pairs
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_degenerate_inputs_yield_null_not_error(spark, tmp_path):
+    """ANSI-mode division guards: zero-variance correlation and
+    zero-span TWAP produce NULL (matching oracle-engine semantics)
+    instead of DIVIDE_BY_ZERO errors; empty intervals match nothing."""
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        time_weighted_avg,
+    )
+    from real_time_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+    from real_time_data_pipeline_spark.queries.analytics_ext import (
+        q_value_correlation,
+    )
+
+    # All observations at one instant: interval rows exist (dt=0) but
+    # there is no time to average over.
+    rows = [("u", _ts(0), 1, 100), ("u", _ts(0), 2, 200), ("u", _ts(0), 3, 300)]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, seq int, v long")
+    out = time_weighted_avg(df, ["u"], "ts", "seq", "v").collect()[0]
+    assert out.span_us == 0 and out.twap_c is None
+
+    # Constant daily series: zero variance, correlation undefined.
+    ev = []
+    for i, day in enumerate([1, 2, 3]):
+        ts = dt.datetime(2024, 3, day, 12, 0)
+        ev.append((2 * i, ts, 1, "flat", 50.0, "{}"))
+        ev.append((2 * i + 1, ts, 1, "moving", 50.0 * (i + 1), "{}"))
+    d = _write_events(spark, tmp_path, ev)
+    out = q_value_correlation(spark, d).collect()
+    assert len(out) == 1 and out[0].corr_bp is None
+
+    # A start>end row is an empty interval: matches nothing, even
+    # against an interval spanning its reversed bounds.
+    bad = spark.createDataFrame([(1, 10, 5)], "id long, s long, e long")
+    good = spark.createDataFrame([(2, 4, 11)], "id long, s long, e long")
+    got = interval_overlap_join(
+        bad, good, ("id", "s", "e"), ("id", "s", "e"), bucket_width=3
+    ).collect()
+    assert got == []
