@@ -677,6 +677,21 @@ def wasserstein_drift(
             F.sum(1 - F.col("in_ref")).cast("bigint").alias("nc"),
         )
     )
+    return wasserstein_from_binned(binned, group_col, int(bin_width_cents))
+
+
+def wasserstein_from_binned(
+    binned: DataFrame,
+    group_col: str,
+    bin_width_cents: int,
+) -> DataFrame:
+    """The CDF cross-multiplication core of :func:`wasserstein_drift`,
+    taking a pre-binned histogram frame ``(g, bin, nr, nc)`` directly —
+    the entry point for maintainers that already hold bin counts (the
+    streaming monitor folds additive per-batch counts and finalizes
+    here; re-expanding counts into unit rows to re-bin them would be an
+    O(rows) driver step, the opposite of what a histogram state is
+    for)."""
     from pyspark.sql import Window
 
     per_g = Window.partitionBy("g")

@@ -121,7 +121,8 @@ _R5_PRIORITY = [
 # time_weighted_avg, cube_order_stats, weighted_sample,
 # dedup_containment, triangle_count, cdc_apply_incremental,
 # stream_cdc_apply, value_correlation, cusum_shift, benford_audit,
-# stream_ohlc, session_overlap, wasserstein_drift, dedup_simhash
+# stream_ohlc, session_overlap, wasserstein_drift, dedup_simhash,
+# stream_wasserstein_drift, decontaminate_bloom_verified
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -792,3 +792,87 @@ ORACLES["wasserstein_drift"] = f"""
     GROUP BY g
     HAVING MAX(n_ref) > 0 AND MAX(n_cur) > 0
 """
+
+
+def q_stream_wasserstein_drift(spark, sf_dir):
+    """Streaming W₁ drift on the SAME oracle as `wasserstein_drift`:
+    the reference window's bin histogram is frozen once, the current
+    window ARRIVES AS A STREAM, and each micro-batch adds its (group,
+    bin) counts into the state — bin counts are plainly additive, so
+    the fold is a concat+groupby-sum over |groups × occupied bins|
+    rows.  The CDF cross-multiplication runs once, over the final
+    merged histogram, and is hash-identical to the batch answer.
+
+    State is Arrow-backed pandas between batches (a few hundred rows;
+    production upserts the same partials into a monitoring table)."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _stream_events,
+        await_streaming,
+    )
+
+    cutoff = F.lit(_SPLIT_CUTOFF).cast("timestamp")
+    state = {"cur": pd.DataFrame(columns=["g", "bin", "n"])}
+
+    def fold(batch, _i):
+        inc = (
+            batch.filter(
+                (F.col("value").isNotNull()) & (F.col("ts") >= cutoff)
+            )
+            .groupBy(
+                F.col("event_type").alias("g"),
+                F.expr(f"({_CENTS}) div 1000").alias("bin"),
+            )
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .toPandas()
+        )
+        merged = pd.concat([state["cur"], inc], ignore_index=True)
+        state["cur"] = (
+            merged.groupby(["g", "bin"], as_index=False)["n"].sum()
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("event_type", "ts", "value")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_wasserstein_drift")
+
+    from real_time_data_pipeline_spark.operators.quality import (
+        wasserstein_from_binned,
+    )
+
+    # Finalize AT BIN GRAIN: the maintained histogram joins (full outer
+    # on bin) with the reference histogram and goes straight into the
+    # CDF cross-multiplication — no re-expansion of counts into rows.
+    ref_binned = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("ts") < cutoff))
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.expr(f"({_CENTS}) div 1000").alias("bin"),
+        )
+        .agg(F.count("*").cast("bigint").alias("nr"))
+    )
+    cur_binned = spark.createDataFrame(
+        state["cur"], "g string, bin long, n long"
+    ).select("g", "bin", F.col("n").alias("nc"))
+    binned = (
+        ref_binned.join(cur_binned, ["g", "bin"], "full_outer")
+        .select(
+            "g",
+            "bin",
+            F.coalesce("nr", F.lit(0)).cast("bigint").alias("nr"),
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("nc"),
+        )
+    )
+    return wasserstein_from_binned(binned, "event_type", 1000).select(
+        F.col("event_type"), "n_ref", "n_cur", "w1_cents"
+    )
+
+
+QUERIES["stream_wasserstein_drift"] = q_stream_wasserstein_drift
+ORACLES["stream_wasserstein_drift"] = ORACLES["wasserstein_drift"]
