@@ -850,6 +850,27 @@ def build_bloom_bitmap(
     return bitmap, m_bits, k
 
 
+def _make_bloom_probe(bc):
+    """Arrow-batched bitmap membership probe over a broadcast bloom
+    bitmap: input is the per-gram array of k bit positions, output is
+    "all k bits set".  Shared by the estimate-only and the verified
+    decontamination paths so the word/bit indexing lives once."""
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        bm = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.array(pos.tolist(), dtype=np.int64)
+        words = arr >> 6
+        bits = (arr & 63).astype(np.uint64)
+        present = (bm[words] >> bits) & np.uint64(1)
+        return pd.Series(present.all(axis=1))
+
+    return _probe
+
+
 def decontaminate_bloom(
     df: DataFrame,
     benchmark: DataFrame,
@@ -870,24 +891,12 @@ def decontaminate_bloom(
     position arrays, one Arrow-batched bitmap probe, then the per-doc
     aggregate — the only exchange, identical to the exact path.
     """
-    import numpy as np
-
     bitmap, m_bits, k = build_bloom_bitmap(
         benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k
     )
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bitmap)
-
-    @F.pandas_udf("boolean")
-    def _probe(pos: pd.Series) -> pd.Series:
-        bm = bc.value
-        if len(pos) == 0:
-            return pd.Series([], dtype=bool)
-        arr = np.array(pos.tolist(), dtype=np.int64)
-        words = arr >> 6
-        bits = (arr & 63).astype(np.uint64)
-        present = (bm[words] >> bits) & np.uint64(1)
-        return pd.Series(present.all(axis=1))
+    _probe = _make_bloom_probe(bc)
 
     doc_grams = df.select(
         F.col(id_col),
@@ -1372,43 +1381,38 @@ def decontaminate_bloom_verified(
     )
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bitmap)
+    _probe = _make_bloom_probe(bc)
 
-    import numpy as np
+    from real_time_data_pipeline_spark.operators import cache
 
-    @F.pandas_udf("boolean")
-    def _probe(pos: pd.Series) -> pd.Series:
-        bm = bc.value
-        if len(pos) == 0:
-            return pd.Series([], dtype=bool)
-        arr = np.array(pos.tolist(), dtype=np.int64)
-        words = arr >> 6
-        bits = (arr & 63).astype(np.uint64)
-        present = (bm[words] >> bits) & np.uint64(1)
-        return pd.Series(present.all(axis=1))
-
-    doc_grams = df.select(
+    # Persisted: the totals aggregate and the hit branch both consume it
+    # (one tokenize+probe pass).
+    doc_grams = cache.track(
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
+        ).withColumn(
+            "_bloom_hit", _probe(_bloom_positions(F.col("gram"), m_bits, k))
+        )
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # Only bloom HITS enter the verify join — the filter runs before the
+    # join, so the shuffled/probed side is collisions + the fp residue,
+    # not the whole corpus gram list (a plain left join with the hit
+    # test in its condition could not be pushed below the join).
+    bench_grams = benchmark.select(
+        F.explode(ngrams_col(text_col, n)).alias("gram")
+    ).distinct()
+    shared = (
+        doc_grams.filter(F.col("_bloom_hit"))
+        .join(bench_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    agg = totals.join(shared, id_col, "left").select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
-    ).withColumn(
-        "_bloom_hit", _probe(_bloom_positions(F.col("gram"), m_bits, k))
-    )
-    bench_grams = (
-        benchmark.select(F.explode(ngrams_col(text_col, n)).alias("gram"))
-        .distinct()
-        .withColumn("_confirmed", F.lit(1))
-    )
-    # Only bloom hits reach the verify join; misses keep a NULL
-    # _confirmed through the left join unconditionally (they never
-    # entered).  One broadcast join, one per-doc aggregate — same
-    # exchange count as the exact path with a ~fp-rate-sized probe side.
-    verified = doc_grams.join(
-        bench_grams,
-        (F.col("_bloom_hit") == F.lit(True)) & (doc_grams.gram == bench_grams.gram),
-        "left",
-    )
-    agg = verified.groupBy(id_col).agg(
-        F.count("*").alias("n_grams"),
-        F.sum(F.coalesce(F.col("_confirmed"), F.lit(0))).alias("shared_grams"),
+        F.col("n_grams"),
+        F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
     )
     shared_bp = F.floor(
         F.lit(10000) * F.col("shared_grams") / F.col("n_grams")

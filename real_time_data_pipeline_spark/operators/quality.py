@@ -696,14 +696,21 @@ def wasserstein_from_binned(
 
     per_g = Window.partitionBy("g")
     run = Window.partitionBy("g").orderBy("bin")
+    # The last occupied bin's gap is NULL→0 rather than filtered: its
+    # CDF-difference term is identically zero (both CDFs are complete
+    # there), but DROPPING the row would make a group whose entire mass
+    # sits in one bin vanish from the report instead of scoring w1=0 —
+    # and "zero drift" and "no data" must stay distinguishable.
     scored = binned.select(
         "g",
         F.sum("nr").over(per_g).alias("n_ref"),
         F.sum("nc").over(per_g).alias("n_cur"),
         F.sum("nr").over(run).alias("cr"),
         F.sum("nc").over(run).alias("cc"),
-        (F.lead("bin").over(run) - F.col("bin")).alias("gap"),
-    ).filter(F.col("gap").isNotNull())
+        F.coalesce(F.lead("bin").over(run) - F.col("bin"), F.lit(0)).alias(
+            "gap"
+        ),
+    )
     return (
         scored.groupBy("g")
         .agg(

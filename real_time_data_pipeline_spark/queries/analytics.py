@@ -1933,11 +1933,11 @@ ORACLES["rfm_segments"] = f"""
 """
 
 
-def _cdc_log(spark, sf_dir):
-    """The events-as-CDC changelog shared by cdc_snapshot and its
-    incremental/streaming maintainers (signup=insert, error=delete,
-    else update, keyed by user_id, sequenced by (ts, event_id))."""
-    return load_table(spark, sf_dir, "events").select(
+def _with_op(df):
+    """Project the CDC op column (signup=insert, error=delete, else
+    update) — ONE definition consumed by the batch log builder and the
+    streaming fold so the mapping cannot drift between them."""
+    return df.select(
         "user_id",
         "event_id",
         "ts",
@@ -1948,6 +1948,13 @@ def _cdc_log(spark, sf_dir):
         .otherwise(F.lit("U"))
         .alias("op"),
     )
+
+
+def _cdc_log(spark, sf_dir):
+    """The events-as-CDC changelog shared by cdc_snapshot and its
+    incremental/streaming maintainers (keyed by user_id, sequenced by
+    (ts, event_id))."""
+    return _with_op(load_table(spark, sf_dir, "events"))
 
 
 _CDC_CUTOFF = "2024-01-16 00:00:00"
@@ -2022,17 +2029,7 @@ def q_stream_cdc_apply(spark, sf_dir):
     holder = {"state": spark.createDataFrame(seed.collect(), seed.schema)}
 
     def fold(batch, _i):
-        inc_log = batch.filter(F.col("ts") >= cutoff).select(
-            "user_id",
-            "event_id",
-            "ts",
-            "event_type",
-            "value",
-            F.when(F.col("event_type") == "signup", F.lit("I"))
-            .when(F.col("event_type") == "error", F.lit("D"))
-            .otherwise(F.lit("U"))
-            .alias("op"),
-        )
+        inc_log = _with_op(batch.filter(F.col("ts") >= cutoff))
         inc = latest_state(inc_log, ["user_id"], ["ts", "event_id"])
         merged = merge_snapshot_state(
             holder["state"], inc, ["user_id"], ["ts", "event_id"]

@@ -179,18 +179,12 @@ QUERIES = {
 }
 
 
-def _duck_hexfold48(col_expr: str) -> str:
-    """DuckDB twin of curation.portable_hash48 (12 hex chars of sha256
-    folded via ascii arithmetic — same recipe as queries/curation.py)."""
-    hv = lambda i: (  # noqa: E731
-        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
-        f"THEN CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 87 "
-        f"ELSE CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 48 END)"
-    )
-    folded = hv(1)
-    for i in range(2, 13):
-        folded = f"({folded} * 16 + {hv(i)})"
-    return f"(SELECT {folded} FROM (SELECT sha256({col_expr}) AS h))"
+# One source of truth for the oracle-side sha256 ascii fold (the
+# generator lives in queries/curation.py; dedup.py's 60-bit variant
+# shares it too).
+from real_time_data_pipeline_spark.queries.curation import (  # noqa: E402
+    _duck_hexfold48,
+)
 
 
 # DuckDB twins of the Spark-side shingle pipeline (same text as
@@ -583,7 +577,25 @@ def q_stream_ohlc(spark, sf_dir):
         await_streaming,
     )
 
-    holder = {"state": None}
+    # Seed with an EMPTY summary of the right schema so a stream that
+    # delivers zero micro-batches still finalizes (to zero bars) instead
+    # of dying on a None state.
+    empty = ohlc_state(
+        load_table(spark, sf_dir, "events")
+        .filter(F.lit(False))
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.expr(_CENTS).alias("value_c"),
+        ),
+        ["event_type", "day"],
+        "ts",
+        "event_id",
+        "value_c",
+    )
+    holder = {"state": spark.createDataFrame([], empty.schema)}
 
     def fold(batch, _i):
         ev = batch.filter(F.col("value").isNotNull()).select(
@@ -596,11 +608,7 @@ def q_stream_ohlc(spark, sf_dir):
         inc = ohlc_state(
             ev, ["event_type", "day"], "ts", "event_id", "value_c"
         )
-        merged = (
-            inc
-            if holder["state"] is None
-            else merge_ohlc_state(holder["state"], inc, ["event_type", "day"])
-        )
+        merged = merge_ohlc_state(holder["state"], inc, ["event_type", "day"])
         holder["state"] = batch.sparkSession.createDataFrame(
             merged.collect(), merged.schema
         )
@@ -649,13 +657,20 @@ def q_session_overlap(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("us")
+    # (us, event_id) totalizes each user's order — a bare ts order makes
+    # lag nondeterministic on tied timestamps, and Spark's default
+    # RANGE-with-peers frame would disagree with the oracle's ROWS frame
+    # on exactly those ties, so both are pinned explicitly.
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = ev.select(
         "user_id",
         "us",
+        "event_id",
         F.when(
             (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
             | F.lag("us").over(w).isNull(),
@@ -668,7 +683,7 @@ def q_session_overlap(spark, sf_dir):
         marked.select(
             "user_id",
             "us",
-            F.sum("new_session").over(w).alias("session_no"),
+            F.sum("new_session").over(wrows).alias("session_no"),
         )
         .groupBy("user_id", "session_no")
         .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
@@ -732,18 +747,20 @@ QUERIES["wasserstein_drift"] = q_wasserstein_drift
 
 ORACLES["session_overlap"] = """
     WITH marked AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
              CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - lag(epoch_us(CAST(ts AS TIMESTAMP)))
-                         OVER (PARTITION BY user_id ORDER BY ts)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     numbered AS (
       SELECT user_id, us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     ),
@@ -780,7 +797,8 @@ ORACLES["wasserstein_drift"] = f"""
              SUM(nc) OVER (PARTITION BY g) AS n_cur,
              SUM(nr) OVER (PARTITION BY g ORDER BY bin) AS cr,
              SUM(nc) OVER (PARTITION BY g ORDER BY bin) AS cc,
-             LEAD(bin) OVER (PARTITION BY g ORDER BY bin) - bin AS gap
+             COALESCE(LEAD(bin) OVER (PARTITION BY g ORDER BY bin) - bin, 0)
+                 AS gap
       FROM binned
     )
     SELECT g AS event_type,
@@ -788,7 +806,7 @@ ORACLES["wasserstein_drift"] = f"""
            CAST(MAX(n_cur) AS BIGINT) AS n_cur,
            CAST((SUM(ABS(cr * n_cur - cc * n_ref) * gap) * 1000)
                 // (MAX(n_ref) * MAX(n_cur)) AS BIGINT) AS w1_cents
-    FROM scored WHERE gap IS NOT NULL
+    FROM scored
     GROUP BY g
     HAVING MAX(n_ref) > 0 AND MAX(n_cur) > 0
 """

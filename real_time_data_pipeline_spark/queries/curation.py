@@ -719,16 +719,11 @@ ORACLES["source_overlap"] = f"""
 
 
 def _duck_hexfold48(col_expr: str) -> str:
-    """DuckDB twin of curation.portable_hash48 (12 hex chars, no mod)."""
-    hv = lambda i: (  # noqa: E731
-        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
-        f"THEN CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 87 "
-        f"ELSE CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 48 END)"
-    )
-    folded = hv(1)
-    for i in range(2, 13):
-        folded = f"({folded} * 16 + {hv(i)})"
-    return f"(SELECT {folded} FROM (SELECT sha256({col_expr}) AS h))"
+    """DuckDB twin of curation.portable_hash48 (12 hex chars, no mod);
+    the fold generator lives once in queries/dedup.py."""
+    from real_time_data_pipeline_spark.queries.dedup import duck_hexfold_n
+
+    return duck_hexfold_n(col_expr, 12)
 
 
 def q_balanced_sample(spark, sf_dir):

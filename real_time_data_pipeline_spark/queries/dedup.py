@@ -738,18 +738,28 @@ ORACLES["blocking_eval"] = f"""
 """
 
 
-def _duck_fold60(col_expr: str) -> str:
-    """DuckDB twin of operators/dedup._portable_hash60 (15 hex chars of
-    sha256 folded via ascii arithmetic — 60 bits, sign-safe)."""
+def duck_hexfold_n(col_expr: str, nchars: int) -> str:
+    """DuckDB twin of the Spark sha256 ascii-fold family: fold the first
+    ``nchars`` hex chars of sha256 into a bigint.  ONE generator for
+    every width (the 48-bit split/sample keys in queries/curation.py
+    and analytics_ext.py, the 60-bit simhash hashes here) so the fold
+    recipe can never drift between oracles.  Lives in this module
+    because it is the import leaf of the query package."""
     hv = lambda i: (  # noqa: E731
         f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
         f"THEN CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 87 "
         f"ELSE CAST(ascii(substr(h, {i}, 1)) AS BIGINT) - 48 END)"
     )
     folded = hv(1)
-    for i in range(2, 16):
+    for i in range(2, nchars + 1):
         folded = f"({folded} * 16 + {hv(i)})"
     return f"(SELECT {folded} FROM (SELECT sha256({col_expr}) AS h))"
+
+
+def _duck_fold60(col_expr: str) -> str:
+    """60-bit (15 hex chars, sign-safe) twin of
+    operators/dedup._portable_hash60."""
+    return duck_hexfold_n(col_expr, 15)
 
 
 # Full independent recomputation: votes → fingerprints → ALL-PAIRS

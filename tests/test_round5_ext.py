@@ -516,3 +516,19 @@ def test_degenerate_inputs_yield_null_not_error(spark, tmp_path):
         bad, good, ("id", "s", "e"), ("id", "s", "e"), bucket_width=3
     ).collect()
     assert got == []
+
+
+def test_wasserstein_single_bin_group_reports_zero(spark):
+    """A group whose whole mass (both windows) sits in one bin must
+    report w1_cents = 0 — not vanish from the report (zero drift and
+    no data have to stay distinguishable)."""
+    from real_time_data_pipeline_spark.operators.quality import (
+        wasserstein_drift,
+    )
+
+    ref = spark.createDataFrame([("g", 100), ("g", 200)], "g string, cents long")
+    cur = spark.createDataFrame([("g", 150)], "g string, cents long")
+    out = wasserstein_drift(ref, cur, "g", "cents", bin_width_cents=1000)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].n_ref, rows[0].n_cur, rows[0].w1_cents) == (2, 1, 0)
