@@ -122,7 +122,8 @@ _R5_PRIORITY = [
 # dedup_containment, triangle_count, cdc_apply_incremental,
 # stream_cdc_apply, value_correlation, cusum_shift, benford_audit,
 # stream_ohlc, session_overlap, wasserstein_drift, dedup_simhash,
-# stream_wasserstein_drift, decontaminate_bloom_verified
+# stream_wasserstein_drift, decontaminate_bloom_verified,
+# rollup_geo_revenue, order_rank_profile
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -894,3 +894,97 @@ def q_stream_wasserstein_drift(spark, sf_dir):
 
 QUERIES["stream_wasserstein_drift"] = q_stream_wasserstein_drift
 ORACLES["stream_wasserstein_drift"] = ORACLES["wasserstein_drift"]
+
+
+def q_rollup_geo_revenue(spark, sf_dir):
+    """ROLLUP along the geographic containment chain (region ⊃ nation):
+    revenue subtotals at nation, region, and grand-total levels in ONE
+    pass — the hierarchy cousin of the CUBE entry (same single Expand +
+    hash-agg plan, but only the prefix grouping sets, which is what a
+    containment hierarchy wants: nation×region crossings are
+    meaningless)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr(sum_money_sql("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def q_order_rank_profile(spark, sf_dir):
+    """Per-order intra-priority rank profile: quartile (ntile), percent
+    rank, and cumulative distribution of the order's total price within
+    its priority class — the remaining ranked-window API surface
+    (ntile/percent_rank/cume_dist) under a pinned (price, key) total
+    order so ranks are deterministic.  Both rank functions are pure
+    integer-ratio doubles (rank/n), so the bp floors agree across
+    engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 10_000)
+        .cast("bigint")
+        .alias("pct_rank_bp"),
+        F.floor(F.cume_dist().over(w) * 10_000)
+        .cast("bigint")
+        .alias("cume_bp"),
+    )
+
+
+QUERIES["rollup_geo_revenue"] = q_rollup_geo_revenue
+QUERIES["order_rank_profile"] = q_order_rank_profile
+
+ORACLES["rollup_geo_revenue"] = f"""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sum_money_sql("o_totalprice")} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+ORACLES["order_rank_profile"] = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT)
+               AS pct_rank_bp,
+           CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cume_bp
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+"""
