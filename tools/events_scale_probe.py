@@ -1,0 +1,152 @@
+"""Events-side 10× scale probe — the analytics-tier companion of
+``tools/sf1_probe.py`` (which scales documents/embeddings): replicate
+the sf0.1 events table 10× with a user-id offset per replica, run the
+round-5 analytics/extension queries end-to-end at both scales, and
+report the wall-time ratio.
+
+Replication by user offset preserves the per-user structure (session
+lengths, inter-event gaps, value distributions) while multiplying the
+user population — exactly how an event corpus actually grows — so:
+
+* per-user windows (TWAP, sessions) get 10× more keys, same depth;
+* per-type daily aggregates (OHLC, CUSUM, correlation, W1 drift) get
+  10× the rows per group;
+* the banded session-overlap join gets ~100× candidate pressure in
+  every time bucket (users overlap across replicas) — the one probe
+  here whose OUTPUT grows quadratically by construction, reported but
+  not held to the linear band (the operator's work is proportional to
+  its output).
+
+Timestamps are NOT shifted: event-time density is the scale axis a
+single cluster actually experiences (more concurrent users), and
+shifting replicas in time would leave every time bucket at sf0.1
+density, measuring nothing.
+
+Usage: python tools/events_scale_probe.py [--queries q1 q2 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from real_time_data_pipeline_spark.operators import cache  # noqa: E402
+from real_time_data_pipeline_spark.schemas import load_table  # noqa: E402
+from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
+
+FACTOR = 10
+USER_OFFSET = 1_000_000  # replica i's users live at [i*OFFSET, ...)
+DEFAULT_QUERIES = [
+    "ohlc_bars",
+    "time_weighted_avg",
+    "cusum_shift",
+    "value_correlation",
+    "wasserstein_drift",
+    "cdc_apply_incremental",
+    "session_overlap",
+]
+# Output itself grows superlinearly by construction (cross-replica
+# session pairs): ratio reported, not held to the band.
+QUADRATIC_OK = {"session_overlap"}
+LINEAR_BAND = 14.0  # ≤ ~12x wall at 10x rows, plus container noise
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str) -> str:
+    dst = f"{out_dir}/events10x"
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    parts = [ev]
+    for i in range(1, FACTOR):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * n_events)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * USER_OFFSET)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/events.parquet"
+    )
+    # cdc_apply_incremental only loads events; the other tables the
+    # registry's loader may be asked for are linked from the source dir.
+    return dst
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", nargs="+", default=DEFAULT_QUERIES)
+    ap.add_argument("--keep-dir", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("events_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out_dir = args.keep_dir or tempfile.mkdtemp(prefix="events_probe_")
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def timed(fn):
+        cache.release_all()
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        fn()
+        return time.monotonic() - t0
+
+    failures = 0
+    try:
+        scaled_dir = build_scaled(spark, args.sf_dir, out_dir)
+        try:  # warm codegen/worker pools off the billed clock
+            force(qs["ohlc_bars"](spark, "/root/testdata/sf0.001"))
+        except Exception as e:  # noqa: BLE001
+            print(f"# warmup skipped: {e}", file=sys.stderr)
+
+        for name in args.queries:
+            fn = qs[name]
+            w01 = timed(lambda: force(fn(spark, args.sf_dir)))
+            w10 = timed(lambda: force(fn(spark, scaled_dir)))
+            ratio = w10 / w01
+            verdict = (
+                "quadratic-by-construction"
+                if name in QUADRATIC_OK
+                else ("near-linear" if ratio <= LINEAR_BAND else "SUPERLINEAR")
+            )
+            if verdict == "SUPERLINEAR":
+                failures += 1
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "sf0.1_s": round(w01, 2),
+                        "10x_s": round(w10, 2),
+                        "ratio_at_10x_rows": round(ratio, 2),
+                        "verdict": verdict,
+                    }
+                )
+            )
+    finally:
+        if not args.keep_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
