@@ -988,3 +988,95 @@ ORACLES["order_rank_profile"] = """
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice, o_orderkey)
 """
+
+
+def q_user_balance_audit(spark, sf_dir):
+    """Per-user ledger audit over signed event values (error = debit,
+    everything else = credit): closing balance, maximum drawdown
+    (peak-to-trough), and the closing balance of a floor-at-zero
+    account — "looks recursive, isn't" window identities:
+
+    * drawdown_i     = running_max(C) − C            (C = signed cumsum)
+    * floored close  = C_n − min(0, min_j C_j)       — the Skorokhod
+      reflection at 0: an account that can't go negative is a closed-
+      form prefix-scan expression, NOT a sequential loop, so it runs as
+      one sort-window per key instead of an applyInPandas recursion.
+
+    One shuffle on user_id feeds the window and the final aggregate
+    (same partitioning — Catalyst elides the second exchange); integer
+    cents throughout; closing picked by max_by over the (ts, event_id)
+    total order, never by physical row order."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", -F.expr(_CENTS))
+            .otherwise(F.expr(_CENTS))
+            .alias("delta_c"),
+        )
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta_c").over(run).alias("c"),
+    ).withColumn("rm", F.max("c").over(run))
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return scanned.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max_by(F.col("c"), order).cast("bigint").alias("closing_c"),
+        F.max(F.col("rm") - F.col("c")).cast("bigint").alias("max_drawdown_c"),
+        (
+            F.max_by(F.col("c"), order)
+            - F.least(F.min("c"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("floored_closing_c"),
+    )
+
+
+QUERIES["user_balance_audit"] = q_user_balance_audit
+
+ORACLES["user_balance_audit"] = f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'error' THEN -({_CENTS})
+                  ELSE ({_CENTS}) END AS delta_c
+      FROM events WHERE value IS NOT NULL
+    ),
+    csum AS (
+      SELECT user_id, ts, event_id,
+             SUM(delta_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM ev
+    ),
+    scanned AS (
+      SELECT user_id, ts, event_id, c,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rm
+      FROM csum
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM scanned
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS closing_c,
+           CAST(MAX(rm - c) AS BIGINT) AS max_drawdown_c,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END)
+                - LEAST(MIN(c), 0) AS BIGINT) AS floored_closing_c
+    FROM ranked
+    GROUP BY user_id
+"""

@@ -532,3 +532,55 @@ def test_wasserstein_single_bin_group_reports_zero(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert (rows[0].n_ref, rows[0].n_cur, rows[0].w1_cents) == (2, 1, 0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    deltas=st.lists(st.integers(-500, 500), min_size=1, max_size=20),
+)
+def test_skorokhod_reflection_equals_sequential_floor(spark, deltas):
+    """The closed-form floored close C_n - min(0, min_j C_j) must equal
+    the sequential max(0, s + delta) recursion it replaces... for the
+    SINGLE-floor-at-the-end semantics the query documents — and the
+    drawdown identity must match brute force."""
+    import os
+
+    rows = [
+        (i + 1, dt.datetime(2024, 1, 1, 0, i), 1,
+         "purchase" if d >= 0 else "error", abs(d) / 100.0, "{}")
+        for i, d in enumerate(deltas)
+    ]
+    # closed-form expectations — through the SAME FLOOR(value*100)
+    # cents projection the query applies (0.57*100 floors to 56: the
+    # projection is deliberately IEEE-consistent, not round-trip-exact)
+    import math
+
+    eff = [
+        (1 if d >= 0 else -1) * math.floor((abs(d) / 100.0) * 100)
+        for d in deltas
+    ]
+    c, peak, min_c, max_dd = 0, -10**18, 0, 0
+    for d in eff:
+        c += d
+        peak = max(peak, c)
+        max_dd = max(max_dd, peak - c)
+        min_c = min(min_c, c)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from real_time_data_pipeline_spark.queries.analytics_ext import (
+            q_user_balance_audit,
+        )
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(td, "events.parquet")
+        )
+        out = q_user_balance_audit(spark, td).collect()[0]
+    assert out.closing_c == c
+    assert out.max_drawdown_c == max_dd
+    assert out.floored_closing_c == c - min(0, min_c)
