@@ -123,7 +123,8 @@ _R5_PRIORITY = [
 # stream_cdc_apply, value_correlation, cusum_shift, benford_audit,
 # stream_ohlc, session_overlap, wasserstein_drift, dedup_simhash,
 # stream_wasserstein_drift, decontaminate_bloom_verified,
-# rollup_geo_revenue, order_rank_profile, user_balance_audit
+# rollup_geo_revenue, order_rank_profile, user_balance_audit,
+# seasonal_autocorr, revenue_concentration
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1080,3 +1080,164 @@ ORACLES["user_balance_audit"] = f"""
     FROM ranked
     GROUP BY user_id
 """
+
+
+def q_seasonal_autocorr(spark, sf_dir):
+    """Lag-7 autocorrelation of each event type's daily value series —
+    the "is there a weekly rhythm" detector that decides whether the
+    seasonal-naive forecaster (seasonal_naive_error) is even the right
+    baseline.  Same exact-bigint moment sums and zero-variance NULL
+    guard as value_correlation; pairs are (day, day+7) within one
+    type, built by a self-join on the tiny daily-grain frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("day")
+    ).agg(F.expr(f"CAST(SUM({_CENTS}) DIV 100 AS BIGINT)").alias("v"))
+    a = daily.select("t", "day", F.col("v").alias("x"))
+    b = daily.select(
+        "t", F.date_sub(F.col("day"), 7).alias("day"), F.col("v").alias("y")
+    )
+    paired = a.join(b, ["t", "day"])  # x = day's value, y = day+7's
+    sums = paired.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    corr = (
+        "CASE WHEN n_pairs * sxx > sx * sx AND n_pairs * syy > sy * sy "
+        "THEN CAST(FLOOR(1e4 * (n_pairs * sxy - sx * sy) / "
+        "(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) * "
+        "sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT) END"
+    )
+    return sums.select(
+        F.col("t").alias("event_type"),
+        "n_pairs",
+        F.expr(corr).alias("autocorr_lag7_bp"),
+    )
+
+
+def q_revenue_concentration(spark, sf_dir):
+    """Corpus-concentration audit of customer revenue: how much of the
+    total the top decile of customers carries, plus the Gini
+    coefficient — the "is this dataset dominated by a few heavy keys"
+    check that decides salting/skew strategy before a big join.
+
+    Gini via the rank formula G = (2·Σ(i·xᵢ))/(n·Σx) − (n+1)/n over
+    ascending revenue ranks — every term an exact bigint; emitted in
+    floor bp.
+
+    Plan: one hash agg to per-customer grain, then DISTRIBUTED global
+    ranks — a bare ``Window.orderBy`` would collapse the frame to one
+    partition (Spark warns exactly this), so ranks come from the
+    two-phase shape: range-repartition on the sort key, per-partition
+    row_number, plus broadcast per-partition offsets (tiny: one row per
+    partition).  Every stage stays parallel at a billion customers."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "rev_c"
+        )
+    )
+    parted = per_cust.repartitionByRange(32, "rev_c", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = parted.withColumn(
+        "j",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("rev_c", "o_custkey")
+        ),
+    )
+    # Per-partition counts fold to rank offsets via a triangular
+    # self-join over the |partitions|-row frame (32x32 at most) — no
+    # global window at all, so nothing funnels through one task.
+    cnts = parted.groupBy("pid").agg(F.count("*").alias("cnt"))
+    lower = cnts.select(F.col("pid").alias("lo_pid"), F.col("cnt").alias("lo_cnt"))
+    offsets = (
+        cnts.join(F.broadcast(lower), F.col("lo_pid") < F.col("pid"), "left")
+        .groupBy("pid", "cnt")
+        .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("offset"))
+        .crossJoin(
+            F.broadcast(
+                cnts.agg(F.sum("cnt").cast("bigint").alias("n"))
+            )
+        )
+        .select("pid", "offset", "n")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "rev_c",
+        (F.col("offset") + F.col("j")).alias("i"),
+        "n",
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("total_rev_c"),
+        F.expr(
+            "CAST(FLOOR(1e4 * SUM(CASE WHEN 10 * i > 9 * n THEN rev_c "
+            "ELSE 0 END) / SUM(rev_c)) AS BIGINT)"
+        ).alias("top_decile_share_bp"),
+        F.expr(
+            "CAST(FLOOR(1e4 * (2e0 * SUM(i * rev_c) / (COUNT(*) * SUM(rev_c)) "
+            "- (COUNT(*) + 1e0) / COUNT(*))) AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+
+
+QUERIES["seasonal_autocorr"] = q_seasonal_autocorr
+QUERIES["revenue_concentration"] = q_revenue_concentration
+
+ORACLES["seasonal_autocorr"] = f"""
+    WITH daily AS (
+      SELECT event_type AS t, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM({_CENTS}) // 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.t, a.v AS x, b.v AS y
+      FROM daily a JOIN daily b
+        ON a.t = b.t AND b.day = a.day + INTERVAL 7 DAY
+    ),
+    sums AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM paired GROUP BY 1
+    )
+    SELECT t AS event_type, n_pairs,
+           CASE WHEN n_pairs * sxx > sx * sx AND n_pairs * syy > sy * sy
+           THEN CAST(FLOOR(1e4 * (n_pairs * sxy - sx * sy) /
+                (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+           END AS autocorr_lag7_bp
+    FROM sums
+"""
+
+ORACLES["revenue_concentration"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+           CAST(FLOOR(1e4 * SUM(CASE WHEN 10 * i > 9 * n THEN rev_c
+                ELSE 0 END) / SUM(rev_c)) AS BIGINT)
+               AS top_decile_share_bp,
+           CAST(FLOOR(1e4 * (2e0 * SUM(i * rev_c) / (COUNT(*) * SUM(rev_c))
+                - (COUNT(*) + 1e0) / COUNT(*))) AS BIGINT) AS gini_bp
+    FROM ranked
+"""
