@@ -92,7 +92,14 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", nargs="+", default=DEFAULT_QUERIES)
     ap.add_argument("--keep-dir", default=None)
+    ap.add_argument(
+        "--orders",
+        action="store_true",
+        help="probe the orders-grain queries on 10x orders/customers",
+    )
     args = ap.parse_args()
+    if args.orders and args.queries == DEFAULT_QUERIES:
+        args.queries = ORDERS_QUERIES
 
     import __spark_entry__ as entrymod
 
@@ -113,7 +120,11 @@ def main() -> int:
 
     failures = 0
     try:
-        scaled_dir = build_scaled(spark, args.sf_dir, out_dir)
+        scaled_dir = (
+            build_scaled_orders(spark, args.sf_dir, out_dir)
+            if args.orders
+            else build_scaled(spark, args.sf_dir, out_dir)
+        )
         try:  # warm codegen/worker pools off the billed clock
             force(qs["ohlc_bars"](spark, "/root/testdata/sf0.001"))
         except Exception as e:  # noqa: BLE001
@@ -146,6 +157,76 @@ def main() -> int:
         if not args.keep_dir:
             shutil.rmtree(out_dir, ignore_errors=True)
     return 1 if failures else 0
+
+
+
+
+# ---- orders-side extension (python tools/events_scale_probe.py --orders)
+#
+# Replicates orders (and customer, which the geo rollup joins) 10x by
+# key offset, preserving per-customer structure, and probes the
+# orders-grain extension queries.  lineitem-dependent queries
+# (triangle_count) are excluded: replicating lineitem multiplies the
+# co-supply graph's density, not its size — the graph-model scaling
+# axis is nation count, not row count.
+
+ORDERS_QUERIES = [
+    "cube_order_stats",
+    "rollup_geo_revenue",
+    "order_rank_profile",
+    "revenue_concentration",
+    "benford_audit",
+]
+ORDER_OFFSET = 100_000_000
+
+
+def build_scaled_orders(spark, sf_dir: str, out_dir: str) -> str:
+    dst = f"{out_dir}/orders10x"
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust_off = 10_000_000
+    o_parts, c_parts = [orders], [cust]
+    for i in range(1, FACTOR):
+        o_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + F.lit(i * ORDER_OFFSET)).alias(
+                    "o_orderkey"
+                ),
+                (F.col("o_custkey") + F.lit(i * n_cust_off)).alias(
+                    "o_custkey"
+                ),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+        c_parts.append(
+            cust.select(
+                (F.col("c_custkey") + F.lit(i * n_cust_off)).alias(
+                    "c_custkey"
+                ),
+                *[c for c in cust.columns if c != "c_custkey"],
+            )
+        )
+    o_scaled = o_parts[0]
+    for p in o_parts[1:]:
+        o_scaled = o_scaled.unionByName(p)
+    c_scaled = c_parts[0]
+    for p in c_parts[1:]:
+        c_scaled = c_scaled.unionByName(p)
+    o_scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/orders.parquet"
+    )
+    c_scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/customer.parquet"
+    )
+    # small dims the geo rollup needs, unscaled
+    for t in ("nation", "region"):
+        load_table(spark, sf_dir, t).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    return dst
 
 
 if __name__ == "__main__":
