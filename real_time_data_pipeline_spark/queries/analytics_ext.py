@@ -1134,7 +1134,9 @@ def q_revenue_concentration(spark, sf_dir):
     partition (Spark warns exactly this), so ranks come from the
     two-phase shape: range-repartition on the sort key, per-partition
     row_number, plus broadcast per-partition offsets (tiny: one row per
-    partition).  Every stage stays parallel at a billion customers."""
+    partition).  Every stage stays parallel at a billion customers,
+    and the ~n² rank-moment sum accumulates in exact 128-bit decimal
+    (10³⁸ headroom) so it cannot overflow bigint on the way there."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1180,8 +1182,16 @@ def q_revenue_concentration(spark, sf_dir):
             "CAST(FLOOR(1e4 * SUM(CASE WHEN 10 * i > 9 * n THEN rev_c "
             "ELSE 0 END) / SUM(rev_c)) AS BIGINT)"
         ).alias("top_decile_share_bp"),
+        # Σ(i·rev) grows ~n²·avg — past ~10⁶ customers it leaves bigint,
+        # so accumulate in DECIMAL(38,0) (exact to 10³⁸; a billion
+        # customers × 10⁶-cent revenues is ~5·10²³) and cast to double
+        # only at the final division, where both engines round the same
+        # integer value identically.  The n·Σrev denominator gets the
+        # same double-side treatment.
         F.expr(
-            "CAST(FLOOR(1e4 * (2e0 * SUM(i * rev_c) / (COUNT(*) * SUM(rev_c)) "
+            "CAST(FLOOR(1e4 * ("
+            "2e0 * CAST(SUM(CAST(i AS DECIMAL(38, 0)) * rev_c) AS DOUBLE)"
+            " / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev_c) AS DOUBLE)) "
             "- (COUNT(*) + 1e0) / COUNT(*))) AS BIGINT)"
         ).alias("gini_bp"),
     )
@@ -1237,7 +1247,9 @@ ORACLES["revenue_concentration"] = """
            CAST(FLOOR(1e4 * SUM(CASE WHEN 10 * i > 9 * n THEN rev_c
                 ELSE 0 END) / SUM(rev_c)) AS BIGINT)
                AS top_decile_share_bp,
-           CAST(FLOOR(1e4 * (2e0 * SUM(i * rev_c) / (COUNT(*) * SUM(rev_c))
+           CAST(FLOOR(1e4 * (
+                2e0 * CAST(SUM(CAST(i AS HUGEINT) * rev_c) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev_c) AS DOUBLE))
                 - (COUNT(*) + 1e0) / COUNT(*))) AS BIGINT) AS gini_bp
     FROM ranked
 """

@@ -82,9 +82,24 @@ def build_scaled(spark, sf_dir: str, out_dir: str) -> str:
     scaled.repartition(32).write.mode("overwrite").parquet(
         f"{dst}/events.parquet"
     )
-    # cdc_apply_incremental only loads events; the other tables the
-    # registry's loader may be asked for are linked from the source dir.
+    _link_missing_tables(sf_dir, dst)
     return dst
+
+
+def _link_missing_tables(sf_dir: str, dst: str) -> None:
+    """Symlink every source table the builder did not scale into the
+    probe dir, so ANY registry query runs against it (the scaled axis
+    is whatever the builder rewrote; everything else keeps its sf0.1
+    size — which is the honest shape of a probe that scales one
+    table)."""
+    import os
+
+    for entry in os.listdir(sf_dir):
+        if not entry.endswith(".parquet"):
+            continue
+        target = os.path.join(dst, entry)
+        if not os.path.exists(target):
+            os.symlink(os.path.join(sf_dir, entry), target)
 
 
 def main() -> int:
@@ -221,11 +236,7 @@ def build_scaled_orders(spark, sf_dir: str, out_dir: str) -> str:
     c_scaled.repartition(32).write.mode("overwrite").parquet(
         f"{dst}/customer.parquet"
     )
-    # small dims the geo rollup needs, unscaled
-    for t in ("nation", "region"):
-        load_table(spark, sf_dir, t).write.mode("overwrite").parquet(
-            f"{dst}/{t}.parquet"
-        )
+    _link_missing_tables(sf_dir, dst)
     return dst
 
 
