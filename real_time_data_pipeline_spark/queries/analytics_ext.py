@@ -1253,3 +1253,91 @@ ORACLES["revenue_concentration"] = """
                 - (COUNT(*) + 1e0) / COUNT(*))) AS BIGINT) AS gini_bp
     FROM ranked
 """
+
+
+def q_timeseries_locf(spark, sf_dir):
+    """Daily per-user series with last-observation-carried-forward fill
+    — the imputation twin of `timeseries_gapfill` (which zero-fills):
+    inactive days repeat the user's last observed daily close, the
+    standard treatment for state-like series (balance, level, price)
+    where zero means something different from "no reading".
+
+    Plan: daily close per (user, day) via one max_by hash agg, calendar
+    densification by exploding each user's [min, max] span, one
+    co-partitioned left join, then the carry as last_value(IGNORE
+    NULLS) over an explicit ROWS frame — the window rides the join's
+    partitioning, and per-user state is bounded by span length, same
+    bound as gapfill_daily."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.expr(_CENTS).alias("value_c"),
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.max_by(
+            F.col("value_c"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("close_c")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("close_c").isNotNull()).alias("observed"),
+        F.last("close_c", ignorenulls=True).over(w).cast("bigint").alias(
+            "locf_close_c"
+        ),
+    )
+
+
+QUERIES["timeseries_locf"] = q_timeseries_locf
+
+ORACLES["timeseries_locf"] = f"""
+    WITH ranked AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {_CENTS} AS v,
+             ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT user_id, day, v AS close_c FROM ranked WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM span
+    )
+    SELECT c.user_id,
+           strftime(c.day, '%Y-%m-%d') AS day,
+           d.close_c IS NOT NULL AS observed,
+           CAST(last_value(d.close_c IGNORE NULLS)
+                OVER (PARTITION BY c.user_id ORDER BY c.day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS locf_close_c
+    FROM cal c LEFT JOIN daily d
+      ON c.user_id = d.user_id AND c.day = d.day
+"""
