@@ -124,7 +124,9 @@ _R5_PRIORITY = [
 # stream_ohlc, session_overlap, wasserstein_drift, dedup_simhash,
 # stream_wasserstein_drift, decontaminate_bloom_verified,
 # rollup_geo_revenue, order_rank_profile, user_balance_audit,
-# seasonal_autocorr, revenue_concentration, timeseries_locf
+# seasonal_autocorr, revenue_concentration, timeseries_locf,
+# stream_range_join (true two-stream watermarked interval join — the
+# last streaming operator class — hash-equal to the range_join oracle)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -93,9 +93,71 @@ def q_anti_join(spark, sf_dir):
     return orphans.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
 
 
+def q_stream_range_join(spark, sf_dir):
+    """`range_join` executed as a TRUE stream-stream join on the
+    streaming engine — the one Structured Streaming operator class the
+    stream_* family had not yet put under the driver's value-hash gate
+    (prior classes: aggregate, stream-static join, stateless transform,
+    session/sliding windows, mergeable-state folds).
+
+    Two independent readStream sources over the same events parquet
+    (errors / clicks), BOTH watermarked, joined on user_id with event
+    time bounded in both directions — the state-expiry contract that
+    lets an unbounded two-stream join run forever (each side buffers at
+    most watermark + within per key).  Inner-join matches emit exactly
+    once in append mode; foreachBatch captures the raw matches (bounded:
+    193 rows at sf0.1) and the per-error counts are folded in batch,
+    against the SAME DuckDB oracle as the batch `range_join`."""
+    from real_time_data_pipeline_spark.operators.joins import (
+        stream_stream_time_join,
+    )
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _stream_events,
+        await_streaming,
+    )
+
+    # Watermarks require TIMESTAMP (with zone); the parquet ts surfaces
+    # as TIMESTAMP_NTZ.  Session tz is pinned UTC (session.py:43) so the
+    # cast is value-identity; the output casts back to NTZ to match the
+    # batch twin's schema bit-for-bit.
+    errors = _stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    ).select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("error_ts"),
+    )
+    clicks = _stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    joined = stream_stream_time_join(
+        errors, clicks, key="user_id",
+        left_ts="error_ts", right_ts="click_ts", within="30 minutes",
+    )
+    rows: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_range_join")
+    matches = spark.createDataFrame(rows, joined.schema)
+    return matches.groupBy(
+        "error_id",
+        "user_id",
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+    ).agg(F.count("*").alias("n_clicks_30m"))
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "stream_range_join": q_stream_range_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
 }
@@ -173,3 +235,6 @@ ORACLES["salted_join_skew"] = """
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
 """
+
+# streaming two-stream interval join == the batch range-join oracle
+ORACLES["stream_range_join"] = ORACLES["range_join"]
