@@ -126,7 +126,10 @@ _R5_PRIORITY = [
 # rollup_geo_revenue, order_rank_profile, user_balance_audit,
 # seasonal_autocorr, revenue_concentration, timeseries_locf,
 # stream_range_join (true two-stream watermarked interval join — the
-# last streaming operator class — hash-equal to the range_join oracle)
+# last streaming operator class — hash-equal to the range_join oracle),
+# rolling_median_7d (exact order-statistics sliding window, ×2-integer
+# emission), group_quartiles (exact p25/50/75, the oracle-backed twin
+# of the rows-only approx_percentiles sketch)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1341,3 +1341,109 @@ ORACLES["timeseries_locf"] = f"""
     FROM cal c LEFT JOIN daily d
       ON c.user_id = d.user_id AND c.day = d.day
 """
+
+
+def q_rolling_median_7d(spark, sf_dir):
+    """Exact rolling 7-row median of daily revenue per order priority —
+    the order-statistics window class (rank/lag/sum frames are covered
+    elsewhere; a sliding MEDIAN needs the full frame, not a running
+    accumulator, and is the robust-smoothing primitive dashboards reach
+    for when means are outlier-dominated).
+
+    Plan: one hash agg to the (priority, day) grain — tiny at any SF, so
+    the subsequent per-priority sort window costs |days| rows per
+    partition, not |orders| — then Spark's exact ``percentile`` aggregate
+    over a ROWS frame.  The median is emitted ×2 (med7_x2_c) so even-count
+    frames (a+b)/2 stay exact BIGINT; a+b is exact in double and DuckDB's
+    windowed median interpolates identically (probe-verified)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.col("o_orderdate").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+            .alias("rev_c")
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_c",
+        F.round(F.expr("percentile(rev_c, 0.5)").over(w) * 2)
+        .cast("bigint")
+        .alias("med7_x2_c"),
+    )
+
+
+QUERIES["rolling_median_7d"] = q_rolling_median_7d
+
+ORACLES["rolling_median_7d"] = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             o_orderdate AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           strftime(day, '%Y-%m-%d') AS day,
+           rev_c,
+           CAST(ROUND(median(rev_c) OVER (
+                 PARTITION BY o_orderpriority ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2) AS BIGINT)
+               AS med7_x2_c
+    FROM daily
+"""
+
+
+def q_group_quartiles(spark, sf_dir):
+    """Exact p25/p50/p75 of order value per market segment — the exact
+    twin of the rows-only ``approx_percentiles`` (whose sketch output no
+    cross-engine oracle can pin).  Quartile ranks (n-1)·p have fractional
+    parts in {0, ¼, ½, ¾}, so ×4 scaling (pXX_x4_c) makes the linearly
+    interpolated value an exact BIGINT: k·(b−a)/4 and the final ×4 are
+    exact in double for cent-scale inputs, and DuckDB's quantile_cont
+    uses the same (n−1)·p interpolation (probe-verified).
+
+    Plan: one segment-keyed join-free pass — broadcast-free hash agg on
+    5 groups; percentile is a single-shuffle exact aggregate (sorts only
+    within each group's partial state), no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # customer grows with SF (not broadcastable at cluster scale) — a
+    # plain equi-join lets AQE pick broadcast at test SFs and shuffle
+    # hash at 100 TB, where both sides co-partition on the key.
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    val = oc.select(
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("v_c"),
+    )
+    return val.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(v_c, 0.25)") * 4).cast("bigint").alias("p25_x4_c"),
+        F.round(F.expr("percentile(v_c, 0.5)") * 4).cast("bigint").alias("p50_x4_c"),
+        F.round(F.expr("percentile(v_c, 0.75)") * 4).cast("bigint").alias("p75_x4_c"),
+    )
+
+
+QUERIES["group_quartiles"] = q_group_quartiles
+
+ORACLES["group_quartiles"] = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(quantile_cont(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT), 0.25) * 4) AS BIGINT) AS p25_x4_c,
+           CAST(ROUND(quantile_cont(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT), 0.50) * 4) AS BIGINT) AS p50_x4_c,
+           CAST(ROUND(quantile_cont(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT), 0.75) * 4) AS BIGINT) AS p75_x4_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""

@@ -584,3 +584,43 @@ def test_skorokhod_reflection_equals_sequential_floor(spark, deltas):
     assert out.closing_c == c
     assert out.max_drawdown_c == max_dd
     assert out.floored_closing_c == c - min(0, min_c)
+
+
+def test_rolling_median_even_frame_exact_x2(spark):
+    """Even-count frames interpolate (a+b)/2; the ×2 emission must be
+    the exact integer a+b, including for odd cent sums where /2 is
+    fractional."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 101), (2, 104), (3, 107), (4, 200)], "i int, v long"
+    )
+    w = Window.orderBy("i").rowsBetween(-1, 0)
+    out = df.select(
+        "i",
+        F.round(F.expr("percentile(v, 0.5)").over(w) * 2)
+        .cast("bigint")
+        .alias("m2"),
+    ).collect()
+    assert [(r.i, r.m2) for r in sorted(out)] == [
+        (1, 202), (2, 205), (3, 211), (4, 307),
+    ]
+
+
+def test_group_quartiles_x4_interpolation_exact(spark):
+    """(n−1)·p fractional ranks {¼, ½, ¾} scale to exact BIGINT at ×4:
+    4 values → p25 rank 0.75 → a + 0.75(b−a) → ×4 = 4a + 3(b−a)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(v,) for v in (100, 101, 105, 117)], "v long"
+    )
+    out = df.agg(
+        F.round(F.expr("percentile(v, 0.25)") * 4).cast("bigint").alias("p25"),
+        F.round(F.expr("percentile(v, 0.5)") * 4).cast("bigint").alias("p50"),
+        F.round(F.expr("percentile(v, 0.75)") * 4).cast("bigint").alias("p75"),
+    ).collect()[0]
+    # ranks: p25 -> 0.75 between 100,101 = 100.75; p50 -> 1.5 between
+    # 101,105 = 103; p75 -> 2.25 between 105,117 = 108
+    assert (out.p25, out.p50, out.p75) == (403, 412, 432)
