@@ -129,7 +129,8 @@ _R5_PRIORITY = [
 # last streaming operator class — hash-equal to the range_join oracle),
 # rolling_median_7d (exact order-statistics sliding window, ×2-integer
 # emission), group_quartiles (exact p25/50/75, the oracle-backed twin
-# of the rows-only approx_percentiles sketch)
+# of the rows-only approx_percentiles sketch), pivot_revenue_matrix
+# (explicit-values groupBy().pivot() reshape, conditional-agg oracle)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

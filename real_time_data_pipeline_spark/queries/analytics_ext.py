@@ -1447,3 +1447,60 @@ ORACLES["group_quartiles"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
 """
+
+
+def q_pivot_revenue_matrix(spark, sf_dir):
+    """Wide pivot: order-year rows × market-segment columns of
+    integer-cents revenue — the reshape class (`groupBy().pivot()`)
+    no other query exercises; BI exports and feature matrices are this
+    shape.
+
+    The pivot VALUES are passed explicitly: without them Spark runs an
+    extra distinct-scan job to discover the column set (and caps it at
+    spark.sql.pivotMaxValues) — at 100 TB that discovery pass costs more
+    than the pivot itself.  With pinned values this is ONE hash agg with
+    5 conditional sums, no second scan; missing cells coalesce to 0 so
+    the frame is dense."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.year("o_orderdate").alias("order_year"),
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("v_c"),
+    )
+    wide = (
+        oc.groupBy("order_year")
+        .pivot("c_mktsegment", segs)
+        .agg(F.sum("v_c"))
+    )
+    return wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0).cast("bigint")).alias(
+                f"{s.lower()}_c"
+            )
+            for s in segs
+        ],
+    )
+
+
+QUERIES["pivot_revenue_matrix"] = q_pivot_revenue_matrix
+
+ORACLES["pivot_revenue_matrix"] = """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+               THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS automobile_c,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+               THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS building_c,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'
+               THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS furniture_c,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+               THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS household_c,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+               THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS machinery_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""
