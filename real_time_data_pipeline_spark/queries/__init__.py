@@ -130,7 +130,9 @@ _R5_PRIORITY = [
 # rolling_median_7d (exact order-statistics sliding window, ×2-integer
 # emission), group_quartiles (exact p25/50/75, the oracle-backed twin
 # of the rows-only approx_percentiles sketch), pivot_revenue_matrix
-# (explicit-values groupBy().pivot() reshape, conditional-agg oracle)
+# (explicit-values groupBy().pivot() reshape, conditional-agg oracle),
+# error_recovery_pattern (MATCH_RECOGNIZE-class sequence match with an
+# exclusion clause — time-bounded pair join + span anti-join)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1504,3 +1504,111 @@ ORACLES["pivot_revenue_matrix"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
 """
+
+
+def q_error_recovery_pattern(spark, sf_dir):
+    """Sequence-pattern detection with an exclusion clause — the
+    MATCH_RECOGNIZE shape (A then B within T, with NO C between): an
+    error is "recovered" when the same user's FIRST purchase within 30
+    minutes follows it with no further error in between.  Funnels count
+    ordered steps; this class additionally requires the absence of an
+    intervening event, which needs the matched pair's exact span.
+
+    Plan: time-bounded pair join errors×purchases (same user-key
+    co-partitioning as range_join — candidate set bounded by the 30 min
+    window, never |errors|×|purchases|), min_by picks the first
+    purchase per error in one hash agg, then ONE anti-join kills spans
+    containing another error.  Per-user rollup keeps the output at
+    |users-with-errors| regardless of SF."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    first_p = (
+        err.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("e_id", "user_id", "e_ts")
+        .agg(
+            F.min_by(
+                F.col("p_ts"), F.struct(F.col("p_ts"), F.col("p_id"))
+            ).alias("fp_ts")
+        )
+    )
+    err2 = err.select(
+        F.col("user_id").alias("x_user"), F.col("e_ts").alias("x_ts")
+    )
+    recovered = first_p.join(
+        err2,
+        (F.col("user_id") == F.col("x_user"))
+        & (F.col("x_ts") > F.col("e_ts"))
+        & (F.col("x_ts") < F.col("fp_ts")),
+        "left_anti",
+    )
+    per_user = recovered.groupBy("user_id").agg(
+        F.count("*").alias("n_recovered"),
+        F.min(
+            F.unix_micros(F.col("fp_ts").cast("timestamp"))
+            - F.unix_micros(F.col("e_ts").cast("timestamp"))
+        ).alias("min_recovery_us"),
+    )
+    totals = err.groupBy("user_id").agg(F.count("*").alias("n_errors"))
+    return totals.join(per_user, "user_id", "left").select(
+        "user_id",
+        "n_errors",
+        F.coalesce("n_recovered", F.lit(0).cast("bigint")).alias("n_recovered"),
+        "min_recovery_us",
+    )
+
+
+QUERIES["error_recovery_pattern"] = q_error_recovery_pattern
+
+ORACLES["error_recovery_pattern"] = """
+    WITH err AS (
+      SELECT event_id AS e_id, user_id, ts AS e_ts
+      FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    first_p AS (
+      SELECT e_id, user_id, e_ts, min(p_ts ORDER BY p_ts, p_id) AS fp_ts
+      FROM err JOIN pur
+        ON user_id = p_user
+       AND p_ts > e_ts
+       AND p_ts <= e_ts + INTERVAL 30 MINUTE
+      GROUP BY 1, 2, 3
+    ),
+    recovered AS (
+      SELECT f.* FROM first_p f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM err x
+        WHERE x.user_id = f.user_id
+          AND x.e_ts > f.e_ts AND x.e_ts < f.fp_ts
+      )
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_recovered,
+             CAST(min(date_diff('microsecond', e_ts, fp_ts)) AS BIGINT)
+                 AS min_recovery_us
+      FROM recovered GROUP BY 1
+    )
+    SELECT t.user_id,
+           CAST(t.n_errors AS BIGINT) AS n_errors,
+           COALESCE(p.n_recovered, 0) AS n_recovered,
+           p.min_recovery_us
+    FROM (SELECT user_id, count(*) AS n_errors FROM err GROUP BY 1) t
+    LEFT JOIN per_user p USING (user_id)
+"""

@@ -624,3 +624,39 @@ def test_group_quartiles_x4_interpolation_exact(spark):
     # ranks: p25 -> 0.75 between 100,101 = 100.75; p50 -> 1.5 between
     # 101,105 = 103; p75 -> 2.25 between 105,117 = 108
     assert (out.p25, out.p50, out.p75) == (403, 412, 432)
+
+
+def test_error_recovery_pattern_exclusion(spark, tmp_path):
+    """The exclusion clause is the point: an error followed by a purchase
+    within 30 m is NOT recovered if another error lands inside the span;
+    the purchase then recovers the SECOND error only."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        # user 1: error@0m, error@5m, purchase@10m -> first error excluded
+        (1, t0, 1, "error", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "error", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}"),
+        # user 2: error@0m, purchase@40m -> outside window, unrecovered
+        (4, t0, 2, "error", 0.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=40), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    from real_time_data_pipeline_spark.queries.analytics_ext import (
+        q_error_recovery_pattern,
+    )
+
+    out = {r.user_id: r for r in q_error_recovery_pattern(spark, str(tmp_path)).collect()}
+    assert out[1].n_errors == 2 and out[1].n_recovered == 1
+    assert out[1].min_recovery_us == 5 * 60 * 1_000_000
+    assert out[2].n_errors == 1 and out[2].n_recovered == 0
+    assert out[2].min_recovery_us is None
