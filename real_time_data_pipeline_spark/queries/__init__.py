@@ -132,7 +132,9 @@ _R5_PRIORITY = [
 # of the rows-only approx_percentiles sketch), pivot_revenue_matrix
 # (explicit-values groupBy().pivot() reshape, conditional-agg oracle),
 # error_recovery_pattern (MATCH_RECOGNIZE-class sequence match with an
-# exclusion clause — time-bounded pair join + span anti-join)
+# exclusion clause — time-bounded pair join + span anti-join),
+# join_view_incremental (delta-rule maintenance of a JOIN-defined
+# aggregate view on the full-recompute oracle)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1612,3 +1612,69 @@ ORACLES["error_recovery_pattern"] = """
     FROM (SELECT user_id, count(*) AS n_errors FROM err GROUP BY 1) t
     LEFT JOIN per_user p USING (user_id)
 """
+
+
+def q_join_view_incremental(spark, sf_dir):
+    """Incremental maintenance of a JOIN-defined aggregate view — the
+    delta-rule class (DBToaster-style): the view is
+    γ_{segment,year}(orders ⋈ customer), history is materialized once,
+    and an order increment folds in as merge(V_old, γ(Δorders ⋈
+    customer)) — the join is re-executed ONLY over the delta.  The
+    oracle is a FULL recompute over all orders, so the hash verifies
+    the algebraic identity merge(γ(old⋈C), γ(Δ⋈C)) == γ((old∪Δ)⋈C)
+    value-for-value.
+
+    rollup_incremental pins the agg-only delta rule; this adds the join
+    factor — the case where naive view refresh re-joins the entire fact
+    history.  Dimension-side deltas (Δcustomer) need the symmetric rule
+    and are out of scope: the customer table is static here, as stated.
+
+    Scale: the per-increment cost is |Δ| join work plus a view-grain
+    (segments × years) merge shuffle — independent of history size; the
+    COUNT/SUM partials are associative so any increment split folds to
+    the identical view."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def partials(o):
+        return (
+            o.join(cust, o.o_custkey == cust.c_custkey)
+            .groupBy(
+                "c_mktsegment", F.year("o_orderdate").alias("order_year")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+                ).alias("rev_c"),
+            )
+        )
+
+    cutoff = F.lit("1997-01-01").cast("date")
+    view_old = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    # associative merge at view grain: union the partial tables and
+    # re-sum — identical to an upsert into the materialized view table
+    return (
+        view_old.unionByName(delta)
+        .groupBy("c_mktsegment", "order_year")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_c").alias("rev_c"),
+        )
+    )
+
+
+QUERIES["join_view_incremental"] = q_join_view_incremental
+
+ORACLES["join_view_incremental"] = """
+    SELECT c.c_mktsegment,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+"""
