@@ -134,7 +134,8 @@ _R5_PRIORITY = [
 # error_recovery_pattern (MATCH_RECOGNIZE-class sequence match with an
 # exclusion clause — time-bounded pair join + span anti-join),
 # join_view_incremental (delta-rule maintenance of a JOIN-defined
-# aggregate view on the full-recompute oracle)
+# aggregate view on the full-recompute oracle), rolling_wau (exact
+# sliding DISTINCT via the ×7 window-explode reformulation)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

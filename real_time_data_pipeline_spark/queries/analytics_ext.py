@@ -1678,3 +1678,57 @@ ORACLES["join_view_incremental"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
 """
+
+
+def q_rolling_wau(spark, sf_dir):
+    """Exact 7-day rolling active users (WAU) per day — the sliding
+    DISTINCT class: COUNT(DISTINCT) does not decompose into mergeable
+    partials, so a sliding frame can't reuse running-sum machinery.
+    The distributed reformulation: dedupe to the (user, day) grain
+    first (the only corpus-sized shuffle), then EXPLODE each user-day
+    into the ≤7 window anchors it contributes to and hash-count
+    distinct users per anchor.
+
+    Scale: the explode factor is window/slide = 7 — constant — and it
+    multiplies the DEDUPED grain (|users|·|days|), not raw events;
+    the final agg is one shuffle at (day × users-per-window) grain.
+    This beats the naive per-day self-join (which rescans 7× per
+    anchor) and is exact where sketch-merge (HLL) is not.  Anchors run
+    to max(day)+6: a window is reported as long as any trailing-7-day
+    activity exists, mirrored exactly by the oracle's unnest."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6)
+                )
+            ).alias("win_day"),
+        )
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("win_day", "yyyy-MM-dd").alias("win_day"), "wau")
+    )
+
+
+QUERIES["rolling_wau"] = q_rolling_wau
+
+ORACLES["rolling_wau"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    ex AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+                  AS DATE) AS win_day
+      FROM ud
+    )
+    SELECT strftime(win_day, '%Y-%m-%d') AS win_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM ex GROUP BY 1
+"""
