@@ -135,7 +135,8 @@ _R5_PRIORITY = [
 # exclusion clause — time-bounded pair join + span anti-join),
 # join_view_incremental (delta-rule maintenance of a JOIN-defined
 # aggregate view on the full-recompute oracle), rolling_wau (exact
-# sliding DISTINCT via the ×7 window-explode reformulation)
+# sliding DISTINCT via the ×7 window-explode reformulation),
+# user_set_algebra (INTERSECT/EXCEPT cohort algebra)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

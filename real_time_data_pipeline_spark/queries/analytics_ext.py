@@ -1732,3 +1732,42 @@ ORACLES["rolling_wau"] = """
            CAST(count(DISTINCT user_id) AS BIGINT) AS wau
     FROM ex GROUP BY 1
 """
+
+
+def q_user_set_algebra(spark, sf_dir):
+    """Set algebra over user cohorts — the INTERSECT/EXCEPT operator
+    class (no other query exercises Spark's set operators): users
+    active in BOTH the first and second third of the month but NOT the
+    last third — the classic "engaged then churned" cohort.
+
+    Spark's intersect/except are set-semantic (dedup built in), compile
+    to left-semi/left-anti hash joins over the distinct sets, and
+    co-partition on the full row — no driver-side set materialization
+    at any SF.  DuckDB's INTERSECT/EXCEPT are the same algebra, making
+    the oracle a direct transliteration."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.dayofmonth("ts").alias("dom"))
+    )
+    early = ev.filter(F.col("dom") <= 10).select("user_id")
+    mid = ev.filter((F.col("dom") > 10) & (F.col("dom") <= 20)).select("user_id")
+    late = ev.filter(F.col("dom") > 20).select("user_id")
+    # intersect/subtract are the set-semantic operators (SQL
+    # INTERSECT/EXCEPT): dedup is built into the algebra
+    return early.intersect(mid).subtract(late).select("user_id")
+
+
+QUERIES["user_set_algebra"] = q_user_set_algebra
+
+ORACLES["user_set_algebra"] = """
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND EXTRACT(day FROM ts) <= 10
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase'
+      AND EXTRACT(day FROM ts) > 10 AND EXTRACT(day FROM ts) <= 20
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND EXTRACT(day FROM ts) > 20
+"""
