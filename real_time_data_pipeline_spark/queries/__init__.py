@@ -136,7 +136,9 @@ _R5_PRIORITY = [
 # join_view_incremental (delta-rule maintenance of a JOIN-defined
 # aggregate view on the full-recompute oracle), rolling_wau (exact
 # sliding DISTINCT via the ×7 window-explode reformulation),
-# user_set_algebra (INTERSECT/EXCEPT cohort algebra)
+# user_set_algebra (INTERSECT/EXCEPT cohort algebra),
+# gap_sla_quantiles (exact discrete p50/p95/p99 by rank-select with
+# fully-distributed two-phase per-group ranks — no float in the path)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1771,3 +1771,116 @@ ORACLES["user_set_algebra"] = """
     SELECT user_id FROM events
     WHERE event_type = 'purchase' AND EXTRACT(day FROM ts) > 20
 """
+
+
+def q_gap_sla_quantiles(spark, sf_dir):
+    """Exact discrete p50/p95/p99 of the inter-event gap per event type
+    — the SLA/latency-report class.  Interpolated percentiles (the
+    group_quartiles path) stay exact only while the rank fraction is
+    dyadic; p95/p99 fractions are not, so cross-engine float parity
+    would be luck.  The discrete quantile (value at rank ⌈q·n⌉) is an
+    integer SELECT, exact at any q — and selecting by rank needs global
+    per-group ranks, which this computes with the same fully-parallel
+    two-phase shape as revenue_concentration: range-repartition on
+    (type, gap), per-partition row_number, broadcast (partition, type)
+    count offsets folded by a triangular join — no single-partition
+    window anywhere, so the sort stays distributed at a billion gaps
+    per type.  Rank targets use pure integer ceil ((q·n + 99) div 100)
+    so no float touches the pipeline at all."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    wlag = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(wlag))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("prev_ts").cast("timestamp"))).alias("gap_us"),
+        )
+    )
+    parted = gaps.repartitionByRange(
+        32, "event_type", "gap_us", "event_id"
+    ).withColumn("pid", F.spark_partition_id())
+    local = parted.withColumn(
+        "j",
+        F.row_number().over(
+            Window.partitionBy("pid", "event_type").orderBy("gap_us", "event_id")
+        ),
+    )
+    cnts = parted.groupBy("pid", "event_type").agg(F.count("*").alias("cnt"))
+    lower = cnts.select(
+        F.col("pid").alias("lo_pid"),
+        F.col("event_type").alias("lo_type"),
+        F.col("cnt").alias("lo_cnt"),
+    )
+    offsets = (
+        cnts.join(
+            F.broadcast(lower),
+            (F.col("lo_type") == F.col("event_type"))
+            & (F.col("lo_pid") < F.col("pid")),
+            "left",
+        )
+        .groupBy("pid", "event_type")
+        .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("offset"))
+    )
+    totals = cnts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_gaps")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), ["pid", "event_type"])
+        .withColumn("r", F.col("offset") + F.col("j"))
+        .join(F.broadcast(totals), "event_type")
+    )
+    picked = ranked.filter(
+        (F.col("r") == F.expr("(n_gaps * 50 + 99) div 100"))
+        | (F.col("r") == F.expr("(n_gaps * 95 + 99) div 100"))
+        | (F.col("r") == F.expr("(n_gaps * 99 + 99) div 100"))
+    )
+    return picked.groupBy("event_type", "n_gaps").agg(
+        F.max(
+            F.when(F.col("r") == F.expr("(n_gaps * 50 + 99) div 100"), F.col("gap_us"))
+        ).alias("p50_us"),
+        F.max(
+            F.when(F.col("r") == F.expr("(n_gaps * 95 + 99) div 100"), F.col("gap_us"))
+        ).alias("p95_us"),
+        F.max(
+            F.when(F.col("r") == F.expr("(n_gaps * 99 + 99) div 100"), F.col("gap_us"))
+        ).alias("p99_us"),
+    )
+
+
+QUERIES["gap_sla_quantiles"] = q_gap_sla_quantiles
+
+ORACLES["gap_sla_quantiles"] = """
+    WITH gaps AS (
+      SELECT event_type, event_id,
+             CAST(date_diff('microsecond',
+                  lag(ts) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n_gaps
+      FROM g
+    )
+    SELECT event_type,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN r = (n_gaps * 50 + 99) // 100 THEN gap_us END) AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN r = (n_gaps * 95 + 99) // 100 THEN gap_us END) AS BIGINT) AS p95_us,
+           CAST(max(CASE WHEN r = (n_gaps * 99 + 99) // 100 THEN gap_us END) AS BIGINT) AS p99_us
+    FROM ranked
+    WHERE r = (n_gaps * 50 + 99) // 100
+       OR r = (n_gaps * 95 + 99) // 100
+       OR r = (n_gaps * 99 + 99) // 100
+    GROUP BY 1, 2
+"""
