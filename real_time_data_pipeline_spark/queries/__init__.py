@@ -138,7 +138,9 @@ _R5_PRIORITY = [
 # sliding DISTINCT via the ×7 window-explode reformulation),
 # user_set_algebra (INTERSECT/EXCEPT cohort algebra),
 # gap_sla_quantiles (exact discrete p50/p95/p99 by rank-select with
-# fully-distributed two-phase per-group ranks — no float in the path)
+# fully-distributed two-phase per-group ranks — no float in the path),
+# stream_join_view_incremental (streaming Δ-join view maintenance on
+# the join_view_incremental full-recompute oracle)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1884,3 +1884,76 @@ ORACLES["gap_sla_quantiles"] = """
        OR r = (n_gaps * 99 + 99) // 100
     GROUP BY 1, 2
 """
+
+
+def q_stream_join_view_incremental(spark, sf_dir):
+    """Streaming maintenance of the JOIN-defined aggregate view — the
+    streaming evidence layer on the same full-recompute oracle as
+    `join_view_incremental`: the pre-cutoff view is the seeded state,
+    post-cutoff orders ARRIVE AS A STREAM, and every micro-batch
+    re-executes the join ONLY over its delta (Δorders ⋈ customer),
+    aggregates to view grain, and folds into the held state by
+    associative COUNT/SUM merge — any batch split yields the identical
+    final view, which is exactly what sharing the full-recompute hash
+    pins.  State between batches is one row per (segment, year) —
+    bounded; production upserts the same partials into the warehouse
+    view table instead of holding them on the driver."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def partials(o):
+        return (
+            o.join(cust, o.o_custkey == cust.c_custkey)
+            .groupBy(
+                "c_mktsegment", F.year("o_orderdate").alias("order_year")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+                ).alias("rev_c"),
+            )
+        )
+
+    cutoff = F.lit("1997-01-01").cast("date")
+    orders = load_table(spark, sf_dir, "orders")
+    seed = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    holder = {"state": spark.createDataFrame(seed.collect(), seed.schema)}
+
+    def fold(batch, _i):
+        inc = batch.filter(F.col("o_orderdate") >= cutoff)
+        delta = partials(inc)
+        merged = (
+            holder["state"]
+            .unionByName(delta)
+            .groupBy("c_mktsegment", "order_year")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("rev_c").alias("rev_c"),
+            )
+        )
+        holder["state"] = spark.createDataFrame(
+            merged.collect(), merged.schema
+        )
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/orders*.parquet")
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_join_view_incremental")
+    return holder["state"]
+
+
+QUERIES["stream_join_view_incremental"] = q_stream_join_view_incremental
+
+# streaming per-batch delta-join maintenance == the batch full-recompute
+ORACLES["stream_join_view_incremental"] = ORACLES["join_view_incremental"]
