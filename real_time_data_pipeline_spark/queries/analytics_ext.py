@@ -1803,9 +1803,18 @@ def q_gap_sla_quantiles(spark, sf_dir):
              - F.unix_micros(F.col("prev_ts").cast("timestamp"))).alias("gap_us"),
         )
     )
-    parted = gaps.repartitionByRange(
-        32, "event_type", "gap_us", "event_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # parted feeds two consumers (the rank window and the offset
+    # counts); without a persist the events scan + lag window + range
+    # shuffle would re-evaluate per consumer — at corpus scale that is
+    # the dominant cost, so cache the one corpus-sized frame (tracked:
+    # the harness releases it after evaluation)
+    from real_time_data_pipeline_spark.operators import cache
+
+    parted = cache.track(
+        gaps.repartitionByRange(
+            32, "event_type", "gap_us", "event_id"
+        ).withColumn("pid", F.spark_partition_id())
+    )
     local = parted.withColumn(
         "j",
         F.row_number().over(
