@@ -140,7 +140,9 @@ _R5_PRIORITY = [
 # gap_sla_quantiles (exact discrete p50/p95/p99 by rank-select with
 # fully-distributed two-phase per-group ranks — no float in the path),
 # stream_join_view_incremental (streaming Δ-join view maintenance on
-# the join_view_incremental full-recompute oracle)
+# the join_view_incremental full-recompute oracle),
+# unpivot_daily_metrics (df.unpivot/melt long-form reshape — the
+# inverse of pivot_revenue_matrix, zero-shuffle Expand)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

@@ -1966,3 +1966,50 @@ QUERIES["stream_join_view_incremental"] = q_stream_join_view_incremental
 
 # streaming per-batch delta-join maintenance == the batch full-recompute
 ORACLES["stream_join_view_incremental"] = ORACLES["join_view_incremental"]
+
+
+def q_unpivot_daily_metrics(spark, sf_dir):
+    """Long-form reshape via df.unpivot (melt) — the inverse of
+    `pivot_revenue_matrix` and the other half of the reshape pair:
+    per-day wide metrics (count / sum / min / max of event cents)
+    unpivoted to (day, metric, v) — the shape metric stores and
+    plotting layers ingest.
+
+    unpivot is a zero-shuffle Expand over the already-aggregated daily
+    frame (|days| rows × 4 metrics), so the reshape itself is free at
+    any SF; the one shuffle is the day-grain pre-aggregation."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(_CENTS)).alias("sum_c"),
+            F.min(F.expr(_CENTS)).alias("min_c"),
+            F.max(F.expr(_CENTS)).alias("max_c"),
+        )
+    )
+    return daily.unpivot(
+        ids=[F.date_format("day", "yyyy-MM-dd").alias("day")],
+        values=["n_events", "sum_c", "min_c", "max_c"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+
+
+QUERIES["unpivot_daily_metrics"] = q_unpivot_daily_metrics
+
+ORACLES["unpivot_daily_metrics"] = f"""
+    WITH daily AS (
+      SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM({_CENTS}) AS BIGINT) AS sum_c,
+             CAST(MIN({_CENTS}) AS BIGINT) AS min_c,
+             CAST(MAX({_CENTS}) AS BIGINT) AS max_c
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT day, 'n_events' AS metric, n_events AS v FROM daily
+    UNION ALL SELECT day, 'sum_c', sum_c FROM daily
+    UNION ALL SELECT day, 'min_c', min_c FROM daily
+    UNION ALL SELECT day, 'max_c', max_c FROM daily
+"""
