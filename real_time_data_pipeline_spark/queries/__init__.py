@@ -142,7 +142,9 @@ _R5_PRIORITY = [
 # stream_join_view_incremental (streaming Δ-join view maintenance on
 # the join_view_incremental full-recompute oracle),
 # unpivot_daily_metrics (df.unpivot/melt long-form reshape — the
-# inverse of pivot_revenue_matrix, zero-shuffle Expand)
+# inverse of pivot_revenue_matrix, zero-shuffle Expand),
+# grouping_sets_revenue (hand-picked GROUPING SETS lattice via the
+# SQL entry path — single Expand, GROUPING() bitmask)
 # (rows-only -> oracle promotion via the portable sha256 hash family).
 
 

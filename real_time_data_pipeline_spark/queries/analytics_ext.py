@@ -2013,3 +2013,52 @@ ORACLES["unpivot_daily_metrics"] = f"""
     UNION ALL SELECT day, 'min_c', min_c FROM daily
     UNION ALL SELECT day, 'max_c', max_c FROM daily
 """
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the third grouping-lattice class
+    (cube_order_stats pins the full lattice, rollup_geo_revenue the
+    hierarchical prefix chain; this pins a HAND-PICKED set list:
+    per-segment, per-year, and grand total, WITHOUT the segment×year
+    cross that CUBE would force).  Expressed through the SQL entry
+    path (GROUP BY GROUPING SETS), which compiles to the same single
+    Expand + one hash agg — one pass over the join output regardless
+    of how many sets are listed; the GROUPING() bitmask disambiguates
+    the NULL-keyed subtotal rows exactly as in the CUBE twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.year("o_orderdate").alias("order_year"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("v_c"),
+    )
+    oc.createOrReplaceTempView("gs_rev_input")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               order_year,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(GROUPING(order_year) AS BIGINT) AS g_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(v_c) AS BIGINT) AS rev_c
+        FROM gs_rev_input
+        GROUP BY GROUPING SETS ((c_mktsegment), (order_year), ())
+        """
+    )
+
+
+QUERIES["grouping_sets_revenue"] = q_grouping_sets_revenue
+
+ORACLES["grouping_sets_revenue"] = """
+    SELECT c.c_mktsegment,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(GROUPING(c.c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(GROUPING(EXTRACT(year FROM o.o_orderdate)) AS BIGINT) AS g_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment), (EXTRACT(year FROM o.o_orderdate)), ())
+"""
