@@ -357,12 +357,19 @@ def frame_sample(
 
 def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Perceptual hash (average-hash) per image: decode, average-pool the
-    pixel grid to 8×8, emit bit j = cell_j > mean as a 64-bit signature
-    (plus its 16-hex rendering for band splits).  The image analogue of
-    SimHash: visually-near images (resize, mild noise, re-encode) land
-    within a few bits.  Pure integer/numpy math on the SMF pixels —
-    deterministic, no codec dependency; swapping in a real decoder only
-    changes the pixel-loading lines.
+    pixel grid to 8×8, emit bit (i,j) = cell mean > whole-image mean as a
+    64-bit signature (plus its 16-hex rendering for band splits).  The
+    image analogue of SimHash: visually-near images (resize, mild noise,
+    re-encode) land within a few bits.  Pure integer/numpy math on the
+    SMF pixels — deterministic, no codec dependency; swapping in a real
+    decoder only changes the pixel-loading lines.
+
+    The mean comparison is INTEGER-exact (cross-multiplied:
+    ``cell_sum · n_pixels > total_sum · cell_count`` — no float division
+    anywhere), so the signature is reproducible bit-for-bit in any
+    engine with 64-bit integers; that is what backs the
+    ``mm_phash_near_dup`` DuckDB oracle (round 6, mirroring the
+    dedup_simhash portable-hash promotion).
 
     Arrow-batched mapInPandas; per-row cost is one vectorized pooling.
     Undecodable rows are dropped (corrupt-media rule shared with
@@ -379,18 +386,24 @@ def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = struct.unpack(">II", b[2:SMF_HEADER_LEN])
                 pix = np.frombuffer(
                     b, dtype=np.uint8, count=w * h, offset=SMF_HEADER_LEN
-                ).reshape(h, w).astype(np.float64)
+                ).reshape(h, w).astype(np.int64)
                 # Average-pool to 8x8 via integer cell edges (floor
                 # boundaries -- same grid every run).
                 ye = np.linspace(0, h, 9).astype(np.int64)
                 xe = np.linspace(0, w, 9).astype(np.int64)
-                cells = np.empty((8, 8))
+                sums = np.empty((8, 8), dtype=np.int64)
+                cnts = np.empty((8, 8), dtype=np.int64)
                 for i in range(8):
                     for j in range(8):
                         blk = pix[ye[i]:max(ye[i + 1], ye[i] + 1),
                                   xe[j]:max(xe[j + 1], xe[j] + 1)]
-                        cells[i, j] = blk.mean()
-                bits = (cells.ravel() > cells.mean()).astype(np.uint64)
+                        sums[i, j] = blk.sum()
+                        cnts[i, j] = blk.size
+                total = int(pix.sum())
+                npx = w * h
+                bits = (
+                    sums.ravel() * npx > total * cnts.ravel()
+                ).astype(np.uint64)
                 sig = np.uint64(0)
                 for bit in bits:
                     sig = np.uint64(sig << np.uint64(1)) | bit

@@ -263,11 +263,24 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors whose sign-LSH bucket matches
     the query's bucket are scored.  Recall < 1 by construction; callers
     trade n_planes against candidate count (each extra plane halves
-    the expected candidates)."""
+    the expected candidates).
+
+    ``probe_hamming`` adds classic multi-probe LSH (Lv et al., VLDB'07):
+    each query also probes every bucket within that Hamming distance of
+    its own signature, raising recall without re-hashing the corpus.
+    The perturbation masks are data-independent literals, so the probe
+    fan-out happens on the tiny broadcast query side (|queries| ×
+    Σ C(n_planes, i) rows) and the corpus join stays a bucket equi-join
+    — at 100 TB the corpus-side scan and shuffle are unchanged.  At
+    ``probe_hamming == n_planes`` every bucket is probed, making the
+    candidate set the full corpus and the output bit-identical to
+    :func:`cosine_topk` (same fold, same tie-break) — the full-recall
+    configuration the oracle-backed registry entry pins."""
     planes = make_planes(dim, n_planes, seed)
     c = random_hyperplane_buckets(
         corpus.select(
@@ -285,6 +298,18 @@ def lsh_topk(
         query_vec_col,
         "qbucket",
     )
+    if probe_hamming > 0:
+        # Distinct masks of popcount <= r flip distinct bucket ids, so the
+        # explode introduces no duplicate (query, bucket) candidates.
+        masks = [
+            m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
+        ]
+        q = q.withColumn(
+            "qbucket",
+            F.explode(
+                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     joined = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
     cos = _dot(F.col(vec_col), F.col(query_vec_col)) / (
         F.col("cnrm") * F.col("qnrm")

@@ -893,6 +893,7 @@ def hash_embed(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Feature-hashing text encoder (Weinberger et al. 2009): each token
     hashes to a dimension (xxhash64 % dim) with a ±1 sign from a second
@@ -906,19 +907,50 @@ def hash_embed(
     sums via a (id, dim)-keyed aggregate, assemble the array with ONE
     id-keyed collect ordered by dim.  Two data-scale shuffles, no
     Python.  Output: (id, embedding array<double> unit-norm, n_tokens).
+
+    ``portable=True`` swaps the xxhash64 pair for ONE sha256 digest per
+    token (dimension from the first 15 hex chars via base-conv, sign
+    from the 16th nibble's parity) — the engine-portable hash family
+    from operators/dedup._portable_hash60, reproducible in any engine
+    with sha256.  Sums of ±1.0 are integer-valued doubles (exact in any
+    aggregation order) and the norm divides identical doubles, so the
+    emitted arrays are BIT-identical across engines — what upgrades the
+    embed_search query from rows-only to a full DuckDB value-hash
+    oracle.  xxhash64 (default) stays the scale path: one fused JVM
+    expression, no 64-hex-char string materialized per token.
     """
+    if portable:
+        h = F.sha2(F.col("tok").cast("string"), 256)
+        d_expr = F.pmod(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(dim)
+        )
+        sgn_expr = (
+            F.when(
+                F.pmod(
+                    F.conv(F.substring(h, 16, 1), 16, 10).cast("bigint"),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+        )
+    else:
+        d_expr = F.pmod(F.xxhash64(F.col("tok")), F.lit(dim))
+        sgn_expr = (
+            F.when(
+                F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(2)) == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+        )
     ex = df.select(
         F.col(id_col),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).select(
         id_col,
-        F.pmod(F.xxhash64(F.col("tok")), F.lit(dim)).alias("d"),
-        F.when(
-            F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(2)) == 0,
-            F.lit(1.0),
-        )
-        .otherwise(F.lit(-1.0))
-        .alias("sgn"),
+        d_expr.alias("d"),
+        sgn_expr.alias("sgn"),
     )
     sums = ex.groupBy(id_col, "d").agg(
         F.sum("sgn").alias("s"), F.count("*").alias("n")

@@ -96,8 +96,13 @@ _R6_PRIORITY = [
     "pii_scrub",
     "decontaminate_bloom_verified",
     "ann_ivf_incremental",
-    # (b) round-6 rows-only -> oracle promotions (VERDICT r5 item #3)
-    # appended below as they land.
+    # (b) round-6 rows-only -> oracle promotions (VERDICT r5 item #3):
+    # full-probe multi-probe LSH, portable-sha256 feature-hash encoder,
+    # integer-exact aHash, full-shortlist PQ re-rank
+    "ann_lsh_topk",
+    "embed_search",
+    "mm_phash_near_dup",
+    "ann_pq_topk_rerank",
     # (c) round-6 re-verification: plan-diet + bench-regression targets
     "quality_calibration",
     "language_mixing",

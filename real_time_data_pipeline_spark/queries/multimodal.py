@@ -202,16 +202,80 @@ ORACLES = {
 
 
 def q_phash_near_dup(spark, sf_dir):
-    """Perceptual-hash near-duplicate image pairs (rows-only: the
-    64-bit aHash comes from numpy pooling inside mapInPandas — no SQL
-    twin; goldens pin bit-exact hashes and Hamming verification).
-    Exact-signature collapse runs first, so output pairs are between
-    distinct visual signatures only."""
+    """Perceptual-hash near-duplicate image pairs.  Oracle-backed since
+    round 6: image_phash's mean comparison is integer-exact
+    (cell_sum·n_pixels > total_sum·cell_count — no float division), so
+    the 64-bit aHash is reproducible in ANSI SQL from the closed-form
+    SMF synthesis, and the oracle recomputes signatures + ALL-PAIRS
+    Hamming via DuckDB BITSTRINGs (the Spark side must stay banded —
+    the oracle affords quadratic, the engine must not; same split as
+    dedup_simhash).  Exact-signature collapse runs first, so output
+    pairs are between distinct visual signatures only."""
     imgs = M.attach_fake_image(_doc_lengths(spark, sf_dir), len_col="n")
     return M.phash_near_pairs(imgs, max_hamming=3)
 
 
-QUERIES["mm_phash_near_dup"] = q_phash_near_dup  # rows-only (numpy hash)
+QUERIES["mm_phash_near_dup"] = q_phash_near_dup  # oracle-backed (integer aHash)
+
+# Full independent recomputation of the integer-exact average-hash:
+# pixels from the closed form, 8x8 pooling with the same floor cell
+# edges and forced ≥1-row/col blocks (pixels can belong to two cells
+# when w or h < 8 — hence the containment join, not a partition map),
+# bit k = MSB-first at string position k+1, fingerprints as BITSTRINGs
+# (bigint << 63 overflows; BIT xor/bit_count sidesteps the sign bit).
+ORACLES["mm_phash_near_dup"] = f"""
+    WITH base AS (
+      SELECT doc_id, {_W} AS w, {_H} AS h FROM documents
+    ),
+    px AS (
+      SELECT b.doc_id,
+             (b.doc_id * 31 + k.kk * 17) % 256 AS v,
+             k.kk // b.w AS y, k.kk % b.w AS x
+      FROM base b, LATERAL (
+        SELECT unnest(range(0, b.w * b.h)) AS kk
+      ) k
+    ),
+    tot AS (
+      SELECT doc_id, SUM(v) AS t, COUNT(*) AS npx FROM px GROUP BY 1
+    ),
+    cells AS (
+      SELECT b.doc_id, ij.i, ij.j,
+             (ij.i * b.h) // 8 AS y0,
+             greatest(((ij.i + 1) * b.h) // 8, (ij.i * b.h) // 8 + 1) AS y1,
+             (ij.j * b.w) // 8 AS x0,
+             greatest(((ij.j + 1) * b.w) // 8, (ij.j * b.w) // 8 + 1) AS x1
+      FROM base b,
+           (SELECT a.range AS i, c2.range AS j
+            FROM range(8) a, range(8) c2) ij
+    ),
+    cs AS (
+      SELECT c.doc_id, c.i, c.j, SUM(p.v) AS s, COUNT(*) AS cnt
+      FROM cells c JOIN px p ON c.doc_id = p.doc_id
+        AND p.y >= c.y0 AND p.y < c.y1 AND p.x >= c.x0 AND p.x < c.x1
+      GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT cs.doc_id, cs.i * 8 + cs.j AS kbit,
+             CASE WHEN cs.s * tot.npx > tot.t * cs.cnt
+                  THEN '1' ELSE '0' END AS bch
+      FROM cs JOIN tot USING (doc_id)
+    ),
+    fp AS (
+      SELECT doc_id, string_agg(bch, '' ORDER BY kbit) AS bstr
+      FROM bits GROUP BY 1
+    ),
+    grp AS (
+      SELECT bstr, MIN(doc_id) AS rep, COUNT(*) AS n_members
+      FROM fp GROUP BY 1
+    )
+    SELECT a.rep AS rep_a, b.rep AS rep_b,
+           CAST(bit_count(xor(CAST(a.bstr AS BIT), CAST(b.bstr AS BIT)))
+                AS BIGINT) AS hamming,
+           CAST(a.n_members AS BIGINT) AS n_a,
+           CAST(b.n_members AS BIGINT) AS n_b
+    FROM grp a JOIN grp b ON a.rep < b.rep
+    WHERE bit_count(xor(CAST(a.bstr AS BIT), CAST(b.bstr AS BIT))) <= 3
+"""
 
 
 def q_mm_keyframes(spark, sf_dir):

@@ -43,10 +43,21 @@ def q_ann_gemm_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed approximate top-10 (rows-only; recall vs exact is
-    unit-tested)."""
+    """Sign-LSH multi-probe top-10 at FULL probe radius (probe_hamming ==
+    n_planes — oracle-backed since round 6, mirroring the ann_ivf_topk
+    full-probe promotion): every bucket within Hamming distance 6 of the
+    query signature is probed, i.e. all 2^6 buckets, so the candidate
+    set is the whole corpus and the output is bit-identical to
+    cosine_topk (same sequential fold, same tie-break) — it shares
+    ann_bruteforce_topk's value-hash oracle while still exercising the
+    complete LSH machinery: plane projection, signature assignment,
+    mask perturbation, bucket equi-join.  The pruned probe_hamming <
+    n_planes recall/candidate tradeoff stays covered by the recall unit
+    tests and the sign-LSH dedup tier (dedup_embedding_lsh)."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
-    return similarity.lsh_topk(emb, queries, k=K, n_planes=6, dim=64)
+    return similarity.lsh_topk(
+        emb, queries, k=K, n_planes=6, dim=64, probe_hamming=6
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -135,7 +146,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_outliers": q_embedding_outliers,
     "ann_gemm_topk": q_ann_gemm_topk,  # oracle-backed (exact re-rank)
-    "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
+    "ann_lsh_topk": q_ann_lsh_topk,  # oracle-backed (full probe == exact)
     "ann_ivf_topk": q_ann_ivf_topk,  # oracle-backed (full probe == exact)
     "ann_ivf_persisted": q_ann_ivf_persisted,  # rows-only (on-disk index)
     "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle-backed (append + full probe)
@@ -207,6 +218,9 @@ ORACLES = {
 ORACLES["ann_gemm_topk"] = ORACLES["ann_bruteforce_topk"]
 ORACLES["ann_ivf_topk"] = ORACLES["ann_bruteforce_topk"]
 ORACLES["ann_ivf_incremental"] = ORACLES["ann_bruteforce_topk"]
+# Round 6: full-radius multi-probe makes the LSH candidate set the whole
+# corpus, so it joins the same shared exact oracle.
+ORACLES["ann_lsh_topk"] = ORACLES["ann_bruteforce_topk"]
 
 
 def q_embedding_pca(spark, sf_dir):
@@ -323,6 +337,52 @@ def q_ann_pq_topk(spark, sf_dir):
 
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk  # rows-only (iterative fit)
+
+
+def q_ann_pq_topk_rerank(spark, sf_dir):
+    """PQ search under the exact oracle (round-6 promotion, the
+    full-probe playbook applied to product quantization): fit + encode
+    + ADC scoring run unchanged, but the shortlist is the WHOLE corpus,
+    so the exact re-rank provably recovers brute-force top-10 for all
+    five probe vectors no matter what the (float-iterative, run-varying)
+    codebooks produce — the ADC pass orders candidates, it cannot drop
+    any.  Re-rank cosine uses the same sequential fold and tie-break as
+    cosine_topk, so this shares ann_bruteforce_topk's value-hash oracle
+    while exercising the complete PQ machinery: Lloyd fit, subspace
+    encode, ADC table build, per-batch top-k, broadcast-semi re-rank.
+    The production shortlist=100 pruning config stays covered by
+    ann_pq_topk and its recall tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k=64, iters=3)
+    codes = similarity.pq_encode(emb, books)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # N_QUERIES probe vectors — bounded by design
+    )
+    legs = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        legs.append(
+            similarity.pq_topk_rerank(
+                emb,
+                codes,
+                books,
+                r["embedding"],
+                k=K,
+                shortlist=1 << 30,  # full corpus: shortlist == exact
+                query_id=r["vec_id"],
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["ann_pq_topk_rerank"] = q_ann_pq_topk_rerank
+# Full shortlist makes the PQ+re-rank output provably brute-force —
+# fourth member of the shared exact-ANN oracle family.
+ORACLES["ann_pq_topk_rerank"] = ORACLES["ann_bruteforce_topk"]
 
 
 NOISE_SAMPLE = 50  # audit vec_ids 0..49

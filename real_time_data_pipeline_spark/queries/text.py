@@ -746,14 +746,21 @@ ORACLES["quality_model"] = f"""
 def q_embed_search(spark, sf_dir):
     """Full text→vector→search pipeline: feature-hash embeddings
     (operators/text.hash_embed) + exact cosine top-10 for doc 0
-    (operators/similarity.cosine_topk) — rows-only (xxhash64 has no
-    DuckDB twin); encoder determinism pinned in pytest, and near-dup
-    docs surface as ~cos-1.0 neighbors by construction."""
+    (operators/similarity.cosine_topk).  Oracle-backed since round 6 via
+    the portable sha256 hash family: token→(dim, sign) comes from one
+    sha256 digest, ±1 sums are integer-valued doubles (exact in any
+    aggregation order), and the norm divides identical doubles, so the
+    embedding arrays — and therefore the cosine ranks and basis points —
+    are bit-identical to the DuckDB recomputation.  The xxhash64 fast
+    path stays the scale default and its determinism stays pinned in
+    pytest."""
     from real_time_data_pipeline_spark.operators.similarity import (
         cosine_topk,
     )
 
-    emb = T.hash_embed(_docs(spark, sf_dir)).select("doc_id", "embedding")
+    emb = T.hash_embed(_docs(spark, sf_dir), portable=True).select(
+        "doc_id", "embedding"
+    )
     q = emb.filter(F.col("doc_id") == 0).select(
         F.col("doc_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -763,4 +770,85 @@ def q_embed_search(spark, sf_dir):
     )
 
 
-QUERIES["embed_search"] = q_embed_search  # rows-only (xxhash embedding)
+QUERIES["embed_search"] = q_embed_search  # oracle-backed (portable sha256)
+
+# Full independent recomputation of the feature-hash encoder + cosine
+# top-k (twin of operators/text.hash_embed(portable=True) +
+# operators/similarity.cosine_topk).  Dimension = fold of the first 15
+# sha256 hex chars mod 64; sign = parity of the 16th nibble; dense
+# 64-dim vector via a range() grid left join; cosine via the same
+# sequential-double list pipeline as the ann_* oracles.
+
+
+def _fold_hex(col: str, nchars: int) -> str:
+    """Ascii-fold the first ``nchars`` chars of an EXISTING lowercase-hex
+    column into a bigint (queries/dedup.duck_hexfold_n folds sha256 of a
+    raw value; this folds a digest column that's already materialized)."""
+    hv = lambda i: (  # noqa: E731
+        f"(CASE WHEN ascii(substr({col}, {i}, 1)) >= 97 "
+        f"THEN CAST(ascii(substr({col}, {i}, 1)) AS BIGINT) - 87 "
+        f"ELSE CAST(ascii(substr({col}, {i}, 1)) AS BIGINT) - 48 END)"
+    )
+    folded = hv(1)
+    for i in range(2, nchars + 1):
+        folded = f"({folded} * 16 + {hv(i)})"
+    return folded
+
+
+_DUCK_COS = """
+  list_sum(list_transform(list_zip(c.embedding, q.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+  (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+   sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+ORACLES["embed_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, sha256(tok) AS h FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_fold_hex('h', 15)} % 64 AS d,
+             CASE WHEN ({_fold_hex("substr(h, 16, 1)", 1)}) % 2 = 0
+                  THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(-1 AS DOUBLE) END AS sgn
+      FROM hx
+    ),
+    sums AS (
+      SELECT doc_id, d, SUM(sgn) AS s FROM hashed GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT doc_id, CAST(r.range AS BIGINT) AS d
+      FROM (SELECT DISTINCT doc_id FROM sums), range(64) r
+    ),
+    dense AS (
+      SELECT g.doc_id, g.d, COALESCE(s.s, CAST(0 AS DOUBLE)) AS s
+      FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.d = s.d
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM dense GROUP BY 1
+    ),
+    vec AS (
+      SELECT d.doc_id,
+             list(CASE WHEN n.nrm > 0 THEN d.s / n.nrm
+                       ELSE CAST(0 AS DOUBLE) END ORDER BY d.d) AS embedding
+      FROM dense d JOIN norms n ON d.doc_id = n.doc_id
+      GROUP BY d.doc_id, n.nrm
+    )
+    SELECT query_id, rank, neighbor_id, cos_bp FROM (
+      SELECT q.doc_id AS query_id,
+             c.doc_id AS neighbor_id,
+             CAST(FLOOR(1e4 * ({_DUCK_COS})) AS BIGINT) AS cos_bp,
+             row_number() OVER (PARTITION BY q.doc_id
+                                ORDER BY ({_DUCK_COS}) DESC, c.doc_id ASC)
+                 AS rank
+      FROM vec c, vec q
+      WHERE q.doc_id = 0 AND c.doc_id != q.doc_id
+        -- cosine_topk excludes zero-norm vectors (undefined cosine)
+        AND list_sum(list_transform(c.embedding, x -> x * x)) > 0
+        AND list_sum(list_transform(q.embedding, x -> x * x)) > 0
+    ) WHERE rank <= 10
+"""
