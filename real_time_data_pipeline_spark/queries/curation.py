@@ -166,9 +166,18 @@ def q_quality_calibration(spark, sf_dir):
     monotone against the rules it should approximate" table reviewed
     before swapping a gate for a model.  Decile boundaries come from
     ONE global percentile aggregate (broadcast back — no global sort);
-    both legs are themselves oracle-checked queries."""
+    both legs are themselves oracle-checked queries.
+
+    The scored+labeled table is persisted via cache.track (round-6 plan
+    diet): it feeds BOTH the percentile aggregate and the decile
+    groupBy, and without the persist each leg recomputed the whole
+    quality_model and doc_quality subplans — the suite's
+    shuffle-heaviest plan (33 shuffles) for no extra information.  The
+    cached frame is (doc_id, score, 2 bools) — bytes per row, never
+    corpus text."""
     from pyspark.sql import functions as F
 
+    from real_time_data_pipeline_spark.operators import cache
     from real_time_data_pipeline_spark.operators.text import (
         quality_logit_score,
     )
@@ -179,7 +188,7 @@ def q_quality_calibration(spark, sf_dir):
     labels = curation.quality_verdicts(docs, bench).select(
         "doc_id", F.col("keep").alias("keep_heuristic")
     )
-    joined = scores.join(labels, "doc_id")
+    joined = cache.track(scores.join(labels, "doc_id"))
     qs = [i / 10 for i in range(1, 10)]
     bounds = joined.agg(
         F.expr(
