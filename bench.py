@@ -101,7 +101,17 @@ def main() -> int:
     # not the plan.  Sub-threshold queries keep single-shot timings (their
     # absolute jitter is small and 170+ extra runs would triple the
     # suite wall).
+    # Round 6 (VERDICT r5 #4): the driver-window queries (first 50 —
+    # the ones CORRECTNESS/BENCH verdicts cite) get the median-of-3
+    # treatment already at >= 1 s, because sub-5 s single-shot numbers
+    # on them produced unexplained 2x "regressions" in r5
+    # (language_mixing 0.73 -> 1.97 was window position + container
+    # mood, not code).  Non-window queries keep the 5 s threshold —
+    # their absolute jitter is small and 170+ extra runs would triple
+    # the suite wall.
     MEDIAN_THRESHOLD = 5.0
+    WINDOW_MEDIAN_THRESHOLD = 1.0
+    window_names = set(list(qs)[:50])
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
@@ -120,7 +130,12 @@ def main() -> int:
             continue
         first = round(time.perf_counter() - t0, 3)
         _cleanup()
-        if first >= MEDIAN_THRESHOLD:
+        threshold = (
+            WINDOW_MEDIAN_THRESHOLD
+            if name in window_names
+            else MEDIAN_THRESHOLD
+        )
+        if first >= threshold:
             samples = [first]
             for _ in range(2):
                 t0 = time.perf_counter()
