@@ -74,7 +74,14 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
     listener = _InputRowCounter()
     spark.streams.addListener(listener)
 
-    raw = sources.rate_synthetic_source(spark, rows_per_second=2000)
+    # SOAK_RATE lets the same test produce the 10x-rate scale evidence
+    # (VERDICT r5 #7): `SOAK_RATE=20000 pytest ... -k soak` — throughput
+    # and the state bound print at the end; the state assertions are
+    # rate-independent (windows x keys), which is the point.
+    import os
+
+    rate = int(os.environ.get("SOAK_RATE", "2000"))
+    raw = sources.rate_synthetic_source(spark, rows_per_second=rate)
     # The synthetic generator only emits valid rows with amounts <= 5000,
     # so exercise the S10/S11 routes realistically: corrupt ~5% of the
     # feed (negative amount -> invalid -> dead letter) and set the alert

@@ -52,6 +52,7 @@ DEFAULT_QUERIES = [
     "value_correlation",
     "wasserstein_drift",
     "cdc_apply_incremental",
+    "stream_cdc_apply",  # r6 (VERDICT r5 #7): streaming upsert at 10x events
     "session_overlap",
 ]
 # Output itself grows superlinearly by construction (cross-replica
@@ -191,6 +192,8 @@ ORDERS_QUERIES = [
     "order_rank_profile",
     "revenue_concentration",
     "benford_audit",
+    # r6 (VERDICT r5 #7): streaming Δ-join view maintenance at 10x orders
+    "stream_join_view_incremental",
 ]
 ORDER_OFFSET = 100_000_000
 
