@@ -1,0 +1,326 @@
+"""Round-6 statistics tier: market-basket affinity, robust (winsorized)
+moments, diversity indices, Pareto frontiers, and interval union —
+operator classes the earlier tiers don't cover, each designed so a
+DuckDB oracle can recompute it value-for-value (integer arithmetic in
+every emitted column; floats never cross an engine boundary).
+
+Scale discipline (the repo-wide rules):
+* pair generation only inside a basket equi-join (fanout bounded by
+  basket size, never all-pairs);
+* corpus-wide totals as 1-row aggregates broadcast back (the
+  BNL-against-bounded-build shape tests/test_plan_guard.py certifies);
+* rank-selection via the two-phase range-partition recipe
+  (queries/analytics_ext.q_gap_sla_quantiles) — no single-partition
+  window ever sees a corpus-scale frame;
+* sweeps (skyline) run on a value-domain-reduced frame, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def co_occurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence with support / confidence / lift in
+    integer basis points — the association-rule primitive behind
+    "frequently bought together" and feature-affinity audits.
+
+    Shape: distinct (basket, item) pairs self-join ON THE BASKET KEY
+    (one shuffle, co-partitioned; per-basket fanout is C(|basket|, 2),
+    bounded by basket size — never an item-item cross product), pair and
+    item counts are hash aggregates with map-side combine, and the
+    basket total is a 1-row aggregate broadcast back.  ``min_pairs``
+    makes the output a deterministic SET (a top-k cut would tie-break
+    arbitrarily at the boundary).
+
+    All ratios are exact integer division (``div``), so the emitted
+    numbers are engine-reproducible.  Bigint headroom: the lift
+    numerator is 1e4 * n_ab * n_baskets — fine through ~1e14 baskets x
+    pairs; past that, reassociate to (1e4 * n_ab div n_a) * n_baskets
+    div n_b or move to DECIMAL(38).
+    """
+    from real_time_data_pipeline_spark.operators import cache
+
+    # items feeds four consumers (both self-join sides, item counts,
+    # basket total) — persist the one distinct-shuffled frame instead of
+    # re-aggregating the corpus per consumer.
+    items = cache.track(df.select(basket_col, item_col).distinct())
+    a = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    )
+    b = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    item_counts = items.groupBy(item_col).agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    n_baskets = items.select(basket_col).distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    ca = item_counts.select(
+        F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    # pairs is small after the min_pairs cut — broadcast it through both
+    # count joins so the (potentially corpus-scale) item-count side
+    # never shuffles.
+    enriched = (
+        ca.join(F.broadcast(pairs), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return enriched.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("(10000 * n_ab) div n_baskets").alias("support_bp"),
+        F.expr("(10000 * n_ab) div n_a").alias("conf_a_bp"),
+        F.expr("(10000 * n_ab * n_baskets) div (n_a * n_b)").alias(
+            "lift_bp"
+        ),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    seq_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized mean — robust central tendency with the
+    tails clamped to EXACT discrete percentiles (value at rank
+    ceil(q*n/100); pure-integer rank targets, so any q is cross-engine
+    exact — the gap_sla_quantiles argument applied to moments).
+
+    Ranks come from the two-phase distributed recipe: range-repartition
+    on (group, value, seq), per-partition row_number, partition-count
+    offsets folded by a broadcast triangular join — no single-partition
+    window at any scale.  The two boundary values per group then
+    broadcast back onto the raw rows for the clamp + one hash
+    aggregate.
+
+    Output: (group, n, p_lo_c, p_hi_c, win_mean_c, win_sum_c) — all
+    bigint.
+    """
+    from real_time_data_pipeline_spark.operators import cache
+
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(seq_col).alias("s"),
+    )
+    parted = cache.track(
+        src.repartitionByRange(32, "g", "v", "s").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    local = parted.withColumn(
+        "j",
+        F.row_number().over(Window.partitionBy("pid", "g").orderBy("v", "s")),
+    )
+    cnts = parted.groupBy("pid", "g").agg(F.count("*").alias("cnt"))
+    lower = cnts.select(
+        F.col("pid").alias("lo_pid"),
+        F.col("g").alias("lo_g"),
+        F.col("cnt").alias("lo_cnt"),
+    )
+    offsets = (
+        cnts.join(
+            F.broadcast(lower),
+            (F.col("lo_g") == F.col("g")) & (F.col("lo_pid") < F.col("pid")),
+            "left",
+        )
+        .groupBy("pid", "g")
+        .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("offset"))
+    )
+    totals = cnts.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), ["pid", "g"])
+        .withColumn("r", F.col("offset") + F.col("j"))
+        .join(F.broadcast(totals), "g")
+    )
+    lo_expr = f"(n * {lo_pct} + 99) div 100"
+    hi_expr = f"(n * {hi_pct} + 99) div 100"
+    bounds = (
+        ranked.filter(
+            (F.col("r") == F.expr(lo_expr)) | (F.col("r") == F.expr(hi_expr))
+        )
+        .groupBy("g", "n")
+        .agg(
+            F.max(
+                F.when(F.col("r") == F.expr(lo_expr), F.col("v"))
+            ).alias("p_lo_c"),
+            F.max(
+                F.when(F.col("r") == F.expr(hi_expr), F.col("v"))
+            ).alias("p_hi_c"),
+        )
+    )
+    clamped = parted.join(F.broadcast(bounds), "g").select(
+        "g",
+        "n",
+        "p_lo_c",
+        "p_hi_c",
+        F.greatest(F.col("p_lo_c"), F.least(F.col("p_hi_c"), F.col("v"))).alias(
+            "w"
+        ),
+    )
+    return (
+        clamped.groupBy("g", "n", "p_lo_c", "p_hi_c")
+        .agg(F.sum("w").cast("bigint").alias("win_sum_c"))
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "p_lo_c",
+            "p_hi_c",
+            F.expr("win_sum_c div n").alias("win_mean_c"),
+            "win_sum_c",
+        )
+    )
+
+
+def gini_simpson(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Gini-Simpson diversity index per group in integer basis points:
+    1 - sum_i (n_i/n)^2, emitted as ((n^2 - sum n_i^2) * 1e4) div n^2 —
+    a RATIONAL quantity, so unlike Shannon entropy (whose log makes the
+    last ulp libm-dependent) it is integer-exact on every engine.  The
+    mix-concentration monitor for "is this user/source dominated by one
+    event type".
+
+    Two hash aggregates with map-side combine; no window, no shuffle
+    beyond the group keys.  Bigint headroom: n^2 * 1e4 overflows past
+    n ~ 9.6e5 per group — at that point emit ((n^2 - ss) div (n^2 div
+    1e4)) instead; at this repo's grain (events per user) n is orders
+    of magnitude below.
+    """
+    counts = df.groupBy(group_col, item_col).agg(
+        F.count("*").cast("bigint").alias("n_i")
+    )
+    return (
+        counts.groupBy(group_col)
+        .agg(
+            F.sum("n_i").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("ss"),
+        )
+        .select(
+            group_col,
+            "n",
+            "n_distinct",
+            F.expr("((n * n - ss) * 10000) div (n * n)").alias(
+                "diversity_bp"
+            ),
+        )
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier: rows not dominated by any other row, where
+    LOWER x is better and HIGHER y is better (a row dominates another if
+    it is <= in x AND >= in y with at least one strict).  Ties on both
+    axes all survive (no strict dominance between them).
+
+    The sort-sweep identity makes this distributed-cheap: reduce to the
+    per-x maximum of y (one hash aggregate — the sweep frame is then
+    |distinct x|, bounded by the VALUE DOMAIN, not the row count; bucket
+    a continuous x first), run a strict-prefix running max over x
+    ascending on that reduced frame (single-partition window is safe
+    exactly because the frame is domain-bounded), keep x-values whose
+    max beats every earlier one, and join back to recover all tied
+    frontier rows.
+    """
+    per_x = df.groupBy(x_col).agg(F.max(y_col).alias("_ymax"))
+    w = Window.orderBy(x_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_x = (
+        per_x.withColumn("_prev", F.max("_ymax").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_ymax") > F.col("_prev")))
+        .select(x_col, "_ymax")
+    )
+    return (
+        df.join(F.broadcast(frontier_x), x_col)
+        .filter(F.col(y_col) == F.col("_ymax"))
+        .select(id_col, x_col, y_col)
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Interval union per key: merge overlapping-or-touching half-open
+    [start, end) intervals into maximal spans — coverage timelines,
+    validity-window flattening, downtime stitching.
+
+    This is the RUNNING-MAX-of-end algorithm, not the lag-gap rule
+    sessionization uses: with variable-length intervals an early long
+    interval can envelop several later ones, and comparing each start
+    only to its immediate predecessor's end would split spans the union
+    actually connects.  A new span starts exactly when start > max(end)
+    over ALL earlier intervals of the key (ROWS frame, (start, seq)
+    total order — ties pinned for cross-engine determinism).
+
+    One partition-by-key window + one hash aggregate; per-key data
+    only, so the shuffle is the key partitioning and skew follows key
+    activity (salt a pathological key upstream if one key holds a
+    data-scale share).
+
+    Output: (key, span_no, span_start, span_end, n_intervals).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, seq_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        key_col,
+        start_col,
+        end_col,
+        seq_col,
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    spans = flagged.withColumn(
+        "span_no",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return spans.groupBy(key_col, "span_no").agg(
+        F.min(start_col).alias("span_start"),
+        F.max(end_col).alias("span_end"),
+        F.count("*").cast("bigint").alias("n_intervals"),
+    )

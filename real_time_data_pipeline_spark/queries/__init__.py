@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from real_time_data_pipeline_spark.queries import (
     analytics,
     analytics_ext,
+    analytics_r6,
     curation,
     dedup,
     joins_ext,
@@ -34,8 +35,8 @@ from real_time_data_pipeline_spark.queries import (
 )
 
 _MODULES = [
-    reference_parity, tpch, analytics, analytics_ext, joins_ext, lineage_q,
-    dedup, text, curation, similarity, multimodal,
+    reference_parity, tpch, analytics, analytics_ext, analytics_r6,
+    joins_ext, lineage_q, dedup, text, curation, similarity, multimodal,
 ]
 
 

@@ -1,0 +1,251 @@
+"""Round-6 extension tier: market-basket affinity, winsorized robust
+moments, Gini-Simpson diversity, Pareto skyline, and interval union —
+five operator classes (operators/statistics.py) the registry did not
+cover, each with a full DuckDB oracle.
+
+These extend the reference's analytics surface (its rollups stop at
+per-month group-aggs — src/config/spark_config.yml:62,68-69) with the
+shapes a telemetry / curation platform reaches for next: association
+rules over order baskets, tail-robust price statistics, mix-
+concentration monitoring, cost/latency Pareto frontiers, and coverage-
+span flattening.
+
+Conventions as everywhere: integer cents via FLOOR(value*100), integer
+basis points, microsecond epochs via unix_micros/epoch_us, every
+computed column aliased identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.statistics import (
+    co_occurrence_lift,
+    gini_simpson,
+    merge_intervals,
+    skyline_2d,
+    winsorized_stats,
+)
+from real_time_data_pipeline_spark.schemas import load_table
+
+MIN_PAIRS = 2
+HOLD_BASE_S = 60
+HOLD_MOD_S = 3600
+
+
+def q_itemset_lift(spark, sf_dir):
+    """Part-pair association rules over order baskets
+    (operators/statistics.co_occurrence_lift): distinct (order, part)
+    baskets, pair counts from the basket equi-join, support/confidence/
+    lift in integer bp, min_pairs=2 so the output is a deterministic
+    set."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return co_occurrence_lift(
+        li, "l_orderkey", "l_partkey", min_pairs=MIN_PAIRS
+    )
+
+
+def q_winsorized_price_stats(spark, sf_dir):
+    """Per-priority winsorized order-price mean
+    (operators/statistics.winsorized_stats): tails clamped at the exact
+    discrete p05/p95 (rank ceil(q*n/100) via the two-phase distributed
+    rank recipe), then one integer-cents aggregate — the robust moment
+    a price monitor alerts on."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        "o_orderkey",
+    )
+    return winsorized_stats(
+        orders, "o_orderpriority", "price_c", "o_orderkey"
+    )
+
+
+def q_user_type_diversity(spark, sf_dir):
+    """Gini-Simpson diversity of each user's event-type mix in integer
+    bp (operators/statistics.gini_simpson) — rational, so integer-exact
+    cross-engine where Shannon entropy's log would be libm-dependent."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return gini_simpson(ev, "user_id", "event_type")
+
+
+def q_order_skyline(spark, sf_dir):
+    """Pareto frontier of orders on (earlier date, higher price)
+    (operators/statistics.skyline_2d): the orders no other order beats
+    on both axes — sweep on the per-date max frame (|dates| rows), all
+    ties kept."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    return skyline_2d(orders, "o_orderkey", "o_orderdate", "price_c")
+
+
+def q_interval_merge(spark, sf_dir):
+    """Per-user coverage spans from variable-length activity intervals
+    (operators/statistics.merge_intervals): each event holds the user
+    active for (value_c % 3600 + 60) seconds, overlapping-or-touching
+    holds merge via the running-max-of-end union (NOT the lag-gap rule
+    — an early long hold can envelop several later ones).  Output spans
+    in epoch micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("value_c"),
+    )
+    iv = ev.select(
+        "user_id",
+        "start_us",
+        (
+            F.col("start_us")
+            + (F.col("value_c") % HOLD_MOD_S + HOLD_BASE_S)
+            * F.lit(1_000_000)
+        ).alias("end_us"),
+        "event_id",
+    )
+    return merge_intervals(iv, "user_id", "start_us", "end_us", "event_id")
+
+
+QUERIES = {
+    "itemset_lift": q_itemset_lift,
+    "winsorized_price_stats": q_winsorized_price_stats,
+    "user_type_diversity": q_user_type_diversity,
+    "order_skyline": q_order_skyline,
+    "interval_merge": q_interval_merge,
+}
+
+ORACLES = {
+    "itemset_lift": f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.i AS item_a, b.i AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2
+          HAVING count(*) >= {MIN_PAIRS}
+        ),
+        ic AS (
+          SELECT i, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM items
+        )
+        SELECT p.item_a, p.item_b, p.n_ab,
+               ca.n_item AS n_a, cb.n_item AS n_b,
+               (10000 * p.n_ab) // t.n_baskets AS support_bp,
+               (10000 * p.n_ab) // ca.n_item AS conf_a_bp,
+               (10000 * p.n_ab * t.n_baskets) // (ca.n_item * cb.n_item)
+                   AS lift_bp
+        FROM pairs p
+        JOIN ic ca ON ca.i = p.item_a
+        JOIN ic cb ON cb.i = p.item_b
+        CROSS JOIN tot t
+    """,
+    "winsorized_price_stats": """
+        WITH o AS (
+          SELECT o_orderpriority AS g,
+                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+                 o_orderkey AS s
+          FROM orders
+        ),
+        ranked AS (
+          SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v, s) AS r,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM o
+        ),
+        bounds AS (
+          SELECT g, CAST(n AS BIGINT) AS n,
+                 CAST(max(CASE WHEN r = (n * 5 + 99) // 100 THEN v END)
+                      AS BIGINT) AS p_lo_c,
+                 CAST(max(CASE WHEN r = (n * 95 + 99) // 100 THEN v END)
+                      AS BIGINT) AS p_hi_c
+          FROM ranked
+          WHERE r = (n * 5 + 99) // 100 OR r = (n * 95 + 99) // 100
+          GROUP BY 1, 2
+        )
+        SELECT o.g AS o_orderpriority, b.n, b.p_lo_c, b.p_hi_c,
+               CAST(SUM(GREATEST(b.p_lo_c, LEAST(b.p_hi_c, o.v)))
+                    // b.n AS BIGINT) AS win_mean_c,
+               CAST(SUM(GREATEST(b.p_lo_c, LEAST(b.p_hi_c, o.v)))
+                    AS BIGINT) AS win_sum_c
+        FROM o JOIN bounds b ON o.g = b.g
+        GROUP BY 1, 2, 3, 4
+    """,
+    "user_type_diversity": """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_i
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(((SUM(n_i) * SUM(n_i) - SUM(n_i * n_i)) * 10000)
+                   // (SUM(n_i) * SUM(n_i)) AS BIGINT) AS diversity_bp
+        FROM c GROUP BY 1
+    """,
+    "order_skyline": """
+        WITH o AS (
+          SELECT o_orderkey, o_orderdate,
+                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM orders
+        ),
+        per_x AS (
+          SELECT o_orderdate, max(price_c) AS ymax FROM o GROUP BY 1
+        ),
+        fr AS (
+          SELECT o_orderdate, ymax,
+                 max(ymax) OVER (ORDER BY o_orderdate
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev
+          FROM per_x
+        )
+        SELECT o.o_orderkey, o.o_orderdate, o.price_c
+        FROM o JOIN fr ON o.o_orderdate = fr.o_orderdate
+                      AND o.price_c = fr.ymax
+        WHERE fr.prev IS NULL OR fr.ymax > fr.prev
+    """,
+    "interval_merge": f"""
+        WITH iv AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   + (CAST(FLOOR(value * 100) AS BIGINT) % {HOLD_MOD_S}
+                      + {HOLD_BASE_S}) * 1000000 AS end_us,
+                 event_id
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, start_us, end_us, event_id,
+                 CASE WHEN max(end_us) OVER (
+                          PARTITION BY user_id ORDER BY start_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR start_us > max(end_us) OVER (
+                          PARTITION BY user_id ORDER BY start_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                 THEN 1 ELSE 0 END AS new_span
+          FROM iv
+        ),
+        spans AS (
+          SELECT user_id, start_us, end_us,
+                 CAST(SUM(new_span) OVER (
+                     PARTITION BY user_id ORDER BY start_us, event_id
+                     ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS span_no
+          FROM flagged
+        )
+        SELECT user_id, span_no,
+               CAST(MIN(start_us) AS BIGINT) AS span_start,
+               CAST(MAX(end_us) AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM spans GROUP BY 1, 2
+    """,
+}

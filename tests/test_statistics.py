@@ -1,0 +1,133 @@
+"""Unit tests for operators/statistics.py (round-6 tier): goldens on
+the edge cases the oracle SFs can't be counted on to hit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.statistics import (
+    co_occurrence_lift,
+    gini_simpson,
+    merge_intervals,
+    skyline_2d,
+    winsorized_stats,
+)
+
+
+def test_co_occurrence_lift_counts_and_dedup(spark):
+    # baskets: 1:{a,b,b}, 2:{a,b}, 3:{a,c}, 4:{b,c} — duplicate b in
+    # basket 1 must count once (distinct pass)
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in co_occurrence_lift(df, "basket", "item", min_pairs=2).collect()
+    }
+    # only (a,b) co-occurs twice; (a,c) and (b,c) once -> filtered
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["n_ab"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    # N=4 baskets: support = 10000*2//4 = 5000; conf = 10000*2//3 = 6666;
+    # lift = 10000*2*4//(3*3) = 8888
+    assert (r["support_bp"], r["conf_a_bp"], r["lift_bp"]) == (5000, 6666, 8888)
+
+
+def test_winsorized_stats_clamps_exact_ranks(spark):
+    # group g: values 1..20 -> n=20, p05 rank ceil(1)=1 -> 1,
+    # p95 rank ceil(19)=19 -> 19; clamped sum = 19 + sum(2..18)... wait:
+    # clamp(v) = max(1, min(19, v)): 1..19 stay, 20 -> 19.
+    rows = [("g", v, v) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v long, s long")
+    out = winsorized_stats(df, "g", "v", "s").collect()
+    assert len(out) == 1
+    r = out[0]
+    expect_sum = sum(max(1, min(19, v)) for v in range(1, 21))
+    assert (r["n"], r["p_lo_c"], r["p_hi_c"]) == (20, 1, 19)
+    assert r["win_sum_c"] == expect_sum
+    assert r["win_mean_c"] == expect_sum // 20
+
+
+def test_gini_simpson_degenerate_and_uniform(spark):
+    rows = [("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "y")]
+    df = spark.createDataFrame(rows, "u string, t string")
+    out = {r["u"]: r for r in gini_simpson(df, "u", "t").collect()}
+    # u1: one type -> 0 diversity; u2: 2 of 2 types -> (4-2)*1e4//4 = 5000
+    assert out["u1"]["diversity_bp"] == 0 and out["u1"]["n_distinct"] == 1
+    assert out["u2"]["diversity_bp"] == 5000 and out["u2"]["n"] == 2
+
+
+def test_skyline_2d_dominance_and_ties(spark):
+    # lower x better, higher y better
+    rows = [
+        (1, 1, 50),   # frontier (earliest)
+        (2, 2, 60),   # frontier (beats 1 on y, later x)
+        (3, 2, 60),   # exact tie with 2 -> both kept
+        (4, 2, 40),   # same x as 2, lower y -> dominated
+        (5, 3, 55),   # enveloped by 2 (x=2<=3, y=60>=55) -> dominated
+        (6, 4, 70),   # frontier
+    ]
+    df = spark.createDataFrame(rows, "id int, x int, y int")
+    got = {r["id"] for r in skyline_2d(df, "id", "x", "y").collect()}
+    assert got == {1, 2, 3, 6}
+
+
+def test_merge_intervals_envelope_not_lag_gap(spark):
+    # [0,100) envelops [10,20) and [30,40): the lag-gap rule would
+    # split at 30 (prev end 20); the running-max union must not.
+    rows = [
+        ("u", 0, 100, 1),
+        ("u", 10, 20, 2),
+        ("u", 30, 40, 3),
+        ("u", 150, 160, 4),
+        ("v", 5, 10, 5),
+        ("v", 10, 15, 6),  # touching -> merges (half-open union)
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long, q long")
+    out = {
+        (r["k"], r["span_no"]): r
+        for r in merge_intervals(df, "k", "s", "e", "q").collect()
+    }
+    assert len(out) == 3
+    assert (out[("u", 1)]["span_start"], out[("u", 1)]["span_end"],
+            out[("u", 1)]["n_intervals"]) == (0, 100, 3)
+    assert (out[("u", 2)]["span_start"], out[("u", 2)]["span_end"]) == (150, 160)
+    assert (out[("v", 1)]["span_start"], out[("v", 1)]["span_end"],
+            out[("v", 1)]["n_intervals"]) == (5, 15, 2)
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """Property check at sf0.001: the sweep output equals the O(n^2)
+    dominance definition."""
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    rows = orders.collect()
+    brute = {
+        r["o_orderkey"]
+        for r in rows
+        if not any(
+            (b["o_orderdate"] <= r["o_orderdate"])
+            and (b["price_c"] >= r["price_c"])
+            and (
+                b["o_orderdate"] < r["o_orderdate"]
+                or b["price_c"] > r["price_c"]
+            )
+            for b in rows
+        )
+    }
+    got = {
+        r["o_orderkey"]
+        for r in skyline_2d(
+            orders, "o_orderkey", "o_orderdate", "price_c"
+        ).collect()
+    }
+    assert got == brute
