@@ -280,13 +280,59 @@ ORACLES["mm_phash_near_dup"] = f"""
 
 def q_mm_keyframes(spark, sf_dir):
     """Delta-scored keyframe selection over the deterministic fake
-    video track (operators/multimodal.keyframe_select) — rows-only
-    (the scoring loop is the op itself; determinism and hand-computed
-    deltas pinned in tests/test_multimodal.py)."""
+    video track (operators/multimodal.keyframe_select).  Oracle-backed
+    since round 6: every emitted number is integer math over the
+    closed-form byte synthesis — frame scores are mean |byte delta|
+    whose only division is by frame_bytes=16 (a power of two, exact in
+    float64, and comparable via the integer SUM), selection order is
+    (score desc, index asc), and max_delta truncates to sum // 16 — so
+    DuckDB recomputes the whole selection value-for-value.  The
+    n_frames<=1 degenerate path stays pinned by the unit goldens."""
     vids = M.attach_fake_audio(_doc_lengths(spark, sf_dir), len_col="n")
     return M.keyframe_select(
         vids.select("doc_id", "content"), frame_bytes=16, top_n=4
     )
 
 
-QUERIES["mm_keyframes"] = q_mm_keyframes  # rows-only (summary of fake decode)
+QUERIES["mm_keyframes"] = q_mm_keyframes  # oracle-backed (integer deltas)
+
+# Independent recomputation of keyframe_select on the closed-form track:
+# byte i = (doc_id*13 + i*7) % 256, frames of 16 bytes, frame f>=1
+# scored by sum_j |byte(f,j) - byte(f-1,j)| (the /16 mean rescales
+# monotonically — integer sums give the same order), frame 0 duplicates
+# frame 1's score (shot start), top-4 by (score desc, index asc).
+ORACLES["mm_keyframes"] = f"""
+    WITH base AS (
+      SELECT doc_id, ({_N_AUDIO}) // 16 AS nf FROM documents
+    ),
+    d AS (
+      SELECT b.doc_id, f.f AS f,
+             list_sum(list_transform(range(16), j ->
+                 abs(((b.doc_id * 13 + (f.f * 16 + j) * 7) % 256)
+                   - ((b.doc_id * 13 + ((f.f - 1) * 16 + j) * 7) % 256))))
+                 AS ds
+      FROM base b, LATERAL (SELECT unnest(range(1, b.nf)) AS f) f
+    ),
+    scores AS (
+      SELECT doc_id, f, ds FROM d
+      UNION ALL
+      SELECT doc_id, 0 AS f, ds FROM d WHERE f = 1
+    ),
+    ranked AS (
+      SELECT doc_id, f, ds,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ds DESC, f ASC) AS rk
+      FROM scores
+    )
+    SELECT b.doc_id,
+           CAST(b.nf AS INT) AS n_frames,
+           CAST(count(r.f) AS INT) AS n_keyframes,
+           string_agg(CAST(r.f AS VARCHAR), ',' ORDER BY r.f)
+               AS keyframe_idxs,
+           CAST(mx.ds // 16 AS INT) AS max_delta
+    FROM base b
+    JOIN (SELECT * FROM ranked WHERE rk <= 4) r ON b.doc_id = r.doc_id
+    JOIN (SELECT doc_id, max(ds) AS ds FROM scores GROUP BY 1) mx
+      ON b.doc_id = mx.doc_id
+    GROUP BY b.doc_id, b.nf, mx.ds
+"""

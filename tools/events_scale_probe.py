@@ -54,6 +54,9 @@ DEFAULT_QUERIES = [
     "cdc_apply_incremental",
     "stream_cdc_apply",  # r6 (VERDICT r5 #7): streaming upsert at 10x events
     "session_overlap",
+    # r6 statistics tier (events-grain)
+    "user_type_diversity",
+    "interval_merge",
 ]
 # Output itself grows superlinearly by construction (cross-replica
 # session pairs): ratio reported, not held to the band.
@@ -194,6 +197,10 @@ ORDERS_QUERIES = [
     "benford_audit",
     # r6 (VERDICT r5 #7): streaming Δ-join view maintenance at 10x orders
     "stream_join_view_incremental",
+    # r6 statistics tier (orders/lineitem-grain)
+    "winsorized_price_stats",
+    "order_skyline",
+    "itemset_lift",
 ]
 ORDER_OFFSET = 100_000_000
 
@@ -238,6 +245,27 @@ def build_scaled_orders(spark, sf_dir: str, out_dir: str) -> str:
     )
     c_scaled.repartition(32).write.mode("overwrite").parquet(
         f"{dst}/customer.parquet"
+    )
+    # r6: replicate lineitem with the SAME order-key offset (same
+    # baskets, 10x of them; parts unscaled) so the basket-join tier
+    # (itemset_lift) probes under linearly-grown pair pressure — the
+    # honest growth mode for an order stream (more orders, same catalog).
+    li = load_table(spark, sf_dir, "lineitem")
+    li_parts = [li]
+    for i in range(1, FACTOR):
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * ORDER_OFFSET)).alias(
+                    "l_orderkey"
+                ),
+                *[c for c in li.columns if c != "l_orderkey"],
+            )
+        )
+    li_scaled = li_parts[0]
+    for p in li_parts[1:]:
+        li_scaled = li_scaled.unionByName(p)
+    li_scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/lineitem.parquet"
     )
     _link_missing_tables(sf_dir, dst)
     return dst
