@@ -98,38 +98,21 @@ def co_occurrence_lift(
     )
 
 
-def winsorized_stats(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    seq_col: str,
-    lo_pct: int = 5,
-    hi_pct: int = 95,
-) -> DataFrame:
-    """Per-group winsorized mean — robust central tendency with the
-    tails clamped to EXACT discrete percentiles (value at rank
-    ceil(q*n/100); pure-integer rank targets, so any q is cross-engine
-    exact — the gap_sla_quantiles argument applied to moments).
-
-    Ranks come from the two-phase distributed recipe: range-repartition
-    on (group, value, seq), per-partition row_number, partition-count
+def distributed_ranks(df: DataFrame) -> DataFrame:
+    """Two-phase fully-distributed per-group ranks (the
+    gap_sla_quantiles recipe factored out): input must carry columns
+    ``g`` (group), ``v`` (bigint value), ``s`` (tie-break seq); output
+    adds ``r`` (1-based rank of v within g by (v, s)) and ``n`` (group
+    size), plus ``pid``.  Range-repartition on (g, v, s), per-PARTITION
+    row_number (each window sees one partition's slice), partition-count
     offsets folded by a broadcast triangular join — no single-partition
-    window at any scale.  The two boundary values per group then
-    broadcast back onto the raw rows for the clamp + one hash
-    aggregate.
-
-    Output: (group, n, p_lo_c, p_hi_c, win_mean_c, win_sum_c) — all
-    bigint.
-    """
+    window at any scale.  The repartitioned frame is persisted
+    (cache.track) because it feeds both the rank window and the offset
+    counts."""
     from real_time_data_pipeline_spark.operators import cache
 
-    src = df.select(
-        F.col(group_col).alias("g"),
-        F.col(value_col).cast("bigint").alias("v"),
-        F.col(seq_col).alias("s"),
-    )
     parted = cache.track(
-        src.repartitionByRange(32, "g", "v", "s").withColumn(
+        df.repartitionByRange(32, "g", "v", "s").withColumn(
             "pid", F.spark_partition_id()
         )
     )
@@ -153,11 +136,42 @@ def winsorized_stats(
         .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("offset"))
     )
     totals = cnts.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
-    ranked = (
+    return (
         local.join(F.broadcast(offsets), ["pid", "g"])
         .withColumn("r", F.col("offset") + F.col("j"))
         .join(F.broadcast(totals), "g")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    seq_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized mean — robust central tendency with the
+    tails clamped to EXACT discrete percentiles (value at rank
+    ceil(q*n/100); pure-integer rank targets, so any q is cross-engine
+    exact — the gap_sla_quantiles argument applied to moments).
+
+    Ranks come from :func:`distributed_ranks`; the two boundary values
+    per group then broadcast back onto the raw rows for the clamp + one
+    hash aggregate.
+
+    Output: (group, n, p_lo_c, p_hi_c, win_mean_c, win_sum_c) — all
+    bigint.
+    """
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(seq_col).alias("s"),
+    )
+    ranked = distributed_ranks(src)
+    # distributed_ranks persisted the repartitioned source; reuse it for
+    # the clamp pass instead of re-shuffling the raw frame.
+    parted = ranked.select("g", "v")
     lo_expr = f"(n * {lo_pct} + 99) div 100"
     hi_expr = f"(n * {hi_pct} + 99) div 100"
     bounds = (

@@ -110,12 +110,87 @@ def q_interval_merge(spark, sf_dir):
     return merge_intervals(iv, "user_id", "start_us", "end_us", "event_id")
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]  # queries/analytics.py order
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Exact conversion-latency quantiles for the signup→click→purchase
+    funnel: per user the EARLIEST signup, the earliest click strictly
+    after it, the earliest purchase strictly after that (the
+    funnel_counts step rule), latency = purchase - signup in µs, then
+    discrete p50/p90/p99 by integer rank-select over the converted-user
+    latencies (operators/statistics.distributed_ranks — the
+    gap_sla_quantiles recipe, so no float and no single-partition
+    window touches the user-scale frame).  The "how long does
+    conversion take" report next to funnel_counts' "how many
+    convert"."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("us").alias("t3"))
+    )
+    lat = t3.select(
+        F.lit("all").alias("g"),
+        (F.col("t3") - F.col("t1")).alias("v"),
+        F.col("user_id").alias("s"),
+    )
+    from real_time_data_pipeline_spark.operators.statistics import (
+        distributed_ranks,
+    )
+
+    ranked = distributed_ranks(lat)
+    targets = {
+        "p50_us": "(n * 50 + 99) div 100",
+        "p90_us": "(n * 90 + 99) div 100",
+        "p99_us": "(n * 99 + 99) div 100",
+    }
+    cond = None
+    for t in targets.values():
+        c = F.col("r") == F.expr(t)
+        cond = c if cond is None else (cond | c)
+    return (
+        ranked.filter(cond)
+        .groupBy("n")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("r") == F.expr(expr), F.col("v"))
+                ).alias(name)
+                for name, expr in targets.items()
+            ]
+        )
+        .select(
+            F.col("n").alias("n_converted"), "p50_us", "p90_us", "p99_us"
+        )
+    )
+
+
 QUERIES = {
     "itemset_lift": q_itemset_lift,
     "winsorized_price_stats": q_winsorized_price_stats,
     "user_type_diversity": q_user_type_diversity,
     "order_skyline": q_order_skyline,
     "interval_merge": q_interval_merge,
+    "funnel_latency": q_funnel_latency,
 }
 
 ORACLES = {
@@ -210,6 +285,50 @@ ORACLES = {
         FROM o JOIN fr ON o.o_orderdate = fr.o_orderdate
                       AND o.price_c = fr.ymax
         WHERE fr.prev IS NULL OR fr.ymax > fr.prev
+    """,
+    "funnel_latency": """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ),
+        t1 AS (
+          SELECT user_id, MIN(us) AS t1 FROM ev
+          WHERE event_type = 'signup' GROUP BY 1
+        ),
+        t2 AS (
+          SELECT e.user_id, t1.t1, MIN(e.us) AS t2
+          FROM ev e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.us > t1.t1
+          GROUP BY 1, 2
+        ),
+        t3 AS (
+          SELECT e.user_id, t2.t1, MIN(e.us) AS t3
+          FROM ev e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.us > t2.t2
+          GROUP BY 1, 2
+        ),
+        lat AS (
+          SELECT user_id AS s, t3 - t1 AS v FROM t3
+        ),
+        ranked AS (
+          SELECT v,
+                 row_number() OVER (ORDER BY v, s) AS r,
+                 count(*) OVER () AS n
+          FROM lat
+        )
+        SELECT CAST(n AS BIGINT) AS n_converted,
+               CAST(max(CASE WHEN r = (n * 50 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p50_us,
+               CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p90_us,
+               CAST(max(CASE WHEN r = (n * 99 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p99_us
+        FROM ranked
+        WHERE r = (n * 50 + 99) // 100
+           OR r = (n * 90 + 99) // 100
+           OR r = (n * 99 + 99) // 100
+        GROUP BY n
     """,
     "interval_merge": f"""
         WITH iv AS (
