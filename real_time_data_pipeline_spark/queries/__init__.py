@@ -112,6 +112,23 @@ _R6_PRIORITY = [
     "ann_gemm_topk",
 ]
 
+# Round-7 rotation candidates (oracle-backed entries registered after
+# the round-6 window filled; parity-green at sf0.001+sf0.01, no driver
+# verdict yet — front-load next round):
+#   itemset_lift (market-basket support/confidence/lift, basket
+#     equi-join pair generation), winsorized_price_stats (exact-rank
+#     p05/p95 clamp via the shared distributed_ranks helper),
+#   user_type_diversity (Gini-Simpson in integer bp — rational, so
+#     exact where entropy's log is libm-dependent), order_skyline
+#     (2-D Pareto frontier by per-date-max sweep), interval_merge
+#     (running-max-of-end interval union — NOT the lag-gap rule),
+#   funnel_latency (exact discrete p50/p90/p99 conversion latency on
+#     distributed_ranks), mm_keyframes (rows-only -> oracle promotion:
+#     integer-delta keyframe selection recomputed from the closed-form
+#     track).
+# 7 candidates; the remaining ~42 slots re-verify the oldest driver
+# verdicts (rounds 1-3) under whatever code round 7 touches.
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:
