@@ -286,6 +286,121 @@ def skyline_2d(
     )
 
 
+def prorate_largest_remainder(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Exact proration: split each group's integer ``total_col`` across
+    its rows proportional to ``weight_col`` with the largest-remainder
+    method — the finance/billing allocation rule where every cent must
+    land somewhere and the per-group sum must equal the total EXACTLY
+    (floor shares, then the leftover R cents go to the R rows with the
+    largest fractional remainder, ties by ``seq_col``).
+
+    Pure integer arithmetic: base = total*w div W, remainder key =
+    total*w mod W — no float ever, so the allocation is reproducible on
+    any engine.  The windows partition by the group key, so frames are
+    bounded by group size (an order's lineitems, an invoice's lines) —
+    never data-scale.  One shuffle on the group key; the group totals
+    ride the same partitioning.
+
+    Output: (group, seq, weight, alloc_c) with
+    SUM(alloc_c) GROUP BY group == total by construction (unit-pinned).
+    """
+    w_tot = Window.partitionBy(group_col)
+    # NB: Spark resolves column names case-insensitively by default, so
+    # the weight column and its group total need distinct SPELLINGS,
+    # not just distinct cases ("w" vs "W" silently collide).
+    base = df.select(
+        group_col,
+        F.col(seq_col).alias("seq"),
+        F.col(weight_col).cast("bigint").alias("wgt"),
+        F.col(total_col).cast("bigint").alias("t"),
+    ).withColumn("wsum", F.sum("wgt").over(w_tot))
+    shared = base.select(
+        group_col,
+        "seq",
+        "wgt",
+        "t",
+        F.expr("(t * wgt) div wsum").alias("base_c"),
+        F.expr("(t * wgt) % wsum").alias("rem_key"),
+        (
+            F.col("t")
+            - F.sum(F.expr("(t * wgt) div wsum")).over(w_tot)
+        ).alias("R"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("rem_key"), F.asc("seq"))
+    )
+    return shared.withColumn("rk", rank).select(
+        group_col,
+        "seq",
+        F.col("wgt").alias("weight_c"),
+        (
+            F.col("base_c")
+            + F.when(F.col("rk") <= F.col("R"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_c"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total (2*cum >= W) — the
+    quantity-weighted "typical price" a plain median mis-states when row
+    weights differ by orders of magnitude.
+
+    The cumulative weight comes from
+    operators/aggregates.scalable_running_sum (two-phase distributed
+    prefix sum — no group funnels through one task), and the boundary
+    row is selected by the exact integer crossing condition
+    2*cum >= W AND 2*(cum - w) < W, which holds for EXACTLY one row per
+    group — no min_by / second aggregate needed.
+
+    Output: (group, total_weight, wmedian_c) — all bigint.
+    """
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(weight_col).cast("bigint").alias("wt"),
+        F.col(seq_col).alias("s"),
+    )
+    cum = scalable_running_sum(
+        src,
+        group_cols=["g"],
+        order_cols=["v", "s"],
+        value_col="wt",
+        out_col="cum",
+    )
+    tot = cum.groupBy("g").agg(F.max("cum").cast("bigint").alias("W"))
+    return (
+        cum.join(F.broadcast(tot), "g")
+        .filter(
+            (F.lit(2) * F.col("cum") >= F.col("W"))
+            & (F.lit(2) * (F.col("cum") - F.col("wt")) < F.col("W"))
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("W").alias("total_weight"),
+            F.col("v").alias("wmedian_c"),
+        )
+    )
+
+
 def merge_intervals(
     df: DataFrame,
     key_col: str,

@@ -184,6 +184,59 @@ def q_funnel_latency(spark, sf_dir):
     )
 
 
+def q_order_proration(spark, sf_dir):
+    """Largest-remainder allocation of each order's total across its
+    lineitems (operators/statistics.prorate_largest_remainder):
+    proportional to extended price, floor shares + remainder cents to
+    the largest fractional remainders — pure integer, and the per-order
+    allocation sums to the order total EXACTLY (the billing invariant,
+    unit-pinned).  Window frames bounded by basket size, one shuffle on
+    the order key."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        prorate_largest_remainder,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("w_c"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("total_c"),
+    )
+    joined = li.join(orders, "l_orderkey")
+    return prorate_largest_remainder(
+        joined, "l_orderkey", "w_c", "total_c", "l_linenumber"
+    ).select(
+        "l_orderkey",
+        F.col("seq").alias("l_linenumber"),
+        "weight_c",
+        "alloc_c",
+    )
+
+
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted exact median extended price per return flag
+    (operators/statistics.weighted_median): cumulative weights via the
+    two-phase distributed prefix sum, boundary row by the integer
+    crossing rule 2*cum >= W > 2*(cum - w) — one row per group, no
+    float."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr("l_orderkey * 10 + l_linenumber").alias("seq"),
+    )
+    return weighted_median(li, "l_returnflag", "price_c", "qty", "seq")
+
+
 QUERIES = {
     "itemset_lift": q_itemset_lift,
     "winsorized_price_stats": q_winsorized_price_stats,
@@ -191,6 +244,8 @@ QUERIES = {
     "order_skyline": q_order_skyline,
     "interval_merge": q_interval_merge,
     "funnel_latency": q_funnel_latency,
+    "order_proration": q_order_proration,
+    "weighted_median_price": q_weighted_median_price,
 }
 
 ORACLES = {
@@ -285,6 +340,57 @@ ORACLES = {
         FROM o JOIN fr ON o.o_orderdate = fr.o_orderdate
                       AND o.price_c = fr.ymax
         WHERE fr.prev IS NULL OR fr.ymax > fr.prev
+    """,
+    # NB: SQL identifiers are case-insensitive — the weight column and
+    # its group total need distinct spellings (w vs W silently collide)
+    "order_proration": """
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_linenumber,
+                 CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS wgt,
+                 CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS t
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        shares AS (
+          SELECT l_orderkey, l_linenumber, wgt, t,
+                 SUM(wgt) OVER (PARTITION BY l_orderkey) AS wsum
+          FROM li
+        ),
+        based AS (
+          SELECT l_orderkey, l_linenumber, wgt,
+                 (t * wgt) // wsum AS base_c,
+                 (t * wgt) % wsum AS rem_key,
+                 t - SUM((t * wgt) // wsum)
+                     OVER (PARTITION BY l_orderkey) AS R
+          FROM shares
+        )
+        SELECT l_orderkey, l_linenumber,
+               CAST(wgt AS BIGINT) AS weight_c,
+               CAST(base_c + CASE WHEN row_number() OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY rem_key DESC, l_linenumber ASC
+                    ) <= R THEN 1 ELSE 0 END AS BIGINT) AS alloc_c
+        FROM based
+    """,
+    "weighted_median_price": """
+        WITH li AS (
+          SELECT l_returnflag AS g,
+                 CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+                 CAST(l_quantity AS BIGINT) AS wt,
+                 l_orderkey * 10 + l_linenumber AS s
+          FROM lineitem
+        ),
+        cum AS (
+          SELECT g, v, wt,
+                 CAST(SUM(wt) OVER (PARTITION BY g ORDER BY v, s
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(SUM(wt) OVER (PARTITION BY g) AS BIGINT) AS W
+          FROM li
+        )
+        SELECT g AS l_returnflag,
+               W AS total_weight,
+               v AS wmedian_c
+        FROM cum
+        WHERE 2 * cum >= W AND 2 * (cum - wt) < W
     """,
     "funnel_latency": """
         WITH ev AS (

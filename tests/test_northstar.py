@@ -127,6 +127,36 @@ def test_lsh_topk_subset_of_exact_scores(spark, sf_dir):
             assert exact[(r.query_id, r.neighbor_id)] == r.cos_bp
 
 
+def test_lsh_multiprobe_recall_monotone_to_exact(spark, sf_dir):
+    """probe_hamming (round-6 multi-probe param) must be recall-monotone
+    — each extra probe radius can only ADD candidates — and at the full
+    radius the output equals brute force exactly (the property the
+    oracle promotion rests on)."""
+    from real_time_data_pipeline_spark.operators.similarity import lsh_topk
+    from real_time_data_pipeline_spark.queries.similarity import (
+        _corpus_and_queries,
+        q_ann_bruteforce_topk,
+    )
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = {
+        (r.query_id, r.rank, r.neighbor_id, r.cos_bp)
+        for r in q_ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    prev_hits = -1
+    for radius in (0, 2, 6):
+        got = {
+            (r.query_id, r.rank, r.neighbor_id, r.cos_bp)
+            for r in lsh_topk(
+                emb, queries, k=10, n_planes=6, dim=64, probe_hamming=radius
+            ).collect()
+        }
+        hits = len(got & exact)
+        assert hits >= prev_hits, f"recall dropped at radius {radius}"
+        prev_hits = hits
+    assert got == exact  # radius == n_planes probes every bucket
+
+
 def test_language_id_profiles(spark):
     df = spark.createDataFrame(
         [

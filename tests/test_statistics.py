@@ -131,3 +131,61 @@ def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
         ).collect()
     }
     assert got == brute
+
+
+def test_prorate_largest_remainder_golden_and_invariant(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        prorate_largest_remainder,
+    )
+
+    # total 100 over weights 1,1,1 -> base 33 each, R=1 cent to the
+    # largest remainder (all tie at 1/3 -> seq asc wins -> row 1 gets 34)
+    rows = [(1, 1, 1, 100), (1, 2, 1, 100), (1, 3, 1, 100),
+            # total 10 over weights 7,3 -> base 7,3 exact, R=0
+            (2, 1, 7, 10), (2, 2, 3, 10)]
+    df = spark.createDataFrame(rows, "g int, seq int, w_c long, t_c long")
+    out = {
+        (r["g"], r["seq"]): r["alloc_c"]
+        for r in prorate_largest_remainder(df, "g", "w_c", "t_c", "seq").collect()
+    }
+    assert out == {(1, 1): 34, (1, 2): 33, (1, 3): 33, (2, 1): 7, (2, 2): 3}
+
+
+def test_prorate_sums_exactly_to_total_at_sf(spark, sf_dir):
+    """The billing invariant: per-order allocations sum EXACTLY to the
+    order total, for every order at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.queries.analytics_r6 import (
+        q_order_proration,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    alloc = q_order_proration(spark, sf_dir)
+    sums = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_c").alias("allocated")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("total_c"),
+    )
+    bad = sums.join(orders, "l_orderkey").filter(
+        F.col("allocated") != F.col("total_c")
+    )
+    assert bad.count() == 0
+
+
+def test_weighted_median_lower_rule(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        weighted_median,
+    )
+
+    # g=a: values 1(w5), 2(w1), 3(w1): W=7, half=3.5 -> cum at v=1 is 5,
+    #   2*5>=7 and 2*0<7 -> median 1 (weight dominates)
+    # g=b: values 10(w1), 20(w1): W=2 -> 2*1>=2 at v=10 -> lower median 10
+    rows = [("a", 1, 5, 1), ("a", 2, 1, 2), ("a", 3, 1, 3),
+            ("b", 10, 1, 4), ("b", 20, 1, 5)]
+    df = spark.createDataFrame(rows, "g string, v long, wt long, s long")
+    out = {r["g"]: (r["total_weight"], r["wmedian_c"])
+           for r in weighted_median(df, "g", "v", "wt", "s").collect()}
+    assert out == {"a": (7, 1), "b": (2, 10)}

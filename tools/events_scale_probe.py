@@ -201,6 +201,8 @@ ORDERS_QUERIES = [
     "winsorized_price_stats",
     "order_skyline",
     "itemset_lift",
+    "order_proration",
+    "weighted_median_price",
 ]
 ORDER_OFFSET = 100_000_000
 
