@@ -286,6 +286,57 @@ def skyline_2d(
     )
 
 
+def median_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Per-group robust center + spread: discrete lower median (value at
+    rank ceil(n/2) — integer rank, any engine) and the MAD (median
+    absolute deviation: the same discrete median of |v - median|) — the
+    outlier-resistant (center, scale) pair that mean/stddev mis-state on
+    heavy-tailed data, completing the robust-stats family next to
+    :func:`winsorized_stats`.
+
+    Two :func:`distributed_ranks` passes (medians, then deviation
+    medians); the per-group medians broadcast back between them — no
+    single-partition window, no float anywhere.
+
+    Output: (group, n, median_c, mad_c) — all bigint.
+    """
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(seq_col).alias("s"),
+    )
+    ranked = distributed_ranks(src)
+    med = (
+        ranked.filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select("g", F.col("n").alias("n_rows"), F.col("v").alias("median_c"))
+    )
+    dev = ranked.select("g", "v", "s").join(F.broadcast(med), "g").select(
+        "g",
+        F.abs(F.col("v") - F.col("median_c")).alias("v"),
+        "s",
+        "n_rows",
+        "median_c",
+    )
+    dev_ranked = distributed_ranks(dev.select("g", "v", "s"))
+    mad = dev_ranked.filter(F.col("r") == F.expr("(n + 1) div 2")).select(
+        "g", F.col("v").alias("mad_c")
+    )
+    return (
+        med.join(F.broadcast(mad), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_rows").alias("n"),
+            "median_c",
+            "mad_c",
+        )
+    )
+
+
 def prorate_largest_remainder(
     df: DataFrame,
     group_col: str,

@@ -237,6 +237,23 @@ def q_weighted_median_price(spark, sf_dir):
     return weighted_median(li, "l_returnflag", "price_c", "qty", "seq")
 
 
+def q_price_median_mad(spark, sf_dir):
+    """Robust (median, MAD) of order price per priority
+    (operators/statistics.median_mad): discrete lower medians by
+    integer rank-select, two distributed_ranks passes — the
+    outlier-resistant twin of the winsorized mean."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        median_mad,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        "o_orderkey",
+    )
+    return median_mad(orders, "o_orderpriority", "price_c", "o_orderkey")
+
+
 QUERIES = {
     "itemset_lift": q_itemset_lift,
     "winsorized_price_stats": q_winsorized_price_stats,
@@ -246,6 +263,7 @@ QUERIES = {
     "funnel_latency": q_funnel_latency,
     "order_proration": q_order_proration,
     "weighted_median_price": q_weighted_median_price,
+    "price_median_mad": q_price_median_mad,
 }
 
 ORACLES = {
@@ -391,6 +409,40 @@ ORACLES = {
                v AS wmedian_c
         FROM cum
         WHERE 2 * cum >= W AND 2 * (cum - wt) < W
+    """,
+    "price_median_mad": """
+        WITH o AS (
+          SELECT o_orderpriority AS g,
+                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+                 o_orderkey AS s
+          FROM orders
+        ),
+        r1 AS (
+          SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v, s) AS r,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM o
+        ),
+        med AS (
+          SELECT g, CAST(n AS BIGINT) AS n, v AS median_c
+          FROM r1 WHERE r = (n + 1) // 2
+        ),
+        dev AS (
+          SELECT o.g, abs(o.v - m.median_c) AS dv, o.s
+          FROM o JOIN med m ON o.g = m.g
+        ),
+        r2 AS (
+          SELECT g, dv,
+                 row_number() OVER (PARTITION BY g ORDER BY dv, s) AS r,
+                 count(*) OVER (PARTITION BY g) AS n2
+          FROM dev
+        ),
+        mad AS (
+          SELECT g, CAST(dv AS BIGINT) AS mad_c
+          FROM r2 WHERE r = (n2 + 1) // 2
+        )
+        SELECT med.g AS o_orderpriority, med.n, med.median_c, mad.mad_c
+        FROM med JOIN mad ON med.g = mad.g
     """,
     "funnel_latency": """
         WITH ev AS (

@@ -189,3 +189,23 @@ def test_weighted_median_lower_rule(spark):
     out = {r["g"]: (r["total_weight"], r["wmedian_c"])
            for r in weighted_median(df, "g", "v", "wt", "s").collect()}
     assert out == {"a": (7, 1), "b": (2, 10)}
+
+
+def test_median_mad_golden(spark):
+    from real_time_data_pipeline_spark.operators.statistics import median_mad
+
+    # g: values 1,2,3,4,100 -> n=5, lower median rank 3 -> 3;
+    # deviations |v-3| = 2,1,0,1,97 sorted 0,1,1,2,97 -> rank 3 -> 1
+    rows = [("g", v, i) for i, v in enumerate([1, 2, 3, 4, 100])]
+    df = spark.createDataFrame(rows, "g string, v long, s long")
+    out = median_mad(df, "g", "v", "s").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["median_c"], r["mad_c"]) == (5, 3, 1)
+    # even count: 1,2,3,4 -> rank (4+1)//2 = 2 -> lower median 2;
+    # deviations 1,0,1,2 sorted 0,1,1,2 -> rank 2 -> 1
+    df2 = spark.createDataFrame(
+        [("h", v, v) for v in [1, 2, 3, 4]], "g string, v long, s long"
+    )
+    r2 = median_mad(df2, "g", "v", "s").collect()[0]
+    assert (r2["n"], r2["median_c"], r2["mad_c"]) == (4, 2, 1)
