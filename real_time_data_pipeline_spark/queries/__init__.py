@@ -125,8 +125,13 @@ _R6_PRIORITY = [
 #   funnel_latency (exact discrete p50/p90/p99 conversion latency on
 #     distributed_ranks), mm_keyframes (rows-only -> oracle promotion:
 #     integer-delta keyframe selection recomputed from the closed-form
-#     track).
-# 7 candidates; the remaining ~42 slots re-verify the oldest driver
+#     track), order_proration (largest-remainder allocation — per-group
+#     sums EXACTLY equal the totals, integer-only; beware the w/W
+#     case-collision both engines resolve silently),
+#   weighted_median_price (exact lower weighted median via
+#     scalable_running_sum + the 2*cum crossing rule), price_median_mad
+#     (robust median+MAD, two distributed_ranks passes).
+# 10 candidates; the remaining ~39 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 
