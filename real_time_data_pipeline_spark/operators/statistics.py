@@ -452,6 +452,182 @@ def weighted_median(
     )
 
 
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    seq_col: str,
+    delta_col: str,
+) -> DataFrame:
+    """Per-key running balance that clamps at zero — the
+    ledger/inventory recurrence b_i = max(0, b_{i-1} + delta_i), which
+    looks window-inexpressible (each row depends on the clamped
+    previous row) but has the exact closed form
+
+        b_i = cum_i - min(0, min_{k<=i} cum_k)
+
+    over the UNclamped prefix sums: the clamp only ever binds at a new
+    negative running minimum (if cum_i >= the old floor, the floor is
+    unchanged; if cum_i dips below it, the balance pins to 0 and the
+    floor moves to cum_i), so subtracting the running floor replays
+    every clamp at once.  Two windows over the same (key, order, seq)
+    frame — no recursion, no per-row Python.
+
+    A clamp EVENT happens exactly when cum_i falls strictly below the
+    previous floor (for the first row: when cum_1 < 0).
+
+    Per-key summary output keeps the result grain bounded by the key
+    domain: (key, n_events, final_balance_c, peak_balance_c, n_clamps,
+    min_cum_c) — all bigint.  The windows partition by key, so frames
+    are key-activity-bounded; at 100 TB this shuffles once on the key
+    and a pathologically hot key salts upstream (or moves to
+    operators/aggregates.scalable_running_sum for the prefix).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col, seq_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    cum = df.select(
+        key_col,
+        order_col,
+        seq_col,
+        F.col(delta_col).cast("bigint").alias("_d"),
+    ).withColumn("_cum", F.sum("_d").over(run))
+    stepped = cum.select(
+        key_col,
+        "_d",
+        "_cum",
+        F.least(F.lit(0), F.min("_cum").over(run)).alias("_floor"),
+        F.when(
+            F.col("_cum")
+            < F.least(F.lit(0), F.coalesce(F.min("_cum").over(prev), F.lit(0))),
+            1,
+        )
+        .otherwise(0)
+        .alias("_clamp"),
+    ).withColumn("_bal", F.col("_cum") - F.col("_floor"))
+    # final balance = last cum - global floor = sum(delta) - min(0,
+    # min cum): closed form again, so the aggregate never depends on
+    # within-group row order (F.last in an agg is non-deterministic).
+    return stepped.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum("_d") - F.least(F.lit(0), F.min("_cum"))
+        )
+        .cast("bigint")
+        .alias("final_balance_c"),
+        F.max("_bal").cast("bigint").alias("peak_balance_c"),
+        F.sum("_clamp").cast("bigint").alias("n_clamps"),
+        F.min("_cum").cast("bigint").alias("min_cum_c"),
+    )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Chi-square independence audit of a two-way contingency table,
+    emitted per cell in exact integer micro-units so a second engine
+    reproduces it bit-for-bit (the statistic everybody computes in
+    float, made engine-portable).
+
+    Per cell: observed O, row total R, column total C, grand total N,
+    deviation dev = O*N - R*C (the (O - E) numerator scaled by N, still
+    integral), and the scaled contribution
+
+        chi2_u6 = dev^2 * scale div (R * C * N)
+
+    which is ``scale`` times the usual (O-E)^2/E cell term (algebra:
+    (O - RC/N)^2 / (RC/N) = (ON - RC)^2 / (RCN)).  dev^2 can exceed
+    int64 (it is ~N^4 in the worst case), so the square runs in
+    DECIMAL(38,0) — Spark's ``div`` on decimals is exact integral
+    division as long as the QUOTIENT fits bigint (it is ~scale * N, far
+    inside range; the DuckDB twin uses HUGEINT).  Headroom: dev^2 *
+    scale < 1e38 holds through N ~ 5e7 rows per table; past that,
+    pre-divide dev by 1e3 on both engines.
+
+    Three hash aggregates (cells, row totals, column totals) + a 1-row
+    grand total broadcast back — the totals joins broadcast because the
+    grain is the CATEGORY DOMAIN, never the row count.
+    """
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    row_tot = df.groupBy(row_col).agg(
+        F.count("*").cast("bigint").alias("row_total")
+    )
+    col_tot = df.groupBy(col_col).agg(
+        F.count("*").cast("bigint").alias("col_total")
+    )
+    grand = df.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        cells.join(F.broadcast(row_tot), row_col)
+        .join(F.broadcast(col_tot), col_col)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            "row_total",
+            "col_total",
+            "n_total",
+            F.expr("observed * n_total - row_total * col_total").alias("dev"),
+            F.expr(
+                f"(CAST(observed * n_total - row_total * col_total"
+                f" AS DECIMAL(38,0))"
+                f" * CAST(observed * n_total - row_total * col_total"
+                f" AS DECIMAL(38,0))"
+                f" * {scale}) div (row_total * col_total * n_total)"
+            )
+            .cast("bigint")
+            .alias("chi2_u6"),
+        )
+    )
+
+
+def group_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie-break (highest
+    count, then smallest value) — the categorical "typical value"
+    summary.  Spark's own ``mode()`` aggregate is explicitly
+    non-deterministic under ties, which is exactly what a cross-engine
+    value hash cannot tolerate, so this selects the winner by total
+    order instead.
+
+    One hash aggregate to (group, value, cnt) grain — bounded by the
+    VALUE DOMAIN per group, not the row count — then a per-group
+    row_number over (cnt desc, value asc).  The window frame is
+    domain-bounded, so no data-scale rows ever enter a window.
+
+    Output: (group, mode_value, mode_count, n, share_bp).
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count("*").cast("bigint").alias("mode_count")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("mode_count"), F.asc(value_col)
+    )
+    totals = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            F.col(value_col).alias("mode_value"),
+            "mode_count",
+            "n",
+            F.expr("(10000 * mode_count) div n").alias("share_bp"),
+        )
+    )
+
+
 def merge_intervals(
     df: DataFrame,
     key_col: str,
@@ -503,4 +679,173 @@ def merge_intervals(
         F.min(start_col).alias("span_start"),
         F.max(end_col).alias("span_end"),
         F.count("*").cast("bigint").alias("n_intervals"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    side_a: str,
+    side_b: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) statistic between
+    two sides, in EXACT integers — the nonparametric "did the
+    distribution shift" test everybody computes in float, made
+    engine-reproducible by emitting 2*U (doubling clears the half
+    credit tied pairs contribute: U_a = #{(a,b): a > b} + #{a==b}/2 —
+    WINS of side a, the P(a > b) direction).
+
+    Identity used instead of ranking raw rows:
+
+        2*U_a = sum over distinct v of  c_a(v) * (2*lt_b(v) + c_b(v))
+
+    where lt_b(v) is the count of side-b values strictly below v — so
+    the work runs at (group, DISTINCT value) grain: one hash aggregate
+    of the corpus, then a distributed prefix sum over the count frame
+    (operators/aggregates.scalable_running_sum — no group ever funnels
+    through one task), then one more hash aggregate.  The rank-sum
+    form with midranks would need float tie handling; this pair-count
+    form never divides.
+
+    Output: (group, n_a, n_b, u2_a, effect_a_bp) with
+    effect_a_bp = (1e4 * 2U_a) div (2 n_a n_b) — the common-language
+    effect size P(a > b) + P(a == b)/2 in basis points.  Invariant
+    (unit-pinned): u2_a + u2_b == 2 * n_a * n_b.
+    """
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+
+    counts = (
+        df.filter(F.col(side_col).isin([side_a, side_b]))
+        .groupBy(group_col, value_col)
+        .agg(
+            F.sum(
+                F.when(F.col(side_col) == side_a, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(
+                F.when(F.col(side_col) == side_b, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )
+    cum = scalable_running_sum(
+        counts,
+        group_cols=[group_col],
+        order_cols=[value_col],
+        value_col="c_b",
+        out_col="cum_b",
+    )
+    return (
+        cum.withColumn("lt_b", F.col("cum_b") - F.col("c_b"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("c_a").cast("bigint").alias("n_a"),
+            F.sum("c_b").cast("bigint").alias("n_b"),
+            F.sum(
+                F.col("c_a") * (F.lit(2) * F.col("lt_b") + F.col("c_b"))
+            )
+            .cast("bigint")
+            .alias("u2_a"),
+        )
+        .select(
+            group_col,
+            "n_a",
+            "n_b",
+            "u2_a",
+            F.expr("(10000 * u2_a) div (2 * n_a * n_b)").alias(
+                "effect_a_bp"
+            ),
+        )
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    side_a: str,
+    side_b: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic in EXACT
+    integer basis points: D = max over values of |F_a(v) - F_b(v)|,
+    computed as max |cum_a(v) * n_b - cum_b(v) * n_a| over the common
+    denominator n_a * n_b — never a float, so any engine reproduces the
+    same number.  The distribution-drift statistic that complements the
+    Wasserstein monitor (quality.py): KS is the max VERTICAL gap
+    between the empirical CDFs, Wasserstein the area between them.
+
+    Shape: one hash aggregate to (group, distinct value) grain, two
+    distributed prefix sums over that count frame
+    (scalable_running_sum; each is one range exchange — the frame is
+    already distinct-value grain, far below corpus scale), one max
+    aggregate.  Bigint headroom: cum * n < n^2, safe through n ~ 3e9
+    rows per group.
+
+    Output: (group, n_a, n_b, d_num, d_bp) with
+    d_bp = (1e4 * d_num) div (n_a * n_b) in [0, 10000].
+    """
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+
+    counts = (
+        df.filter(F.col(side_col).isin([side_a, side_b]))
+        .groupBy(group_col, value_col)
+        .agg(
+            F.sum(
+                F.when(F.col(side_col) == side_a, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(
+                F.when(F.col(side_col) == side_b, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )
+    cum_a = scalable_running_sum(
+        counts,
+        group_cols=[group_col],
+        order_cols=[value_col],
+        value_col="c_a",
+        out_col="cum_a",
+    )
+    cum = scalable_running_sum(
+        cum_a,
+        group_cols=[group_col],
+        order_cols=[value_col],
+        value_col="c_b",
+        out_col="cum_b",
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("gap"),
+        )
+        .groupBy(group_col, "n_a", "n_b")
+        .agg(F.max("gap").cast("bigint").alias("d_num"))
+        .select(
+            group_col,
+            "n_a",
+            "n_b",
+            "d_num",
+            F.expr("(10000 * d_num) div (n_a * n_b)").alias("d_bp"),
+        )
     )

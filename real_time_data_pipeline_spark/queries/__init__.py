@@ -130,8 +130,15 @@ _R6_PRIORITY = [
 #     case-collision both engines resolve silently),
 #   weighted_median_price (exact lower weighted median via
 #     scalable_running_sum + the 2*cum crossing rule), price_median_mad
-#     (robust median+MAD, two distributed_ranks passes).
-# 10 candidates; the remaining ~39 slots re-verify the oldest driver
+#     (robust median+MAD, two distributed_ranks passes),
+#   clamped_balance (zero-clamped ledger recurrence via the
+#     cum-minus-running-floor closed form), stream_clamped_balance
+#     (the SAME recurrence as applyInPandasWithState over time-ordered
+#     micro-batches — the non-associative stateful class; same oracle),
+#   supplier_reach (bounded BFS min-hops, WITH RECURSIVE oracle),
+#   priority_status_chi2 (exact integer chi-square contingency audit),
+#   segment_mode (deterministic per-group mode, tie to smallest).
+# 15 candidates; the remaining ~34 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

@@ -254,8 +254,243 @@ def q_price_median_mad(spark, sf_dir):
     return median_mad(orders, "o_orderpriority", "price_c", "o_orderkey")
 
 
+BALANCE_CREDIT_TYPES = ("signup", "purchase")  # +delta; the rest debit
+REACH_OFFSET = 1_000_000_000  # supplier node ids, disjoint from parts
+REACH_K = 4
+REACH_SEED_MOD = 5  # seed = suppliers with s_suppkey % 5 == 0 (non-empty at every SF)
+
+
+def q_clamped_balance(spark, sf_dir):
+    """Per-user zero-clamped running wallet balance
+    (operators/statistics.clamped_running_balance): signup/purchase
+    events credit FLOOR(value*100) cents, everything else debits, and
+    the balance can never go below zero — the ledger recurrence
+    b = max(0, b + delta) replayed in closed form (cum minus its
+    negative running floor), two windows, no recursion, no per-row
+    Python.  Output per user: final/peak balance, clamp count, raw
+    cumulative minimum."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        clamped_running_balance,
+    )
+
+    ev = _balance_events(spark, sf_dir)
+    return clamped_running_balance(ev, "user_id", "us", "event_id", "delta_c")
+
+
+def q_supplier_reach(spark, sf_dir):
+    """Blast-radius BFS (operators/graph.khop_reachability): minimum
+    hop distance within 4 hops from the seed suppliers (every 5th supplier key) over the
+    UNDIRECTED bipartite part<->supplier supply graph (supplier node
+    ids offset into a disjoint range, both edge directions emitted) —
+    "which parts and co-suppliers does a recall at these suppliers
+    touch, and how directly".  min-hops is order-independent, hence
+    oracle-exact; the DuckDB twin is a bounded WITH RECURSIVE."""
+    from real_time_data_pipeline_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(REACH_OFFSET)).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_suppkey") + F.lit(REACH_OFFSET)).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % REACH_SEED_MOD == 0)
+        .select((F.col("s_suppkey") + F.lit(REACH_OFFSET)).alias("node"))
+    )
+    return khop_reachability(fwd.union(rev), seeds, k=REACH_K)
+
+
+def q_priority_status_chi2(spark, sf_dir):
+    """Chi-square independence audit of order priority x status
+    (operators/statistics.contingency_chi2): per-cell observed counts,
+    marginals, and the (O*N - R*C)^2 * 1e6 div (R*C*N) contribution —
+    exact integer micro-units, DECIMAL(38,0) square so nothing
+    overflows, three domain-grain hash aggregates + broadcast
+    marginals.  The drift-monitor primitive for "did the status mix
+    shift within a priority class"."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        contingency_chi2,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return contingency_chi2(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_segment_mode(spark, sf_dir):
+    """Exact per-nation modal market segment
+    (operators/statistics.group_mode): highest count, ties to the
+    smallest value — deterministic where Spark's own mode() aggregate
+    is documented not to be.  Domain-grain aggregate + domain-bounded
+    window; share of the nation's customers in integer bp."""
+    from real_time_data_pipeline_spark.operators.statistics import group_mode
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    return group_mode(cust, "c_nationkey", "c_mktsegment")
+
+
+def _balance_events(spark, sf_dir):
+    """Shared (user_id, us, event_id, delta_c) projection for the batch
+    and streaming clamped-balance twins — one sign convention, pinned
+    once."""
+    credits = ", ".join(f"'{t}'" for t in BALANCE_CREDIT_TYPES)
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.expr(
+            f"CASE WHEN event_type IN ({credits})"
+            " THEN CAST(FLOOR(value * 100) AS BIGINT)"
+            " ELSE -CAST(FLOOR(value * 100) AS BIGINT) END"
+        ).alias("delta_c"),
+    )
+
+
+RANK_SIDE_A = "F"
+RANK_SIDE_B = "O"
+
+
+def q_rank_sum_test(spark, sf_dir):
+    """Per-priority Mann-Whitney U between finished (F) and open (O)
+    order prices (operators/statistics.mann_whitney_u): 2*U in exact
+    integers via the distinct-value pair-count identity (no float
+    midranks), distributed prefix sum over the count frame — the
+    nonparametric "did prices shift" test as a reproducible number."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        mann_whitney_u,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    return mann_whitney_u(
+        orders,
+        "o_orderpriority",
+        "o_orderstatus",
+        "price_c",
+        RANK_SIDE_A,
+        RANK_SIDE_B,
+    )
+
+
+def q_ks_price_drift(spark, sf_dir):
+    """Per-priority two-sample Kolmogorov-Smirnov D between finished
+    and open order prices in exact basis points
+    (operators/statistics.ks_statistic): max CDF gap over the common
+    denominator n_a*n_b — the drift statistic next to the Wasserstein
+    monitor, never a float."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        ks_statistic,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    return ks_statistic(
+        orders,
+        "o_orderpriority",
+        "o_orderstatus",
+        "price_c",
+        RANK_SIDE_A,
+        RANK_SIDE_B,
+    )
+
+
+def q_stream_clamped_balance(spark, sf_dir):
+    """Streaming twin of `clamped_balance` on the SAME oracle: the
+    event log ARRIVES AS A STREAM in time order (staged as 8
+    range-partitioned-by-(us, event_id) files with strictly increasing
+    mtimes, maxFilesPerTrigger=1 → 8 chronological micro-batches), and
+    the zero-clamp recurrence folds per user inside
+    streaming/stateful.clamped_balance_stateful
+    (applyInPandasWithState) — the genuinely NON-ASSOCIATIVE stateful
+    operator class: unlike the CDC/rollup twins, no merge of partials
+    can replace sequential order, so this exercises in-order stateful
+    fold + the loud out-of-order guard.  State is one 8-long tuple per
+    user (watermark-free but key-bounded); the harness captures the
+    last update per key, which at production scale is the upsert sink."""
+    import os
+
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+    from real_time_data_pipeline_spark.streaming.stateful import (
+        CLAMPED_BALANCE_OUTPUT,
+        clamped_balance_stateful,
+    )
+
+    stage = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        f"stream_clamped_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        _balance_events(spark, sf_dir)
+        .repartitionByRange(8, "us", "event_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    # FileStreamSource orders by (modification time, path): pin BOTH so
+    # batch order == range order — part-0000N names sort with the range
+    # and the utime pass makes mtimes strictly increase with N.
+    parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+    base = int(os.path.getmtime(os.path.join(stage, parts[0])))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(stage, f), (base + i, base + i))
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    holder: dict = {}
+
+    def cap(batch, _i):
+        for r in batch.collect():
+            holder[r["user_id"]] = r
+
+    q = (
+        clamped_balance_stateful(stream)
+        .writeStream.foreachBatch(cap)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_clamped_balance")
+    return spark.createDataFrame(
+        list(holder.values()), CLAMPED_BALANCE_OUTPUT
+    )
+
+
 QUERIES = {
     "itemset_lift": q_itemset_lift,
+    "clamped_balance": q_clamped_balance,
+    "stream_clamped_balance": q_stream_clamped_balance,
+    "rank_sum_test": q_rank_sum_test,
+    "ks_price_drift": q_ks_price_drift,
+    "supplier_reach": q_supplier_reach,
+    "priority_status_chi2": q_priority_status_chi2,
+    "segment_mode": q_segment_mode,
     "winsorized_price_stats": q_winsorized_price_stats,
     "user_type_diversity": q_user_type_diversity,
     "order_skyline": q_order_skyline,
@@ -266,7 +501,127 @@ QUERIES = {
     "price_median_mad": q_price_median_mad,
 }
 
+_CREDITS_SQL = ", ".join(f"'{t}'" for t in BALANCE_CREDIT_TYPES)
+
 ORACLES = {
+    "clamped_balance": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 event_id,
+                 CASE WHEN event_type IN ({_CREDITS_SQL})
+                      THEN CAST(FLOOR(value * 100) AS BIGINT)
+                      ELSE -CAST(FLOOR(value * 100) AS BIGINT) END AS delta_c
+          FROM events
+        ),
+        cum AS (
+          SELECT user_id, us, event_id, delta_c,
+                 CAST(SUM(delta_c) OVER (
+                     PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum
+          FROM ev
+        ),
+        stepped AS (
+          SELECT user_id, delta_c, cum,
+                 LEAST(0, MIN(cum) OVER (
+                     PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING
+                 )) AS flr,
+                 CASE WHEN cum < LEAST(0, COALESCE(MIN(cum) OVER (
+                          PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0)) THEN 1 ELSE 0 END AS clamp
+          FROM cum
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(delta_c) - LEAST(0, MIN(cum)) AS BIGINT)
+                   AS final_balance_c,
+               CAST(MAX(cum - flr) AS BIGINT) AS peak_balance_c,
+               CAST(SUM(clamp) AS BIGINT) AS n_clamps,
+               CAST(MIN(cum) AS BIGINT) AS min_cum_c
+        FROM stepped GROUP BY 1
+    """,
+    "supplier_reach": f"""
+        WITH RECURSIVE pe AS (
+          SELECT DISTINCT l_partkey AS p,
+                 l_suppkey + {REACH_OFFSET} AS s
+          FROM lineitem
+        ),
+        edges AS (
+          SELECT p AS src, s AS dst FROM pe
+          UNION ALL
+          SELECT s AS src, p AS dst FROM pe
+        ),
+        seeds AS (
+          SELECT s_suppkey + {REACH_OFFSET} AS node
+          FROM supplier WHERE s_suppkey % {REACH_SEED_MOD} = 0
+        ),
+        reach(node, hop) AS (
+          SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds
+          UNION
+          SELECT e.dst AS node, r.hop + 1 AS hop
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hop < {REACH_K}
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MIN(hop) AS BIGINT) AS min_hops
+        FROM reach GROUP BY 1
+    """,
+    "priority_status_chi2": """
+        WITH cells AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM orders GROUP BY 1, 2
+        ),
+        rt AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS row_total
+          FROM orders GROUP BY 1
+        ),
+        ct AS (
+          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS col_total
+          FROM orders GROUP BY 1
+        ),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+        SELECT c.o_orderpriority, c.o_orderstatus, c.observed,
+               rt.row_total, ct.col_total, g.n_total,
+               CAST(c.observed * g.n_total - rt.row_total * ct.col_total
+                    AS BIGINT) AS dev,
+               CAST((CAST(c.observed * g.n_total
+                          - rt.row_total * ct.col_total AS HUGEINT)
+                     * (c.observed * g.n_total - rt.row_total * ct.col_total)
+                     * 1000000)
+                    // (rt.row_total * ct.col_total * g.n_total)
+                    AS BIGINT) AS chi2_u6
+        FROM cells c
+        JOIN rt USING (o_orderpriority)
+        JOIN ct USING (o_orderstatus)
+        CROSS JOIN g
+    """,
+    "segment_mode": """
+        WITH counts AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS mode_count
+          FROM customer GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT c_nationkey, c_mktsegment AS mode_value, mode_count,
+                 row_number() OVER (
+                     PARTITION BY c_nationkey
+                     ORDER BY mode_count DESC, c_mktsegment ASC
+                 ) AS rk
+          FROM counts
+        ),
+        tot AS (
+          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1
+        )
+        SELECT b.c_nationkey, b.mode_value, b.mode_count, t.n,
+               (10000 * b.mode_count) // t.n AS share_bp
+        FROM best b JOIN tot t USING (c_nationkey)
+        WHERE b.rk = 1
+    """,
     "itemset_lift": f"""
         WITH items AS (
           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
@@ -526,3 +881,74 @@ ORACLES = {
         FROM spans GROUP BY 1, 2
     """,
 }
+
+# The streaming fold must be indistinguishable from the one-shot batch
+# recurrence — same oracle pins it.
+ORACLES["stream_clamped_balance"] = ORACLES["clamped_balance"]
+
+ORACLES["rank_sum_test"] = f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_orderstatus AS side,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderstatus IN ('{RANK_SIDE_A}', '{RANK_SIDE_B}')
+    ),
+    counts AS (
+      SELECT g, v,
+             CAST(SUM(CASE WHEN side = '{RANK_SIDE_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN side = '{RANK_SIDE_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM src GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c_a, c_b,
+             CAST(SUM(c_b) OVER (PARTITION BY g ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      FROM counts
+    )
+    SELECT g AS o_orderpriority,
+           CAST(SUM(c_a) AS BIGINT) AS n_a,
+           CAST(SUM(c_b) AS BIGINT) AS n_b,
+           CAST(SUM(c_a * (2 * (cum_b - c_b) + c_b)) AS BIGINT) AS u2_a,
+           CAST((10000 * SUM(c_a * (2 * (cum_b - c_b) + c_b)))
+                // (2 * SUM(c_a) * SUM(c_b)) AS BIGINT) AS effect_a_bp
+    FROM cum GROUP BY 1
+"""
+
+ORACLES["ks_price_drift"] = f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_orderstatus AS side,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderstatus IN ('{RANK_SIDE_A}', '{RANK_SIDE_B}')
+    ),
+    counts AS (
+      SELECT g, v,
+             CAST(SUM(CASE WHEN side = '{RANK_SIDE_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN side = '{RANK_SIDE_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM src GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v,
+             CAST(SUM(c_a) OVER (PARTITION BY g ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(SUM(c_b) OVER (PARTITION BY g ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      FROM counts
+    ),
+    tot AS (
+      SELECT g, CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b
+      FROM counts GROUP BY 1
+    )
+    SELECT cum.g AS o_orderpriority, tot.n_a, tot.n_b,
+           CAST(MAX(ABS(cum.cum_a * tot.n_b - cum.cum_b * tot.n_a))
+                AS BIGINT) AS d_num,
+           CAST((10000 * MAX(ABS(cum.cum_a * tot.n_b - cum.cum_b * tot.n_a)))
+                // (tot.n_a * tot.n_b) AS BIGINT) AS d_bp
+    FROM cum JOIN tot ON cum.g = tot.g
+    GROUP BY 1, 2, 3
+"""

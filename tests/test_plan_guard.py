@@ -160,23 +160,119 @@ SEMANTICALLY_BOUNDED = {
 }
 
 
-def test_no_unbounded_bnl_in_any_registry_plan(spark, sf_dir):
+# Queries ALLOWED to run Python in the plan, and only the Arrow-batched
+# kind — each is a site where no JVM builtin exists.  Row-at-a-time
+# BatchEvalPython is never allowed: it is the 10-100x slow path the
+# repo's UDF policy (SURVEY.md §3) bans outright.
+_ARROW_PY_PREFIXES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+ARROW_PYTHON_ALLOWED = {
+    # multimodal tier: codec/DSP work over binary columns — no JVM
+    # builtin decodes/tiles/resamples media (operators/multimodal.py)
+    "mm_image_decode", "mm_image_downsample", "mm_image_tiles",
+    "mm_frame_sample", "mm_keyframes", "mm_audio_stats",
+    "mm_audio_segments", "mm_phash_near_dup",
+    # vectorized numpy GEMM / codebook scans over packed float arrays
+    # (operators/similarity.py: Arrow-batched, the documented fast path)
+    "ann_gemm_topk", "ann_pq_topk", "ann_pq_topk_rerank",
+    "ann_ivfpq_topk", "embedding_pca", "embedding_quantization",
+    "kmeans_clusters",
+    # bloom-bitmap probe: distributed bit_or bitmap tested vectorized
+    # (operators/curation.py:860)
+    "decontaminate_bloom", "decontaminate_bloom_verified",
+    # streaming stateful twins: applyInPandasWithState is the API
+    "stream_dedup_incremental", "stream_heavy_hitters",
+    # per-partition Misra-Gries summaries (k-bounded sketch state per
+    # partition — no JVM builtin; operators/aggregates.mg_summary)
+    "heavy_hitters",
+    # IVF probe: numpy argpartition over packed centroid/codebook
+    # matrices (operators/similarity.py — Arrow-batched GEMM family)
+    "ann_ivf_topk",
+    # sign-LSH projections: numpy matmul against the broadcast
+    # hyperplane matrix (operators/dedup.embedding_near_dup_lsh)
+    "dedup_embedding_lsh",
+    # BPE trainer's distributed pair-count fallback path
+    "bpe_vocab",
+}
+
+
+def _python_eval_nodes(df) -> tuple[list[str], list[str]]:
+    """(row_wise, arrow_batched) Python-exec node names in the plan."""
+    plan = df._jdf.queryExecution().executedPlan()
+    row_wise, arrow = [], []
+    for node in _walk(plan):
+        name = node.nodeName()
+        if name.startswith("BatchEvalPython"):
+            row_wise.append(name)
+        elif name.startswith(_ARROW_PY_PREFIXES) or "InPandas" in name:
+            arrow.append(name)
+    return row_wise, arrow
+
+
+@pytest.fixture(scope="module")
+def registry_plan_scan(spark, sf_dir):
+    """One pass over every registry query's physical plan; both guard
+    tests consume it (building 230+ DataFrames is the expensive part —
+    do it once)."""
     from real_time_data_pipeline_spark.queries import all_queries
 
-    failures = {}
+    scan = {}
     for name, fn in all_queries().items():
         try:
             df = fn(spark, sf_dir)
         except Exception as e:  # a broken query is another test's failure
             pytest.fail(f"{name} failed to build at {sf_dir}: {e}")
-        bad = _bnl_violations(df)
-        if bad and name not in SEMANTICALLY_BOUNDED:
-            failures[name] = bad
+        row_wise, arrow = _python_eval_nodes(df)
+        scan[name] = {
+            "bnl": _bnl_violations(df),
+            "py_row": row_wise,
+            "py_arrow": arrow,
+        }
         spark.catalog.clearCache()
+    return scan
+
+
+def test_no_unbounded_bnl_in_any_registry_plan(registry_plan_scan):
+    failures = {
+        name: rec["bnl"]
+        for name, rec in registry_plan_scan.items()
+        if rec["bnl"] and name not in SEMANTICALLY_BOUNDED
+    }
     assert not failures, (
         f"{len(failures)} queries ship an unbounded BroadcastNestedLoopJoin "
         f"(O(n*m) at scale) and are not in the reviewed allowlist: "
         + "; ".join(f"{k}: {v[0][:400]}" for k, v in failures.items())
+    )
+
+
+def test_no_python_row_udf_and_arrow_only_where_reviewed(
+    registry_plan_scan,
+):
+    """Stay-JVM-side guard: no query may ship a row-at-a-time Python
+    UDF (BatchEvalPython — the 10-100x slow path), and Arrow-batched
+    Python (pandas UDFs / mapInPandas) may appear only in the reviewed
+    allowlist of sites where no JVM builtin exists (media decode, numpy
+    GEMM, bloom probes, stateful streaming)."""
+    row_wise = {
+        n: r["py_row"] for n, r in registry_plan_scan.items() if r["py_row"]
+    }
+    assert not row_wise, (
+        "row-at-a-time Python UDF (BatchEvalPython) in the hot path of: "
+        f"{row_wise} — rewrite with pyspark.sql.functions or a pandas UDF"
+    )
+    unreviewed = {
+        n: r["py_arrow"]
+        for n, r in registry_plan_scan.items()
+        if r["py_arrow"] and n not in ARROW_PYTHON_ALLOWED
+    }
+    assert not unreviewed, (
+        "Arrow-batched Python outside the reviewed allowlist: "
+        f"{unreviewed} — if a JVM builtin genuinely can't express it, "
+        "add the query to ARROW_PYTHON_ALLOWED with a reason"
     )
 
 

@@ -209,3 +209,175 @@ def test_median_mad_golden(spark):
     )
     r2 = median_mad(df2, "g", "v", "s").collect()[0]
     assert (r2["n"], r2["median_c"], r2["mad_c"]) == (4, 2, 1)
+
+
+def test_clamped_balance_matches_recurrence(spark):
+    # adversarial: clamp, recover, exact-zero touch (no clamp event),
+    # deep re-clamp, final positive
+    deltas = [5, -10, 3, -3, 20, -30, 15, -1]
+    rows = [("u", i, i, d) for i, d in enumerate(deltas)]
+    # plus a never-clamped key and an all-negative key
+    rows += [("v", i, i, d) for i, d in enumerate([7, -2, 4])]
+    rows += [("w", i, i, d) for i, d in enumerate([-4, -6])]
+    df = spark.createDataFrame(rows, "k string, o long, s long, d long")
+
+    from real_time_data_pipeline_spark.operators.statistics import (
+        clamped_running_balance,
+    )
+
+    out = {
+        r["k"]: r
+        for r in clamped_running_balance(df, "k", "o", "s", "d").collect()
+    }
+
+    def sim(ds):
+        b, peak, clamps, cum, mincum = 0, 0, 0, 0, 0
+        for d in ds:
+            cum += d
+            mincum = min(mincum, cum)
+            if b + d < 0:
+                clamps += 1
+            b = max(0, b + d)
+            peak = max(peak, b)
+        return b, peak, clamps, mincum
+
+    for k, ds in (("u", deltas), ("v", [7, -2, 4]), ("w", [-4, -6])):
+        b, peak, clamps, mincum = sim(ds)
+        r = out[k]
+        assert r["n_events"] == len(ds)
+        assert r["final_balance_c"] == b, (k, r)
+        assert r["peak_balance_c"] == peak, (k, r)
+        assert r["n_clamps"] == clamps, (k, r)
+        assert r["min_cum_c"] == min(0, mincum) if mincum < 0 else True
+
+
+def test_contingency_chi2_independent_is_zero_and_golden(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        contingency_chi2,
+    )
+
+    # perfectly independent 2x2: every cell's dev == 0
+    rows = (
+        [("a", "x")] * 4 + [("a", "y")] * 2
+        + [("b", "x")] * 8 + [("b", "y")] * 4
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = contingency_chi2(df, "r", "c").collect()
+    assert all(x["dev"] == 0 and x["chi2_u6"] == 0 for x in out)
+
+    # hand case: O=[[3,1],[1,3]], N=8, R=C=[4,4]
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] * 1
+        + [("b", "x")] * 1 + [("b", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(x["r"], x["c"]): x for x in contingency_chi2(df, "r", "c").collect()}
+    # dev = 3*8 - 4*4 = 8 for (a,x); chi2_u6 = 64*1e6 // (4*4*8) = 500000
+    assert out[("a", "x")]["dev"] == 8
+    assert out[("a", "x")]["chi2_u6"] == 500_000
+    assert out[("a", "y")]["dev"] == -8
+    assert out[("a", "y")]["chi2_u6"] == 500_000
+
+
+def test_group_mode_tie_breaks_to_smallest_value(spark):
+    from real_time_data_pipeline_spark.operators.statistics import group_mode
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = group_mode(df, "g", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    # tie between a and b at count 2 -> smallest value wins
+    assert r["mode_value"] == "a" and r["mode_count"] == 2
+    assert r["n"] == 5 and r["share_bp"] == 4000
+
+
+def test_khop_reachability_min_hops_and_radius(spark):
+    from real_time_data_pipeline_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    # path 1-2-3-4-5-6 plus shortcut 1-4 (undirected), seed {1}:
+    # hops: 1:0, 2:1, 4:1, 3:2, 5:2, 6:3; k=2 cuts 6
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["min_hops"]
+        for r in khop_reachability(edges, seeds, k=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # k=5 reaches everything at true BFS distance
+    got5 = {
+        r["node"]: r["min_hops"]
+        for r in khop_reachability(edges, seeds, k=5).collect()
+    }
+    assert got5 == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3}
+    # disconnected node never appears; exhausted component stops early
+    edges2 = spark.createDataFrame([(7, 8), (8, 7)], "src long, dst long")
+    got_iso = {
+        r["node"]: r["min_hops"]
+        for r in khop_reachability(edges2, seeds, k=4).collect()
+    }
+    assert got_iso == {1: 0}
+
+
+def test_mann_whitney_u_hand_case_and_invariant(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        mann_whitney_u,
+    )
+
+    # A = [1, 2, 2, 5], B = [2, 3, 4] — U_a counts WINS of A (a > b):
+    # a=1 beats none; each a=2 beats none but ties B's 2 (x2 ties);
+    # a=5 beats all 3.  U_a = 3 + 2*0.5 = 4 -> u2_a = 8
+    rows = [("g", "A", v) for v in [1, 2, 2, 5]] + [
+        ("g", "B", v) for v in [2, 3, 4]
+    ]
+    df = spark.createDataFrame(rows, "g string, side string, v long")
+    out = mann_whitney_u(df, "g", "side", "v", "A", "B").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["u2_a"]) == (4, 3, 8)
+    assert r["effect_a_bp"] == (10000 * 8) // (2 * 4 * 3)
+    # invariant: u2_a + u2_b == 2 * n_a * n_b
+    r_b = mann_whitney_u(df, "g", "side", "v", "B", "A").collect()[0]
+    assert r["u2_a"] + r_b["u2_a"] == 2 * r["n_a"] * r["n_b"]
+    # rows outside the two sides must be ignored
+    df2 = df.union(
+        spark.createDataFrame([("g", "C", 100)], "g string, side string, v long")
+    )
+    r2 = mann_whitney_u(df2, "g", "side", "v", "A", "B").collect()[0]
+    assert (r2["n_a"], r2["n_b"], r2["u2_a"]) == (4, 3, 8)
+
+
+def test_ks_statistic_hand_case_and_bounds(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        ks_statistic,
+    )
+
+    # A = [1, 2, 3], B = [3, 4, 5]: max gap at v=2: F_a=2/3, F_b=0
+    # d_num = |2*3 - 0*3| = 6, d_bp = 10000*6 // 9 = 6666
+    rows = [("g", "A", v) for v in [1, 2, 3]] + [
+        ("g", "B", v) for v in [3, 4, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, side string, v long")
+    r = ks_statistic(df, "g", "side", "v", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_num"], r["d_bp"]) == (3, 3, 6, 6666)
+
+    # identical samples -> D = 0; disjoint -> D = 10000
+    same = spark.createDataFrame(
+        [("g", s, v) for s in ("A", "B") for v in [1, 2, 3]],
+        "g string, side string, v long",
+    )
+    assert ks_statistic(same, "g", "side", "v", "A", "B").collect()[0][
+        "d_bp"
+    ] == 0
+    disj = spark.createDataFrame(
+        [("g", "A", v) for v in [1, 2]] + [("g", "B", v) for v in [10, 20]],
+        "g string, side string, v long",
+    )
+    assert ks_statistic(disj, "g", "side", "v", "A", "B").collect()[0][
+        "d_bp"
+    ] == 10000

@@ -771,3 +771,86 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     assert ("P1", "R1") in got
     assert ("P2", None) in got  # unmatched left row null-emits
     assert ("P1", None) not in got  # matched rows never double-emit
+
+
+def test_clamped_balance_stateful_folds_in_order(spark, tmp_path):
+    """N6 (non-associative state): the streaming clamped-balance fold
+    across ordered micro-batches equals the sequential recurrence, and
+    an out-of-order batch fails loudly instead of corrupting state."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming import stateful
+
+    # two keys, deltas interleaved across 3 chronological batches
+    batches = [
+        [
+            {"user_id": 1, "us": 10, "event_id": 1, "delta_c": 5},
+            {"user_id": 2, "us": 11, "event_id": 2, "delta_c": -4},
+        ],
+        [
+            {"user_id": 1, "us": 20, "event_id": 3, "delta_c": -10},
+            {"user_id": 1, "us": 21, "event_id": 4, "delta_c": 3},
+        ],
+        [
+            {"user_id": 2, "us": 30, "event_id": 5, "delta_c": 7},
+            {"user_id": 1, "us": 31, "event_id": 6, "delta_c": 20},
+        ],
+    ]
+    d = str(tmp_path / "bal_in")
+    _write_ordered_files(d, batches)
+    schema = "user_id long, us long, event_id long, delta_c long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    holder: dict = {}
+    q = (
+        stateful.clamped_balance_stateful(stream)
+        .writeStream.foreachBatch(
+            lambda b, _i: holder.update({r["user_id"]: r for r in b.collect()})
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    def sim(ds):
+        b, peak, clamps, cum, mincum = 0, 0, 0, 0, None
+        for x in ds:
+            cum += x
+            mincum = cum if mincum is None else min(mincum, cum)
+            if b + x < 0:
+                clamps += 1
+            b = max(0, b + x)
+            peak = max(peak, b)
+        return b, peak, clamps, mincum
+
+    for uid, ds in ((1, [5, -10, 3, 20]), (2, [-4, 7])):
+        b, peak, clamps, mincum = sim(ds)
+        r = holder[uid]
+        assert (
+            r["final_balance_c"],
+            r["peak_balance_c"],
+            r["n_clamps"],
+            r["min_cum_c"],
+            r["n_events"],
+        ) == (b, peak, clamps, mincum, len(ds))
+
+    # out-of-order delivery must raise, not corrupt: replay an OLDER
+    # row through the same state via the pandas function directly
+    from pyspark.sql.streaming.state import GroupState  # noqa: F401
+
+    class _FakeState:
+        exists = True
+        get = (4, 18, 18, 1, 18, -5, 31, 6)  # last folded (us=31, id=6)
+
+        def update(self, t):  # pragma: no cover - must not be reached
+            raise AssertionError("state updated despite ooo batch")
+
+    stale = pd.DataFrame({"us": [30], "event_id": [5], "delta_c": [1]})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out-of-order"):
+        list(stateful._clamped_balance_fn((1,), [stale], _FakeState()))
