@@ -487,11 +487,16 @@ def khop_reachability(
         .repartition(F.col("src"))
         .persist()
     )
-    visited = chk(
-        seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("node"))
-        .distinct()
-        .withColumn("min_hops", F.lit(0).cast("bigint"))
-    )
+    levels = [
+        chk(
+            seeds.select(
+                F.col(seeds.columns[0]).cast("bigint").alias("node")
+            )
+            .distinct()
+            .withColumn("min_hops", F.lit(0).cast("bigint"))
+        )
+    ]
+    visited = levels[0]
     frontier = visited.select("node")
     for h in range(1, k + 1):
         nxt = (
@@ -500,13 +505,19 @@ def khop_reachability(
             .distinct()
             .join(visited, "node", "left_anti")
         )
+        # Only the LEVEL checkpoints (it feeds the next round's join,
+        # anti-join, and emptiness probe); `visited` stays a lazy union
+        # of checkpointed levels — k is single-digit, so that lineage is
+        # flat and re-materializing the growing union every round would
+        # be the dominant cost, not a saving.
         nxt = chk(nxt.withColumn("min_hops", F.lit(h).cast("bigint")))
         # An empty frontier means the component is exhausted before the
-        # radius is: stop spending rounds (cheap count on the already-
+        # radius is: stop spending rounds (limit-1 probe on the already-
         # checkpointed level).
-        if nxt.rdd.isEmpty():
+        if nxt.isEmpty():
             break
-        visited = chk(visited.union(nxt))
+        levels.append(nxt)
+        visited = visited.union(nxt)
         frontier = nxt.select("node")
     e.unpersist()
     return visited

@@ -849,3 +849,132 @@ def ks_statistic(
             F.expr("(10000 * d_num) div (n_a * n_b)").alias("d_bp"),
         )
     )
+
+
+def fifo_match(
+    buys: DataFrame,
+    sells: DataFrame,
+    key_col: str,
+    qty_col: str,
+    seq_cols: list[str],
+    cost_col: str | None = None,
+) -> DataFrame:
+    """FIFO lot matching — the inventory/cost-basis recurrence ("each
+    sale consumes the oldest remaining lots") that looks like it needs
+    a sequential scan but has an exact closed form on CUMULATIVE
+    quantities: number buy units and sell units on the same per-key
+    axis, then lot b matches sale s for
+
+        overlap(b, s) = max(0, min(cumb_b, cums_s)
+                            - max(cumb_b - q_b, cums_s - q_s))
+
+    units — the interval-intersection identity (buy b owns units
+    (cumb_b - q_b, cumb_b]; sale s consumes units (cums_s - q_s,
+    cums_s]; FIFO is exactly "unit i of consumption takes unit i of
+    supply").  Pure integer, order-free once the prefix sums exist, so
+    any engine reproduces it.
+
+    Shape: two distributed prefix sums
+    (operators/aggregates.scalable_running_sum, ordered by seq within
+    key), then a key-equi join + overlap filter + one hash aggregate.
+    The join fans out per key as (lots x sales that overlap) — each
+    sale touches only the lots it actually consumes + 1, so total pairs
+    are O(rows + matches), not |buys| x |sells|; per-key work is
+    key-activity-bounded (salt a pathological key upstream, same as
+    every per-key operator here).
+
+    Output per key: bought_qty, sold_qty, matched_qty (= min of the
+    two), and — when ``cost_col`` is given on the buy side —
+    matched_cost_c = sum(overlap * unit cost), the exact FIFO cost of
+    goods sold.  unmatched_sell_qty = sold - matched (demand beyond
+    inventory).
+    """
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+
+    bseq = [F.col(c).alias(f"bs{i}") for i, c in enumerate(seq_cols)]
+    sseq = [F.col(c).alias(f"ss{i}") for i, c in enumerate(seq_cols)]
+    bcols = [
+        F.col(key_col).alias("k"),
+        F.col(qty_col).cast("bigint").alias("bq"),
+        *bseq,
+    ]
+    if cost_col is not None:
+        bcols.append(F.col(cost_col).cast("bigint").alias("bc"))
+    b = buys.select(*bcols)
+    s = sells.select(
+        F.col(key_col).alias("k"),
+        F.col(qty_col).cast("bigint").alias("sq"),
+        *sseq,
+    )
+    bcum = scalable_running_sum(
+        b, group_cols=["k"],
+        order_cols=[f"bs{i}" for i in range(len(seq_cols))],
+        value_col="bq", out_col="cumb",
+    )
+    scum = scalable_running_sum(
+        s, group_cols=["k"],
+        order_cols=[f"ss{i}" for i in range(len(seq_cols))],
+        value_col="sq", out_col="cums",
+    )
+    pairs = bcum.join(scum, "k").withColumn(
+        "overlap",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cumb"), F.col("cums"))
+            - F.greatest(
+                F.col("cumb") - F.col("bq"), F.col("cums") - F.col("sq")
+            ),
+        ),
+    ).filter(F.col("overlap") > 0)
+    matched = pairs.groupBy("k").agg(
+        F.sum("overlap").cast("bigint").alias("matched_qty"),
+        *(
+            [
+                F.sum(F.col("overlap") * F.col("bc"))
+                .cast("bigint")
+                .alias("matched_cost_c")
+            ]
+            if cost_col is not None
+            else []
+        ),
+    )
+    totals = (
+        b.groupBy("k")
+        .agg(F.sum("bq").cast("bigint").alias("bought_qty"))
+        .join(
+            s.groupBy("k").agg(
+                F.sum("sq").cast("bigint").alias("sold_qty")
+            ),
+            "k",
+            "full_outer",
+        )
+        .select(
+            "k",
+            F.coalesce("bought_qty", F.lit(0)).alias("bought_qty"),
+            F.coalesce("sold_qty", F.lit(0)).alias("sold_qty"),
+        )
+    )
+    out = totals.join(matched, "k", "left")
+    sel = [
+        F.col("k").alias(key_col),
+        "bought_qty",
+        "sold_qty",
+        F.coalesce("matched_qty", F.lit(0)).cast("bigint").alias(
+            "matched_qty"
+        ),
+        (
+            F.col("sold_qty")
+            - F.coalesce("matched_qty", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("unmatched_sell_qty"),
+    ]
+    if cost_col is not None:
+        sel.append(
+            F.coalesce("matched_cost_c", F.lit(0))
+            .cast("bigint")
+            .alias("matched_cost_c")
+        )
+    return out.select(*sel)

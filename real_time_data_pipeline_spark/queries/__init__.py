@@ -137,8 +137,12 @@ _R6_PRIORITY = [
 #     micro-batches — the non-associative stateful class; same oracle),
 #   supplier_reach (bounded BFS min-hops, WITH RECURSIVE oracle),
 #   priority_status_chi2 (exact integer chi-square contingency audit),
-#   segment_mode (deterministic per-group mode, tie to smallest).
-# 15 candidates; the remaining ~34 slots re-verify the oldest driver
+#   segment_mode (deterministic per-group mode, tie to smallest),
+#   rank_sum_test (Mann-Whitney 2U via the pair-count identity),
+#   ks_price_drift (two-sample KS D in exact bp, max CDF gap),
+#   fifo_attribution (FIFO lot matching via cumulative-interval
+#     intersection — exact COGS, no sequential scan).
+# 18 candidates; the remaining ~31 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

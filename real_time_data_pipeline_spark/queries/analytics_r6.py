@@ -413,6 +413,54 @@ def q_ks_price_drift(spark, sf_dir):
     )
 
 
+FIFO_BUY_TYPE = "purchase"
+FIFO_SELL_TYPE = "click"
+FIFO_QTY_MOD_B = 50
+FIFO_QTY_MOD_S = 30
+FIFO_COST_MOD = 997
+
+
+def q_fifo_attribution(spark, sf_dir):
+    """Exact FIFO lot matching per user (operators/statistics.
+    fifo_match): purchases acquire lots (qty = value_c % 50 + 1 at unit
+    cost value_c % 997 + 1), clicks consume them oldest-first (qty =
+    value_c % 30 + 1), and the matched cost of goods sold comes from
+    the cumulative-interval-intersection identity — no sequential scan,
+    two distributed prefix sums + one key join.  The inventory /
+    cost-basis operator class (FIFO COGS, queue attribution) as an
+    engine-exact number."""
+    from real_time_data_pipeline_spark.operators.statistics import fifo_match
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("value_c"),
+    )
+    buys = ev.filter(F.col("event_type") == FIFO_BUY_TYPE).select(
+        "user_id",
+        (F.col("value_c") % FIFO_QTY_MOD_B + 1).alias("qty"),
+        "us",
+        "event_id",
+        (F.col("value_c") % FIFO_COST_MOD + 1).alias("unit_cost_c"),
+    )
+    sells = ev.filter(F.col("event_type") == FIFO_SELL_TYPE).select(
+        "user_id",
+        (F.col("value_c") % FIFO_QTY_MOD_S + 1).alias("qty"),
+        "us",
+        "event_id",
+    )
+    return fifo_match(
+        buys,
+        sells,
+        "user_id",
+        "qty",
+        ["us", "event_id"],
+        cost_col="unit_cost_c",
+    )
+
+
 def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
@@ -460,7 +508,7 @@ def q_stream_clamped_balance(spark, sf_dir):
     schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(stage)
     )
     holder: dict = {}
@@ -488,6 +536,7 @@ QUERIES = {
     "stream_clamped_balance": q_stream_clamped_balance,
     "rank_sum_test": q_rank_sum_test,
     "ks_price_drift": q_ks_price_drift,
+    "fifo_attribution": q_fifo_attribution,
     "supplier_reach": q_supplier_reach,
     "priority_status_chi2": q_priority_status_chi2,
     "segment_mode": q_segment_mode,
@@ -885,6 +934,66 @@ ORACLES = {
 # The streaming fold must be indistinguishable from the one-shot batch
 # recurrence — same oracle pins it.
 ORACLES["stream_clamped_balance"] = ORACLES["clamped_balance"]
+
+ORACLES["fifo_attribution"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ),
+    buys AS (
+      SELECT user_id,
+             value_c % {FIFO_QTY_MOD_B} + 1 AS bq,
+             value_c % {FIFO_COST_MOD} + 1 AS bc,
+             CAST(SUM(value_c % {FIFO_QTY_MOD_B} + 1) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      FROM ev WHERE event_type = '{FIFO_BUY_TYPE}'
+    ),
+    sells AS (
+      SELECT user_id,
+             value_c % {FIFO_QTY_MOD_S} + 1 AS sq,
+             CAST(SUM(value_c % {FIFO_QTY_MOD_S} + 1) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cums
+      FROM ev WHERE event_type = '{FIFO_SELL_TYPE}'
+    ),
+    pairs AS (
+      SELECT b.user_id,
+             GREATEST(0, LEAST(b.cumb, s.cums)
+                 - GREATEST(b.cumb - b.bq, s.cums - s.sq)) AS overlap,
+             b.bc
+      FROM buys b JOIN sells s ON b.user_id = s.user_id
+      WHERE LEAST(b.cumb, s.cums)
+            - GREATEST(b.cumb - b.bq, s.cums - s.sq) > 0
+    ),
+    matched AS (
+      SELECT user_id,
+             CAST(SUM(overlap) AS BIGINT) AS matched_qty,
+             CAST(SUM(overlap * bc) AS BIGINT) AS matched_cost_c
+      FROM pairs GROUP BY 1
+    ),
+    totals AS (
+      SELECT COALESCE(b.user_id, s.user_id) AS user_id,
+             COALESCE(b.bought_qty, 0) AS bought_qty,
+             COALESCE(s.sold_qty, 0) AS sold_qty
+      FROM (SELECT user_id, CAST(SUM(bq) AS BIGINT) AS bought_qty
+            FROM buys GROUP BY 1) b
+      FULL OUTER JOIN
+           (SELECT user_id, CAST(SUM(sq) AS BIGINT) AS sold_qty
+            FROM sells GROUP BY 1) s
+      ON b.user_id = s.user_id
+    )
+    SELECT t.user_id,
+           CAST(t.bought_qty AS BIGINT) AS bought_qty,
+           CAST(t.sold_qty AS BIGINT) AS sold_qty,
+           CAST(COALESCE(m.matched_qty, 0) AS BIGINT) AS matched_qty,
+           CAST(t.sold_qty - COALESCE(m.matched_qty, 0) AS BIGINT)
+               AS unmatched_sell_qty,
+           CAST(COALESCE(m.matched_cost_c, 0) AS BIGINT) AS matched_cost_c
+    FROM totals t LEFT JOIN matched m ON t.user_id = m.user_id
+"""
 
 ORACLES["rank_sum_test"] = f"""
     WITH src AS (

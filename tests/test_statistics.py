@@ -381,3 +381,52 @@ def test_ks_statistic_hand_case_and_bounds(spark):
     assert ks_statistic(disj, "g", "side", "v", "A", "B").collect()[0][
         "d_bp"
     ] == 10000
+
+
+def test_fifo_match_equals_sequential_simulation(spark):
+    from real_time_data_pipeline_spark.operators.statistics import fifo_match
+
+    # key A: demand exceeds supply mid-stream; key B: supply never
+    # consumed; key C: exact drain
+    buys = [
+        ("A", 5, 1, 10), ("A", 3, 3, 20), ("A", 4, 6, 30),
+        ("B", 7, 1, 5),
+        ("C", 2, 1, 7), ("C", 2, 2, 9),
+    ]
+    sells = [
+        ("A", 4, 2), ("A", 6, 4), ("A", 10, 7),
+        ("C", 4, 3),
+    ]
+    bdf = spark.createDataFrame(buys, "k string, qty long, s long, c long")
+    sdf = spark.createDataFrame(sells, "k string, qty long, s long")
+    out = {
+        r["k"]: r
+        for r in fifo_match(bdf, sdf, "k", "qty", ["s"], cost_col="c").collect()
+    }
+
+    def sim(bl, sl):
+        lots = [[q, c] for q, c in bl]  # FIFO queue
+        matched, cost = 0, 0
+        sold = sum(q for q, in sl)
+        for (q,) in sl:
+            need = q
+            while need and lots:
+                take = min(need, lots[0][0])
+                matched += take
+                cost += take * lots[0][1]
+                lots[0][0] -= take
+                need -= take
+                if lots[0][0] == 0:
+                    lots.pop(0)
+        return matched, cost, sold
+
+    for k in ("A", "B", "C"):
+        bl = [(q, c) for kk, q, s, c in buys if kk == k]
+        sl = [(q,) for kk, q, s in sells if kk == k]
+        m, cost, sold = sim(bl, sl)
+        r = out[k]
+        assert r["bought_qty"] == sum(q for q, c in bl)
+        assert r["sold_qty"] == sold
+        assert r["matched_qty"] == m, (k, r)
+        assert r["matched_cost_c"] == cost, (k, r)
+        assert r["unmatched_sell_qty"] == sold - m

@@ -57,6 +57,11 @@ DEFAULT_QUERIES = [
     # r6 statistics tier (events-grain)
     "user_type_diversity",
     "interval_merge",
+    # r6 late additions: zero-clamped ledger recurrence (per-user
+    # windows: 10x keys, same depth) and FIFO lot matching (per-key
+    # prefix sums + overlap join)
+    "clamped_balance",
+    "fifo_attribution",
 ]
 # Output itself grows superlinearly by construction (cross-replica
 # session pairs): ratio reported, not held to the band.
@@ -203,6 +208,12 @@ ORDERS_QUERIES = [
     "itemset_lift",
     "order_proration",
     "weighted_median_price",
+    # r6 late additions (orders-grain; distinct-value-grain prefix sums
+    # and domain-grain contingency/mode aggregates)
+    "rank_sum_test",
+    "ks_price_drift",
+    "priority_status_chi2",
+    "segment_mode",
 ]
 ORDER_OFFSET = 100_000_000
 
