@@ -978,3 +978,90 @@ def fifo_match(
             .alias("matched_cost_c")
         )
     return out.select(*sel)
+
+
+def spearman_rank_stats(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank-correlation sufficient statistics in
+    EXACT integers: midranks are carried as 2*midrank (min_rank +
+    max_rank, always integral — doubling clears the .5 that tied
+    midranks introduce), so sum_d2 = sum over rows of
+    (2mr_x - 2mr_y)^2 is 4x the classical Sum d_i^2 and never sees a
+    float.  rho_bp applies the classical (tie-uncorrected) formula
+    rho = 1 - 6*Sum d^2 / (n^3 - n) as
+    10000 - (15000 * sum_d2) div (n^3 - n) — both operands positive, so
+    Spark's truncating div and DuckDB's flooring // agree; the square
+    and the product run in DECIMAL(38,0)/HUGEINT (chi2's recipe).
+
+    Shape: value-count aggregates per axis, one distributed prefix sum
+    each (scalable_running_sum) to turn counts into 2*midrank = lt +
+    cum + 1 per DISTINCT value, broadcast-join both rank maps onto the
+    (g, x, y) cell frame, one final aggregate.  No row ever enters a
+    window; rank maps are distinct-value grain.
+
+    Bigint headroom: sum_d2 <= 4n^3 — exact through n ~ 1.3e6 rows per
+    group (the repo's gini_simpson-style documented bound); past that
+    carry sum_d2 in DECIMAL(38,0) end-to-end.
+
+    Output: (group, n, sum_d2, rho_bp); rho_bp in [-10000, 10000],
+    ties uncorrected (the Pearson-on-midranks variant differs under
+    heavy ties — this emits the classical d^2 form, stated so the
+    consumer knows which convention the number is).
+    """
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        scalable_running_sum,
+    )
+
+    def rank2_map(col: str, out: str) -> DataFrame:
+        counts = df.groupBy(group_col, col).agg(
+            F.count("*").cast("bigint").alias("_n")
+        )
+        cum = scalable_running_sum(
+            counts,
+            group_cols=[group_col],
+            order_cols=[col],
+            value_col="_n",
+            out_col="_cum",
+        )
+        # standard competition midrank over all group rows:
+        # min_rank = (cum - n) + 1, max_rank = cum -> 2*midrank = lt+cum+1
+        return cum.select(
+            group_col,
+            col,
+            (F.col("_cum") - F.col("_n") + F.col("_cum") + 1).alias(out),
+        )
+
+    cells = df.groupBy(group_col, x_col, y_col).agg(
+        F.count("*").cast("bigint").alias("n_xy")
+    )
+    mx = rank2_map(x_col, "mr2_x")
+    my = rank2_map(y_col, "mr2_y")
+    joined = cells.join(mx, [group_col, x_col]).join(my, [group_col, y_col])
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.sum("n_xy").cast("bigint").alias("n"),
+            F.sum(
+                F.col("n_xy")
+                * (F.col("mr2_x") - F.col("mr2_y"))
+                * (F.col("mr2_x") - F.col("mr2_y"))
+            )
+            .cast("bigint")
+            .alias("sum_d2"),
+        )
+        .select(
+            group_col,
+            "n",
+            "sum_d2",
+            F.expr(
+                "CASE WHEN n > 1 THEN"
+                " CAST(10000 - (CAST(sum_d2 AS DECIMAL(38,0)) * 15000)"
+                " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("rho_bp"),
+        )
+    )

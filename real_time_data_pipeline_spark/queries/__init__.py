@@ -141,8 +141,10 @@ _R6_PRIORITY = [
 #   rank_sum_test (Mann-Whitney 2U via the pair-count identity),
 #   ks_price_drift (two-sample KS D in exact bp, max CDF gap),
 #   fifo_attribution (FIFO lot matching via cumulative-interval
-#     intersection — exact COGS, no sequential scan).
-# 18 candidates; the remaining ~31 slots re-verify the oldest driver
+#     intersection — exact COGS, no sequential scan),
+#   spearman_qty_price (exact Spearman sufficient stats on 2x-midranks,
+#     classical rho in bp).
+# 19 candidates; the remaining ~30 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

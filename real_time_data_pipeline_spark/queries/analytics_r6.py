@@ -461,6 +461,27 @@ def q_fifo_attribution(spark, sf_dir):
     )
 
 
+def q_spearman_qty_price(spark, sf_dir):
+    """Exact Spearman rank-correlation statistics between lineitem
+    quantity and extended price per return flag
+    (operators/statistics.spearman_rank_stats): 2x-midranks keep ties
+    integral, sum_d2 and the classical rho in bp are engine-exact —
+    the monotone-association monitor next to value_correlation's
+    Pearson."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        spearman_rank_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+    )
+    return spearman_rank_stats(li, "l_returnflag", "qty", "price_c")
+
+
 def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
@@ -537,6 +558,7 @@ QUERIES = {
     "rank_sum_test": q_rank_sum_test,
     "ks_price_drift": q_ks_price_drift,
     "fifo_attribution": q_fifo_attribution,
+    "spearman_qty_price": q_spearman_qty_price,
     "supplier_reach": q_supplier_reach,
     "priority_status_chi2": q_priority_status_chi2,
     "segment_mode": q_segment_mode,
@@ -993,6 +1015,49 @@ ORACLES["fifo_attribution"] = f"""
                AS unmatched_sell_qty,
            CAST(COALESCE(m.matched_cost_c, 0) AS BIGINT) AS matched_cost_c
     FROM totals t LEFT JOIN matched m ON t.user_id = m.user_id
+"""
+
+ORACLES["spearman_qty_price"] = """
+    WITH li AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    xr AS (
+      SELECT g, x,
+             CAST(2 * SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) - cnt + 1 AS BIGINT) AS mr2_x
+      FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt
+            FROM li GROUP BY 1, 2)
+    ),
+    yr AS (
+      SELECT g, y,
+             CAST(2 * SUM(cnt) OVER (PARTITION BY g ORDER BY y
+                  ROWS UNBOUNDED PRECEDING) - cnt + 1 AS BIGINT) AS mr2_y
+      FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS cnt
+            FROM li GROUP BY 1, 2)
+    ),
+    cells AS (
+      SELECT g, x, y, CAST(count(*) AS BIGINT) AS n_xy
+      FROM li GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT c.g,
+             CAST(SUM(c.n_xy) AS BIGINT) AS n,
+             CAST(SUM(c.n_xy * (xr.mr2_x - yr.mr2_y)
+                              * (xr.mr2_x - yr.mr2_y)) AS BIGINT) AS sum_d2
+      FROM cells c
+      JOIN xr ON c.g = xr.g AND c.x = xr.x
+      JOIN yr ON c.g = yr.g AND c.y = yr.y
+      GROUP BY 1
+    )
+    SELECT g AS l_returnflag, n, sum_d2,
+           CASE WHEN n > 1 THEN
+             CAST(10000 - (CAST(sum_d2 AS HUGEINT) * 15000)
+                  // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+           ELSE NULL END AS rho_bp
+    FROM agg
 """
 
 ORACLES["rank_sum_test"] = f"""

@@ -430,3 +430,35 @@ def test_fifo_match_equals_sequential_simulation(spark):
         assert r["matched_qty"] == m, (k, r)
         assert r["matched_cost_c"] == cost, (k, r)
         assert r["unmatched_sell_qty"] == sold - m
+
+
+def test_spearman_rank_stats_goldens(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        spearman_rank_stats,
+    )
+
+    # perfect monotone -> d2 = 0, rho = 10000
+    rows = [("m", i, i * 10) for i in range(1, 6)]
+    # perfect reverse -> classical rho = -10000 exactly (n=5:
+    # sum d^2 = 40 -> 4x = 160; 1 - 6*40/120 = -1)
+    rows += [("r", i, 100 - i) for i in range(1, 6)]
+    # singleton group -> rho undefined (NULL), no div-by-zero
+    rows += [("s", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in spearman_rank_stats(df, "g", "x", "y").collect()}
+    assert out["m"]["sum_d2"] == 0 and out["m"]["rho_bp"] == 10000
+    assert out["r"]["sum_d2"] == 160 and out["r"]["rho_bp"] == -10000
+    assert out["s"]["rho_bp"] is None and out["s"]["n"] == 1
+
+    # tie handling: x = [1,1,2], y = [3,7,5] — 2*midranks:
+    # x: value 1 -> mr2 = 0+2+1 = 3 (both rows), value 2 -> 2+3+1 = 6
+    # y: all distinct -> mr2 = 1,3,5 doubled ranks: y=3->1*2-? use
+    # formula lt+cum+1: y=3:0+1+1=2? no: 2*cum-n+1 -> 2*1-1+1=2,
+    # y=5 -> 2*2-1+1=4, y=7 -> 2*3-1+1=6
+    # rows: (x1,y3): d=3-2=1; (x1,y7): 3-6=-3; (x2,y5): 6-4=2
+    # sum_d2 = 1+9+4 = 14
+    df2 = spark.createDataFrame(
+        [("t", 1, 3), ("t", 1, 7), ("t", 2, 5)], "g string, x long, y long"
+    )
+    r = spearman_rank_stats(df2, "g", "x", "y").collect()[0]
+    assert r["sum_d2"] == 14 and r["n"] == 3
