@@ -479,3 +479,167 @@ def test_mg_merge_guarantee_under_arbitrary_batch_splits(data, splits, k):
             assert item in state, (item, cnt, n, k)
     for item, residual in state.items():
         assert 0 < residual <= true[item]
+
+
+# --- round-6 closed forms vs sequential/brute-force references --------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_clamped_balance_matches_sequential_reference(spark, key_deltas):
+    """cum-minus-running-floor closed form == the b = max(0, b+d)
+    recurrence on arbitrary delta sequences (all keys in ONE frame)."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        clamped_running_balance,
+    )
+
+    rows = [
+        (k, i, i, d)
+        for k, ds in enumerate(key_deltas)
+        for i, d in enumerate(ds)
+    ]
+    df = spark.createDataFrame(rows, "k long, o long, s long, d long")
+    out = {
+        r["k"]: r for r in clamped_running_balance(df, "k", "o", "s", "d").collect()
+    }
+    for k, ds in enumerate(key_deltas):
+        b, peak, clamps, cum, mincum = 0, 0, 0, 0, None
+        for d in ds:
+            cum += d
+            mincum = cum if mincum is None else min(mincum, cum)
+            if b + d < 0:
+                clamps += 1
+            b = max(0, b + d)
+            peak = max(peak, b)
+        r = out[k]
+        assert (
+            r["final_balance_c"],
+            r["peak_balance_c"],
+            r["n_clamps"],
+            r["min_cum_c"],
+        ) == (b, peak, clamps, mincum), (k, ds)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=9), min_size=0, max_size=8),
+    st.lists(st.integers(min_value=1, max_value=9), min_size=0, max_size=8),
+)
+def test_fifo_match_matches_queue_reference(spark, bqs, sqs):
+    """interval-intersection FIFO == an explicit lot queue on random
+    buy/sell quantity sequences (unit costs = position, so cost errors
+    can't cancel)."""
+    from real_time_data_pipeline_spark.operators.statistics import fifo_match
+
+    if not bqs and not sqs:
+        return
+    buys = [("k", q, i, i + 1) for i, q in enumerate(bqs)]
+    sells = [("k", q, i) for i, q in enumerate(sqs)]
+    bdf = spark.createDataFrame(
+        buys or [("pad", 1, 0, 1)], "k string, qty long, s long, c long"
+    )
+    sdf = spark.createDataFrame(
+        sells or [("pad2", 1, 0)], "k string, qty long, s long"
+    )
+    out = {
+        r["k"]: r
+        for r in fifo_match(bdf, sdf, "k", "qty", ["s"], cost_col="c").collect()
+    }
+    lots = [[q, i + 1] for i, q in enumerate(bqs)]
+    matched = cost = 0
+    for q in sqs:
+        need = q
+        while need and lots:
+            take = min(need, lots[0][0])
+            matched += take
+            cost += take * lots[0][1]
+            lots[0][0] -= take
+            need -= take
+            if lots[0][0] == 0:
+                lots.pop(0)
+    r = out["k"] if (bqs or sqs) and "k" in out else None
+    if r is None:
+        # one empty side padded with a foreign key: "k" only appears
+        # via the non-empty side's full-outer leg
+        assert not bqs or not sqs
+        assert matched == 0 and cost == 0
+        return
+    assert r["matched_qty"] == matched and r["matched_cost_c"] == cost, (
+        bqs, sqs, r,
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+)
+def test_mw_and_ks_match_bruteforce_pairs(spark, xs, ys):
+    """2U pair-count identity == brute-force pair enumeration, and the
+    KS max-gap == brute-force CDF comparison, on random tied samples."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        ks_statistic,
+        mann_whitney_u,
+    )
+
+    rows = [("g", "A", v) for v in xs] + [("g", "B", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, side string, v long")
+    r = mann_whitney_u(df, "g", "side", "v", "A", "B").collect()[0]
+    u2_brute = sum(
+        2 if a > b else (1 if a == b else 0) for a in xs for b in ys
+    )
+    assert r["u2_a"] == u2_brute, (xs, ys)
+
+    k = ks_statistic(df, "g", "side", "v", "A", "B").collect()[0]
+    na, nb = len(xs), len(ys)
+    d_brute = max(
+        abs(sum(1 for a in xs if a <= v) * nb - sum(1 for b in ys if b <= v) * na)
+        for v in set(xs) | set(ys)
+    )
+    assert k["d_num"] == d_brute, (xs, ys)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_spearman_matches_midrank_reference(spark, pts):
+    """2x-midrank sum_d2 == scipy-free pure-Python midranks on random
+    tied points."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        spearman_rank_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    r = spearman_rank_stats(df, "g", "x", "y").collect()[0]
+
+    def mr2(vals):
+        # 2*midrank per value: min_rank + max_rank in competition ranking
+        s = sorted(vals)
+        first = {}
+        for i, v in enumerate(s):
+            first.setdefault(v, i + 1)
+        from collections import Counter
+
+        cnt = Counter(vals)
+        return {v: first[v] + (first[v] + cnt[v] - 1) for v in cnt}
+
+    mx = mr2([x for x, _ in pts])
+    my = mr2([y for _, y in pts])
+    want = sum((mx[x] - my[y]) ** 2 for x, y in pts)
+    assert r["sum_d2"] == want, pts
