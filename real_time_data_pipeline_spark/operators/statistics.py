@@ -1065,3 +1065,128 @@ def spearman_rank_stats(
             ).alias("rho_bp"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 in EXACT integer basis points —
+    the model-evaluation report every pipeline ends with, emitted so a
+    second engine reproduces it bit-for-bit (precision_bp = 1e4*tp div
+    n_pred, recall_bp = 1e4*tp div n_true, f1_bp = harmonic mean OF THE
+    BP VALUES: (2*p*r) div (p+r) — a stated convention, deterministic,
+    within 1 bp of the real-valued F1).
+
+    Three domain-grain hash aggregates (true counts, predicted counts,
+    diagonal counts) full-outer-joined on the class label — classes
+    predicted-but-never-true and true-but-never-predicted both appear,
+    with NULL for the ratio whose denominator is zero (never a
+    divide-by-zero on either engine).
+
+    Output: (class, n_true, n_pred, tp, precision_bp, recall_bp, f1_bp).
+    """
+    truth = df.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    pred = df.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_pred")
+    )
+    diag = (
+        df.filter(F.col(label_col) == F.col(pred_col))
+        .groupBy(F.col(label_col).alias("cls"))
+        .agg(F.count("*").cast("bigint").alias("tp"))
+    )
+    out = (
+        truth.join(pred, "cls", "full_outer")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    return out.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.expr(
+            "CASE WHEN n_pred > 0 THEN (10000 * tp) div n_pred END"
+        ).alias("precision_bp"),
+        F.expr(
+            "CASE WHEN n_true > 0 THEN (10000 * tp) div n_true END"
+        ).alias("recall_bp"),
+        F.expr(
+            "CASE WHEN n_pred > 0 AND n_true > 0"
+            " AND (10000 * tp) div n_pred + (10000 * tp) div n_true > 0"
+            " THEN (2 * ((10000 * tp) div n_pred)"
+            "        * ((10000 * tp) div n_true))"
+            "      div ((10000 * tp) div n_pred + (10000 * tp) div n_true)"
+            " WHEN n_pred > 0 AND n_true > 0 THEN 0 END"
+        ).alias("f1_bp"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two label columns in EXACT integers — the
+    inter-annotator / model-vs-model agreement statistic, rational by
+    construction:
+
+        kappa = (N * n_agree - sum_i R_i*C_i)
+              / (N^2        - sum_i R_i*C_i)
+
+    (multiply the usual (p_o - p_e)/(1 - p_e) through by N^2).  Both
+    the numerator and denominator are emitted as exact bigints along
+    with kappa_bp = 1e4 * num div den (DECIMAL(38,0) on the Spark side,
+    HUGEINT in the oracle — positive-operand div, engine-agreeing).
+    Degenerate case (p_e == 1: both raters constant) yields NULL.
+
+    Two domain-grain marginal aggregates joined on the label, one
+    agreement count, one 1-row combine — nothing data-scale past the
+    first aggregates.
+
+    Output: 1 row (n, n_agree, sum_rc, kappa_num, kappa_den, kappa_bp).
+    """
+    n_agree = df.filter(F.col(a_col) == F.col(b_col)).agg(
+        F.count("*").cast("bigint").alias("n_agree")
+    )
+    n_tot = df.agg(F.count("*").cast("bigint").alias("n"))
+    ra = df.groupBy(F.col(a_col).alias("cls")).agg(
+        F.count("*").cast("bigint").alias("r_cnt")
+    )
+    cb = df.groupBy(F.col(b_col).alias("cls")).agg(
+        F.count("*").cast("bigint").alias("c_cnt")
+    )
+    rc = (
+        ra.join(cb, "cls")
+        .agg(
+            F.sum(F.col("r_cnt") * F.col("c_cnt"))
+            .cast("bigint")
+            .alias("sum_rc")
+        )
+        .select(F.coalesce("sum_rc", F.lit(0)).alias("sum_rc"))
+    )
+    return (
+        n_tot.crossJoin(F.broadcast(n_agree))
+        .crossJoin(F.broadcast(rc))
+        .select(
+            "n",
+            "n_agree",
+            "sum_rc",
+            F.expr("n * n_agree - sum_rc").cast("bigint").alias("kappa_num"),
+            F.expr("n * n - sum_rc").cast("bigint").alias("kappa_den"),
+            F.expr(
+                "CASE WHEN n * n - sum_rc > 0 THEN"
+                " CAST((CAST(n * n_agree - sum_rc AS DECIMAL(38,0))"
+                "       * 10000) div (n * n - sum_rc) AS BIGINT)"
+                " END"
+            ).alias("kappa_bp"),
+        )
+    )

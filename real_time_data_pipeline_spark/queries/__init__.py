@@ -143,8 +143,12 @@ _R6_PRIORITY = [
 #   fifo_attribution (FIFO lot matching via cumulative-interval
 #     intersection — exact COGS, no sequential scan),
 #   spearman_qty_price (exact Spearman sufficient stats on 2x-midranks,
-#     classical rho in bp).
-# 19 candidates; the remaining ~30 slots re-verify the oldest driver
+#     classical rho in bp),
+#   status_prediction_report (per-class precision/recall/F1 in exact
+#     bp for a deterministic predictor), annotator_agreement (Cohen's
+#     kappa as exact integers), quality_score_auc (exact ROC-AUC via
+#     the Mann-Whitney identity — ties credited half).
+# 22 candidates; the remaining ~27 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

@@ -482,6 +482,77 @@ def q_spearman_qty_price(spark, sf_dir):
     return spearman_rank_stats(li, "l_returnflag", "qty", "price_c")
 
 
+PRED_RULE = (
+    "CASE WHEN price_c % 10 < 3 THEN 'F'"
+    " WHEN price_c % 10 < 7 THEN 'O' ELSE 'P' END"
+)
+
+
+def q_status_prediction_report(spark, sf_dir):
+    """Per-class precision/recall/F1 in exact bp
+    (operators/statistics.classification_report) for a deterministic
+    price-derived status predictor vs the true order status — the
+    model-evaluation report as an engine-exact artifact (the predictor
+    is a fixed rule, so the metrics are data-only and reproducible)."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        classification_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    ).select(
+        F.col("o_orderstatus").alias("label"),
+        F.expr(PRED_RULE).alias("pred"),
+    )
+    return classification_report(orders, "label", "pred")
+
+
+def q_annotator_agreement(spark, sf_dir):
+    """Cohen's kappa between the true status and the price-derived
+    predictor (operators/statistics.cohens_kappa): chance-corrected
+    agreement as exact integers — numerator, denominator, and kappa in
+    bp (N*n_agree - sum RC over N^2 - sum RC)."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        cohens_kappa,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    ).select(
+        F.col("o_orderstatus").alias("label"),
+        F.expr(PRED_RULE).alias("pred"),
+    )
+    return cohens_kappa(orders, "label", "pred")
+
+
+def q_quality_score_auc(spark, sf_dir):
+    """Exact ROC-AUC of document length as an is-English classifier
+    score, via the Mann-Whitney identity AUC = U/(n_pos*n_neg)
+    (operators/statistics.mann_whitney_u — effect_a_bp IS the AUC in
+    bp, ties credited half).  The ranking-metric eval as a reproducible
+    integer; at 100 TB it is one count aggregate + one distinct-value
+    prefix sum, never a sort of the corpus."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        mann_whitney_u,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("all").alias("g"),
+        F.expr(
+            "CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END"
+        ).alias("side"),
+        F.col("n_chars").cast("bigint").alias("score"),
+    )
+    return mann_whitney_u(docs, "g", "side", "score", "pos", "neg").select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.col("u2_a").alias("u2"),
+        F.col("effect_a_bp").alias("auc_bp"),
+    )
+
+
 def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
@@ -559,6 +630,9 @@ QUERIES = {
     "ks_price_drift": q_ks_price_drift,
     "fifo_attribution": q_fifo_attribution,
     "spearman_qty_price": q_spearman_qty_price,
+    "status_prediction_report": q_status_prediction_report,
+    "annotator_agreement": q_annotator_agreement,
+    "quality_score_auc": q_quality_score_auc,
     "supplier_reach": q_supplier_reach,
     "priority_status_chi2": q_priority_status_chi2,
     "segment_mode": q_segment_mode,
@@ -1058,6 +1132,101 @@ ORACLES["spearman_qty_price"] = """
                   // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
            ELSE NULL END AS rho_bp
     FROM agg
+"""
+
+_PRED_SQL = PRED_RULE
+
+ORACLES["status_prediction_report"] = f"""
+    WITH o AS (
+      SELECT o_orderstatus AS label,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    lp AS (SELECT label, {_PRED_SQL} AS pred FROM o),
+    truth AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_true
+              FROM lp GROUP BY 1),
+    pred AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+             FROM lp GROUP BY 1),
+    diag AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS tp
+             FROM lp WHERE label = pred GROUP BY 1),
+    m AS (
+      SELECT COALESCE(t.cls, p.cls) AS cls,
+             COALESCE(t.n_true, 0) AS n_true,
+             COALESCE(p.n_pred, 0) AS n_pred,
+             COALESCE(d.tp, 0) AS tp
+      FROM truth t
+      FULL OUTER JOIN pred p ON t.cls = p.cls
+      LEFT JOIN diag d ON COALESCE(t.cls, p.cls) = d.cls
+    )
+    SELECT cls,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           CASE WHEN n_pred > 0
+                THEN (10000 * tp) // n_pred END AS precision_bp,
+           CASE WHEN n_true > 0
+                THEN (10000 * tp) // n_true END AS recall_bp,
+           CASE WHEN n_pred > 0 AND n_true > 0
+                AND (10000 * tp) // n_pred + (10000 * tp) // n_true > 0
+                THEN (2 * ((10000 * tp) // n_pred)
+                        * ((10000 * tp) // n_true))
+                     // ((10000 * tp) // n_pred + (10000 * tp) // n_true)
+                WHEN n_pred > 0 AND n_true > 0 THEN 0 END AS f1_bp
+    FROM m
+"""
+
+ORACLES["annotator_agreement"] = f"""
+    WITH o AS (
+      SELECT o_orderstatus AS label,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    lp AS (SELECT label, {_PRED_SQL} AS pred FROM o),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lp),
+    agr AS (SELECT CAST(count(*) AS BIGINT) AS n_agree
+            FROM lp WHERE label = pred),
+    ra AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS r_cnt
+           FROM lp GROUP BY 1),
+    cb AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS c_cnt
+           FROM lp GROUP BY 1),
+    rc AS (SELECT CAST(COALESCE(SUM(r_cnt * c_cnt), 0) AS BIGINT) AS sum_rc
+           FROM ra JOIN cb USING (cls))
+    SELECT tot.n, agr.n_agree, rc.sum_rc,
+           CAST(tot.n * agr.n_agree - rc.sum_rc AS BIGINT) AS kappa_num,
+           CAST(tot.n * tot.n - rc.sum_rc AS BIGINT) AS kappa_den,
+           CASE WHEN tot.n * tot.n - rc.sum_rc > 0 THEN
+             CAST((CAST(tot.n * agr.n_agree - rc.sum_rc AS HUGEINT)
+                   * 10000) // (tot.n * tot.n - rc.sum_rc) AS BIGINT)
+           END AS kappa_bp
+    FROM tot CROSS JOIN agr CROSS JOIN rc
+"""
+
+ORACLES["quality_score_auc"] = """
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS side,
+             CAST(n_chars AS BIGINT) AS v
+      FROM documents
+    ),
+    counts AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN side = 'pos' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN side = 'neg' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM d GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c_a, c_b,
+             CAST(SUM(c_b) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      FROM counts
+    )
+    SELECT CAST(SUM(c_a) AS BIGINT) AS n_pos,
+           CAST(SUM(c_b) AS BIGINT) AS n_neg,
+           CAST(SUM(c_a * (2 * (cum_b - c_b) + c_b)) AS BIGINT) AS u2,
+           CAST((10000 * SUM(c_a * (2 * (cum_b - c_b) + c_b)))
+                // (2 * SUM(c_a) * SUM(c_b)) AS BIGINT) AS auc_bp
+    FROM cum
 """
 
 ORACLES["rank_sum_test"] = f"""

@@ -462,3 +462,55 @@ def test_spearman_rank_stats_goldens(spark):
     )
     r = spearman_rank_stats(df2, "g", "x", "y").collect()[0]
     assert r["sum_d2"] == 14 and r["n"] == 3
+
+
+def test_classification_report_goldens(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        classification_report,
+    )
+
+    # labels: a a a b b c ; preds: a b a b b d
+    rows = [
+        ("a", "a"), ("a", "b"), ("a", "a"),
+        ("b", "b"), ("b", "b"), ("c", "d"),
+    ]
+    df = spark.createDataFrame(rows, "label string, pred string")
+    out = {r["cls"]: r for r in classification_report(df, "label", "pred").collect()}
+    # class a: n_true=3, n_pred=2, tp=2 -> p=10000, r=6666
+    a = out["a"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 2, 2)
+    assert (a["precision_bp"], a["recall_bp"]) == (10000, 6666)
+    assert a["f1_bp"] == (2 * 10000 * 6666) // (10000 + 6666)
+    # class c: true but never predicted -> precision NULL, recall 0
+    c = out["c"]
+    assert c["n_pred"] == 0 and c["precision_bp"] is None
+    assert c["recall_bp"] == 0 and c["f1_bp"] is None
+    # class d: predicted but never true -> recall NULL, precision 0
+    d = out["d"]
+    assert d["n_true"] == 0 and d["recall_bp"] is None
+    assert d["precision_bp"] == 0 and d["f1_bp"] is None
+
+
+def test_cohens_kappa_goldens(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        cohens_kappa,
+    )
+
+    # perfect agreement, 2 balanced classes: kappa = 1
+    rows = [("x", "x")] * 3 + [("y", "y")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa_bp"] == 10000
+    # independent-looking 2x2 with po == pe -> kappa = 0:
+    # a: x x y y ; b: x y x y  -> agree 2/4, pe = (2*2 + 2*2)/16 = 1/2
+    rows = [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")]
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r["kappa_num"] == 0 and r["kappa_bp"] == 0
+    # both raters constant -> pe = 1 -> NULL (degenerate)
+    rows = [("x", "x")] * 4
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r["kappa_bp"] is None and r["kappa_den"] == 0
