@@ -1178,3 +1178,83 @@ def language_mixing(
         .cast("bigint")
         .alias("mixing_bp"),
     )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 3,
+) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams scored by lift in
+    integer basis points — the PMI-style "these two words travel
+    together" signal (named entities, idioms, boilerplate phrases)
+    without PMI's engine-dependent log.
+
+    Lift here is the (first-slot, second-slot) contingency ratio:
+
+        lift_bp = 1e4 * n_ab * N  div  (n_a * n_b)
+
+    with N = total bigrams, n_a = occurrences of a as a FIRST element,
+    n_b = occurrences of b as a SECOND element — exactly the
+    independence baseline of the bigram pairing, all integers (the
+    product runs in DECIMAL(38,0); the oracle uses HUGEINT).
+
+    Bigrams are built in LIST SPACE (transform over token-array slices
+    — whole-stage-codegen'd, no explode-then-self-join, no window), so
+    per-document work is token-bounded and the only shuffles are the
+    count aggregates.  ``min_count`` makes the output a deterministic
+    set (a top-k cut would tie-break arbitrarily).
+
+    Output: (tok_a, tok_b, n_ab, n_a, n_b, n_bigrams, lift_bp).
+    """
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select(
+            F.split(F.col("bg"), " ").getItem(0).alias("tok_a"),
+            F.split(F.col("bg"), " ").getItem(1).alias("tok_b"),
+        )
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+    )
+    bg = cache.track(bg)
+    pair = (
+        bg.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    first = bg.groupBy("tok_a").agg(
+        F.count("*").cast("bigint").alias("n_a")
+    )
+    second = bg.groupBy("tok_b").agg(
+        F.count("*").cast("bigint").alias("n_b")
+    )
+    total = bg.agg(F.count("*").cast("bigint").alias("n_bigrams"))
+    # pair is small after min_count — broadcast it through the slot
+    # counts so the corpus-scale sides never reshuffle.
+    return (
+        first.join(F.broadcast(pair), "tok_a")
+        .join(F.broadcast(second), "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_bigrams",
+            F.expr(
+                "CAST((CAST(10000 AS DECIMAL(38,0)) * n_ab * n_bigrams)"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )

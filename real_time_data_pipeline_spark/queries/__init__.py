@@ -147,8 +147,10 @@ _R6_PRIORITY = [
 #   status_prediction_report (per-class precision/recall/F1 in exact
 #     bp for a deterministic predictor), annotator_agreement (Cohen's
 #     kappa as exact integers), quality_score_auc (exact ROC-AUC via
-#     the Mann-Whitney identity — ties credited half).
-# 22 candidates; the remaining ~27 slots re-verify the oldest driver
+#     the Mann-Whitney identity — ties credited half),
+#   collocations (adjacent-token bigram lift in exact bp, list-space
+#     construction, slot-count contingency baseline).
+# 23 candidates; the remaining ~26 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

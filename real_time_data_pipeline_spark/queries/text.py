@@ -852,3 +852,53 @@ ORACLES["embed_search"] = f"""
         AND list_sum(list_transform(q.embedding, x -> x * x)) > 0
     ) WHERE rank <= 10
 """
+
+
+COLLOC_MIN_COUNT = 3
+
+
+def q_collocations(spark, sf_dir):
+    """Adjacent-token collocations over the document corpus scored by
+    exact integer lift (operators/text.bigram_collocations): bigrams
+    built in list space (no explode-join, no window), slot-count
+    contingency baseline, min_count=3 deterministic set — the
+    phrase-mining signal next to the tf-idf/BM25 tier."""
+    docs = _docs(spark, sf_dir)
+    return T.bigram_collocations(
+        docs, "doc_id", "text", min_count=COLLOC_MIN_COUNT
+    )
+
+
+QUERIES["collocations"] = q_collocations
+ORACLES["collocations"] = f"""
+    WITH toks AS (
+      SELECT {DUCK_TOKENS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT string_split(bgs, ' ')[1] AS tok_a,
+             string_split(bgs, ' ')[2] AS tok_b
+      FROM (
+        SELECT unnest(list_transform(
+                 range(1, greatest(len(t) - 1, 0) + 1),
+                 i -> array_to_string(t[i:i+1], ' '))) AS bgs
+        FROM toks
+      )
+      WHERE string_split(bgs, ' ')[1] <> ''
+        AND string_split(bgs, ' ')[2] <> ''
+    ),
+    pair AS (
+      SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bg GROUP BY 1, 2
+      HAVING count(*) >= {COLLOC_MIN_COUNT}
+    ),
+    fc AS (SELECT tok_a, CAST(count(*) AS BIGINT) AS n_a FROM bg GROUP BY 1),
+    sc AS (SELECT tok_b, CAST(count(*) AS BIGINT) AS n_b FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bg)
+    SELECT p.tok_a, p.tok_b, p.n_ab, fc.n_a, sc.n_b, tot.n_bigrams,
+           CAST((CAST(10000 AS HUGEINT) * p.n_ab * tot.n_bigrams)
+                // (fc.n_a * sc.n_b) AS BIGINT) AS lift_bp
+    FROM pair p
+    JOIN fc USING (tok_a)
+    JOIN sc USING (tok_b)
+    CROSS JOIN tot
+"""

@@ -514,3 +514,30 @@ def test_cohens_kappa_goldens(spark):
         spark.createDataFrame(rows, "a string, b string"), "a", "b"
     ).collect()[0]
     assert r["kappa_bp"] is None and r["kappa_den"] == 0
+
+
+def test_bigram_collocations_counts_and_lift(spark):
+    from real_time_data_pipeline_spark.operators.text import (
+        bigram_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york city"),
+            (2, "new york is big"),
+            (3, "x"),        # single token -> no bigrams
+            (4, ""),         # empty -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in bigram_collocations(docs, "doc_id", "text", min_count=2).collect()
+    }
+    # bigrams: d1: (new,york) (york,new) (new,york) (york,city)
+    #          d2: (new,york) (york,is) (is,big)      -> N = 7
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    # n_ab=3; first-slot new=3; second-slot york=3
+    assert (r["n_ab"], r["n_a"], r["n_b"], r["n_bigrams"]) == (3, 3, 3, 7)
+    assert r["lift_bp"] == (10000 * 3 * 7) // (3 * 3)
