@@ -213,13 +213,57 @@ def _python_eval_nodes(df) -> tuple[list[str], list[str]]:
     return row_wise, arrow
 
 
+# Fat columns: the ones that dominate scan bytes at 100 TB.  A query
+# that reads the table but not the column must show a PRUNED scan —
+# "text rode along into the shuffle" is the classic silent 100x.
+FAT_COLUMNS = {
+    ("documents", "text"),
+    ("embeddings", "embedding"),
+    ("events", "props"),
+}
+# Module-level permissions: these tiers' queries legitimately consume
+# the fat column; anything else scanning it is a pruning regression.
+FAT_ALLOWED_MODULES = {
+    ("documents", "text"): {"text", "dedup", "curation", "multimodal"},
+    ("embeddings", "embedding"): {"similarity", "dedup"},
+    ("events", "props"): {"reference_parity"},
+}
+# Reviewed per-query exceptions living outside their natural module.
+FAT_ALLOWED_QUERIES = {
+    ("documents", "text"): {"dedup_containment"},  # dedup op, lives in analytics_ext
+}
+_SCAN_RE = None
+
+
+def _fat_scans(df) -> set[tuple[str, str]]:
+    """(table, fat_column) pairs this plan's parquet scans READ."""
+    import re
+
+    global _SCAN_RE
+    if _SCAN_RE is None:
+        _SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\].*?/(\w+)\.parquet")
+    out = set()
+    text = df._jdf.queryExecution().executedPlan().treeString()
+    for mo in _SCAN_RE.finditer(text):
+        cols = {c.split("#")[0].strip() for c in mo.group(1).split(",")}
+        tbl = mo.group(2)
+        for t, c in FAT_COLUMNS:
+            if tbl == t and c in cols:
+                out.add((t, c))
+    return out
+
+
 @pytest.fixture(scope="module")
 def registry_plan_scan(spark, sf_dir):
-    """One pass over every registry query's physical plan; both guard
-    tests consume it (building 230+ DataFrames is the expensive part —
+    """One pass over every registry query's physical plan; all guard
+    tests consume it (building 240+ DataFrames is the expensive part —
     do it once)."""
-    from real_time_data_pipeline_spark.queries import all_queries
+    from real_time_data_pipeline_spark.queries import _MODULES, all_queries
 
+    name2mod = {}
+    for m in _MODULES:
+        for k in m.QUERIES:
+            name2mod[k] = m.__name__.split(".")[-1]
     scan = {}
     for name, fn in all_queries().items():
         try:
@@ -231,9 +275,34 @@ def registry_plan_scan(spark, sf_dir):
             "bnl": _bnl_violations(df),
             "py_row": row_wise,
             "py_arrow": arrow,
+            "fat": _fat_scans(df),
+            "module": name2mod.get(name, "?"),
         }
         spark.catalog.clearCache()
     return scan
+
+
+def test_fat_columns_pruned_outside_their_tiers(registry_plan_scan):
+    """Column-pruning guard: the scan-byte-dominant columns (document
+    text, embedding vectors, event props JSON) may reach a parquet scan
+    only in the tiers that consume them.  Everything else must show a
+    pruned ReadSchema — at 100 TB an unpruned text column turns a
+    metadata-sized scan into the whole corpus."""
+    bad = {}
+    for name, rec in registry_plan_scan.items():
+        for key in rec["fat"]:
+            if rec["module"] in FAT_ALLOWED_MODULES.get(key, set()):
+                continue
+            if name in FAT_ALLOWED_QUERIES.get(key, set()):
+                continue
+            bad.setdefault(name, []).append(
+                f"{key[0]}.{key[1]} scanned from module {rec['module']}"
+            )
+    assert not bad, (
+        f"fat columns reach a scan outside their consuming tiers: {bad} — "
+        "select() the needed columns before any join/shuffle, or add a "
+        "reviewed exception with a reason"
+    )
 
 
 def test_no_unbounded_bnl_in_any_registry_plan(registry_plan_scan):
