@@ -149,8 +149,10 @@ _R6_PRIORITY = [
 #     kappa as exact integers), quality_score_auc (exact ROC-AUC via
 #     the Mann-Whitney identity — ties credited half),
 #   collocations (adjacent-token bigram lift in exact bp, list-space
-#     construction, slot-count contingency baseline).
-# 23 candidates; the remaining ~26 slots re-verify the oldest driver
+#     construction, slot-count contingency baseline),
+#   bucketed_revenue_join (co-located bucketed-table join — the
+#     shuffle-free SortMergeJoin layout, full write+join cycle).
+# 24 candidates; the remaining ~25 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

@@ -238,3 +238,78 @@ ORACLES["salted_join_skew"] = """
 
 # streaming two-stream interval join == the batch range-join oracle
 ORACLES["stream_range_join"] = ORACLES["range_join"]
+
+
+BUCKETS = 8
+
+
+def q_bucketed_revenue_join(spark, sf_dir):
+    """Co-located (bucketed) join — the shuffle-elimination layout for
+    repeated big-big joins (real_time_data_pipeline_spark/warehouse.py):
+    orders and customer are written as catalog tables hash-bucketed AND
+    sorted 8-ways on the join key, then joined back through the bucket
+    spec — the SortMergeJoin runs with NO Exchange on either side
+    (plan-asserted in tests/test_warehouse.py; at 100 TB this converts
+    every repeat join from two corpus shuffles into zero).  The query
+    measures the full layout cycle (write bucketed + co-located join +
+    money-stable aggregate), the same build+probe accounting as the
+    persisted ANN indexes.  Broadcast is disabled for the join so the
+    bucketed path is what actually runs at this test SF too."""
+    import os
+
+    from real_time_data_pipeline_spark import warehouse
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"bjoin_{sf_tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    warehouse.write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ),
+        f"{db}.orders_b",
+        "o_custkey",
+        BUCKETS,
+    )
+    warehouse.write_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        f"{db}.customer_b",
+        "c_custkey",
+        BUCKETS,
+    )
+    o = warehouse.bucketed(spark, f"{db}.orders_b")
+    c = warehouse.bucketed(spark, f"{db}.customer_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.expr(
+                    "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))"
+                    " AS BIGINT)"
+                ).alias("revenue_c"),
+            )
+        )
+        # materialize the plan while broadcast is still disabled (the
+        # config is read at planning time; restoring it after return
+        # would re-plan with a broadcast join)
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
+QUERIES["bucketed_revenue_join"] = q_bucketed_revenue_join
+
+ORACLES["bucketed_revenue_join"] = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""
