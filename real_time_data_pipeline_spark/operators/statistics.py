@@ -1190,3 +1190,74 @@ def cohens_kappa(
             ).alias("kappa_bp"),
         )
     )
+
+
+def seasonal_median_index(
+    df: DataFrame,
+    group_col: str,
+    season_col: str,
+    value_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Robust seasonal indices: per-(group, season) discrete median
+    over the overall per-group median, in integer basis points — the
+    outlier-resistant "is March structurally 20% hotter" profile that
+    a mean-based index mis-states on heavy-tailed values (the
+    median/MAD philosophy applied to seasonality).
+
+    Both medians are exact rank-selects on :func:`distributed_ranks`
+    (rank ceil(n/2) — lower median, integer, engine-exact).  The
+    seasonal grain runs on a composite key (group, season packed with
+    a \\x1f separator — values must not contain it, documented), the
+    overall grain on the group alone; the group medians broadcast back
+    onto the season rows.  index_bp = 1e4 * season_median div
+    overall_median, NULL when the overall median is 0.
+
+    Output: (group, season, n_season, season_median_c,
+    overall_median_c, index_bp); group and season come back as strings
+    (the composite key round-trips through one concat/split).
+    """
+    sep = "\x1f"
+    src_season = df.select(
+        F.concat_ws(
+            sep,
+            F.col(group_col).cast("string"),
+            F.col(season_col).cast("string"),
+        ).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(seq_col).alias("s"),
+    )
+    med_season = (
+        distributed_ranks(src_season)
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(
+            F.split_part(F.col("g"), F.lit(sep), F.lit(1)).alias(group_col),
+            F.split_part(F.col("g"), F.lit(sep), F.lit(2)).alias("season"),
+            F.col("n").alias("n_season"),
+            F.col("v").alias("season_median_c"),
+        )
+    )
+    src_all = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(seq_col).alias("s"),
+    )
+    med_all = (
+        distributed_ranks(src_all)
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias("overall_median_c"),
+        )
+    )
+    return med_season.join(F.broadcast(med_all), group_col).select(
+        group_col,
+        "season",
+        "n_season",
+        "season_median_c",
+        "overall_median_c",
+        F.expr(
+            "CASE WHEN overall_median_c <> 0 THEN"
+            " (10000 * season_median_c) div overall_median_c END"
+        ).alias("index_bp"),
+    )

@@ -151,8 +151,10 @@ _R6_PRIORITY = [
 #   collocations (adjacent-token bigram lift in exact bp, list-space
 #     construction, slot-count contingency baseline),
 #   bucketed_revenue_join (co-located bucketed-table join — the
-#     shuffle-free SortMergeJoin layout, full write+join cycle).
-# 24 candidates; the remaining ~25 slots re-verify the oldest driver
+#     shuffle-free SortMergeJoin layout, full write+join cycle),
+#   monthly_price_index (robust seasonal indices: rank-select medians
+#     per season over the overall median, integer bp).
+# 25 candidates; the remaining ~24 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

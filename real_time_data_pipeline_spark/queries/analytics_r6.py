@@ -553,6 +553,27 @@ def q_quality_score_auc(spark, sf_dir):
     )
 
 
+def q_monthly_price_index(spark, sf_dir):
+    """Robust seasonal price profile per priority
+    (operators/statistics.seasonal_median_index): month-of-year median
+    order price over the priority's overall median, in integer bp —
+    exact rank-select medians on the shared distributed-ranks
+    machinery, outlier-proof where a mean index is not."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        seasonal_median_index,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.month("o_orderdate").alias("mon"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        "o_orderkey",
+    )
+    return seasonal_median_index(
+        orders, "o_orderpriority", "mon", "price_c", "o_orderkey"
+    )
+
+
 def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
@@ -633,6 +654,7 @@ QUERIES = {
     "status_prediction_report": q_status_prediction_report,
     "annotator_agreement": q_annotator_agreement,
     "quality_score_auc": q_quality_score_auc,
+    "monthly_price_index": q_monthly_price_index,
     "supplier_reach": q_supplier_reach,
     "priority_status_chi2": q_priority_status_chi2,
     "segment_mode": q_segment_mode,
@@ -1227,6 +1249,42 @@ ORACLES["quality_score_auc"] = """
            CAST((10000 * SUM(c_a * (2 * (cum_b - c_b) + c_b)))
                 // (2 * SUM(c_a) * SUM(c_b)) AS BIGINT) AS auc_bp
     FROM cum
+"""
+
+ORACLES["monthly_price_index"] = """
+    WITH o AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+             CAST(month(o_orderdate) AS VARCHAR) AS season,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderkey AS s
+      FROM orders
+    ),
+    rs AS (
+      SELECT g, season, v,
+             row_number() OVER (PARTITION BY g, season ORDER BY v, s) AS r,
+             count(*) OVER (PARTITION BY g, season) AS n
+      FROM o
+    ),
+    ms AS (
+      SELECT g, season, CAST(n AS BIGINT) AS n_season,
+             v AS season_median_c
+      FROM rs WHERE r = (n + 1) // 2
+    ),
+    ra AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, s) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM o
+    ),
+    ma AS (
+      SELECT g, v AS overall_median_c FROM ra WHERE r = (n + 1) // 2
+    )
+    SELECT ms.g AS o_orderpriority, ms.season, ms.n_season,
+           ms.season_median_c, ma.overall_median_c,
+           CASE WHEN ma.overall_median_c <> 0 THEN
+             (10000 * ms.season_median_c) // ma.overall_median_c
+           END AS index_bp
+    FROM ms JOIN ma ON ms.g = ma.g
 """
 
 ORACLES["rank_sum_test"] = f"""

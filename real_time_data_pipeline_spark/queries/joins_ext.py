@@ -259,9 +259,23 @@ def q_bucketed_revenue_join(spark, sf_dir):
 
     from real_time_data_pipeline_spark import warehouse
 
+    import shutil
+
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     db = f"bjoin_{sf_tag}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # A FRESH session has an empty in-memory catalog but the managed
+    # table directories from a previous run survive on disk — saveAsTable
+    # then fails with LOCATION_ALREADY_EXISTS.  Drop both the catalog
+    # entry and any orphaned location before writing.
+    loc = next(
+        r["info_value"]
+        for r in spark.sql(f"DESCRIBE DATABASE {db}").collect()
+        if r["info_name"] == "Location"
+    ).removeprefix("file:")
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
     warehouse.write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice"

@@ -541,3 +541,25 @@ def test_bigram_collocations_counts_and_lift(spark):
     # n_ab=3; first-slot new=3; second-slot york=3
     assert (r["n_ab"], r["n_a"], r["n_b"], r["n_bigrams"]) == (3, 3, 3, 7)
     assert r["lift_bp"] == (10000 * 3 * 7) // (3 * 3)
+
+
+def test_seasonal_median_index_golden(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        seasonal_median_index,
+    )
+
+    # group g: season 1 -> [10, 20, 30] (median 20);
+    #          season 2 -> [40, 50]     (lower median 40)
+    # overall [10..50] -> lower median 30
+    rows = [("g", 1, v, i) for i, v in enumerate([10, 20, 30])]
+    rows += [("g", 2, v, i + 10) for i, v in enumerate([40, 50])]
+    df = spark.createDataFrame(rows, "g string, mon int, v long, s long")
+    out = {
+        r["season"]: r
+        for r in seasonal_median_index(df, "g", "mon", "v", "s").collect()
+    }
+    assert out["1"]["season_median_c"] == 20 and out["1"]["n_season"] == 3
+    assert out["2"]["season_median_c"] == 40
+    assert out["1"]["overall_median_c"] == 30
+    assert out["1"]["index_bp"] == (10000 * 20) // 30
+    assert out["2"]["index_bp"] == (10000 * 40) // 30

@@ -214,6 +214,8 @@ ORDERS_QUERIES = [
     "ks_price_drift",
     "priority_status_chi2",
     "segment_mode",
+    # bucketed layout write+join cycle at 10x orders/customers
+    "bucketed_revenue_join",
 ]
 ORDER_OFFSET = 100_000_000
 
