@@ -1261,3 +1261,72 @@ def seasonal_median_index(
             " (10000 * season_median_c) div overall_median_c END"
         ).alias("index_bp"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    slope_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group least-squares trend line from exact integer sufficient
+    statistics — the "is this metric drifting and how fast" estimator,
+    engine-reproducible because the classical closed form is rational:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    One hash aggregate collects (n, Sx, Sy, Sxy, Sxx) as bigints; the
+    combine runs in DECIMAL(38,0) (HUGEINT in the oracle) and emits
+    slope_u = slope * slope_scale by exact integral division, then
+    intercept_c = (Sy - (slope_u * Sx) div scale) div n — a STATED
+    integer convention (floor at each step), identical on both engines.
+    Degenerate groups (all x equal, or n < 2) yield NULLs.
+
+    Center/shrink x upstream (e.g. days since the dataset epoch, not
+    epoch micros): the DECIMAL(38,0) headroom needs
+    n * Sxy * slope_scale < 1e38 — days-grain x and cents-grain y hold
+    through ~1e9 rows per group.
+
+    Output: (group, n, sum_x, sum_y, slope_u, intercept_c).
+    """
+    s = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(x_col).cast("bigint")).cast("bigint").alias("sum_x"),
+        F.sum(F.col(y_col).cast("bigint")).cast("bigint").alias("sum_y"),
+        F.sum(
+            F.col(x_col).cast("bigint") * F.col(y_col).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum(
+            F.col(x_col).cast("bigint") * F.col(x_col).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    num = (
+        "CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sum_x AS DECIMAL(38,0)) * sum_y"
+    )
+    den = (
+        "CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sum_x AS DECIMAL(38,0)) * sum_x"
+    )
+    return s.select(
+        group_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        F.expr(
+            f"CASE WHEN n > 1 AND ({den}) <> 0 THEN"
+            f" CAST((({num}) * {slope_scale}) div ({den}) AS BIGINT)"
+            " END"
+        ).alias("slope_u"),
+        F.expr(
+            f"CASE WHEN n > 1 AND ({den}) <> 0 THEN"
+            f" CAST((sum_y - (((({num}) * {slope_scale}) div ({den}))"
+            f"       * CAST(sum_x AS DECIMAL(38,0))) div {slope_scale})"
+            " div n AS BIGINT) END"
+        ).alias("intercept_c"),
+    )

@@ -153,8 +153,11 @@ _R6_PRIORITY = [
 #   bucketed_revenue_join (co-located bucketed-table join — the
 #     shuffle-free SortMergeJoin layout, full write+join cycle),
 #   monthly_price_index (robust seasonal indices: rank-select medians
-#     per season over the overall median, integer bp).
-# 25 candidates; the remaining ~24 slots re-verify the oldest driver
+#     per season over the overall median, integer bp),
+#   price_trend_ols (least-squares trend from exact integer sufficient
+#     stats; slope in micro-units, truncating division verified
+#     identical on negatives across engines).
+# 26 candidates; the remaining ~23 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

@@ -574,6 +574,27 @@ def q_monthly_price_index(spark, sf_dir):
     )
 
 
+TREND_EPOCH = "1992-01-01"
+
+
+def q_price_trend_ols(spark, sf_dir):
+    """Per-priority least-squares price trend
+    (operators/statistics.ols_trend): x = days since the dataset epoch,
+    y = price cents; slope in micro-cents/day and the floor-convention
+    intercept, from exact integer sufficient statistics combined in
+    DECIMAL(38,0) — drift-rate estimation as an engine-exact number
+    (both engines' integral division truncates toward zero, verified
+    on negatives)."""
+    from real_time_data_pipeline_spark.operators.statistics import ols_trend
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(f"datediff(o_orderdate, DATE '{TREND_EPOCH}')").alias("xd"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    return ols_trend(orders, "o_orderpriority", "xd", "price_c")
+
+
 def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
@@ -655,6 +676,7 @@ QUERIES = {
     "annotator_agreement": q_annotator_agreement,
     "quality_score_auc": q_quality_score_auc,
     "monthly_price_index": q_monthly_price_index,
+    "price_trend_ols": q_price_trend_ols,
     "supplier_reach": q_supplier_reach,
     "priority_status_chi2": q_priority_status_chi2,
     "segment_mode": q_segment_mode,
@@ -1285,6 +1307,44 @@ ORACLES["monthly_price_index"] = """
              (10000 * ms.season_median_c) // ma.overall_median_c
            END AS index_bp
     FROM ms JOIN ma ON ms.g = ma.g
+"""
+
+ORACLES["price_trend_ols"] = f"""
+    WITH o AS (
+      SELECT o_orderpriority AS g,
+             CAST(date_diff('day', DATE '{TREND_EPOCH}', o_orderdate)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM o GROUP BY 1
+    )
+    SELECT g AS o_orderpriority, n, sum_x, sum_y,
+           CASE WHEN n > 1
+                 AND CAST(n AS HUGEINT) * sxx
+                     - CAST(sum_x AS HUGEINT) * sum_x <> 0 THEN
+             CAST(((CAST(n AS HUGEINT) * sxy
+                    - CAST(sum_x AS HUGEINT) * sum_y) * 1000000)
+                  // (CAST(n AS HUGEINT) * sxx
+                      - CAST(sum_x AS HUGEINT) * sum_x) AS BIGINT)
+           END AS slope_u,
+           CASE WHEN n > 1
+                 AND CAST(n AS HUGEINT) * sxx
+                     - CAST(sum_x AS HUGEINT) * sum_x <> 0 THEN
+             CAST((sum_y - (CAST(((CAST(n AS HUGEINT) * sxy
+                        - CAST(sum_x AS HUGEINT) * sum_y) * 1000000)
+                      // (CAST(n AS HUGEINT) * sxx
+                          - CAST(sum_x AS HUGEINT) * sum_x) AS HUGEINT)
+                    * sum_x) // 1000000) // n AS BIGINT)
+           END AS intercept_c
+    FROM s
 """
 
 ORACLES["rank_sum_test"] = f"""

@@ -563,3 +563,22 @@ def test_seasonal_median_index_golden(spark):
     assert out["1"]["overall_median_c"] == 30
     assert out["1"]["index_bp"] == (10000 * 20) // 30
     assert out["2"]["index_bp"] == (10000 * 40) // 30
+
+
+def test_ols_trend_goldens(spark):
+    from real_time_data_pipeline_spark.operators.statistics import ols_trend
+
+    # exact line y = 3x + 7 -> slope_u = 3e6, intercept 7
+    rows = [("up", x, 3 * x + 7) for x in range(10)]
+    # exact negative slope y = -2x + 100 (negative-division parity:
+    # both engines truncate toward zero)
+    rows += [("down", x, -2 * x + 100) for x in range(10)]
+    # degenerate: constant x -> NULL
+    rows += [("flat", 5, v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in ols_trend(df, "g", "x", "y").collect()}
+    assert out["up"]["slope_u"] == 3_000_000
+    assert out["up"]["intercept_c"] == 7
+    assert out["down"]["slope_u"] == -2_000_000
+    assert out["down"]["intercept_c"] == 100
+    assert out["flat"]["slope_u"] is None and out["flat"]["intercept_c"] is None
