@@ -1330,3 +1330,96 @@ def ols_trend(
             " div n AS BIGINT) END"
         ).alias("intercept_c"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    seq_col: str,
+    slope_scale: int = 1_000_000,
+) -> DataFrame:
+    """Theil-Sen robust trend: the median of pairwise slopes — the
+    estimator that shrugs off the outliers OLS chases (breakdown point
+    ~29%), made engine-exact by a stated convention: each pairwise
+    slope is the integer ((y2-y1) * slope_scale) div (x2-x1), and the
+    result is the discrete lower median of those integers (rank
+    ceil(m/2) over (slope, pair-id)).
+
+    SCALE SHAPE — the pair set is quadratic in the SERIES length, so
+    the input must be DOMAIN-REDUCED first: callers pass a per-x
+    representative (e.g. the per-day median via rank-select), never
+    raw rows.  This operator enforces one y per (group, x) by taking
+    the lower median of y within each (group, x) cell itself
+    (:func:`distributed_ranks` on the composite key), then self-joins
+    the |distinct x| frame per group (x1 < x2) and rank-selects the
+    slope median with a second distributed_ranks pass.  At 2,400
+    distinct days that is ~2.9M pairs per group — pair-join-bounded by
+    the VALUE DOMAIN, the same argument as skyline/chi2.
+
+    Output: (group, n_points, n_pairs, slope_u) — all bigint/NULL when
+    fewer than 2 distinct x.
+    """
+    sep = "\x1f"
+    src_cell = df.select(
+        F.concat_ws(
+            sep,
+            F.col(group_col).cast("string"),
+            F.col(x_col).cast("string"),
+        ).alias("g"),
+        F.col(y_col).cast("bigint").alias("v"),
+        F.col(seq_col).alias("s"),
+    )
+    day = (
+        distributed_ranks(src_cell)
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(
+            F.split_part(F.col("g"), F.lit(sep), F.lit(1)).alias("grp"),
+            F.split_part(F.col("g"), F.lit(sep), F.lit(2))
+            .cast("bigint")
+            .alias("x"),
+            F.col("v").alias("y"),
+        )
+    )
+    from real_time_data_pipeline_spark.operators import cache
+
+    day = cache.track(day)
+    a = day.select(
+        F.col("grp"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = day.select(
+        F.col("grp"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = (
+        a.join(b, "grp")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "grp",
+            F.expr(
+                f"((y2 - y1) * {slope_scale}) div (x2 - x1)"
+            ).alias("slope"),
+            F.expr("x1 * 1000000 + x2").alias("pid"),
+        )
+    )
+    ranked = distributed_ranks(
+        pairs.select(
+            F.col("grp").alias("g"),
+            F.col("slope").alias("v"),
+            F.col("pid").alias("s"),
+        )
+    )
+    med = ranked.filter(F.col("r") == F.expr("(n + 1) div 2")).select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_pairs"),
+        F.col("v").alias("slope_u"),
+    )
+    n_points = day.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    return n_points.join(med, group_col, "left").select(
+        group_col,
+        "n_points",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        "slope_u",
+    )

@@ -156,8 +156,10 @@ _R6_PRIORITY = [
 #     per season over the overall median, integer bp),
 #   price_trend_ols (least-squares trend from exact integer sufficient
 #     stats; slope in micro-units, truncating division verified
-#     identical on negatives across engines).
-# 26 candidates; the remaining ~23 slots re-verify the oldest driver
+#     identical on negatives across engines),
+#   theil_sen_price_trend (robust trend: discrete median of
+#     integer-scaled pairwise slopes on the day-domain-reduced frame).
+# 27 candidates; the remaining ~22 slots re-verify the oldest driver
 # verdicts (rounds 1-3) under whatever code round 7 touches.
 
 

@@ -595,6 +595,28 @@ def q_price_trend_ols(spark, sf_dir):
     return ols_trend(orders, "o_orderpriority", "xd", "price_c")
 
 
+def q_theil_sen_price_trend(spark, sf_dir):
+    """Robust per-priority price trend
+    (operators/statistics.theil_sen_trend): day-grain median prices,
+    then the discrete median of integer-scaled pairwise slopes — the
+    outlier-proof counterpart of price_trend_ols (breakdown ~29% vs
+    0%).  Pair generation runs on the DAY-domain-reduced frame (~2.4k
+    points/group -> ~3M pairs), never raw orders."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        theil_sen_trend,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(f"datediff(o_orderdate, DATE '{TREND_EPOCH}')").alias("xd"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        "o_orderkey",
+    )
+    return theil_sen_trend(
+        orders, "o_orderpriority", "xd", "price_c", "o_orderkey"
+    )
+
+
 def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
@@ -677,6 +699,7 @@ QUERIES = {
     "quality_score_auc": q_quality_score_auc,
     "monthly_price_index": q_monthly_price_index,
     "price_trend_ols": q_price_trend_ols,
+    "theil_sen_price_trend": q_theil_sen_price_trend,
     "supplier_reach": q_supplier_reach,
     "priority_status_chi2": q_priority_status_chi2,
     "segment_mode": q_segment_mode,
@@ -1345,6 +1368,45 @@ ORACLES["price_trend_ols"] = f"""
                     * sum_x) // 1000000) // n AS BIGINT)
            END AS intercept_c
     FROM s
+"""
+
+ORACLES["theil_sen_price_trend"] = f"""
+    WITH o AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+             CAST(date_diff('day', DATE '{TREND_EPOCH}', o_orderdate)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y,
+             o_orderkey AS s
+      FROM orders
+    ),
+    cell AS (
+      SELECT g, x, y FROM (
+        SELECT g, x, y,
+               row_number() OVER (PARTITION BY g, x ORDER BY y, s) AS r,
+               count(*) OVER (PARTITION BY g, x) AS n
+        FROM o
+      ) WHERE r = (n + 1) // 2
+    ),
+    pairs AS (
+      SELECT a.g,
+             ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope,
+             a.x * 1000000 + b.x AS pid
+      FROM cell a JOIN cell b ON a.g = b.g AND a.x < b.x
+    ),
+    med AS (
+      SELECT g, CAST(n AS BIGINT) AS n_pairs, slope AS slope_u FROM (
+        SELECT g, slope,
+               row_number() OVER (PARTITION BY g ORDER BY slope, pid) AS r,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM pairs
+      ) WHERE r = (n + 1) // 2
+    ),
+    np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+           FROM cell GROUP BY 1)
+    SELECT np.g AS o_orderpriority, np.n_points,
+           CAST(COALESCE(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+           med.slope_u
+    FROM np LEFT JOIN med ON np.g = med.g
 """
 
 ORACLES["rank_sum_test"] = f"""

@@ -582,3 +582,28 @@ def test_ols_trend_goldens(spark):
     assert out["down"]["slope_u"] == -2_000_000
     assert out["down"]["intercept_c"] == 100
     assert out["flat"]["slope_u"] is None and out["flat"]["intercept_c"] is None
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from real_time_data_pipeline_spark.operators.statistics import (
+        theil_sen_trend,
+    )
+
+    # clean line y = 2x with ONE wild outlier at x=9: Theil-Sen median
+    # slope stays 2e6 (OLS would be dragged far off)
+    rows = [("g", x, 2 * x, x) for x in range(9)]
+    rows += [("g", 9, 1_000_000, 9)]
+    # duplicate observations at one x collapse to the cell median first
+    rows += [("h", 0, 10, 1), ("h", 0, 30, 2), ("h", 0, 20, 3),
+             ("h", 1, 25, 4)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, s long")
+    out = {r["g"]: r for r in theil_sen_trend(df, "g", "x", "y", "s").collect()}
+    r = out["g"]
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    assert r["slope_u"] == 2_000_000, r
+    # h: cell x=0 -> median 20; pair slope = (25-20)*1e6 // 1 = 5e6
+    assert out["h"]["n_points"] == 2 and out["h"]["slope_u"] == 5_000_000
+    # single-point group -> NULL slope, 0 pairs
+    one = spark.createDataFrame([("z", 3, 7, 1)], "g string, x long, y long, s long")
+    rz = theil_sen_trend(one, "g", "x", "y", "s").collect()[0]
+    assert rz["slope_u"] is None and rz["n_pairs"] == 0
