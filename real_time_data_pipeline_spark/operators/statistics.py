@@ -1361,26 +1361,29 @@ def theil_sen_trend(
     Output: (group, n_points, n_pairs, slope_u) — all bigint/NULL when
     fewer than 2 distinct x.
     """
-    sep = "\x1f"
-    src_cell = df.select(
-        F.concat_ws(
-            sep,
-            F.col(group_col).cast("string"),
-            F.col(x_col).cast("string"),
-        ).alias("g"),
-        F.col(y_col).cast("bigint").alias("v"),
-        F.col(seq_col).alias("s"),
-    )
+    # Cell medians via a PLAIN (group, x) window: the frame is bounded
+    # by one cell's rows at any corpus size (that is what "cell" means),
+    # so the two-phase distributed-rank machinery would be pure fixed
+    # cost here — it stays reserved for the slope median below, whose
+    # per-GROUP frame genuinely grows with the x-domain squared.
     day = (
-        distributed_ranks(src_cell)
-        .filter(F.col("r") == F.expr("(n + 1) div 2"))
-        .select(
-            F.split_part(F.col("g"), F.lit(sep), F.lit(1)).alias("grp"),
-            F.split_part(F.col("g"), F.lit(sep), F.lit(2))
-            .cast("bigint")
-            .alias("x"),
-            F.col("v").alias("y"),
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(x_col).cast("bigint").alias("x"),
+            F.col(y_col).cast("bigint").alias("y"),
+            F.col(seq_col).alias("s"),
         )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("grp", "x").orderBy("y", "s")
+            ),
+        )
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("grp", "x"))
+        )
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select("grp", "x", "y")
     )
     from real_time_data_pipeline_spark.operators import cache
 

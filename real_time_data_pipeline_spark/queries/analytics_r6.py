@@ -600,20 +600,24 @@ def q_theil_sen_price_trend(spark, sf_dir):
     (operators/statistics.theil_sen_trend): day-grain median prices,
     then the discrete median of integer-scaled pairwise slopes — the
     outlier-proof counterpart of price_trend_ols (breakdown ~29% vs
-    0%).  Pair generation runs on the DAY-domain-reduced frame (~2.4k
-    points/group -> ~3M pairs), never raw orders."""
+    0%).  Pair generation runs on the WEEK-domain-reduced frame (~350
+    points/group -> ~60k pairs; the day-grain config measured 10 s at
+    sf0.1 for no extra estimator quality — grain is the pair-count
+    knob, chosen at the query layer), never raw orders."""
     from real_time_data_pipeline_spark.operators.statistics import (
         theil_sen_trend,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.expr(f"datediff(o_orderdate, DATE '{TREND_EPOCH}')").alias("xd"),
+        F.expr(
+            f"datediff(o_orderdate, DATE '{TREND_EPOCH}') div 7"
+        ).alias("xw"),
         F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("price_c"),
         "o_orderkey",
     )
     return theil_sen_trend(
-        orders, "o_orderpriority", "xd", "price_c", "o_orderkey"
+        orders, "o_orderpriority", "xw", "price_c", "o_orderkey"
     )
 
 
@@ -1374,7 +1378,7 @@ ORACLES["theil_sen_price_trend"] = f"""
     WITH o AS (
       SELECT CAST(o_orderpriority AS VARCHAR) AS g,
              CAST(date_diff('day', DATE '{TREND_EPOCH}', o_orderdate)
-                  AS BIGINT) AS x,
+                  AS BIGINT) // 7 AS x,
              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y,
              o_orderkey AS s
       FROM orders
