@@ -101,17 +101,15 @@ def main() -> int:
     # not the plan.  Sub-threshold queries keep single-shot timings (their
     # absolute jitter is small and 170+ extra runs would triple the
     # suite wall).
-    # Round 6 (VERDICT r5 #4): the driver-window queries (first 50 —
-    # the ones CORRECTNESS/BENCH verdicts cite) get the median-of-3
-    # treatment already at >= 1 s, because sub-5 s single-shot numbers
-    # on them produced unexplained 2x "regressions" in r5
-    # (language_mixing 0.73 -> 1.97 was window position + container
-    # mood, not code).  Non-window queries keep the 5 s threshold —
-    # their absolute jitter is small and 170+ extra runs would triple
-    # the suite wall.
-    MEDIAN_THRESHOLD = 5.0
-    WINDOW_MEDIAN_THRESHOLD = 1.0
-    window_names = set(list(qs)[:50])
+    # Round 7 (ADVICE r6): the >= 1 s median-of-3 rule applies
+    # UNIFORMLY to every query — r6 applied it only to the first-50
+    # driver window, which measured the scored window under a
+    # different, noise-suppressed rule than the rest of the suite.
+    # Sub-1 s queries keep single-shot timings (their absolute jitter
+    # is a few tens of ms and ~160 extra runs would buy nothing).
+    # Cost: ~86 queries in the 1-5 s band gain 2 untimed-cleanup reps
+    # each (~3-4 min of rep wall, not counted in any timing).
+    MEDIAN_THRESHOLD = 1.0
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
@@ -130,12 +128,7 @@ def main() -> int:
             continue
         first = round(time.perf_counter() - t0, 3)
         _cleanup()
-        threshold = (
-            WINDOW_MEDIAN_THRESHOLD
-            if name in window_names
-            else MEDIAN_THRESHOLD
-        )
-        if first >= threshold:
+        if first >= MEDIAN_THRESHOLD:
             samples = [first]
             for _ in range(2):
                 t0 = time.perf_counter()

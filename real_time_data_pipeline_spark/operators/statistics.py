@@ -76,13 +76,14 @@ def co_occurrence_lift(
     cb = item_counts.select(
         F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
     )
-    # pairs is small after the min_pairs cut — broadcast it through both
-    # count joins so the (potentially corpus-scale) item-count side
-    # never shuffles.
+    # pairs is small after the min_pairs cut — broadcast it (and the
+    # pairs-sized frame it produces) into plain joins against the count
+    # frames, so the (potentially corpus-item-domain-scale) item-count
+    # side is never broadcast and never shuffles.
     enriched = (
-        ca.join(F.broadcast(pairs), "item_a")
-        .join(F.broadcast(cb), "item_b")
-        .crossJoin(F.broadcast(n_baskets))
+        cb.join(
+            F.broadcast(ca.join(F.broadcast(pairs), "item_a")), "item_b"
+        ).crossJoin(F.broadcast(n_baskets))
     )
     return enriched.select(
         "item_a",
@@ -993,8 +994,10 @@ def spearman_rank_stats(
     (2mr_x - 2mr_y)^2 is 4x the classical Sum d_i^2 and never sees a
     float.  rho_bp applies the classical (tie-uncorrected) formula
     rho = 1 - 6*Sum d^2 / (n^3 - n) as
-    10000 - (15000 * sum_d2) div (n^3 - n) — both operands positive, so
-    Spark's truncating div and DuckDB's flooring // agree; the square
+    10000 - (15000 * sum_d2) div (n^3 - n) — Spark's div and DuckDB's
+    // BOTH truncate toward zero (verified -7 // 2 = -3 on both), so
+    the quotients agree for negative operands too (here they are
+    positive anyway); the square
     and the product run in DECIMAL(38,0)/HUGEINT (chi2's recipe).
 
     Shape: value-count aggregates per axis, one distributed prefix sum

@@ -1239,11 +1239,14 @@ def bigram_collocations(
         F.count("*").cast("bigint").alias("n_b")
     )
     total = bg.agg(F.count("*").cast("bigint").alias("n_bigrams"))
-    # pair is small after min_count — broadcast it through the slot
-    # counts so the corpus-scale sides never reshuffle.
+    # pair is small after min_count — broadcast it (and the pair-sized
+    # frame it produces) into plain joins against the slot counts, so
+    # the vocabulary-scale count frames are never broadcast and never
+    # reshuffle.
     return (
-        first.join(F.broadcast(pair), "tok_a")
-        .join(F.broadcast(second), "tok_b")
+        second.join(
+            F.broadcast(first.join(F.broadcast(pair), "tok_a")), "tok_b"
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "tok_a",

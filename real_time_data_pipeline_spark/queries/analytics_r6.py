@@ -625,7 +625,7 @@ def q_stream_clamped_balance(spark, sf_dir):
     """Streaming twin of `clamped_balance` on the SAME oracle: the
     event log ARRIVES AS A STREAM in time order (staged as 8
     range-partitioned-by-(us, event_id) files with strictly increasing
-    mtimes, maxFilesPerTrigger=1 → 8 chronological micro-batches), and
+    mtimes, maxFilesPerTrigger=2 → 4 chronological micro-batches), and
     the zero-clamp recurrence folds per user inside
     streaming/stateful.clamped_balance_stateful
     (applyInPandasWithState) — the genuinely NON-ASSOCIATIVE stateful
