@@ -724,8 +724,21 @@ def embedding_near_dup_lsh(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Multi-table sign-LSH embedding near-dup — the 100 TB path.
+
+    ``probe_hamming`` adds classic multi-probe (Lv et al., VLDB'07; the
+    similarity.lsh_topk recipe): one side of each table's bucket join
+    also probes every bucket within that Hamming distance of its own
+    signature, so a pair is a candidate iff its table signatures differ
+    in <= probe_hamming bits.  The masks are data-independent literals
+    exploded on ids-only rows BEFORE the candidate distinct, so the
+    corpus-side vector scan is unchanged.  At ``probe_hamming ==
+    n_planes`` every bucket is probed — the candidate set is all pairs
+    and the output is bit-identical to :func:`embedding_near_dup` (same
+    fold, same filter), the full-recall configuration the oracle-backed
+    registry entry pins.
 
     `n_tables` independent hash tables, each bucketing vectors by the sign
     pattern against `n_planes` random hyperplanes
@@ -812,6 +825,20 @@ def embedding_near_dup_lsh(
     # Distinct-first means one shuffle of bare id pairs, then one join
     # per side to attach vectors, then exactly one score per pair.
     l = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
+    if probe_hamming > 0:
+        # Distinct masks of popcount <= r flip distinct bucket ids, so
+        # the explode adds no duplicate (tbl, bkt, id) probe rows.
+        masks = [
+            m
+            for m in range(1 << n_planes)
+            if bin(m).count("1") <= probe_hamming
+        ]
+        l = l.withColumn(
+            "bkt",
+            F.explode(
+                F.array(*[F.col("bkt").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     r = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
     cand = (
         l.join(r, ["tbl", "bkt"])

@@ -767,16 +767,54 @@ ORACLES["balanced_sample"] = f"""
 
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-filter decontamination scale path
-    (operators/curation.decontaminate_bloom) — rows-only: xxhash64 bit
-    positions are not DuckDB-reproducible; the one-sided-estimate and
-    zero-false-negative guarantees vs the exact pass are pinned in
-    tests/test_curation.py."""
+    (operators/curation.decontaminate_bloom), oracle-backed since
+    round 7 at a collision-negligible bitmap: Bloom filters have zero
+    false negatives at ANY config, so the estimate can only exceed the
+    exact count via false positives, and at m_bits = 2^26 / k = 4 the
+    per-probe fp rate is (k*n/m)^k ≈ 2e-13 for this corpus's ~12k
+    benchmark grams — expected false positives over all ~2.4e5 doc-gram
+    probes ≈ 6e-8 (sf0.1; ~6e-3 even at sf1), the same w.h.p. class as
+    the MinHash oracle's 5e-8/pair.  The estimate therefore equals the
+    exact pass and shares its semantics (aliased _est — the contract
+    that the columns are upper bounds at production bitmap sizes); the
+    default 1%-fp estimate config stays pinned by the one-sidedness
+    tests in tests/test_curation.py."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
-    return curation.decontaminate_bloom(docs, bench)
+    return curation.decontaminate_bloom(docs, bench, m_bits=1 << 26)
 
 
 QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+
+# Round 7: the exact decontaminate oracle re-aliased to the bloom
+# twin's _est column names (values identical at the fp-negligible
+# bitmap — see q_decontaminate_bloom docstring).
+ORACLES["decontaminate_bloom"] = f"""
+    WITH docg AS (
+      SELECT doc_id,
+             unnest(list_distinct({_duck_ngrams(8)})) AS gram
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT unnest({_duck_ngrams(8)}) AS gram
+      FROM documents WHERE source = '{BENCH_SOURCE}'
+    ),
+    agg AS (
+      SELECT d.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS shared_grams
+      FROM docg d LEFT JOIN bg b ON d.gram = b.gram
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(shared_grams AS BIGINT) AS shared_grams_est,
+           CAST(FLOOR(10000 * shared_grams / n_grams) AS BIGINT)
+             AS shared_bp_est,
+           CAST(FLOOR(10000 * shared_grams / n_grams) AS BIGINT) <= 1000
+             AS keep_decontaminated
+    FROM agg
+"""
 
 
 def q_clean_corpus(spark, sf_dir):

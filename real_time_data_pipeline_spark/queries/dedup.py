@@ -112,14 +112,23 @@ def q_dedup_pipeline(spark, sf_dir):
 
 
 def q_dedup_pipeline_lsh(spark, sf_dir):
-    """Same pass with the embedding signal on the sign-LSH scale path
-    (rows-only: LSH recall < 1 at this corpus's loose cos-0.4 threshold;
-    property test pins verdicts as a subset of the exact pipeline's)."""
+    """Same pass with the embedding signal on the sign-LSH scale path,
+    probed at FULL Hamming radius (probe_hamming == n_planes — oracle-
+    backed since round 7, mirroring the ann_lsh_topk full-radius
+    promotion): every bucket of both tables is probed, the candidate
+    set is all pairs, and the sign-LSH leg is bit-identical to the
+    exact cosine leg — so the whole pipeline shares dedup_pipeline's
+    recursive-CTE closure oracle while still exercising the complete
+    multi-table machinery (numpy plane pack, per-table bucket join,
+    mask perturbation, cross-table candidate distinct).  The pruned
+    probe_hamming=0 recall/candidate tradeoff stays covered by the
+    subset property test and dedup_embedding_lsh's recall test."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
-        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+        embedding_scale_path=True, dim=64, n_planes=4, n_tables=2,
+        probe_hamming=4,
     )
 
 
@@ -306,7 +315,7 @@ QUERIES = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only
     "dedup_simhash": q_dedup_simhash,  # rows-only
     "dedup_pipeline": q_dedup_pipeline,
-    "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # rows-only
+    "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # oracle-backed (full probe == exact)
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -500,6 +509,10 @@ ORACLES = {
     # persisted index — identical output, same oracle
     "stream_dedup_incremental": _INCREMENTAL_ORACLE,
     "dedup_pipeline": _PIPELINE_ORACLE,
+    # Round 7: full-Hamming-radius multi-probe makes the sign-LSH
+    # embedding leg's candidate set all pairs, so the LSH pipeline's
+    # output is bit-identical to dedup_pipeline's and shares its oracle.
+    "dedup_pipeline_lsh": _PIPELINE_ORACLE,
     "dedup_clusters": _CLUSTERS_ORACLE,
     # MinHash-verified pair set == exact pair set w.h.p. (see
     # q_dedup_clusters_lsh docstring), so the clusters coincide too.

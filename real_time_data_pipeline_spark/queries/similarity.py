@@ -67,8 +67,8 @@ def q_ann_ivf_topk(spark, sf_dir):
     bit-identical and shares ann_bruteforce_topk's oracle), while the
     query still exercises the complete IVF machinery — centroid
     selection, cell assignment, probe-cells-then-score.  The
-    nprobe < n_cells pruning configuration stays covered by
-    ann_ivf_persisted (partition-pruned reads, plan-tested) and the
+    nprobe < n_cells pruning configuration stays covered by the
+    persisted-index plan test (partition-pruned reads asserted) and the
     recall unit tests."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
     return similarity.ivf_topk(emb, queries, k=K, n_cells=16, nprobe=16)
@@ -76,12 +76,17 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_ann_ivf_persisted(spark, sf_dir):
     """Persisted IVF-Flat index: build the on-disk layout (1-file
-    centroids + assignments PARTITIONED BY cell), then probe it — so the
-    bench measures the full build+probe cycle including the
-    partition-pruned read (only nprobe/n_cells cell directories are
-    scanned; plan-verified in tests).  Rows-only: results are
-    bit-identical to ann_ivf_topk (same corpus, params, seed), which the
-    unit test pins; the on-disk detour adds no new math."""
+    centroids + assignments PARTITIONED BY cell), then probe it — the
+    bench measures the full build+probe cycle through the on-disk
+    read path.  Oracle-backed since round 7 (mirroring the
+    ann_ivf_topk full-probe promotion): at nprobe == n_cells every
+    cell directory is read back, the inverted file is exhaustive, and
+    the persisted detour provably loses nothing — the output is
+    bit-identical to brute force and shares ann_bruteforce_topk's
+    value-hash oracle.  The pruned nprobe < n_cells configuration
+    (partition-pruned scan with a PartitionFilters assertion) stays
+    covered by tests/test_northstar.py::
+    test_ivf_persisted_index_matches_inmemory_and_prunes."""
     import os
 
     emb, queries = _corpus_and_queries(spark, sf_dir)
@@ -91,7 +96,7 @@ def q_ann_ivf_persisted(spark, sf_dir):
         f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     similarity.ivf_index_build(emb, path, n_cells=16)
-    return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=4)
+    return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=16)
 
 
 def q_ann_ivf_incremental(spark, sf_dir):
@@ -148,7 +153,7 @@ QUERIES = {
     "ann_gemm_topk": q_ann_gemm_topk,  # oracle-backed (exact re-rank)
     "ann_lsh_topk": q_ann_lsh_topk,  # oracle-backed (full probe == exact)
     "ann_ivf_topk": q_ann_ivf_topk,  # oracle-backed (full probe == exact)
-    "ann_ivf_persisted": q_ann_ivf_persisted,  # rows-only (on-disk index)
+    "ann_ivf_persisted": q_ann_ivf_persisted,  # oracle-backed (full probe == exact)
     "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle-backed (append + full probe)
     "kmeans_clusters": q_kmeans_clusters,  # rows-only (iterative)
 }
@@ -221,6 +226,9 @@ ORACLES["ann_ivf_incremental"] = ORACLES["ann_bruteforce_topk"]
 # Round 6: full-radius multi-probe makes the LSH candidate set the whole
 # corpus, so it joins the same shared exact oracle.
 ORACLES["ann_lsh_topk"] = ORACLES["ann_bruteforce_topk"]
+# Round 7: the persisted index probed at full nprobe reads back every
+# cell directory, so the on-disk path joins the same shared exact oracle.
+ORACLES["ann_ivf_persisted"] = ORACLES["ann_bruteforce_topk"]
 
 
 def q_embedding_pca(spark, sf_dir):

@@ -157,6 +157,39 @@ def test_lsh_multiprobe_recall_monotone_to_exact(spark, sf_dir):
     assert got == exact  # radius == n_planes probes every bucket
 
 
+def test_embedding_lsh_multiprobe_monotone_to_exact(spark, sf_dir):
+    """embedding_near_dup_lsh's probe_hamming (round-7 multi-probe
+    param) must be pair-recall-monotone, and at the full radius the
+    pair set equals the exact quadratic operator bit-for-bit — the
+    property the dedup_pipeline_lsh oracle promotion rests on."""
+    from real_time_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cos_bp)
+        for r in embedding_near_dup(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    prev = -1
+    for radius in (0, 2, 4):
+        got = {
+            (r.id_a, r.id_b, r.cos_bp)
+            for r in embedding_near_dup_lsh(
+                emb, "vec_id", "embedding", threshold=0.4,
+                dim=64, n_planes=4, n_tables=2, probe_hamming=radius,
+            ).collect()
+        }
+        assert got <= exact, f"LSH invented a pair at radius {radius}"
+        assert len(got) >= prev, f"recall dropped at radius {radius}"
+        prev = len(got)
+    assert got == exact  # radius == n_planes probes every bucket
+
+
 def test_language_id_profiles(spark):
     df = spark.createDataFrame(
         [
@@ -375,17 +408,24 @@ def test_similarity_schemas_follow_input_types(spark):
 
 
 def test_dedup_pipeline_lsh_is_recall_subset(spark, sf_dir):
-    """The scale-path pipeline (sign-LSH embedding signal) must agree with
-    the exact pipeline on the exact/minhash signals and flag a recall-
-    bounded SUBSET of its embedding dups — LSH can miss pairs, never
-    invent them."""
-    from real_time_data_pipeline_spark.queries.dedup import (
-        q_dedup_pipeline,
-        q_dedup_pipeline_lsh,
-    )
+    """The scale-path pipeline (sign-LSH embedding signal) at a PRUNED
+    probe config (probe_hamming=0 — the production recall/candidate
+    tradeoff; the registry query runs full-radius and is oracle-backed)
+    must agree with the exact pipeline on the exact/minhash signals and
+    flag a recall-bounded SUBSET of its embedding dups — LSH can miss
+    pairs, never invent them."""
+    from real_time_data_pipeline_spark.operators import dedup as dedup_ops
+    from real_time_data_pipeline_spark.queries.dedup import q_dedup_pipeline
+    from real_time_data_pipeline_spark.schemas import load_table
 
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pruned = dedup_ops.near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+    )
     exact = {r.doc_id: r for r in q_dedup_pipeline(spark, sf_dir).collect()}
-    lsh = {r.doc_id: r for r in q_dedup_pipeline_lsh(spark, sf_dir).collect()}
+    lsh = {r.doc_id: r for r in pruned.collect()}
     assert set(exact) == set(lsh)
 
     flagged_exact = {d for d, r in exact.items() if r.is_embedding_dup}
