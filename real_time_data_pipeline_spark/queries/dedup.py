@@ -132,6 +132,25 @@ def q_dedup_pipeline_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline_lsh_pruned(spark, sf_dir):
+    """The PRODUCTION scale configuration of the sign-LSH pipeline
+    (probe_hamming=0, 4 planes x 8 OR-ed tables — candidates drop
+    ~2^4x per table instead of being all pairs).  Rows-only by nature:
+    recall < 1 depends on the random planes, so the verdict set is a
+    property-tested SUBSET of the exact pipeline's
+    (tests/test_northstar.py::test_dedup_pipeline_lsh_is_recall_subset)
+    rather than hash-equal; the full-radius provability config is the
+    oracle-backed dedup_pipeline_lsh entry.  This entry keeps the
+    bounded config measured in the bench and the sf1 scale probe (the
+    BASELINE.md near-linear row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Steady-state incremental dedup: docs with doc_id % 10 == 0 play
     the daily increment, the rest the indexed historical corpus.  Builds
@@ -316,6 +335,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,  # rows-only
     "dedup_pipeline": q_dedup_pipeline,
     "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # oracle-backed (full probe == exact)
+    "dedup_pipeline_lsh_pruned": q_dedup_pipeline_lsh_pruned,  # rows-only (recall < 1)
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,

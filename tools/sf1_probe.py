@@ -25,7 +25,7 @@ final ratio line per query.
 
 The exact-embedding leg of dedup_pipeline is all-pairs QUADRATIC by
 construction (the correctness baseline; the scale configuration is
-dedup_pipeline_lsh) — its ratio is expected and documented to exceed
+dedup_pipeline_lsh_pruned) — its ratio is expected and documented to exceed
 the linear band, which is itself a useful measurement: it shows the
 probe can tell a linear plan from a quadratic one.
 
@@ -53,7 +53,7 @@ from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
 FACTOR = 10
 DEFAULT_QUERIES = [
     "dedup_pipeline",
-    "dedup_pipeline_lsh",
+    "dedup_pipeline_lsh_pruned",
     "dedup_incremental",
     "ann_ivf_persisted",
     "keyword_search_indexed",
