@@ -155,6 +155,130 @@ def decontaminate(
     )
 
 
+def decontaminate_substr(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    max_covered_bp: int = 2000,
+) -> DataFrame:
+    """ExactSubstr-grain decontamination — the SUFFIX/character-level
+    twin of :func:`decontaminate` (which checks word 8-grams; this is
+    the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" ExactSubstr criterion applied to benchmark contamination):
+    a doc is contaminated at character position p iff the ``min_len``
+    characters starting at p also appear verbatim anywhere in the
+    benchmark.  The sliding-window identity makes this exact without a
+    suffix array: a doc shares a substring of length >= min_len with
+    the benchmark IFF some min_len-char window of the doc equals some
+    min_len-char window of a benchmark doc — every suffix's length-L
+    prefix is a window, so the window equi-join IS the suffix-array
+    match at grain L.  Word-gram checks miss contamination that spans
+    re-tokenization (punctuation shifts, case-only edits survive the
+    normalize), substring matching does not.
+
+    Text is normalized exactly like the tokenizer front door (lower,
+    trim, collapse whitespace) so the check tolerates whitespace
+    reflows.  Per doc, over the maximal RUNS of consecutive hit
+    positions (a run of k consecutive hits covers k + min_len - 1
+    chars):
+
+      - ``n_windows`` / ``n_hit_windows`` — positions checked / hit
+      - ``n_covered_chars`` — chars under the union of hit windows
+      - ``covered_bp``      — coverage of the normalized doc, bp
+      - ``max_span_chars``  — longest single covered span
+      - ``keep_substr_clean`` — covered_bp <= max_covered_bp
+
+    Scale shape: the benchmark window set is DISTINCT and
+    eval-suite-sized (MB-scale by definition) so it broadcasts; the
+    corpus side pays one position explode (|chars| rows, linear) that
+    never shuffles, and the only exchanges are the hit-run aggregates,
+    which are HIT-bounded (contaminated positions only), not
+    corpus-bounded.  The run/island window partitions by doc id —
+    per-key, doc-length-bounded, never a single global partition.
+    Docs shorter than min_len have zero windows and keep=true.
+    """
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    base = df.select(F.col(id_col).alias("id"), norm.alias("t")).select(
+        "id", "t", F.length("t").cast("bigint").alias("n_chars")
+    )
+    # F.sequence(1, 0) yields [1, 0] (negative-step inference), so the
+    # empty-window case needs an explicit guard.
+    pos_seq = F.when(
+        F.col("n_chars") >= min_len,
+        F.sequence(F.lit(1), (F.col("n_chars") - min_len + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    stats = base.select(
+        "id", "n_chars", F.size(pos_seq).cast("bigint").alias("n_windows")
+    )
+    wins = base.select(
+        "id", F.explode(pos_seq).alias("pos"), F.col("t")
+    ).select("id", "pos", F.col("t").substr(F.col("pos"), F.lit(min_len)).alias("win"))
+    bnorm = benchmark.select(norm.alias("t")).select(
+        "t", F.length("t").cast("bigint").alias("n_chars")
+    )
+    bwins = (
+        bnorm.select(
+            F.explode(
+                F.when(
+                    F.col("n_chars") >= min_len,
+                    F.sequence(
+                        F.lit(1), (F.col("n_chars") - min_len + 1).cast("int")
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            "t",
+        )
+        .select(F.col("t").substr(F.col("pos"), F.lit(min_len)).alias("win"))
+        .distinct()
+    )
+    hits = wins.join(F.broadcast(bwins), "win").select("id", "pos")
+    # Gaps-and-islands over hit positions: consecutive positions share
+    # (pos - row_number) — per-doc window, doc-length-bounded.
+    grp = (
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("id").orderBy("pos"))
+    ).alias("grp")
+    runs = (
+        hits.select("id", "pos", grp)
+        .groupBy("id", "grp")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .select(
+            "id", "k", (F.col("k") + F.lit(min_len - 1)).alias("span")
+        )
+    )
+    per_doc = runs.groupBy("id").agg(
+        F.sum("k").cast("bigint").alias("n_hit_windows"),
+        F.sum("span").cast("bigint").alias("n_covered_chars"),
+        F.max("span").cast("bigint").alias("max_span_chars"),
+    )
+    covered_bp = F.when(
+        F.col("n_chars") > 0,
+        F.floor(
+            F.lit(10000) * F.coalesce("n_covered_chars", F.lit(0)) / F.col("n_chars")
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return stats.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_chars",
+        "n_windows",
+        F.coalesce("n_hit_windows", F.lit(0)).cast("bigint").alias(
+            "n_hit_windows"
+        ),
+        F.coalesce("n_covered_chars", F.lit(0)).cast("bigint").alias(
+            "n_covered_chars"
+        ),
+        covered_bp.alias("covered_bp"),
+        F.coalesce("max_span_chars", F.lit(0)).cast("bigint").alias(
+            "max_span_chars"
+        ),
+        (covered_bp <= F.lit(max_covered_bp)).alias("keep_substr_clean"),
+    )
+
+
 # Deterministic pseudo-random sample key: Lehmer/Park-Miller multiplier
 # mod the Mersenne prime 2^31-1, folded to basis points.  Chosen over
 # xxhash64 because the SAME closed-form expression runs on DuckDB (the

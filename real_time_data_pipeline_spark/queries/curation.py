@@ -817,6 +817,99 @@ ORACLES["decontaminate_bloom"] = f"""
 """
 
 
+SUBSTR_MIN_LEN = 40
+SUBSTR_MAX_COVERED_BP = 2000
+
+
+def q_decontaminate_substr(spark, sf_dir):
+    """ExactSubstr-grain decontamination
+    (operators/curation.decontaminate_substr): character-level
+    benchmark contamination via the sliding-window == suffix-prefix
+    identity, with exact run/coverage statistics.  Catches verbatim
+    quotes the word 8-gram check can only see after clean token
+    boundaries; the two flags together are the production decontam
+    gate.  Oracle: DuckDB recomputes every window, hit, and
+    gaps-and-islands run from the same normalized text."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.decontaminate_substr(
+        docs, bench, min_len=SUBSTR_MIN_LEN,
+        max_covered_bp=SUBSTR_MAX_COVERED_BP,
+    )
+
+
+QUERIES["decontaminate_substr"] = q_decontaminate_substr
+
+ORACLES["decontaminate_substr"] = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+             CAST(greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0) AS BIGINT)
+               AS n_windows
+      FROM d
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0)
+                                  + 1)) AS BIGINT) AS pos,
+             t
+      FROM d
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             substr(t, CAST(pos AS INT), {SUBSTR_MIN_LEN}) AS win
+      FROM w
+    ),
+    bwins AS (
+      SELECT DISTINCT
+             substr(t, CAST(unnest(range(1, greatest(len(t)
+                    - {SUBSTR_MIN_LEN} + 1, 0) + 1)) AS INT),
+                    {SUBSTR_MIN_LEN}) AS win
+      FROM d WHERE source = '{BENCH_SOURCE}'
+    ),
+    hits AS (
+      SELECT wins.doc_id, wins.pos FROM wins JOIN bwins USING (win)
+    ),
+    runs AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, count(*) AS k,
+             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
+      FROM runs GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(k) AS BIGINT) AS n_hit_windows,
+             CAST(sum(span) AS BIGINT) AS n_covered_chars,
+             CAST(max(span) AS BIGINT) AS max_span_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_chars, s.n_windows,
+           CAST(COALESCE(p.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+           CAST(COALESCE(p.n_covered_chars, 0) AS BIGINT)
+             AS n_covered_chars,
+           CAST(CASE WHEN s.n_chars > 0
+                THEN FLOOR(10000 * COALESCE(p.n_covered_chars, 0)
+                           / s.n_chars)
+                ELSE 0 END AS BIGINT) AS covered_bp,
+           CAST(COALESCE(p.max_span_chars, 0) AS BIGINT) AS max_span_chars,
+           CAST(CASE WHEN s.n_chars > 0
+                THEN FLOOR(10000 * COALESCE(p.n_covered_chars, 0)
+                           / s.n_chars)
+                ELSE 0 END AS BIGINT) <= {SUBSTR_MAX_COVERED_BP}
+             AS keep_substr_clean
+    FROM stats s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_clean_corpus(spark, sf_dir):
     """The end of the pipeline: per-document final verdict joining the
     quality gate (quality_verdicts: score ∧ surprisal ∧ repetition ∧

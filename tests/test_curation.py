@@ -62,6 +62,75 @@ def test_decontaminate_counts_shared_ngrams(spark):
     assert got[2]["shared_grams"] == 0 and got[2]["keep_decontaminated"] is True
 
 
+def test_decontaminate_substr_runs_and_coverage(spark):
+    """Hand-checkable ExactSubstr fixture at min_len=10: a doc quoting
+    a benchmark span verbatim mid-text, a clean doc, a doc shorter than
+    the window, and whitespace-reflow tolerance."""
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        # quotes a 20-char benchmark substring inside otherwise-clean
+        # text: "quick brown fox jump" appears at norm positions …
+        (1, "train", "zz0 zz1 quick brown fox jumps zz2 zz3 zz4"),
+        (2, "train", "completely unrelated body with no overlap at all"),
+        (3, "train", "short doc"),  # 9 chars < min_len -> 0 windows
+        # whitespace reflow of doc 1's quote (tabs + double spaces)
+        (4, "train", "zz0  zz1\tquick  brown fox jumps zz2 zz3 zz4"),
+    ]
+    bench = _docs(spark, [(100, "bench", bench_text)])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.decontaminate_substr(
+            _docs(spark, rows), bench, min_len=10, max_covered_bp=2000
+        ).collect()
+    }
+    # Expected run/coverage stats come from a per-char brute force over
+    # the same normalization — the sequential reference the distributed
+    # operator must reproduce.
+    def brute(doc, bench_s, L=10):
+        import re
+
+        nd = re.sub(r"\s+", " ", doc.strip()).lower()
+        nb = re.sub(r"\s+", " ", bench_s.strip()).lower()
+        bset = {nb[i : i + L] for i in range(len(nb) - L + 1)}
+        hitpos = [
+            i for i in range(len(nd) - L + 1) if nd[i : i + L] in bset
+        ]
+        covered = set()
+        for p in hitpos:
+            covered.update(range(p, p + L))
+        runs, cur = [], 0
+        prev = None
+        for p in hitpos:
+            if prev is not None and p == prev + 1:
+                cur += 1
+            else:
+                if prev is not None:
+                    runs.append(cur)
+                cur = 1
+            prev = p
+        if prev is not None:
+            runs.append(cur)
+        return {
+            "n_hit_windows": len(hitpos),
+            "n_covered_chars": sum(r + L - 1 for r in runs),
+            "max_span_chars": max((r + L - 1 for r in runs), default=0),
+        }
+
+    for doc_id, _, text in rows:
+        want = brute(text, bench_text)
+        got_d = got[doc_id]
+        assert got_d["n_hit_windows"] == want["n_hit_windows"], doc_id
+        assert got_d["n_covered_chars"] == want["n_covered_chars"], doc_id
+        assert got_d["max_span_chars"] == want["max_span_chars"], doc_id
+    assert got[1]["n_hit_windows"] > 0  # the quote is detected
+    assert got[2]["n_hit_windows"] == 0 and got[2]["keep_substr_clean"]
+    assert got[3]["n_windows"] == 0 and got[3]["keep_substr_clean"]
+    # reflow tolerance: doc 4 normalizes to doc 1's text, same stats
+    assert {k: got[4][k] for k in ("n_hit_windows", "n_covered_chars")} == {
+        k: got[1][k] for k in ("n_hit_windows", "n_covered_chars")
+    }
+
+
 def test_mix_sources_deterministic_and_rate_bounded(spark):
     rows = [(i, f"src{i % 4}", "t") for i in range(400)]
     df = _docs(spark, rows)
