@@ -199,12 +199,35 @@ def decontaminate_substr(
     per-key, doc-length-bounded, never a single global partition.
     Docs shorter than min_len have zero windows and keep=true.
     """
-    norm = F.lower(
-        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    stats, wins = _char_windows(df, id_col, text_col, min_len)
+    bwins = (
+        _char_windows(benchmark, id_col, text_col, min_len)[1]
+        .select("win")
+        .distinct()
     )
-    base = df.select(F.col(id_col).alias("id"), norm.alias("t")).select(
-        "id", "t", F.length("t").cast("bigint").alias("n_chars")
+    hits = wins.join(F.broadcast(bwins), "win").select("id", "pos")
+    return _substr_run_stats(
+        stats, hits, id_col, min_len, "keep_substr_clean", max_covered_bp
     )
+
+
+def _substr_norm(text_col: str) -> F.Column:
+    """The character-grain normalization shared by every substr
+    operator AND its DuckDB oracle: lower, trim, collapse whitespace —
+    the tokenizer front door, so checks tolerate whitespace reflows."""
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+
+def _char_windows(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per-doc char-window decomposition: returns (stats, wins) where
+    stats = (id, n_chars, n_windows) and wins = (id, pos, win) with one
+    row per character position and its length-``min_len`` slice.  The
+    explode is |chars| rows — linear, never shuffled by itself."""
+    base = df.select(
+        F.col(id_col).alias("id"), _substr_norm(text_col).alias("t")
+    ).select("id", "t", F.length("t").cast("bigint").alias("n_chars"))
     # F.sequence(1, 0) yields [1, 0] (negative-step inference), so the
     # empty-window case needs an explicit guard.
     pos_seq = F.when(
@@ -216,28 +239,27 @@ def decontaminate_substr(
     )
     wins = base.select(
         "id", F.explode(pos_seq).alias("pos"), F.col("t")
-    ).select("id", "pos", F.col("t").substr(F.col("pos"), F.lit(min_len)).alias("win"))
-    bnorm = benchmark.select(norm.alias("t")).select(
-        "t", F.length("t").cast("bigint").alias("n_chars")
+    ).select(
+        "id",
+        "pos",
+        F.col("t").substr(F.col("pos"), F.lit(min_len)).alias("win"),
     )
-    bwins = (
-        bnorm.select(
-            F.explode(
-                F.when(
-                    F.col("n_chars") >= min_len,
-                    F.sequence(
-                        F.lit(1), (F.col("n_chars") - min_len + 1).cast("int")
-                    ),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("pos"),
-            "t",
-        )
-        .select(F.col("t").substr(F.col("pos"), F.lit(min_len)).alias("win"))
-        .distinct()
-    )
-    hits = wins.join(F.broadcast(bwins), "win").select("id", "pos")
-    # Gaps-and-islands over hit positions: consecutive positions share
-    # (pos - row_number) — per-doc window, doc-length-bounded.
+    return stats, wins
+
+
+def _substr_run_stats(
+    stats: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    min_len: int,
+    flag_name: str,
+    max_covered_bp: int,
+) -> DataFrame:
+    """Fold hit positions into per-doc run/coverage statistics: maximal
+    runs of consecutive hits via gaps-and-islands (a run of k covers
+    k + min_len - 1 chars).  The island window partitions by doc id —
+    per-key, doc-length-bounded, never a single global partition; the
+    aggregates are HIT-bounded, not corpus-bounded."""
     grp = (
         F.col("pos")
         - F.row_number().over(Window.partitionBy("id").orderBy("pos"))
@@ -246,9 +268,7 @@ def decontaminate_substr(
         hits.select("id", "pos", grp)
         .groupBy("id", "grp")
         .agg(F.count("*").cast("bigint").alias("k"))
-        .select(
-            "id", "k", (F.col("k") + F.lit(min_len - 1)).alias("span")
-        )
+        .select("id", "k", (F.col("k") + F.lit(min_len - 1)).alias("span"))
     )
     per_doc = runs.groupBy("id").agg(
         F.sum("k").cast("bigint").alias("n_hit_windows"),
@@ -258,7 +278,9 @@ def decontaminate_substr(
     covered_bp = F.when(
         F.col("n_chars") > 0,
         F.floor(
-            F.lit(10000) * F.coalesce("n_covered_chars", F.lit(0)) / F.col("n_chars")
+            F.lit(10000)
+            * F.coalesce("n_covered_chars", F.lit(0))
+            / F.col("n_chars")
         ),
     ).otherwise(F.lit(0)).cast("bigint")
     return stats.join(per_doc, "id", "left").select(
@@ -275,7 +297,110 @@ def decontaminate_substr(
         F.coalesce("max_span_chars", F.lit(0)).cast("bigint").alias(
             "max_span_chars"
         ),
-        (covered_bp <= F.lit(max_covered_bp)).alias("keep_substr_clean"),
+        (covered_bp <= F.lit(max_covered_bp)).alias(flag_name),
+    )
+
+
+def dup_substr_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    max_covered_bp: int = 5000,
+) -> DataFrame:
+    """Intra-corpus ExactSubstr duplication profile — the Lee et al.
+    criterion proper (cross-DOC duplicated substrings at character
+    grain), the suffix-level companion of :func:`dup_span_stats`'s
+    token 8-grams: a position is duplicated iff its ``min_len``-char
+    window occurs in at least one OTHER document.  Same run/coverage
+    output shape as :func:`decontaminate_substr` with
+    ``keep_substr_unique`` (covered_bp <= max_covered_bp — the
+    ExactSubstr drop rule at doc grain).
+
+    Scale shape: unlike decontamination there is no broadcast-scale
+    side — the shared-window set is corpus-derived, so the plan pays
+    ONE corpus shuffle keyed by the window string ((id, win) distinct →
+    per-window distinct-doc count), then a hit-bounded join back.  At
+    100 TB shard this shuffle by a window-prefix salt or run it from a
+    persisted (win, n_docs) index the way the MinHash tier persists
+    band hashes; the linear |chars| explode itself never shuffles."""
+    stats, wins = _char_windows(df, id_col, text_col, min_len)
+    shared = (
+        wins.select("id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count("*").cast("bigint").alias("n_docs_win"))
+        .filter(F.col("n_docs_win") >= 2)
+        .select("win")
+    )
+    hits = wins.join(shared, "win").select("id", "pos")
+    return _substr_run_stats(
+        stats, hits, id_col, min_len, "keep_substr_unique", max_covered_bp
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """Eval-integrity report, benchmark-side: for every benchmark doc,
+    how much of the training corpus quotes it — the reverse direction
+    of :func:`decontaminate_substr` (which flags training docs; this
+    tells the EVAL owner which benchmark items are compromised and must
+    be excluded or re-drawn).  A training window hits a benchmark doc
+    iff it equals one of that doc's ``min_len``-char windows; the
+    benchmark doc's own row in the corpus is excluded (self-quote is
+    not contamination).
+
+    Output per benchmark doc: ``n_contaminated_docs`` (distinct
+    training docs quoting it) and ``n_hit_windows`` (training window
+    positions hitting it — a doc quoting a longer passage counts once
+    per position, so the number tracks quoted VOLUME).  Benchmark docs
+    nobody quotes emit zero rows kept via the left join — the report
+    must list the clean items too.
+
+    Scale shape: benchmark windows (with their doc ids) broadcast; the
+    corpus-side explode never shuffles; the aggregates are hit-bounded.
+    """
+    _, wins = _char_windows(df, id_col, text_col, min_len)
+    bstats, bwins = _char_windows(benchmark, id_col, text_col, min_len)
+    bkeys = bwins.select(
+        F.col("id").alias("bench_id"), "win"
+    ).distinct()
+    # (bench_id, win) is distinct and (id, pos) is unique in wins, so
+    # the join is already distinct on (bench_id, train_id, pos) — no
+    # dedup shuffle needed.
+    hits = (
+        wins.join(F.broadcast(bkeys), "win")
+        .filter(F.col("id") != F.col("bench_id"))
+        .select("bench_id", F.col("id").alias("train_id"), "pos")
+    )
+    per_bench = hits.groupBy("bench_id").agg(
+        F.countDistinct("train_id").cast("bigint").alias(
+            "n_contaminated_docs"
+        ),
+        F.count("*").cast("bigint").alias("n_hit_windows"),
+    )
+    return (
+        bstats.select(F.col("id").alias("bench_id"), "n_chars", "n_windows")
+        .join(per_bench, "bench_id", "left")
+        .select(
+            F.col("bench_id").alias(id_col),
+            "n_chars",
+            "n_windows",
+            F.coalesce("n_contaminated_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_docs"),
+            F.coalesce("n_hit_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_windows"),
+            (F.coalesce("n_contaminated_docs", F.lit(0)) > 0).alias(
+                "is_compromised"
+            ),
+        )
     )
 
 

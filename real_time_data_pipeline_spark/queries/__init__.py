@@ -94,6 +94,8 @@ _R7_PRIORITY = [
     "ann_ivf_persisted",
     "dedup_pipeline_lsh",
     "decontaminate_bloom",
+    "dup_substr_stats",
+    "contamination_report",
     # (c) staging change re-verify (index+labels persisted across
     #     calls — output must stay hash-identical)
     "dedup_clusters_incremental",
@@ -108,8 +110,6 @@ _R7_PRIORITY = [
     "session_agg",
     "scalar_functions",
     "json_extract",
-    "dead_letter",
-    "alerts",
     "tpch_q1_pricing_summary",
 ]
 

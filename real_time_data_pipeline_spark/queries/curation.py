@@ -1201,6 +1201,154 @@ ORACLES["decontaminate_substr"] = f"""
 """
 
 
+DUP_SUBSTR_MAX_COVERED_BP = 5000
+
+
+def q_dup_substr_stats(spark, sf_dir):
+    """Intra-corpus ExactSubstr duplication profile
+    (operators/curation.dup_substr_stats): per doc, run/coverage stats
+    of character windows shared with at least one OTHER doc — the
+    char-grain companion of corpus_dup_spans' token 8-grams."""
+    return curation.dup_substr_stats(
+        _docs(spark, sf_dir),
+        min_len=SUBSTR_MIN_LEN,
+        max_covered_bp=DUP_SUBSTR_MAX_COVERED_BP,
+    )
+
+
+QUERIES["dup_substr_stats"] = q_dup_substr_stats
+
+ORACLES["dup_substr_stats"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+             CAST(greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0) AS BIGINT)
+               AS n_windows
+      FROM d
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0)
+                                  + 1)) AS BIGINT) AS pos,
+             t
+      FROM d
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             substr(t, CAST(pos AS INT), {SUBSTR_MIN_LEN}) AS win
+      FROM w
+    ),
+    shared AS (
+      SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins)
+      GROUP BY win HAVING count(*) >= 2
+    ),
+    hits AS (
+      SELECT wins.doc_id, wins.pos FROM wins JOIN shared USING (win)
+    ),
+    runs AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, count(*) AS k,
+             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
+      FROM runs GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(k) AS BIGINT) AS n_hit_windows,
+             CAST(sum(span) AS BIGINT) AS n_covered_chars,
+             CAST(max(span) AS BIGINT) AS max_span_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_chars, s.n_windows,
+           CAST(COALESCE(p.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+           CAST(COALESCE(p.n_covered_chars, 0) AS BIGINT)
+             AS n_covered_chars,
+           CAST(CASE WHEN s.n_chars > 0
+                THEN FLOOR(10000 * COALESCE(p.n_covered_chars, 0)
+                           / s.n_chars)
+                ELSE 0 END AS BIGINT) AS covered_bp,
+           CAST(COALESCE(p.max_span_chars, 0) AS BIGINT) AS max_span_chars,
+           CAST(CASE WHEN s.n_chars > 0
+                THEN FLOOR(10000 * COALESCE(p.n_covered_chars, 0)
+                           / s.n_chars)
+                ELSE 0 END AS BIGINT) <= {DUP_SUBSTR_MAX_COVERED_BP}
+             AS keep_substr_unique
+    FROM stats s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_contamination_report(spark, sf_dir):
+    """Benchmark-side contamination report
+    (operators/curation.contamination_report): per benchmark doc, how
+    many training docs quote it and at what volume — the eval-owner
+    view of decontaminate_substr."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.contamination_report(
+        docs, bench, min_len=SUBSTR_MIN_LEN
+    )
+
+
+QUERIES["contamination_report"] = q_contamination_report
+
+ORACLES["contamination_report"] = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0)
+                                  + 1)) AS BIGINT) AS pos,
+             t
+      FROM d
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             substr(t, CAST(pos AS INT), {SUBSTR_MIN_LEN}) AS win
+      FROM w
+    ),
+    bstats AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+             CAST(greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0) AS BIGINT)
+               AS n_windows
+      FROM d WHERE source = '{BENCH_SOURCE}'
+    ),
+    bkeys AS (
+      SELECT DISTINCT b.doc_id AS bench_id, wins.win
+      FROM wins JOIN (SELECT doc_id FROM d WHERE source = '{BENCH_SOURCE}') b
+        ON wins.doc_id = b.doc_id
+    ),
+    hits AS (
+      SELECT bkeys.bench_id, wins.doc_id AS train_id, wins.pos
+      FROM wins JOIN bkeys USING (win)
+      WHERE wins.doc_id != bkeys.bench_id
+    ),
+    per_bench AS (
+      SELECT bench_id,
+             CAST(count(DISTINCT train_id) AS BIGINT)
+               AS n_contaminated_docs,
+             CAST(count(*) AS BIGINT) AS n_hit_windows
+      FROM hits GROUP BY bench_id
+    )
+    SELECT b.doc_id, b.n_chars, b.n_windows,
+           CAST(COALESCE(p.n_contaminated_docs, 0) AS BIGINT)
+             AS n_contaminated_docs,
+           CAST(COALESCE(p.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+           COALESCE(p.n_contaminated_docs, 0) > 0 AS is_compromised
+    FROM bstats b LEFT JOIN per_bench p ON b.doc_id = p.bench_id
+"""
+
+
 def q_clean_corpus(spark, sf_dir):
     """The end of the pipeline: per-document final verdict joining the
     quality gate (quality_verdicts: score ∧ surprisal ∧ repetition ∧

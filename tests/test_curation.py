@@ -131,6 +131,61 @@ def test_decontaminate_substr_runs_and_coverage(spark):
     }
 
 
+def test_dup_substr_and_contamination_report(spark):
+    """Cross-doc ExactSubstr + benchmark-side report on a fixture where
+    the shared spans are plantable by eye (min_len=10)."""
+    quote = "alpha beta gamma delta epsilon"  # 30 chars shared
+    rows = [
+        (1, "bench", f"intro text {quote} outro text"),
+        (2, "train", f"leading words {quote} trailing words"),
+        (3, "train", "nothing in common with anything here"),
+        # 4 and 5 share a span with each other but NOT with the bench
+        (4, "train", "qq ww shared private span zz xx"),
+        (5, "train", "aa bb shared private span cc dd"),
+    ]
+    df = _docs(spark, rows)
+    dup = {
+        r["doc_id"]: r.asDict()
+        for r in curation.dup_substr_stats(df, min_len=10).collect()
+    }
+    # 1&2 share the quote; 4&5 share "shared private span"; 3 is clean
+    assert dup[1]["n_hit_windows"] > 0 and dup[2]["n_hit_windows"] > 0
+    assert dup[3]["n_hit_windows"] == 0 and dup[3]["keep_substr_unique"]
+    assert dup[4]["n_hit_windows"] > 0 and dup[5]["n_hit_windows"] > 0
+    # the 4&5 shared region is " shared private span " — the flanking
+    # spaces are shared too, so 21 covered chars in both docs
+    assert dup[4]["max_span_chars"] == len(" shared private span ")
+    assert dup[5]["max_span_chars"] == dup[4]["max_span_chars"]
+
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in curation.contamination_report(
+            df, df.filter(df.source == "bench"), min_len=10
+        ).collect()
+    }
+    assert set(rep) == {1}  # one benchmark doc, listed exactly once
+    assert rep[1]["n_contaminated_docs"] == 1  # only doc 2 quotes it
+    assert rep[1]["is_compromised"] is True
+    # doc 2's hit positions = windows inside its copy of the quote
+    # region (self-rows excluded); quoted volume > quote length - L
+    assert rep[1]["n_hit_windows"] >= len(quote) - 10
+
+
+def test_contamination_report_clean_benchmark_rows(spark):
+    """Benchmark items nobody quotes must still appear, zeroed."""
+    rows = [
+        (1, "bench", "unquoted benchmark item number one right here"),
+        (2, "train", "totally unrelated training document text body"),
+    ]
+    df = _docs(spark, rows)
+    rep = curation.contamination_report(
+        df, df.filter(df.source == "bench"), min_len=10
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0].asDict()
+    assert r["n_contaminated_docs"] == 0 and r["is_compromised"] is False
+
+
 def test_mix_sources_deterministic_and_rate_bounded(spark):
     rows = [(i, f"src{i % 4}", "t") for i in range(400)]
     df = _docs(spark, rows)
