@@ -339,6 +339,100 @@ def dup_substr_stats(
     )
 
 
+SUBSTR_INDEX_SCHEME_VERSION = 1
+
+
+def build_substr_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    buckets: int = 64,
+) -> None:
+    """Persist the corpus's distinct char-window set as a parquet index
+    PARTITIONED BY a window-hash bucket — the artifact that makes
+    suffix-grain dedup INCREMENTAL: a daily increment probes this index
+    instead of re-windowing the historical corpus, so steady-state cost
+    scales with the increment, not the 100 TB history (the
+    :func:`~real_time_data_pipeline_spark.operators.dedup.build_minhash_index`
+    recipe at the character grain).  Only distinct windows are stored
+    (no doc ids — the probe answers "seen in history?", not "where"),
+    so the index is bounded by unique content volume; appending a new
+    day is an append-mode write of its novel windows.  A ``_scheme``
+    marker pins (version, min_len, buckets) so a probe under different
+    parameters fails loudly instead of silently missing."""
+    _, wins = _char_windows(corpus, id_col, text_col, min_len)
+    spark = corpus.sparkSession
+    (
+        wins.select("win")
+        .distinct()
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("win"), F.lit(buckets)).cast("int")
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    # JVM-literal 1-row marker (createDataFrame of a local row pays a
+    # multi-second Python-runner write — see dedup._write_index_meta).
+    spark.range(1).select(
+        F.lit(SUBSTR_INDEX_SCHEME_VERSION).cast("int").alias(
+            "scheme_version"
+        ),
+        F.lit(min_len).cast("int").alias("min_len"),
+        F.lit(buckets).cast("int").alias("buckets"),
+    ).write.mode("overwrite").parquet(path + "/_scheme")
+
+
+def check_substr_index(
+    spark, path: str, min_len: int, buckets: int
+) -> None:
+    """Fail loudly if the persisted window index at ``path`` was built
+    under a different scheme or (min_len, buckets) than the probe."""
+    row = spark.read.parquet(path + "/_scheme").collect()[0]
+    want = (SUBSTR_INDEX_SCHEME_VERSION, min_len, buckets)
+    got = (row["scheme_version"], row["min_len"], row["buckets"])
+    if got != want:
+        raise ValueError(
+            f"substr index at {path} built as {got}, probe wants {want}"
+        )
+
+
+def incremental_substr_stats(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    buckets: int = 64,
+    max_covered_bp: int = 2000,
+) -> DataFrame:
+    """Suffix-grain dedup of an increment against a PERSISTED window
+    index: per new doc, run/coverage statistics of its char windows
+    that already exist in the indexed history —
+    ``keep_substr_novel`` = the doc is substantially new material, the
+    admission gate a steady-state ingest pipeline applies before a new
+    document enters the training corpus.
+
+    The join is keyed (bucket, win), co-partitioned with the index's
+    on-disk layout; the history is never re-windowed and never
+    broadcast — cost scales with the increment's character count plus
+    the matched index buckets."""
+    check_substr_index(spark, index_path, min_len, buckets)
+    stats, wins = _char_windows(new_docs, id_col, text_col, min_len)
+    probe = wins.withColumn(
+        "bucket", F.pmod(F.xxhash64("win"), F.lit(buckets)).cast("int")
+    )
+    idx = spark.read.parquet(index_path)
+    hits = probe.join(idx, ["bucket", "win"]).select("id", "pos")
+    return _substr_run_stats(
+        stats, hits, id_col, min_len, "keep_substr_novel", max_covered_bp
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

@@ -186,6 +186,60 @@ def test_contamination_report_clean_benchmark_rows(spark):
     assert r["n_contaminated_docs"] == 0 and r["is_compromised"] is False
 
 
+def test_substr_index_layout_scheme_and_probe(spark, tmp_path):
+    """The persisted window index: bucket-partitioned layout on disk,
+    loud scheme mismatch, and probe == direct cross-check."""
+    import os
+
+    rows = [
+        (1, "s", "the quick brown fox jumps over the lazy dog indeed"),
+        (2, "s", "a completely different historical document body here"),
+    ]
+    corpus = _docs(spark, rows)
+    new = _docs(
+        spark,
+        [
+            # quotes corpus doc 1's span verbatim
+            (10, "s", "prefix words the quick brown fox jumps over suffix"),
+            (11, "s", "entirely novel content nothing indexed before now"),
+        ],
+    )
+    path = str(tmp_path / "substr_idx")
+    curation.build_substr_index(corpus, path, min_len=10, buckets=8)
+    # layout: bucket=N partition dirs + the _scheme marker
+    children = os.listdir(path)
+    assert any(c.startswith("bucket=") for c in children)
+    assert "_scheme" in children
+    # scheme mismatch fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curation.check_substr_index(spark, path, min_len=12, buckets=8)
+    with _pytest.raises(ValueError):
+        curation.check_substr_index(spark, path, min_len=10, buckets=16)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.incremental_substr_stats(
+            spark, new, path, min_len=10, buckets=8, max_covered_bp=2000
+        ).collect()
+    }
+    # direct (index-free) cross-check: same stats via the broadcast path
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in curation.decontaminate_substr(
+            new, corpus, min_len=10, max_covered_bp=2000
+        ).collect()
+    }
+    for doc_id in (10, 11):
+        for col in (
+            "n_chars", "n_windows", "n_hit_windows",
+            "n_covered_chars", "covered_bp", "max_span_chars",
+        ):
+            assert got[doc_id][col] == want[doc_id][col], (doc_id, col)
+    assert got[10]["n_hit_windows"] > 0  # the quote is caught
+    assert got[11]["n_hit_windows"] == 0 and got[11]["keep_substr_novel"]
+
+
 def test_mix_sources_deterministic_and_rate_bounded(spark):
     rows = [(i, f"src{i % 4}", "t") for i in range(400)]
     df = _docs(spark, rows)
