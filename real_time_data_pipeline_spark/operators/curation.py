@@ -386,6 +386,43 @@ def build_substr_index(
     ).write.mode("overwrite").parquet(path + "/_scheme")
 
 
+def append_substr_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a day's increment into the persisted window index without
+    rebuilding: the increment's distinct windows are anti-joined
+    against the existing index (duplicate index rows would duplicate
+    probe hits and corrupt the run statistics, so novelty filtering is
+    correctness, not just size) and appended under the same bucket
+    partitioning.  Parameters come from the index's own ``_scheme``
+    marker — an append can't silently diverge from the build config.
+    Cost scales with the increment plus the matched buckets; the
+    history is never re-windowed."""
+    spark = new_docs.sparkSession
+    row = spark.read.parquet(path + "/_scheme").collect()[0]
+    if row["scheme_version"] != SUBSTR_INDEX_SCHEME_VERSION:
+        raise ValueError(
+            f"substr index at {path} is scheme v{row['scheme_version']}, "
+            f"appender is v{SUBSTR_INDEX_SCHEME_VERSION}"
+        )
+    min_len, buckets = row["min_len"], row["buckets"]
+    _, wins = _char_windows(new_docs, id_col, text_col, min_len)
+    novel = (
+        wins.select("win")
+        .distinct()
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("win"), F.lit(buckets)).cast("int")
+        )
+        .join(spark.read.parquet(path), ["bucket", "win"], "anti")
+    )
+    novel.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
 def check_substr_index(
     spark, path: str, min_len: int, buckets: int
 ) -> None:

@@ -1394,6 +1394,61 @@ ORACLES["dup_substr_incremental"] = f"""
 """
 
 
+def q_dup_substr_append(spark, sf_dir):
+    """Append-maintenance twin of `dup_substr_incremental` under the
+    SAME oracle: the index is built on 80% of the history
+    (doc_id % 10 in 1..8), the remaining tenth (doc_id % 10 == 9) is
+    APPENDED via operators/curation.append_substr_index — novelty-
+    filtered, history never re-windowed — and the increment
+    (doc_id % 10 == 0) probes the result.  Because the appended index's
+    window set provably equals the full-history build's, the probe is
+    hash-identical to dup_substr_incremental: appends lose nothing,
+    the same certificate ann_ivf_incremental gives the IVF tier.
+    Staged separately from dup_substr_incremental's index so the two
+    entries can never mask each other's bugs."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 9)
+    )
+    delta = docs.filter(F.col("doc_id") % 10 == 9)
+    wh = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+    )
+    path = os.path.join(
+        wh, f"substr_index_app_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    try:
+        curation.check_substr_index(spark, path, SUBSTR_MIN_LEN, 64)
+        # the build's _scheme marker lands BEFORE the append — require
+        # the post-append marker too, so a crash between the two never
+        # leaves a silently delta-less index behind
+        spark.read.parquet(path + "/_appended").collect()
+    except Exception:
+        curation.build_substr_index(
+            base, path, min_len=SUBSTR_MIN_LEN, buckets=64
+        )
+        curation.append_substr_index(delta, path)
+        spark.range(1).select(F.lit(1).alias("done")).write.mode(
+            "overwrite"
+        ).parquet(path + "/_appended")
+    return curation.incremental_substr_stats(
+        spark, new, path, min_len=SUBSTR_MIN_LEN, buckets=64,
+        max_covered_bp=SUBSTR_MAX_COVERED_BP,
+    )
+
+
+QUERIES["dup_substr_append"] = q_dup_substr_append
+# Appended index == full-history build, so the probe shares
+# dup_substr_incremental's full-recompute oracle.
+ORACLES["dup_substr_append"] = ORACLES["dup_substr_incremental"]
+
+
 def q_contamination_report(spark, sf_dir):
     """Benchmark-side contamination report
     (operators/curation.contamination_report): per benchmark doc, how

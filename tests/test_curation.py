@@ -239,6 +239,31 @@ def test_substr_index_layout_scheme_and_probe(spark, tmp_path):
     assert got[10]["n_hit_windows"] > 0  # the quote is caught
     assert got[11]["n_hit_windows"] == 0 and got[11]["keep_substr_novel"]
 
+    # append path: folding a delta (one doc overlapping corpus doc 1,
+    # one novel) must equal rebuilding from scratch, and the novelty
+    # anti-join must keep index rows unique (duplicates would corrupt
+    # probe run stats)
+    delta = _docs(
+        spark,
+        [
+            (3, "s", rows[0][2]),  # exact copy of corpus doc 1
+            (4, "s", "yet another brand new appended document body"),
+        ],
+    )
+    curation.append_substr_index(delta, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == idx.select("win").distinct().count()
+    rebuilt_path = str(tmp_path / "substr_idx_rebuilt")
+    curation.build_substr_index(
+        corpus.unionByName(delta), rebuilt_path, min_len=10, buckets=8
+    )
+    assert (
+        sorted(r["win"] for r in idx.collect())
+        == sorted(
+            r["win"] for r in spark.read.parquet(rebuilt_path).collect()
+        )
+    )
+
 
 def test_mix_sources_deterministic_and_rate_bounded(spark):
     rows = [(i, f"src{i % 4}", "t") for i in range(400)]
