@@ -328,6 +328,49 @@ def q_curation_flags_incremental(spark, sf_dir):
     return carried.unionByName(recomputed)
 
 
+def q_stream_curation_flags(spark, sf_dir):
+    """Streaming twin of `curation_flags` on the SAME oracle: documents
+    ARRIVE AS A STREAM and every micro-batch runs the combined curation
+    verdict via streaming/pipeline.curation_foreach_batch against the
+    static benchmark frame — the steady-state ingest-curation shape.
+    Neither signal holds cross-document state (repetition is
+    doc-bounded, decontamination joins the static benchmark gram set),
+    so per-batch outputs are disjoint by doc id and their union is
+    hash-identical to the one-shot pass — the property the shared
+    oracle pins end-to-end (the pytest parity check covers the operator
+    pair; this entry puts the full readStream→foreachBatch cycle under
+    the driver gate)."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+    from real_time_data_pipeline_spark.streaming.pipeline import (
+        curation_foreach_batch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    out_schema = curation.curation_flags(docs.limit(0), bench).schema
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents*.parquet"
+    )
+    rows: list = []
+
+    def sink(flags, _batch_id):
+        rows.extend(flags.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(
+            curation_foreach_batch(bench, sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_curation_flags")
+    return spark.createDataFrame(rows, out_schema)
+
+
 CALIBRATION_WINDOWS = 4
 
 
@@ -1666,6 +1709,10 @@ ORACLES["curation_flags"] = _CURATION_FLAGS_ORACLE
 # The incremental maintainer must be indistinguishable from the
 # one-shot pass over the new snapshot — same oracle.
 ORACLES["curation_flags_incremental"] = _CURATION_FLAGS_ORACLE
+# Per-micro-batch outputs are disjoint by doc id, so the streaming
+# union shares the one-shot oracle too.
+QUERIES["stream_curation_flags"] = q_stream_curation_flags
+ORACLES["stream_curation_flags"] = _CURATION_FLAGS_ORACLE
 
 QUERIES["calibration_drift_windows"] = q_calibration_drift_windows
 QUERIES["stream_calibration_drift"] = q_stream_calibration_drift
