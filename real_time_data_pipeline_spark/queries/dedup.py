@@ -68,16 +68,22 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """Multi-table sign-LSH bucketed near-dup (rows-only: recall-subset of
-    the exact operator, pinned by unit test).
-
-    4 planes x 8 OR-ed tables: at this corpus's loose threshold (cos 0.4,
-    angle 66°) per-table collision is ~0.16 → ~0.75 recall; at the
-    production near-dup threshold (cos 0.95) the same config exceeds 0.99
-    recall while scoring ~2^4x fewer pairs per table than brute force."""
+    """Multi-table sign-LSH bucketed near-dup at FULL Hamming probe
+    radius (probe_hamming == n_planes — oracle-backed since round 7):
+    every bucket of both tables is probed, the candidate set is all
+    pairs, and the output is bit-identical to the exact quadratic
+    operator — it shares dedup_embedding's oracle while exercising the
+    complete machinery (numpy plane pack, per-table bucket join, mask
+    perturbation, cross-table distinct).  The pruned production
+    configs (probe_hamming=0, recall < 1 — e.g. 4 planes x 8 tables:
+    ~0.75 recall at this corpus's loose cos-0.4 threshold, >0.99 at the
+    production cos-0.95 threshold for ~2^4x fewer scored pairs per
+    table) stay covered by the recall-monotonicity property test and
+    dedup_pipeline_lsh_pruned's bench entry."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_lsh(
-        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=4, n_tables=8
+        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=4,
+        n_tables=2, probe_hamming=4,
     )
 
 
@@ -331,7 +337,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,  # oracle-backed (full probe == exact)
     "dedup_simhash": q_dedup_simhash,  # rows-only
     "dedup_pipeline": q_dedup_pipeline,
     "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # oracle-backed (full probe == exact)
@@ -499,6 +505,24 @@ _INCREMENTAL_ORACLE = f"""
     WHERE CAST(FLOOR(1e4 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 8000
 """
 
+_EMBEDDING_ORACLE = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(FLOOR(1e4 *
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               ) AS BIGINT) AS cos_bp
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND CAST(FLOOR(1e4 *
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               ) AS BIGINT) >= 4000
+    """
+
 ORACLES = {
     "source_dup_matrix": f"""
         WITH h AS (
@@ -524,6 +548,9 @@ ORACLES = {
         LEFT JOIN hits ON g.source_a = hits.source_a
                       AND g.source_b = hits.source_b
     """,
+    # Round 7: full-radius multi-probe makes the sign-LSH candidate
+    # set all pairs, so the bucketed operator shares the exact oracle.
+    "dedup_embedding_lsh": _EMBEDDING_ORACLE,
     "dedup_incremental": _INCREMENTAL_ORACLE,
     # the streaming twin unions per-micro-batch probes of the same
     # persisted index — identical output, same oracle
@@ -552,23 +579,7 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
-    "dedup_embedding": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(FLOOR(1e4 *
-                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-               ) AS BIGINT) AS cos_bp
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND CAST(FLOOR(1e4 *
-                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-               ) AS BIGINT) >= 4000
-    """,
+    "dedup_embedding": _EMBEDDING_ORACLE,
 }
 
 
