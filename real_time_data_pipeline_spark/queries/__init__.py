@@ -96,6 +96,10 @@ _R7_PRIORITY = [
     "decontaminate_bloom",
     "dup_substr_stats",
     "contamination_report",
+    "dup_substr_incremental",
+    "dup_substr_append",
+    "stream_curation_flags",
+    "dedup_embedding_lsh",
     # (c) staging change re-verify (index+labels persisted across
     #     calls — output must stay hash-identical)
     "dedup_clusters_incremental",
@@ -106,10 +110,6 @@ _R7_PRIORITY = [
     "uniqueness_violations",
     "enrich_join",
     "self_join",
-    "monthly_rollup",
-    "session_agg",
-    "scalar_functions",
-    "json_extract",
     "tpch_q1_pricing_summary",
 ]
 
