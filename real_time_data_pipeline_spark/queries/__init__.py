@@ -113,6 +113,14 @@ _R7_PRIORITY = [
     "tpch_q1_pricing_summary",
 ]
 
+# Round-8 rotation: every oracle-backed entry registered through round 7
+# is in this window or already driver-green, so (barring r7 reds) no
+# never-checked backlog remains — fill the next window with NEW round-8
+# entries first, then the oldest remaining re-verification targets (the
+# r01 queries not re-verified here: monthly_rollup, session_agg,
+# scalar_functions, json_extract, dead_letter, alerts, and the r01/r02
+# TPC-H tier).
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:
