@@ -394,8 +394,18 @@ def _calibration_binned(spark, sf_dir):
     labels = curation.quality_verdicts(docs, bench).select(
         "doc_id", F.col("keep").alias("keep_heuristic")
     )
-    joined = scores.join(labels, "doc_id").withColumn(
-        "window_id", F.pmod(F.col("doc_id"), F.lit(CALIBRATION_WINDOWS)).cast("bigint")
+    # Persisted (the quality_calibration plan-diet lesson): the bounds
+    # percentile aggregate AND the decile binning both consume this
+    # frame — without the persist the whole quality_model + doc_quality
+    # subplan runs twice.  (doc_id, score, window, 2 bools) — bytes per
+    # row, never corpus text.
+    joined = cache.track(
+        scores.join(labels, "doc_id").withColumn(
+            "window_id",
+            F.pmod(F.col("doc_id"), F.lit(CALIBRATION_WINDOWS)).cast(
+                "bigint"
+            ),
+        )
     )
     qs = [i / 10 for i in range(1, 10)]
     bounds = joined.agg(
