@@ -304,11 +304,18 @@ def q_curation_flags_incremental(spark, sf_dir):
         old_flags = spark.read.parquet(flags_path)
         old_manifest = spark.read.parquet(manifest_path)
 
+    from real_time_data_pipeline_spark.operators import cache
+
     new_manifest = docs.select(
         "doc_id", F.sha2(F.col("text"), 256).alias("fp")
     )
-    diff = new_manifest.withColumnRenamed("fp", "fp_new").join(
-        old_manifest.withColumnRenamed("fp", "fp_old"), "doc_id", "full"
+    # Persisted: recompute_ids and stale_ids both consume the diff —
+    # without it the fingerprint scan + full-outer join run twice.
+    # (doc_id, 2 hashes) — bytes per row.
+    diff = cache.track(
+        new_manifest.withColumnRenamed("fp", "fp_new").join(
+            old_manifest.withColumnRenamed("fp", "fp_old"), "doc_id", "full"
+        )
     )
     # ids to recompute (added: no old fp; modified: fp changed) and ids
     # whose old rows must not carry (removed ∪ modified ∪ added — added
