@@ -100,6 +100,7 @@ _R7_PRIORITY = [
     "dup_substr_append",
     "stream_curation_flags",
     "dedup_embedding_lsh",
+    "stream_ann_ivf_append",
     # (c) staging change re-verify (index+labels persisted across
     #     calls — output must stay hash-identical)
     "dedup_clusters_incremental",
@@ -109,7 +110,6 @@ _R7_PRIORITY = [
     "categorize",
     "uniqueness_violations",
     "enrich_join",
-    "self_join",
     "tpch_q1_pricing_summary",
 ]
 
@@ -117,9 +117,9 @@ _R7_PRIORITY = [
 # is in this window or already driver-green, so (barring r7 reds) no
 # never-checked backlog remains — fill the next window with NEW round-8
 # entries first, then the oldest remaining re-verification targets (the
-# r01 queries not re-verified here: monthly_rollup, session_agg,
-# scalar_functions, json_extract, dead_letter, alerts, and the r01/r02
-# TPC-H tier).
+# r01 queries not re-verified here: self_join, monthly_rollup,
+# session_agg, scalar_functions, json_extract, dead_letter, alerts,
+# and the r01/r02 TPC-H tier).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

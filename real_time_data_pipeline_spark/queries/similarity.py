@@ -125,6 +125,55 @@ def q_ann_ivf_incremental(spark, sf_dir):
     return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=16)
 
 
+def q_stream_ann_ivf_append(spark, sf_dir):
+    """Streaming index maintenance — the stream_dedup_incremental
+    posture applied to ANN, on the exact oracle: the IVF index is built
+    on 90% of the corpus, the 10% increment ARRIVES AS A STREAM of
+    embeddings, and every micro-batch folds into the persisted
+    partitioned layout via similarity.ivf_index_append (assignment
+    against the FROZEN centroids is row-wise, so per-batch appends
+    compose to exactly the one-shot append — no batch-split
+    sensitivity).  The post-stream probe runs at FULL nprobe, making
+    the inverted file exhaustive over base+increment and the result
+    bit-identical to brute force over the whole corpus — streaming
+    appends provably lose nothing, the ann_ivf_incremental certificate
+    on the streaming engine."""
+    import os
+
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"ivf_index_streamapp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # Rebuilt per call: the stream below appends to it, so a reused
+    # artifact would accumulate duplicate increment rows across calls.
+    similarity.ivf_index_build(base, path, n_cells=16)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/embeddings*.parquet")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+
+    def fold(batch, _i):
+        similarity.ivf_index_append(batch, path)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_ann_ivf_append")
+    return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=16)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Spherical k-means assignments after 3 Lloyd's iterations
     (rows-only: iterative algorithm, output row count == corpus size;
@@ -155,6 +204,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,  # oracle-backed (full probe == exact)
     "ann_ivf_persisted": q_ann_ivf_persisted,  # oracle-backed (full probe == exact)
     "ann_ivf_incremental": q_ann_ivf_incremental,  # oracle-backed (append + full probe)
+    "stream_ann_ivf_append": q_stream_ann_ivf_append,  # oracle-backed (streaming append + full probe)
     "kmeans_clusters": q_kmeans_clusters,  # rows-only (iterative)
 }
 
@@ -229,6 +279,10 @@ ORACLES["ann_lsh_topk"] = ORACLES["ann_bruteforce_topk"]
 # Round 7: the persisted index probed at full nprobe reads back every
 # cell directory, so the on-disk path joins the same shared exact oracle.
 ORACLES["ann_ivf_persisted"] = ORACLES["ann_bruteforce_topk"]
+# Round 7: per-micro-batch appends against frozen centroids compose to
+# the one-shot append, and the full-nprobe probe is exhaustive — the
+# streaming maintainer shares the same exact oracle.
+ORACLES["stream_ann_ivf_append"] = ORACLES["ann_bruteforce_topk"]
 
 
 def q_embedding_pca(spark, sf_dir):
