@@ -535,6 +535,91 @@ def contamination_report(
     )
 
 
+def budget_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-weighted token-budget allocation across sources — the
+    planning step before :func:`mix_sources`/:func:`epoch_upsample`:
+    given a total training-token budget, split it across sources
+    proportional to quality-weighted token mass (sum over docs of
+    n_tokens * quality_score) with LARGEST-REMAINDER rounding, so the
+    per-source allocations are integers that sum EXACTLY to the budget
+    (the order_proration guarantee at source grain).  ``rate_bp`` is
+    the resulting per-source sampling/epoch multiplier in basis points
+    (can exceed 10000 — an upsampled source).
+
+    Exactness: base_i = (B * mass_i) div M and the remainder ranking
+    run in DECIMAL(38,0) (HUGEINT on the oracle side) — no floats
+    anywhere, ties broken by source name ascending, so the allocation
+    is engine-reproducible.  The remainder window orders the SOURCE
+    frame — source-domain-bounded (tens of rows at any corpus size),
+    never a corpus-scale single partition."""
+    from real_time_data_pipeline_spark.operators.text import quality_score
+
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(text_col)).cast("bigint").alias("n_toks"),
+    )
+    q = quality_score(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "quality_score"
+    )
+    per_src = (
+        toks.join(q, "id")
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("n_toks") * F.col("quality_score")
+            ).cast("bigint").alias("mass"),
+        )
+    )
+    total = per_src.agg(
+        F.sum("mass").cast("decimal(38,0)").alias("_m")
+    )
+    based = per_src.crossJoin(F.broadcast(total)).select(
+        "src",
+        "n_docs",
+        "n_tokens",
+        "mass",
+        F.expr(
+            f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * mass)"
+            " div _m AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * mass)"
+            " % _m AS BIGINT)"
+        ).alias("rem"),
+    )
+    leftover = based.agg(
+        (F.lit(budget_tokens) - F.sum("base")).cast("bigint").alias("_left")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("src"))
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("src").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "mass",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("_left"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc_tokens"),
+            F.expr(
+                "CAST((10000 * (base + CASE WHEN rk <= _left THEN 1"
+                " ELSE 0 END)) div n_tokens AS BIGINT)"
+            ).alias("rate_bp"),
+        )
+    )
+
+
 # Deterministic pseudo-random sample key: Lehmer/Park-Miller multiplier
 # mod the Mersenne prime 2^31-1, folded to basis points.  Chosen over
 # xxhash64 because the SAME closed-form expression runs on DuckDB (the

@@ -577,6 +577,71 @@ def q_stream_calibration_drift(spark, sf_dir):
     return _calibration_present(per, ref_df)
 
 
+BUDGET_TOKENS = 1_000_000
+
+
+def q_budget_allocation(spark, sf_dir):
+    """Quality-weighted token-budget split across sources with
+    largest-remainder exactness (operators/curation.budget_allocation):
+    per-source allocations are integers summing EXACTLY to the budget;
+    rate_bp is the resulting sampling/epoch multiplier.  The planning
+    table a data team reviews before mix_sources ships a run."""
+    return curation.budget_allocation(
+        _docs(spark, sf_dir), BUDGET_TOKENS
+    )
+
+
+def _budget_allocation_oracle() -> str:
+    from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
+    from real_time_data_pipeline_spark.queries.text import _stop_list
+
+    score = f"""CAST(
+        least(40, len({DUCK_TOKENS}))
+        + least(30, CAST(FLOOR(100 * len(list_filter({DUCK_TOKENS},
+                 t -> list_contains({_stop_list('en')}, t)))
+                 / len({DUCK_TOKENS})) AS INT))
+        + CASE WHEN FLOOR(100 * list_sum(list_transform({DUCK_TOKENS},
+                    t -> length(t))) / len({DUCK_TOKENS}))
+               BETWEEN 300 AND 800 THEN 30 ELSE 10 END
+      AS BIGINT)"""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_toks,
+                 {score} AS q
+          FROM documents
+        ),
+        s AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_toks * q) AS BIGINT) AS mass
+          FROM t GROUP BY 1
+        ),
+        m AS (SELECT CAST(sum(mass) AS HUGEINT) AS tm FROM s),
+        b AS (
+          SELECT s.*,
+                 CAST((CAST({BUDGET_TOKENS} AS HUGEINT) * mass) // tm
+                      AS BIGINT) AS base,
+                 CAST((CAST({BUDGET_TOKENS} AS HUGEINT) * mass) % tm
+                      AS BIGINT) AS rem
+          FROM s, m
+        ),
+        lv AS (SELECT {BUDGET_TOKENS} - sum(base) AS leftover FROM b),
+        r AS (
+          SELECT b.*, lv.leftover,
+                 row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+          FROM b, lv
+        )
+        SELECT source, n_docs, n_tokens, mass,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens,
+               CAST((10000 * (base + CASE WHEN rk <= leftover THEN 1
+                              ELSE 0 END)) // n_tokens AS BIGINT)
+                 AS rate_bp
+        FROM r
+    """
+
+
 def q_curriculum_phases(spark, sf_dir):
     """Quality-ordered curriculum schedule with a 2048-token phase
     budget (operators/curation.curriculum_phases) — global prefix sum
@@ -1730,6 +1795,9 @@ ORACLES["curation_flags_incremental"] = _CURATION_FLAGS_ORACLE
 # union shares the one-shot oracle too.
 QUERIES["stream_curation_flags"] = q_stream_curation_flags
 ORACLES["stream_curation_flags"] = _CURATION_FLAGS_ORACLE
+
+QUERIES["budget_allocation"] = q_budget_allocation
+ORACLES["budget_allocation"] = _budget_allocation_oracle()
 
 QUERIES["calibration_drift_windows"] = q_calibration_drift_windows
 QUERIES["stream_calibration_drift"] = q_stream_calibration_drift

@@ -265,6 +265,35 @@ def test_substr_index_layout_scheme_and_probe(spark, tmp_path):
     )
 
 
+def test_budget_allocation_sums_exactly_and_is_proportional(spark):
+    """Largest-remainder invariants: allocations are integers summing
+    EXACTLY to the budget, ordered with the quality-weighted mass, and
+    deterministic under ties (source name ascending)."""
+    rows = [
+        (i, f"src{i % 3}", "word " * (10 + i % 4) + "the and is of")
+        for i in range(30)
+    ]
+    out = {
+        r["source"]: r.asDict()
+        for r in curation.budget_allocation(
+            _docs(spark, rows), budget_tokens=12345
+        ).collect()
+    }
+    assert sum(r["alloc_tokens"] for r in out.values()) == 12345
+    # proportionality: allocation order follows mass order
+    by_mass = sorted(out.values(), key=lambda r: -r["mass"])
+    allocs = [r["alloc_tokens"] for r in by_mass]
+    assert allocs == sorted(allocs, reverse=True)
+    # determinism: re-run is identical
+    again = {
+        r["source"]: r.asDict()
+        for r in curation.budget_allocation(
+            _docs(spark, rows), budget_tokens=12345
+        ).collect()
+    }
+    assert again == out
+
+
 def test_mix_sources_deterministic_and_rate_bounded(spark):
     rows = [(i, f"src{i % 4}", "t") for i in range(400)]
     df = _docs(spark, rows)
