@@ -237,6 +237,35 @@ def q_curation_flags(spark, sf_dir):
     return curation.curation_flags(docs, bench)
 
 
+def _prev_snapshot(docs):
+    """The deterministic previous-snapshot pair shared by
+    curation_flags_incremental and snapshot_delta_profile: returns
+    (old_docs, removed) where old_docs lacks the ADDED docs
+    (non-benchmark doc_id % 7 == 0 — %7 takes precedence over %13, so
+    a doc divisible by 91 is added, not modified), carries a
+    stale-prefixed text for the MODIFIED docs (non-benchmark
+    doc_id % 13 == 0 among those present), and removed holds the
+    synthetic doc_id + 10_000_000 copies (REMOVED in the new
+    snapshot).  One definition — the profile and the maintainer can
+    never disagree about what the delta is."""
+    is_bench = F.col("source") == BENCH_SOURCE
+    old_core = docs.filter(is_bench | (F.col("doc_id") % 7 != 0))
+    stale = (~is_bench) & (F.col("doc_id") % 13 == 0)
+    old_docs = old_core.select(
+        "doc_id",
+        "source",
+        F.when(stale, F.concat(F.lit("stale draft "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    removed = docs.filter((~is_bench) & (F.col("doc_id") % 11 == 0)).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "source",
+        "text",
+    )
+    return old_docs, removed
+
+
 def q_curation_flags_incremental(spark, sf_dir):
     """Cross-snapshot INCREMENTAL curation under the full-recompute
     oracle: the previous snapshot's flags table and content manifest
@@ -280,21 +309,8 @@ def q_curation_flags_incremental(spark, sf_dir):
         old_manifest.limit(1).collect()  # reject partial artifacts now
         old_flags.limit(1).collect()
     except Exception:
-        old_core = docs.filter(is_bench | (F.col("doc_id") % 7 != 0))
-        stale = (~is_bench) & (F.col("doc_id") % 13 == 0)
-        old_docs = old_core.select(
-            "doc_id",
-            "source",
-            F.when(stale, F.concat(F.lit("stale draft "), F.col("text")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        ).unionByName(
-            docs.filter((~is_bench) & (F.col("doc_id") % 11 == 0)).select(
-                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
-                "source",
-                "text",
-            )
-        )
+        prev, removed = _prev_snapshot(docs)
+        old_docs = prev.unionByName(removed)
         curation.curation_flags(old_docs, bench).write.mode(
             "overwrite"
         ).parquet(flags_path)
@@ -333,6 +349,76 @@ def q_curation_flags_incremental(spark, sf_dir):
     )
     carried = old_flags.join(stale_ids, "doc_id", "anti")
     return carried.unionByName(recomputed)
+
+
+def q_snapshot_delta_profile(spark, sf_dir):
+    """Cross-snapshot delta REPORT — the review table next to
+    curation_flags_incremental's maintenance: per source, how many docs
+    the new snapshot added / removed / modified / left unchanged
+    (classes from the shared _prev_snapshot definition, so the report
+    and the maintainer can never disagree), plus n_keep_flips — the
+    modified docs whose overall curation ``keep`` verdict CHANGED
+    between snapshots, the number a data owner actually reviews before
+    accepting a refresh.  Old-snapshot verdicts are recomputed from the
+    derived old text (not read from the staged artifact) so the report
+    is self-contained; the oracle recomputes both verdict sets in
+    DuckDB over the same derived relation."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    prev, removed = _prev_snapshot(docs)
+    is_bench = F.col("source") == BENCH_SOURCE
+    cls = docs.select(
+        "doc_id",
+        "source",
+        F.when((~is_bench) & (F.col("doc_id") % 7 == 0), F.lit("added"))
+        .when((~is_bench) & (F.col("doc_id") % 13 == 0), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("cls"),
+    )
+    counts = cls.groupBy("source").agg(
+        F.sum((F.col("cls") == "added").cast("int")).cast("bigint").alias(
+            "n_added"
+        ),
+        F.sum((F.col("cls") == "modified").cast("int"))
+        .cast("bigint")
+        .alias("n_modified"),
+        F.sum((F.col("cls") == "unchanged").cast("int"))
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+    removed_counts = removed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_removed")
+    )
+    old_keep = curation.curation_flags(prev, bench).select(
+        "doc_id", F.col("keep").alias("keep_old")
+    )
+    new_keep = curation.curation_flags(docs, bench).select(
+        "doc_id", F.col("keep").alias("keep_new")
+    )
+    flips = (
+        cls.filter(F.col("cls") == "modified")
+        .join(old_keep, "doc_id")
+        .join(new_keep, "doc_id")
+        .filter(F.col("keep_old") != F.col("keep_new"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_keep_flips"))
+    )
+    return (
+        counts.join(removed_counts, "source", "left")
+        .join(flips, "source", "left")
+        .select(
+            "source",
+            "n_added",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            "n_modified",
+            "n_unchanged",
+            F.coalesce("n_keep_flips", F.lit(0)).cast("bigint").alias(
+                "n_keep_flips"
+            ),
+        )
+    )
 
 
 def q_stream_curation_flags(spark, sf_dir):
@@ -1795,6 +1881,74 @@ ORACLES["curation_flags_incremental"] = _CURATION_FLAGS_ORACLE
 # union shares the one-shot oracle too.
 QUERIES["stream_curation_flags"] = q_stream_curation_flags
 ORACLES["stream_curation_flags"] = _CURATION_FLAGS_ORACLE
+
+QUERIES["snapshot_delta_profile"] = q_snapshot_delta_profile
+
+# The old-snapshot verdicts rerun the repetition/decontaminate oracles
+# over the DERIVED previous relation (same SQL, FROM swapped) — the
+# benchmark (src0) rows are identical in both snapshots, so the
+# decontaminate gram set is unchanged.
+_OLD_REP = _REPETITION_ORACLE.replace("FROM documents", "FROM old_docs")
+_OLD_DEC = _DECONTAMINATE_ORACLE.replace("FROM documents", "FROM old_docs")
+
+ORACLES["snapshot_delta_profile"] = f"""
+    WITH old_docs AS (
+      SELECT doc_id, source,
+             CASE WHEN source != '{BENCH_SOURCE}' AND doc_id % 13 = 0
+                  THEN 'stale draft ' || text ELSE text END AS text
+      FROM documents
+      WHERE source = '{BENCH_SOURCE}' OR doc_id % 7 != 0
+    ),
+    old_keep AS (
+      SELECT r.doc_id,
+             (r.keep_repetition AND d.keep_decontaminated) AS keep_old
+      FROM ({_OLD_REP}) r JOIN ({_OLD_DEC}) d USING (doc_id)
+    ),
+    new_keep AS (
+      SELECT doc_id, keep AS keep_new FROM ({_CURATION_FLAGS_ORACLE})
+    ),
+    cls AS (
+      SELECT doc_id, source,
+             CASE WHEN source != '{BENCH_SOURCE}' AND doc_id % 7 = 0
+                  THEN 'added'
+                  WHEN source != '{BENCH_SOURCE}' AND doc_id % 13 = 0
+                  THEN 'modified'
+                  ELSE 'unchanged' END AS cls
+      FROM documents
+    ),
+    rem AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_removed
+      FROM documents
+      WHERE source != '{BENCH_SOURCE}' AND doc_id % 11 = 0
+      GROUP BY 1
+    ),
+    flips AS (
+      SELECT c.source, CAST(count(*) AS BIGINT) AS n_keep_flips
+      FROM cls c
+      JOIN old_keep ok USING (doc_id)
+      JOIN new_keep nk USING (doc_id)
+      WHERE c.cls = 'modified' AND ok.keep_old != nk.keep_new
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT source,
+             CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN cls = 'modified' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_modified,
+             CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unchanged
+      FROM cls GROUP BY 1
+    )
+    SELECT c.source, c.n_added,
+           CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+           c.n_modified, c.n_unchanged,
+           CAST(COALESCE(flips.n_keep_flips, 0) AS BIGINT)
+             AS n_keep_flips
+    FROM counts c
+    LEFT JOIN rem USING (source)
+    LEFT JOIN flips USING (source)
+"""
 
 QUERIES["budget_allocation"] = q_budget_allocation
 ORACLES["budget_allocation"] = _budget_allocation_oracle()

@@ -265,6 +265,41 @@ def test_substr_index_layout_scheme_and_probe(spark, tmp_path):
     )
 
 
+def test_snapshot_delta_profile_detects_keep_flips(spark, tmp_path):
+    """On the synthetic corpus no stale-prefix modification happens to
+    flip a verdict, so the flip path must be proven on a planted
+    fixture: doc 13 (modified class: %13==0, %7!=0, %11!=0) carries
+    exactly one benchmark 8-gram among 9 grams (16 tokens → 1111 bp >
+    the 1000 bp decontamination cut → keep_new=False), while the old
+    snapshot's 'stale draft ' prefix stretches it to 11 grams (909 bp →
+    keep_old=True) — a genuine cross-snapshot verdict flip."""
+    from real_time_data_pipeline_spark.queries.curation import (
+        q_snapshot_delta_profile,
+    )
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8"  # one 8-gram
+    flip_doc = bench_text + " f1 f2 f3 f4 f5 f6 f7 f8"  # 16 tokens
+    rows = [
+        (100, "src0", bench_text),
+        (13, "train", flip_doc),          # modified + flips
+        (1, "train", "clean doc one two three four five six seven"),
+        (7, "train", "added doc body with fresh text here today"),
+        (11, "train", "doc whose synthetic copy is removed later on"),
+    ]
+    path = tmp_path / "delta_fixture"
+    path.mkdir()
+    _docs(spark, rows).write.parquet(str(path / "documents.parquet"))
+    out = {
+        r["source"]: r.asDict()
+        for r in q_snapshot_delta_profile(spark, str(path)).collect()
+    }
+    assert out["train"]["n_keep_flips"] == 1
+    assert out["train"]["n_added"] == 1      # doc 7
+    assert out["train"]["n_removed"] == 1    # doc 11's synthetic copy
+    assert out["train"]["n_modified"] == 1   # doc 13
+    assert out["src0"]["n_added"] == 0 and out["src0"]["n_keep_flips"] == 0
+
+
 def test_budget_allocation_sums_exactly_and_is_proportional(spark):
     """Largest-remainder invariants: allocations are integers summing
     EXACTLY to the budget, ordered with the quality-weighted mass, and
