@@ -101,6 +101,8 @@ _R7_PRIORITY = [
     "stream_curation_flags",
     "dedup_embedding_lsh",
     "stream_ann_ivf_append",
+    "budget_allocation",
+    "snapshot_delta_profile",
     # (c) staging change re-verify (index+labels persisted across
     #     calls — output must stay hash-identical)
     "dedup_clusters_incremental",
@@ -108,8 +110,6 @@ _R7_PRIORITY = [
     "sliding_window_agg",
     "validate",
     "categorize",
-    "uniqueness_violations",
-    "enrich_join",
     "tpch_q1_pricing_summary",
 ]
 
@@ -117,7 +117,8 @@ _R7_PRIORITY = [
 # is in this window or already driver-green, so (barring r7 reds) no
 # never-checked backlog remains — fill the next window with NEW round-8
 # entries first, then the oldest remaining re-verification targets (the
-# r01 queries not re-verified here: self_join, monthly_rollup,
+# r01 queries not re-verified here: uniqueness_violations,
+# enrich_join, self_join, monthly_rollup,
 # session_agg, scalar_functions, json_extract, dead_letter, alerts,
 # and the r01/r02 TPC-H tier).
 
