@@ -558,31 +558,45 @@ def budget_allocation(
     is engine-reproducible.  The remainder window orders the SOURCE
     frame — source-domain-bounded (tens of rows at any corpus size),
     never a corpus-scale single partition."""
-    from real_time_data_pipeline_spark.operators.text import quality_score
+    from real_time_data_pipeline_spark.operators.text import (
+        EN_STOPWORDS,
+        quality_score_expr,
+    )
 
-    toks = df.select(
+    # ONE tokenize pass carrying the group column through the per-doc
+    # aggregate (the shared quality_score_expr keeps the formula pinned
+    # to the oracle-checked operator) — no second scan, no doc-id join.
+    ex = df.select(
         F.col(group_col).alias("src"),
         F.col(id_col).alias("id"),
-        F.size(tokens_col(text_col)).cast("bigint").alias("n_toks"),
+        F.explode(tokens_col(text_col)).alias("tok"),
     )
-    q = quality_score(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), "quality_score"
+    per_doc = ex.groupBy("src", "id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("tok")).alias("total_tok_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(EN_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stopwords"),
+    ).select(
+        "src",
+        F.col("n_tokens").cast("bigint").alias("n_toks"),
+        quality_score_expr().alias("quality_score"),
     )
-    per_src = (
-        toks.join(q, "id")
-        .groupBy("src")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_toks").cast("bigint").alias("n_tokens"),
-            F.sum(
-                F.col("n_toks") * F.col("quality_score")
-            ).cast("bigint").alias("mass"),
-        )
+    per_src = per_doc.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.col("n_toks") * F.col("quality_score")
+        ).cast("bigint").alias("mass"),
     )
     total = per_src.agg(
         F.sum("mass").cast("decimal(38,0)").alias("_m")
     )
-    based = per_src.crossJoin(F.broadcast(total)).select(
+    from real_time_data_pipeline_spark.operators import cache
+
+    # Persisted: the leftover aggregate and the final ranked select
+    # both consume it — source-domain rows, bytes each.
+    based = cache.track(per_src.crossJoin(F.broadcast(total)).select(
         "src",
         "n_docs",
         "n_tokens",
@@ -595,7 +609,7 @@ def budget_allocation(
             f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * mass)"
             " % _m AS BIGINT)"
         ).alias("rem"),
-    )
+    ))
     leftover = based.agg(
         (F.lit(budget_tokens) - F.sum("base")).cast("bigint").alias("_left")
     )

@@ -77,6 +77,19 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
               + (30 if 3.00 <= avg_token_len <= 8.00 else 10)
     """
     agg = _token_agg(df, id_col, text_col)
+    return agg.select(
+        F.col(id_col),
+        quality_score_expr().alias("quality_score"),
+    )
+
+
+def quality_score_expr() -> F.Column:
+    """The quality_score formula as a Column over a frame carrying
+    ``n_tokens`` / ``n_stopwords`` / ``total_tok_chars`` (the
+    _token_agg output) — ONE definition, so consumers that need the
+    score inside their own token aggregate (budget_allocation carries
+    the source column through the groupBy) can't drift from the
+    oracle-checked operator."""
     n_tokens = F.col("n_tokens").cast("int")
     len_component = F.least(F.lit(40), n_tokens)
     stop_component = F.least(
@@ -85,10 +98,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     avg_len_c = F.floor(F.lit(100) * F.col("total_tok_chars") / n_tokens)
     len_ok = (avg_len_c >= 300) & (avg_len_c <= 800)
     shape_component = F.when(len_ok, F.lit(30)).otherwise(F.lit(10))
-    return agg.select(
-        F.col(id_col),
-        (len_component + stop_component + shape_component).cast("bigint").alias("quality_score"),
-    )
+    return (len_component + stop_component + shape_component).cast("bigint")
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
