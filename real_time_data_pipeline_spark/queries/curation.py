@@ -389,17 +389,21 @@ def q_snapshot_delta_profile(spark, sf_dir):
     removed_counts = removed.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_removed")
     )
-    old_keep = curation.curation_flags(prev, bench).select(
-        "doc_id", F.col("keep").alias("keep_old")
-    )
-    new_keep = curation.curation_flags(docs, bench).select(
-        "doc_id", F.col("keep").alias("keep_new")
-    )
+    # Verdicts are per-document given the (unchanged) benchmark, so
+    # both passes run ONLY over the modified class — the report's
+    # verdict cost is delta-bounded, the same envelope as the
+    # incremental maintainer, not two corpus re-tokenizations.
+    mod_ids = cls.filter(F.col("cls") == "modified").select("doc_id")
+    old_keep = curation.curation_flags(
+        prev.join(mod_ids, "doc_id", "semi"), bench
+    ).select("doc_id", F.col("keep").alias("keep_old"))
+    new_keep = curation.curation_flags(
+        docs.join(mod_ids, "doc_id", "semi"), bench
+    ).select("doc_id", F.col("keep").alias("keep_new"))
     flips = (
-        cls.filter(F.col("cls") == "modified")
-        .join(old_keep, "doc_id")
-        .join(new_keep, "doc_id")
+        old_keep.join(new_keep, "doc_id")
         .filter(F.col("keep_old") != F.col("keep_new"))
+        .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.count("*").cast("bigint").alias("n_keep_flips"))
     )
