@@ -339,6 +339,59 @@ def dup_substr_stats(
     )
 
 
+def contamination_pairs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """Pair-grain quote evidence — the drill-down under
+    :func:`contamination_report`: for every (benchmark doc, training
+    doc) pair that shares a >= min_len-char substring, the hit-window
+    count and the longest contiguous quoted span, computed with the
+    same gaps-and-islands machinery but islanded PER PAIR (a training
+    doc quoting two different benchmark items gets one row per item).
+    The table a human reads to see WHICH quote compromised WHICH eval
+    item; self-pairs are excluded.
+
+    Scale shape: benchmark windows broadcast with their doc ids; the
+    run window partitions by (bench_id, train_id) — pair-bounded, and
+    rows exist only for actual hits."""
+    _, wins = _char_windows(df, id_col, text_col, min_len)
+    bkeys = (
+        _char_windows(benchmark, id_col, text_col, min_len)[1]
+        .select(F.col("id").alias("bench_id"), "win")
+        .distinct()
+    )
+    hits = (
+        wins.join(F.broadcast(bkeys), "win")
+        .filter(F.col("id") != F.col("bench_id"))
+        .select("bench_id", F.col("id").alias("train_id"), "pos")
+    )
+    grp = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("bench_id", "train_id").orderBy("pos")
+        )
+    ).alias("grp")
+    runs = (
+        hits.select("bench_id", "train_id", "pos", grp)
+        .groupBy("bench_id", "train_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .select(
+            "bench_id",
+            "train_id",
+            "k",
+            (F.col("k") + F.lit(min_len - 1)).alias("span"),
+        )
+    )
+    return runs.groupBy("bench_id", "train_id").agg(
+        F.sum("k").cast("bigint").alias("n_hit_windows"),
+        F.max("span").cast("bigint").alias("max_span_chars"),
+    )
+
+
 SUBSTR_INDEX_SCHEME_VERSION = 1
 
 

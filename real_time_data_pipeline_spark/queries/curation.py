@@ -1415,6 +1415,10 @@ ORACLES["decontaminate_substr"] = f"""
     FROM stats s LEFT JOIN per_doc p USING (doc_id)
 """
 
+# Per-batch outputs are disjoint by doc id — the streaming union
+# shares the one-shot oracle.
+ORACLES["stream_decontaminate_substr"] = ORACLES["decontaminate_substr"]
+
 
 DUP_SUBSTR_MAX_COVERED_BP = 5000
 
@@ -1726,6 +1730,114 @@ ORACLES["contamination_report"] = f"""
            COALESCE(p.n_contaminated_docs, 0) > 0 AS is_compromised
     FROM bstats b LEFT JOIN per_bench p ON b.doc_id = p.bench_id
 """
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Pair-grain quote evidence
+    (operators/curation.contamination_pairs): which training doc quotes
+    which benchmark item, with hit counts and the longest contiguous
+    quoted span — the drill-down a human reads under
+    contamination_report."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    return curation.contamination_pairs(
+        docs, bench, min_len=SUBSTR_MIN_LEN
+    )
+
+
+def q_stream_decontaminate_substr(spark, sf_dir):
+    """Streaming twin of `decontaminate_substr` on the SAME oracle:
+    documents ARRIVE AS A STREAM and every micro-batch runs the
+    ExactSubstr check against the static benchmark frame (the frozen
+    eval suite) — per-doc statistics with a stream-static broadcast
+    join, so per-batch outputs are disjoint by doc id and their union
+    is hash-identical to the one-shot pass.  The ingest-time
+    contamination gate: a quoted doc is flagged the moment it lands,
+    not at the next corpus sweep."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    out_schema = curation.decontaminate_substr(
+        docs.limit(0), bench, min_len=SUBSTR_MIN_LEN,
+        max_covered_bp=SUBSTR_MAX_COVERED_BP,
+    ).schema
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents*.parquet"
+    )
+    rows: list = []
+
+    def check(batch, _i):
+        rows.extend(
+            curation.decontaminate_substr(
+                batch, bench, min_len=SUBSTR_MIN_LEN,
+                max_covered_bp=SUBSTR_MAX_COVERED_BP,
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(check)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_decontaminate_substr")
+    return spark.createDataFrame(rows, out_schema)
+
+
+_CONTAMINATION_PAIRS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, greatest(len(t) - {SUBSTR_MIN_LEN} + 1, 0)
+                                  + 1)) AS BIGINT) AS pos,
+             t
+      FROM d
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             substr(t, CAST(pos AS INT), {SUBSTR_MIN_LEN}) AS win
+      FROM w
+    ),
+    bkeys AS (
+      SELECT DISTINCT wins.doc_id AS bench_id, wins.win
+      FROM wins
+      JOIN (SELECT doc_id FROM d WHERE source = '{BENCH_SOURCE}') b
+        ON wins.doc_id = b.doc_id
+    ),
+    hits AS (
+      SELECT bkeys.bench_id, wins.doc_id AS train_id, wins.pos
+      FROM wins JOIN bkeys USING (win)
+      WHERE wins.doc_id != bkeys.bench_id
+    ),
+    runs AS (
+      SELECT bench_id, train_id,
+             pos - row_number() OVER (PARTITION BY bench_id, train_id
+                                      ORDER BY pos) AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT bench_id, train_id, count(*) AS k,
+             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
+      FROM runs GROUP BY bench_id, train_id, grp
+    )
+    SELECT bench_id, train_id,
+           CAST(sum(k) AS BIGINT) AS n_hit_windows,
+           CAST(max(span) AS BIGINT) AS max_span_chars
+    FROM spans GROUP BY bench_id, train_id
+"""
+
+QUERIES["contamination_pairs"] = q_contamination_pairs
+QUERIES["stream_decontaminate_substr"] = q_stream_decontaminate_substr
+ORACLES["contamination_pairs"] = _CONTAMINATION_PAIRS_ORACLE
+
 
 
 def q_clean_corpus(spark, sf_dir):

@@ -170,6 +170,16 @@ def test_dup_substr_and_contamination_report(spark):
     # region (self-rows excluded); quoted volume > quote length - L
     assert rep[1]["n_hit_windows"] >= len(quote) - 10
 
+    # pair-grain drill-down: exactly the (bench 1, train 2) pair, with
+    # the same hit volume the report aggregated and a max span at least
+    # the planted quote
+    pairs = curation.contamination_pairs(
+        df, df.filter(df.source == "bench"), min_len=10
+    ).collect()
+    assert [(r["bench_id"], r["train_id"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["n_hit_windows"] == rep[1]["n_hit_windows"]
+    assert pairs[0]["max_span_chars"] >= len(quote)
+
 
 def test_contamination_report_clean_benchmark_rows(spark):
     """Benchmark items nobody quotes must still appear, zeroed."""
