@@ -103,13 +103,13 @@ _R7_PRIORITY = [
     "stream_ann_ivf_append",
     "budget_allocation",
     "snapshot_delta_profile",
+    "contamination_pairs",
+    "stream_decontaminate_substr",
     # (c) staging change re-verify (index+labels persisted across
     #     calls — output must stay hash-identical)
     "dedup_clusters_incremental",
     # (d) oldest-verdict re-verification (r01-only evidence)
-    "sliding_window_agg",
     "validate",
-    "categorize",
     "tpch_q1_pricing_summary",
 ]
 
@@ -117,7 +117,8 @@ _R7_PRIORITY = [
 # is in this window or already driver-green, so (barring r7 reds) no
 # never-checked backlog remains — fill the next window with NEW round-8
 # entries first, then the oldest remaining re-verification targets (the
-# r01 queries not re-verified here: uniqueness_violations,
+# r01 queries not re-verified here: sliding_window_agg, categorize,
+# uniqueness_violations,
 # enrich_join, self_join, monthly_rollup,
 # session_agg, scalar_functions, json_extract, dead_letter, alerts,
 # and the r01/r02 TPC-H tier).
