@@ -180,14 +180,16 @@ def decontaminate_substr(
 
     Text is normalized exactly like the tokenizer front door (lower,
     trim, collapse whitespace) so the check tolerates whitespace
-    reflows.  Per doc, over the maximal RUNS of consecutive hit
-    positions (a run of k consecutive hits covers k + min_len - 1
-    chars):
+    reflows.  Per doc, over ISLANDS of hit positions (hit windows
+    overlap whenever the position gap is < min_len, so islands break
+    only at gaps >= min_len; an island spanning positions [first,
+    last] covers exactly last - first + min_len chars — the true
+    union of its hit windows):
 
       - ``n_windows`` / ``n_hit_windows`` — positions checked / hit
       - ``n_covered_chars`` — chars under the union of hit windows
       - ``covered_bp``      — coverage of the normalized doc, bp
-      - ``max_span_chars``  — longest single covered span
+      - ``max_span_chars``  — longest contiguous covered region
       - ``keep_substr_clean`` — covered_bp <= max_covered_bp
 
     Scale shape: the benchmark window set is DISTINCT and
@@ -255,20 +257,30 @@ def _substr_run_stats(
     flag_name: str,
     max_covered_bp: int,
 ) -> DataFrame:
-    """Fold hit positions into per-doc run/coverage statistics: maximal
-    runs of consecutive hits via gaps-and-islands (a run of k covers
-    k + min_len - 1 chars).  The island window partitions by doc id —
-    per-key, doc-length-bounded, never a single global partition; the
+    """Fold hit positions into per-doc coverage statistics via
+    gaps-and-islands at the TRUE UNION grain: hit windows of length
+    min_len overlap whenever the position gap is < min_len, so islands
+    break only where pos - prev_pos >= min_len, and an island spanning
+    positions [first, last] covers exactly last - first + min_len
+    chars (summing per-island spans IS the union of hit windows —
+    islands are >= min_len apart, so their windows never overlap).
+    The island window partitions by doc id — per-key,
+    doc-length-bounded, never a single global partition; the
     aggregates are HIT-bounded, not corpus-bounded."""
-    grp = (
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("id").orderBy("pos"))
-    ).alias("grp")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") - prev >= min_len), F.lit(1)
+    ).otherwise(F.lit(0))
     runs = (
-        hits.select("id", "pos", grp)
+        hits.select("id", "pos", brk.alias("brk"))
+        .select("id", "pos", F.sum("brk").over(w).alias("grp"))
         .groupBy("id", "grp")
-        .agg(F.count("*").cast("bigint").alias("k"))
-        .select("id", "k", (F.col("k") + F.lit(min_len - 1)).alias("span"))
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            (F.max("pos") - F.min("pos") + F.lit(min_len)).alias("span"),
+        )
+        .select("id", "k", "span")
     )
     per_doc = runs.groupBy("id").agg(
         F.sum("k").cast("bigint").alias("n_hit_windows"),
@@ -352,8 +364,11 @@ def contamination_pairs(
     count and the longest contiguous quoted span, computed with the
     same gaps-and-islands machinery but islanded PER PAIR (a training
     doc quoting two different benchmark items gets one row per item).
-    The table a human reads to see WHICH quote compromised WHICH eval
-    item; self-pairs are excluded.
+    Islands break at position gaps >= min_len (hit windows overlap for
+    any smaller gap) so max_span_chars is the longest CONTIGUOUS
+    quoted region, not a fragment of it.  The table a human reads to
+    see WHICH quote compromised WHICH eval item; self-pairs are
+    excluded.
 
     Scale shape: benchmark windows broadcast with their doc ids; the
     run window partitions by (bench_id, train_id) — pair-bounded, and
@@ -369,22 +384,23 @@ def contamination_pairs(
         .filter(F.col("id") != F.col("bench_id"))
         .select("bench_id", F.col("id").alias("train_id"), "pos")
     )
-    grp = (
-        F.col("pos")
-        - F.row_number().over(
-            Window.partitionBy("bench_id", "train_id").orderBy("pos")
-        )
-    ).alias("grp")
+    w = Window.partitionBy("bench_id", "train_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") - prev >= min_len), F.lit(1)
+    ).otherwise(F.lit(0))
     runs = (
-        hits.select("bench_id", "train_id", "pos", grp)
-        .groupBy("bench_id", "train_id", "grp")
-        .agg(F.count("*").cast("bigint").alias("k"))
+        hits.select("bench_id", "train_id", "pos", brk.alias("brk"))
         .select(
-            "bench_id",
-            "train_id",
-            "k",
-            (F.col("k") + F.lit(min_len - 1)).alias("span"),
+            "bench_id", "train_id", "pos",
+            F.sum("brk").over(w).alias("grp"),
         )
+        .groupBy("bench_id", "train_id", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            (F.max("pos") - F.min("pos") + F.lit(min_len)).alias("span"),
+        )
+        .select("bench_id", "train_id", "k", "span")
     )
     return runs.groupBy("bench_id", "train_id").agg(
         F.sum("k").cast("bigint").alias("n_hit_windows"),

@@ -1381,15 +1381,24 @@ ORACLES["decontaminate_substr"] = f"""
       SELECT wins.doc_id, wins.pos FROM wins JOIN bwins USING (win)
     ),
     runs AS (
-      SELECT doc_id,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS grp
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                       >= {SUBSTR_MIN_LEN}
+                  THEN 1 ELSE 0 END AS brk
       FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM runs
     ),
     spans AS (
       SELECT doc_id, count(*) AS k,
-             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
-      FROM runs GROUP BY doc_id, grp
+             max(pos) - min(pos) + {SUBSTR_MIN_LEN} AS span
+      FROM isl GROUP BY doc_id, grp
     ),
     per_doc AS (
       SELECT doc_id,
@@ -1469,15 +1478,24 @@ ORACLES["dup_substr_stats"] = f"""
       SELECT wins.doc_id, wins.pos FROM wins JOIN shared USING (win)
     ),
     runs AS (
-      SELECT doc_id,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS grp
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                       >= {SUBSTR_MIN_LEN}
+                  THEN 1 ELSE 0 END AS brk
       FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM runs
     ),
     spans AS (
       SELECT doc_id, count(*) AS k,
-             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
-      FROM runs GROUP BY doc_id, grp
+             max(pos) - min(pos) + {SUBSTR_MIN_LEN} AS span
+      FROM isl GROUP BY doc_id, grp
     ),
     per_doc AS (
       SELECT doc_id,
@@ -1578,15 +1596,24 @@ ORACLES["dup_substr_incremental"] = f"""
       SELECT wins.doc_id, wins.pos FROM wins JOIN cwins USING (win)
     ),
     runs AS (
-      SELECT doc_id,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS grp
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                       >= {SUBSTR_MIN_LEN}
+                  THEN 1 ELSE 0 END AS brk
       FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM runs
     ),
     spans AS (
       SELECT doc_id, count(*) AS k,
-             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
-      FROM runs GROUP BY doc_id, grp
+             max(pos) - min(pos) + {SUBSTR_MIN_LEN} AS span
+      FROM isl GROUP BY doc_id, grp
     ),
     per_doc AS (
       SELECT doc_id,
@@ -1818,15 +1845,25 @@ _CONTAMINATION_PAIRS_ORACLE = f"""
       WHERE wins.doc_id != bkeys.bench_id
     ),
     runs AS (
-      SELECT bench_id, train_id,
-             pos - row_number() OVER (PARTITION BY bench_id, train_id
-                                      ORDER BY pos) AS grp
+      SELECT bench_id, train_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY bench_id, train_id
+                                      ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY bench_id,
+                                            train_id ORDER BY pos)
+                       >= {SUBSTR_MIN_LEN}
+                  THEN 1 ELSE 0 END AS brk
       FROM hits
+    ),
+    isl AS (
+      SELECT bench_id, train_id, pos,
+             sum(brk) OVER (PARTITION BY bench_id, train_id
+                            ORDER BY pos) AS grp
+      FROM runs
     ),
     spans AS (
       SELECT bench_id, train_id, count(*) AS k,
-             count(*) + {SUBSTR_MIN_LEN} - 1 AS span
-      FROM runs GROUP BY bench_id, train_id, grp
+             max(pos) - min(pos) + {SUBSTR_MIN_LEN} AS span
+      FROM isl GROUP BY bench_id, train_id, grp
     )
     SELECT bench_id, train_id,
            CAST(sum(k) AS BIGINT) AS n_hit_windows,

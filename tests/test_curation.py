@@ -95,25 +95,21 @@ def test_decontaminate_substr_runs_and_coverage(spark):
         hitpos = [
             i for i in range(len(nd) - L + 1) if nd[i : i + L] in bset
         ]
+        # TRUE union of hit windows: covered set + its contiguous
+        # regions (hit windows overlap for any position gap < L).
         covered = set()
         for p in hitpos:
             covered.update(range(p, p + L))
-        runs, cur = [], 0
-        prev = None
-        for p in hitpos:
-            if prev is not None and p == prev + 1:
-                cur += 1
-            else:
-                if prev is not None:
-                    runs.append(cur)
-                cur = 1
-            prev = p
-        if prev is not None:
-            runs.append(cur)
+        spans, prev = [], None
+        for c in sorted(covered):
+            if prev is None or c > prev + 1:
+                spans.append(0)
+            spans[-1] += 1
+            prev = c
         return {
             "n_hit_windows": len(hitpos),
-            "n_covered_chars": sum(r + L - 1 for r in runs),
-            "max_span_chars": max((r + L - 1 for r in runs), default=0),
+            "n_covered_chars": len(covered),
+            "max_span_chars": max(spans, default=0),
         }
 
     for doc_id, _, text in rows:
@@ -423,21 +419,21 @@ def _brute_substr_stats(texts: dict, bench_texts: list, L: int) -> dict:
         hitpos = [
             i for i in range(len(nd) - L + 1) if nd[i : i + L] in bset
         ]
-        runs, prev, cur = [], None, 0
+        # TRUE union of hit windows: covered set + its contiguous
+        # regions (hit windows overlap for any position gap < L).
+        covered = set()
         for p in hitpos:
-            if prev is not None and p == prev + 1:
-                cur += 1
-            else:
-                if prev is not None:
-                    runs.append(cur)
-                cur = 1
-            prev = p
-        if prev is not None:
-            runs.append(cur)
+            covered.update(range(p, p + L))
+        spans, prev = [], None
+        for c in sorted(covered):
+            if prev is None or c > prev + 1:
+                spans.append(0)
+            spans[-1] += 1
+            prev = c
         out[doc_id] = {
             "n_hit_windows": len(hitpos),
-            "n_covered_chars": sum(r + L - 1 for r in runs),
-            "max_span_chars": max((r + L - 1 for r in runs), default=0),
+            "n_covered_chars": len(covered),
+            "max_span_chars": max(spans, default=0),
         }
     return out
 
