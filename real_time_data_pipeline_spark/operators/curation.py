@@ -193,21 +193,27 @@ def decontaminate_substr(
       - ``keep_substr_clean`` — covered_bp <= max_covered_bp
 
     Scale shape: the benchmark window set is DISTINCT and
-    eval-suite-sized (MB-scale by definition) so it broadcasts; the
-    corpus side pays one position explode (|chars| rows, linear) that
-    never shuffles, and the only exchanges are the hit-run aggregates,
-    which are HIT-bounded (contaminated positions only), not
-    corpus-bounded.  The run/island window partitions by doc id —
-    per-key, doc-length-bounded, never a single global partition.
-    Docs shorter than min_len have zero windows and keep=true.
+    eval-suite-sized (MB-scale by definition) so it broadcasts — as
+    its 128-bit hash pair (:func:`_win_hash128`), ~2.5x smaller than
+    the raw strings; the corpus side pays one position explode
+    (|chars| rows, linear) that never shuffles, and the only exchanges
+    are the hit-run aggregates, which are HIT-bounded (contaminated
+    positions only), not corpus-bounded.  The run/island window
+    partitions by doc id — per-key, doc-length-bounded, never a single
+    global partition.  Docs shorter than min_len have zero windows and
+    keep=true.
     """
     stats, wins = _char_windows(df, id_col, text_col, min_len)
-    bwins = (
+    bkeys = (
         _char_windows(benchmark, id_col, text_col, min_len)[1]
-        .select("win")
+        .select(*_win_hash128())
         .distinct()
     )
-    hits = wins.join(F.broadcast(bwins), "win").select("id", "pos")
+    hits = (
+        wins.select("id", "pos", *_win_hash128())
+        .join(F.broadcast(bkeys), ["h1", "h2"])
+        .select("id", "pos")
+    )
     return _substr_run_stats(
         stats, hits, id_col, min_len, "keep_substr_clean", max_covered_bp
     )
@@ -247,6 +253,25 @@ def _char_windows(
         F.col("t").substr(F.col("pos"), F.lit(min_len)).alias("win"),
     )
     return stats, wins
+
+
+def _win_hash128(prefix: str = "") -> list:
+    """128-bit window key: two independent xxhash64 legs over the raw
+    ``win`` string (the second leg is salted with a literal so the legs
+    are independent functions).  The shuffle/broadcast/index DIET for
+    the substr tier: every exchange and persisted artifact carries 16
+    bytes instead of the raw min_len-char window (~40 B + string
+    overhead), a ~5x payload cut.  Collision posture (the same
+    fp-negligible stance as the decontaminate_bloom tier): even at
+    1e13 distinct windows (a 100 TB corpus), the birthday bound over
+    the 2^128 pair space is ~1e26 / 6.8e38 ~ 1.5e-13 — far below any
+    hardware error rate, so equality on the pair IS window equality in
+    practice and the raw-string DuckDB oracles stay the certification.
+    """
+    return [
+        F.xxhash64(F.lit(prefix + "h1"), F.col("win")).alias("h1"),
+        F.xxhash64(F.lit(prefix + "h2"), F.col("win")).alias("h2"),
+    ]
 
 
 def _substr_run_stats(
@@ -331,21 +356,24 @@ def dup_substr_stats(
 
     Scale shape: unlike decontamination there is no broadcast-scale
     side — the shared-window set is corpus-derived, so the plan pays
-    ONE corpus shuffle keyed by the window string ((id, win) distinct →
-    per-window distinct-doc count), then a hit-bounded join back.  At
-    100 TB shard this shuffle by a window-prefix salt or run it from a
-    persisted (win, n_docs) index the way the MinHash tier persists
-    band hashes; the linear |chars| explode itself never shuffles."""
+    ONE corpus shuffle keyed by the window's 128-bit hash pair
+    (:func:`_win_hash128` — 16 B/row instead of the raw 40-char
+    string, the ~5x shuffle diet; (id, h) distinct → per-window
+    distinct-doc count), then a hit-bounded join back.  At 100 TB run
+    this from a persisted (h1, h2) index the way the MinHash tier
+    persists band hashes; the linear |chars| explode itself never
+    shuffles."""
     stats, wins = _char_windows(df, id_col, text_col, min_len)
+    keys = wins.select("id", "pos", *_win_hash128())
     shared = (
-        wins.select("id", "win")
+        keys.select("id", "h1", "h2")
         .distinct()
-        .groupBy("win")
+        .groupBy("h1", "h2")
         .agg(F.count("*").cast("bigint").alias("n_docs_win"))
         .filter(F.col("n_docs_win") >= 2)
-        .select("win")
+        .select("h1", "h2")
     )
-    hits = wins.join(shared, "win").select("id", "pos")
+    hits = keys.join(shared, ["h1", "h2"]).select("id", "pos")
     return _substr_run_stats(
         stats, hits, id_col, min_len, "keep_substr_unique", max_covered_bp
     )
@@ -370,17 +398,18 @@ def contamination_pairs(
     see WHICH quote compromised WHICH eval item; self-pairs are
     excluded.
 
-    Scale shape: benchmark windows broadcast with their doc ids; the
-    run window partitions by (bench_id, train_id) — pair-bounded, and
-    rows exist only for actual hits."""
+    Scale shape: benchmark window hash pairs broadcast with their doc
+    ids; the run window partitions by (bench_id, train_id) —
+    pair-bounded, and rows exist only for actual hits."""
     _, wins = _char_windows(df, id_col, text_col, min_len)
     bkeys = (
         _char_windows(benchmark, id_col, text_col, min_len)[1]
-        .select(F.col("id").alias("bench_id"), "win")
+        .select(F.col("id").alias("bench_id"), *_win_hash128())
         .distinct()
     )
     hits = (
-        wins.join(F.broadcast(bkeys), "win")
+        wins.select("id", "pos", *_win_hash128())
+        .join(F.broadcast(bkeys), ["h1", "h2"])
         .filter(F.col("id") != F.col("bench_id"))
         .select("bench_id", F.col("id").alias("train_id"), "pos")
     )
@@ -408,7 +437,7 @@ def contamination_pairs(
     )
 
 
-SUBSTR_INDEX_SCHEME_VERSION = 1
+SUBSTR_INDEX_SCHEME_VERSION = 2
 
 
 def build_substr_index(
@@ -425,19 +454,21 @@ def build_substr_index(
     instead of re-windowing the historical corpus, so steady-state cost
     scales with the increment, not the 100 TB history (the
     :func:`~real_time_data_pipeline_spark.operators.dedup.build_minhash_index`
-    recipe at the character grain).  Only distinct windows are stored
-    (no doc ids — the probe answers "seen in history?", not "where"),
-    so the index is bounded by unique content volume; appending a new
-    day is an append-mode write of its novel windows.  A ``_scheme``
+    recipe at the character grain).  Only distinct window HASH PAIRS
+    are stored (scheme v2 — :func:`_win_hash128`, 16 B/row instead of
+    the raw 40-char string, the ~5x index diet; no doc ids — the probe
+    answers "seen in history?", not "where"), so the index is bounded
+    by unique content volume x 16 B; appending a new day is an
+    append-mode write of its novel window hashes.  A ``_scheme``
     marker pins (version, min_len, buckets) so a probe under different
     parameters fails loudly instead of silently missing."""
     _, wins = _char_windows(corpus, id_col, text_col, min_len)
     spark = corpus.sparkSession
     (
-        wins.select("win")
+        wins.select(*_win_hash128())
         .distinct()
         .withColumn(
-            "bucket", F.pmod(F.xxhash64("win"), F.lit(buckets)).cast("int")
+            "bucket", F.pmod(F.col("h1"), F.lit(buckets)).cast("int")
         )
         .repartition("bucket")
         .write.mode("overwrite")
@@ -480,12 +511,12 @@ def append_substr_index(
     min_len, buckets = row["min_len"], row["buckets"]
     _, wins = _char_windows(new_docs, id_col, text_col, min_len)
     novel = (
-        wins.select("win")
+        wins.select(*_win_hash128())
         .distinct()
         .withColumn(
-            "bucket", F.pmod(F.xxhash64("win"), F.lit(buckets)).cast("int")
+            "bucket", F.pmod(F.col("h1"), F.lit(buckets)).cast("int")
         )
-        .join(spark.read.parquet(path), ["bucket", "win"], "anti")
+        .join(spark.read.parquet(path), ["bucket", "h1", "h2"], "anti")
     )
     novel.repartition("bucket").write.mode("append").partitionBy(
         "bucket"
@@ -523,17 +554,17 @@ def incremental_substr_stats(
     admission gate a steady-state ingest pipeline applies before a new
     document enters the training corpus.
 
-    The join is keyed (bucket, win), co-partitioned with the index's
-    on-disk layout; the history is never re-windowed and never
-    broadcast — cost scales with the increment's character count plus
-    the matched index buckets."""
+    The join is keyed (bucket, h1, h2) — the 128-bit window hash pair,
+    co-partitioned with the index's on-disk layout; the history is
+    never re-windowed and never broadcast — cost scales with the
+    increment's character count plus the matched index buckets."""
     check_substr_index(spark, index_path, min_len, buckets)
     stats, wins = _char_windows(new_docs, id_col, text_col, min_len)
-    probe = wins.withColumn(
-        "bucket", F.pmod(F.xxhash64("win"), F.lit(buckets)).cast("int")
+    probe = wins.select("id", "pos", *_win_hash128()).withColumn(
+        "bucket", F.pmod(F.col("h1"), F.lit(buckets)).cast("int")
     )
     idx = spark.read.parquet(index_path)
-    hits = probe.join(idx, ["bucket", "win"]).select("id", "pos")
+    hits = probe.join(idx, ["bucket", "h1", "h2"]).select("id", "pos")
     return _substr_run_stats(
         stats, hits, id_col, min_len, "keep_substr_novel", max_covered_bp
     )
@@ -562,19 +593,21 @@ def contamination_report(
     nobody quotes emit zero rows kept via the left join — the report
     must list the clean items too.
 
-    Scale shape: benchmark windows (with their doc ids) broadcast; the
-    corpus-side explode never shuffles; the aggregates are hit-bounded.
+    Scale shape: benchmark window hash pairs (with their doc ids)
+    broadcast; the corpus-side explode never shuffles; the aggregates
+    are hit-bounded.
     """
     _, wins = _char_windows(df, id_col, text_col, min_len)
     bstats, bwins = _char_windows(benchmark, id_col, text_col, min_len)
     bkeys = bwins.select(
-        F.col("id").alias("bench_id"), "win"
+        F.col("id").alias("bench_id"), *_win_hash128()
     ).distinct()
-    # (bench_id, win) is distinct and (id, pos) is unique in wins, so
-    # the join is already distinct on (bench_id, train_id, pos) — no
-    # dedup shuffle needed.
+    # (bench_id, h1, h2) is distinct and (id, pos) is unique in wins,
+    # so the join is already distinct on (bench_id, train_id, pos) —
+    # no dedup shuffle needed.
     hits = (
-        wins.join(F.broadcast(bkeys), "win")
+        wins.select("id", "pos", *_win_hash128())
+        .join(F.broadcast(bkeys), ["h1", "h2"])
         .filter(F.col("id") != F.col("bench_id"))
         .select("bench_id", F.col("id").alias("train_id"), "pos")
     )
@@ -626,7 +659,12 @@ def budget_allocation(
     anywhere, ties broken by source name ascending, so the allocation
     is engine-reproducible.  The remainder window orders the SOURCE
     frame — source-domain-bounded (tens of rows at any corpus size),
-    never a corpus-scale single partition."""
+    never a corpus-scale single partition.  Empty/whitespace-only
+    documents carry no token mass and are EXCLUDED from ``n_docs`` by
+    an explicit normalized-text filter (split('') yields [''] — one
+    empty token — on BOTH engines, so without the filter an empty doc
+    would be counted as one token of mass; the oracle applies the same
+    filter)."""
     from real_time_data_pipeline_spark.operators.text import (
         EN_STOPWORDS,
         quality_score_expr,
@@ -635,7 +673,9 @@ def budget_allocation(
     # ONE tokenize pass carrying the group column through the per-doc
     # aggregate (the shared quality_score_expr keeps the formula pinned
     # to the oracle-checked operator) — no second scan, no doc-id join.
-    ex = df.select(
+    ex = df.filter(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")) != ""
+    ).select(
         F.col(group_col).alias("src"),
         F.col(id_col).alias("id"),
         F.explode(tokens_col(text_col)).alias("tok"),

@@ -694,12 +694,18 @@ def _budget_allocation_oracle() -> str:
                     t -> length(t))) / len({DUCK_TOKENS}))
                BETWEEN 300 AND 800 THEN 30 ELSE 10 END
       AS BIGINT)"""
+    # Empty/whitespace-only docs are EXCLUDED from n_docs on both
+    # engines (ADVICE r7): split('') yields [''] — ONE empty token —
+    # on Spark and DuckDB alike, so without an explicit filter an
+    # empty doc would be counted as one token of mass on both sides.
+    # The normalized-text filter here mirrors the operator's.
     return f"""
         WITH t AS (
           SELECT doc_id, source,
                  CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_toks,
                  {score} AS q
           FROM documents
+          WHERE trim(regexp_replace(text, '\\s+', ' ', 'g')) != ''
         ),
         s AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

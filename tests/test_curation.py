@@ -258,15 +258,16 @@ def test_substr_index_layout_scheme_and_probe(spark, tmp_path):
     )
     curation.append_substr_index(delta, path)
     idx = spark.read.parquet(path)
-    assert idx.count() == idx.select("win").distinct().count()
+    assert idx.count() == idx.select("h1", "h2").distinct().count()
     rebuilt_path = str(tmp_path / "substr_idx_rebuilt")
     curation.build_substr_index(
         corpus.unionByName(delta), rebuilt_path, min_len=10, buckets=8
     )
     assert (
-        sorted(r["win"] for r in idx.collect())
+        sorted((r["h1"], r["h2"]) for r in idx.collect())
         == sorted(
-            r["win"] for r in spark.read.parquet(rebuilt_path).collect()
+            (r["h1"], r["h2"])
+            for r in spark.read.parquet(rebuilt_path).collect()
         )
     )
 
@@ -498,6 +499,53 @@ def test_budget_allocation_largest_remainder_property(spark, masses, budget):
         assert abs(r["alloc_tokens"] - exact) < 1.0 + 1e-9, (
             r["source"], r["alloc_tokens"], exact,
         )
+
+
+def test_budget_allocation_zero_token_docs_cross_engine(spark, tmp_path):
+    """Zero-token (empty/whitespace-only) docs carry no mass and are
+    excluded from n_docs on BOTH engines (ADVICE r7: the Spark explode
+    drops them naturally; the oracle needs an explicit len>0 filter —
+    this pins the convention with a planted empty doc, which the
+    synthetic corpus never contains)."""
+    import duckdb
+
+    from real_time_data_pipeline_spark.queries.curation import (
+        _budget_allocation_oracle,
+    )
+
+    rows = [
+        (1, "whole words here", "en", "a", 16),
+        (2, "   ", "en", "a", 3),  # whitespace-only -> zero tokens
+        (3, "", "en", "b", 0),  # empty -> zero tokens
+        (4, "more body text", "en", "b", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = {
+        r["source"]: r.asDict()
+        for r in curation.budget_allocation(df, budget_tokens=1000).collect()
+    }
+    assert got["a"]["n_docs"] == 1 and got["b"]["n_docs"] == 1
+    assert sum(r["alloc_tokens"] for r in got.values()) == 1000
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    oracle_sql = _budget_allocation_oracle().replace("1000000", "1000")
+    want = {
+        r[0]: r
+        for r in con.execute(oracle_sql).fetchall()
+    }
+    for src in ("a", "b"):
+        g = got[src]
+        assert (g["n_docs"], g["n_tokens"], g["mass"], g["alloc_tokens"]) \
+            == (want[src][1], want[src][2], want[src][3], want[src][4]), src
 
 
 def test_curation_flags_batch_stream_parity(spark, tmp_path):
