@@ -518,9 +518,14 @@ def ivf_index_build(
     # cells small files — the classic partitioned-write explosion); with
     # it each cell's rows land in one task (AQE may split genuinely large
     # cells), so file count tracks cell count, not task count.
-    _ivf_assign(corpus, Cm, id_col, vec_col).repartition("cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/assignments")
+    # batch=-1 is the base build; appends land under batch>=0 (their
+    # own partition), which is what makes retried streaming folds
+    # idempotent — see ivf_index_append.
+    _ivf_assign(corpus, Cm, id_col, vec_col).withColumn(
+        "batch", F.lit(-1).cast("int")
+    ).repartition("cell").write.mode("overwrite").partitionBy(
+        "batch", "cell"
+    ).parquet(f"{path}/assignments")
 
 
 def ivf_index_append(
@@ -528,25 +533,47 @@ def ivf_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Incremental IVF maintenance — the incremental-dedup posture
     applied to ANN: assign ONLY the new vectors to the index's EXISTING
-    frozen centroids and append them to the partitioned assignments
-    layout.  The history is never re-scanned and the directory
-    layout/pruning story is unchanged, so steady-state cost scales with
-    the increment, not the corpus.  Freezing the coarse quantizer on
-    append is standard IVF practice (train once, add forever; re-train
-    + rebuild is the rare offline path).  Append-mode partitionBy write
-    adds files INSIDE the existing cell directories, so a probe sees
-    one unified index with the same partition pruning."""
+    frozen centroids and fold them into the partitioned assignments
+    layout.  The history is never re-scanned and the pruning story is
+    unchanged (``cell`` stays a partition column), so steady-state cost
+    scales with the increment, not the corpus.  Freezing the coarse
+    quantizer on append is standard IVF practice (train once, add
+    forever; re-train + rebuild is the rare offline path).
+
+    EXACTLY-ONCE folds (ADVICE r7): each append lands under its own
+    ``batch=N`` partition and is written with DYNAMIC partition
+    overwrite, which replaces only the partitions present in this
+    write.  A streaming ``foreachBatch`` caller passes Spark's
+    micro-batch id as ``batch_id``: a RETRIED micro-batch reuses the
+    same id and therefore overwrites exactly its own earlier (possibly
+    partial) output instead of double-appending — at-least-once
+    delivery composes to an exactly-once index.  Without ``batch_id``
+    the next free id (max existing + 1, from partition metadata only)
+    is used; the base build owns ``batch=-1``.  Don't mix the two
+    modes on one index within a fold sequence."""
     import numpy as np
 
     spark = new_vectors.sparkSession
     cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     Cm = np.array([np.asarray(r.centroid, dtype=np.float64) for r in cent])
-    _ivf_assign(new_vectors, Cm, id_col, vec_col).repartition("cell").write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/assignments")
+    if batch_id is None:
+        # partition-column max: resolved from directory metadata, no
+        # data scan
+        batch_id = (
+            spark.read.parquet(f"{path}/assignments")
+            .agg(F.max("batch"))
+            .collect()[0][0]
+            + 1
+        )
+    _ivf_assign(new_vectors, Cm, id_col, vec_col).withColumn(
+        "batch", F.lit(int(batch_id)).cast("int")
+    ).repartition("cell").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch", "cell").parquet(f"{path}/assignments")
 
 
 def ivf_index_topk(

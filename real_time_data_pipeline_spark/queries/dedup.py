@@ -87,6 +87,25 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_lsh_pruned(spark, sf_dir):
+    """The PRODUCTION scale configuration at the EMBEDDING tier
+    (ADVICE r7: the full-radius dedup_embedding_lsh entry is strictly
+    more expensive than brute force by construction — this keeps the
+    actually-pruned plan measured in the bench and scale probes):
+    probe_hamming=0, 4 planes x 8 OR-ed tables — each table scores
+    only same-bucket pairs (~2^4x fewer per table than all-pairs).
+    Rows-only by nature: recall < 1 depends on the random planes, so
+    the output is a property-tested SUBSET of dedup_embedding's exact
+    pairs (tests/test_northstar.py) rather than hash-equal; the
+    full-radius provability config remains the oracle-backed
+    dedup_embedding_lsh entry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=4,
+        n_tables=8, probe_hamming=0,
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3 over 60 bits), PORTABLE hash
     family: token hashes are a sha256 60-bit fold instead of xxhash64,
@@ -338,6 +357,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,  # oracle-backed (full probe == exact)
+    "dedup_embedding_lsh_pruned": q_dedup_embedding_lsh_pruned,  # rows-only (recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only
     "dedup_pipeline": q_dedup_pipeline,
     "dedup_pipeline_lsh": q_dedup_pipeline_lsh,  # oracle-backed (full probe == exact)

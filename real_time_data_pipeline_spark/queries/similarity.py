@@ -162,8 +162,11 @@ def q_stream_ann_ivf_append(spark, sf_dir):
         .filter(F.col("vec_id") % 10 == 0)
     )
 
-    def fold(batch, _i):
-        similarity.ivf_index_append(batch, path)
+    def fold(batch, i):
+        # micro-batch id keys the write's batch= partition: a retried
+        # batch dynamically overwrites its own earlier output instead
+        # of double-appending (exactly-once fold; ADVICE r7)
+        similarity.ivf_index_append(batch, path, batch_id=i)
 
     q = (
         stream.writeStream.foreachBatch(fold)

@@ -455,6 +455,32 @@ def test_dedup_pipeline_lsh_is_recall_subset(spark, sf_dir):
         assert exact[d].cluster_id <= lsh[d].cluster_id
 
 
+def test_dedup_embedding_lsh_pruned_is_recall_subset(spark, sf_dir):
+    """The embedding-tier pruned registry entry (probe_hamming=0,
+    4 planes x 8 tables — the production config ADVICE r7 asked to keep
+    measured) must emit a SUBSET of the exact cosine pairs with the
+    same pair statistics — LSH can miss pairs, never invent them."""
+    from real_time_data_pipeline_spark.queries.dedup import (
+        q_dedup_embedding,
+        q_dedup_embedding_lsh_pruned,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r for r in q_dedup_embedding(spark, sf_dir).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): r
+        for r in q_dedup_embedding_lsh_pruned(spark, sf_dir).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for k, r in pruned.items():
+        assert r.cos_bp == exact[k].cos_bp
+    # 4 planes x 8 OR-ed tables at the loose cos-0.4 threshold:
+    # measured recall ~0.75; pin a floor with slack
+    if exact:
+        assert len(pruned) / len(exact) >= 0.5
+
+
 def test_approx_percentiles_within_rank_envelope(spark, sf_dir):
     """approx_percentile at accuracy 10000 must land within the exact
     neighboring-rank envelope (value at rank ±n/accuracy·2) per group."""
@@ -876,6 +902,49 @@ def test_ivf_index_append_equals_one_shot_assignment(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+def test_ivf_index_append_retried_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch delivery is at-least-once: a RETRIED micro-batch
+    (same batch_id) must dynamically overwrite its own earlier output
+    instead of double-appending (ADVICE r7) — including when the first
+    attempt wrote only a PARTIAL batch before dying."""
+    from collections import Counter
+
+    from real_time_data_pipeline_spark.operators import similarity
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ivf_retry")
+    similarity.ivf_index_build(base, idx, n_cells=8, seed=42)
+
+    def index_rows():
+        return Counter(
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(f"{idx}/assignments")
+            .select("vec_id", "cell")
+            .collect()
+        )
+
+    # partial first attempt: half the batch lands, then the task dies
+    similarity.ivf_index_append(delta.filter("vec_id % 20 = 0"), idx, batch_id=0)
+    # the retry re-delivers the FULL batch under the same id
+    similarity.ivf_index_append(delta, idx, batch_id=0)
+    once = index_rows()
+    Cm = similarity._ivf_centroid_matrix(base, 8, 42, "vec_id", "embedding")
+    expected = Counter(
+        (r["vec_id"], r["cell"])
+        for r in similarity._ivf_assign(emb, Cm, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert once == expected  # every row exactly once, partial replaced
+
+    # a second identical retry changes nothing
+    similarity.ivf_index_append(delta, idx, batch_id=0)
+    assert index_rows() == once
 
 
 def test_incremental_clusters_merges_bridged_clusters(spark, tmp_path):
