@@ -50,7 +50,9 @@ from real_time_data_pipeline_spark.operators import cache  # noqa: E402
 from real_time_data_pipeline_spark.schemas import load_table  # noqa: E402
 from real_time_data_pipeline_spark.session import get_spark  # noqa: E402
 
-FACTOR = 10
+FACTOR = 10  # default; override with --factor (e.g. 100 for the
+# measured-bound probes VERDICT r7 #3 asks for on vocabulary-growth
+# entries)
 DEFAULT_QUERIES = [
     "dedup_pipeline",
     "dedup_pipeline_lsh_pruned",
@@ -63,13 +65,14 @@ DEFAULT_QUERIES = [
 QUADRATIC_OK = {"dedup_pipeline"}
 
 
-def build_sf1(spark, sf_dir: str, out_dir: str) -> str:
-    """Write the 10x documents+embeddings tables; returns the dir path."""
+def build_sf1(spark, sf_dir: str, out_dir: str, factor: int = FACTOR) -> str:
+    """Write the factor-x documents+embeddings tables; returns the dir
+    path."""
     dst = f"{out_dir}/sf1"
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     parts = [docs]
-    for i in range(1, FACTOR):
+    for i in range(1, factor):
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
@@ -98,7 +101,7 @@ def build_sf1(spark, sf_dir: str, out_dir: str) -> str:
     n_vec = emb.count()
     dim = len(emb.select("embedding").head()[0])
     eparts = [emb]
-    for i in range(1, FACTOR):
+    for i in range(1, factor):
         eparts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * n_vec)).alias("vec_id"),
@@ -128,6 +131,12 @@ def main() -> int:
         default=None,
         help="persist the sf1 tables here instead of a throwaway tmpdir",
     )
+    ap.add_argument(
+        "--factor",
+        type=int,
+        default=FACTOR,
+        help="row-scale multiplier for the probe corpus (default 10)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -149,7 +158,7 @@ def main() -> int:
         return time.monotonic() - t0
 
     try:
-        sf1_dir = build_sf1(spark, args.sf_dir, out_dir)
+        sf1_dir = build_sf1(spark, args.sf_dir, out_dir, args.factor)
         # warm codegen/worker pools once so first-touch JIT is not billed
         # to whichever probe runs first (same rationale as bench.py);
         # best-effort — the warmup corpus may not exist off this host
@@ -171,8 +180,8 @@ def main() -> int:
                     {
                         "query": name,
                         "sf0.1_s": round(w01, 2),
-                        "sf1_s": round(w1, 2),
-                        "ratio_at_10x_rows": round(w1 / w01, 2),
+                        "scaled_s": round(w1, 2),
+                        f"ratio_at_{args.factor}x_rows": round(w1 / w01, 2),
                     }
                 ),
                 flush=True,
@@ -182,7 +191,11 @@ def main() -> int:
             verdict = (
                 "quadratic-by-design"
                 if name in QUADRATIC_OK
-                else ("near-linear" if ratio <= 12 else "SUPRALINEAR")
+                else (
+                    "near-linear"
+                    if ratio <= 1.2 * args.factor
+                    else "SUPRALINEAR"
+                )
             )
             print(
                 json.dumps({"query": name, "ratio": round(ratio, 2),
