@@ -73,6 +73,122 @@ def q_approx_percentiles(spark, sf_dir):
     )
 
 
+def _env_rank_sql(div: str) -> dict[int, tuple[str, str]]:
+    """The (lo, hi) 1-based envelope ranks around each target quantile
+    rank, as SQL shared verbatim by Spark (div='div') and DuckDB
+    (div='//') so the integer math cannot drift between engines:
+    target = floor(q*(n-1)) + 1, slack = max(2, 2n/10000) — double
+    Spark's documented accuracy-10000 rank-error bound of n/accuracy.
+    """
+    out = {}
+    for q in (25, 50, 90, 99):
+        rq = f"((({q} * (n - 1)) {div} 100) + 1)"
+        slack = f"greatest(2, (2 * n) {div} 10000)"
+        out[q] = (
+            f"greatest(1, {rq} - {slack})",
+            f"least(n, {rq} + {slack})",
+        )
+    return out
+
+
+def q_approx_percentiles_envelope(spark, sf_dir):
+    """Rank-envelope certification of approx_percentile — the
+    rows-only → oracle promotion of `approx_percentiles` (VERDICT r7
+    #5): per event type, the EXACT order statistics at the envelope
+    ranks around each target quantile (value at rank ± slack,
+    slack = max(2, 2n/10000)) are computed on BOTH engines and
+    hash-compared, and the sketch answer's membership in its envelope
+    is emitted as ``p{q}_ok`` booleans the oracle pins to TRUE.  A
+    sketch regression (bad merge, rank drift beyond the accuracy
+    contract) flips a flag and fails the hash; a rank-math regression
+    diverges the lo/hi values themselves.  The sketch values stay
+    rows-only by nature (DuckDB's approx_quantile is a different
+    sketch) — this entry converts their CORRECTNESS CONTRACT into an
+    oracle row.
+
+    Ranks via the gap_sla_quantiles two-phase distributed shape
+    (range-repartition, per-partition row_number, broadcast offset
+    fold) — no single-partition window at any scale; the approx frame
+    is group-domain-sized and broadcasts."""
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.operators import cache
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    parted = cache.track(
+        ev.repartitionByRange(32, "event_type", "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "j",
+        F.row_number().over(
+            Window.partitionBy("pid", "event_type").orderBy(
+                "value", "event_id"
+            )
+        ),
+    )
+    cnts = parted.groupBy("pid", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    lower = cnts.select(
+        F.col("pid").alias("lo_pid"),
+        F.col("event_type").alias("lo_type"),
+        F.col("cnt").alias("lo_cnt"),
+    )
+    offsets = (
+        cnts.join(
+            F.broadcast(lower),
+            (F.col("lo_type") == F.col("event_type"))
+            & (F.col("lo_pid") < F.col("pid")),
+            "left",
+        )
+        .groupBy("pid", "event_type")
+        .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("offset"))
+    )
+    totals = cnts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), ["pid", "event_type"])
+        .withColumn("r", F.col("offset") + F.col("j"))
+        .join(F.broadcast(totals), "event_type")
+    )
+    exprs = _env_rank_sql("div")
+    any_rank = None
+    for lo, hi in exprs.values():
+        for e in (lo, hi):
+            cond = F.expr(f"r = {e}")
+            any_rank = cond if any_rank is None else (any_rank | cond)
+    picked = ranked.filter(any_rank)
+    aggs = []
+    for q, (lo, hi) in exprs.items():
+        aggs.append(
+            F.max(F.when(F.expr(f"r = {lo}"), F.col("value"))).alias(
+                f"p{q}_lo"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.expr(f"r = {hi}"), F.col("value"))).alias(
+                f"p{q}_hi"
+            )
+        )
+    env = picked.groupBy("event_type", "n").agg(*aggs)
+    approx = q_approx_percentiles(spark, sf_dir)
+    out_cols = [F.col("event_type"), F.col("n")]
+    for q in exprs:
+        out_cols += [
+            F.col(f"p{q}_lo"),
+            F.col(f"p{q}_hi"),
+            (
+                (F.col(f"p{q}_lo") <= F.col(f"p{q}_approx"))
+                & (F.col(f"p{q}_approx") <= F.col(f"p{q}_hi"))
+            ).alias(f"p{q}_ok"),
+        ]
+    return env.join(F.broadcast(approx), "event_type").select(*out_cols)
+
+
 def q_pivot_daily_activity(spark, sf_dir):
     """Day × event-type activity matrix via pivot with an explicit
     category list (single aggregate pass, no category-discovery job,
@@ -475,7 +591,8 @@ def q_concurrent_events(spark, sf_dir):
 
 QUERIES = {
     "percentiles": q_percentiles,
-    "approx_percentiles": q_approx_percentiles,  # rows-only
+    "approx_percentiles": q_approx_percentiles,  # rows-only (sketch values; contract oracle below)
+    "approx_percentiles_envelope": q_approx_percentiles_envelope,  # oracle-backed (exact envelope + pinned flags)
     "pivot_daily_activity": q_pivot_daily_activity,
     "unpivot_measures": q_unpivot_lineitem_measures,
     "value_histogram": q_value_histogram,
@@ -500,12 +617,46 @@ QUERIES = {
     "concurrent_events": q_concurrent_events,
 }
 
+def _approx_percentiles_envelope_oracle() -> str:
+    """Exact order statistics at the shared envelope ranks, with the
+    in-envelope flags pinned TRUE — the sketch's accuracy contract as
+    a value-hash oracle (the sketch values themselves are not
+    SQL-reproducible; their bound is)."""
+    e = _env_rank_sql("//")
+    cols = []
+    for q, (lo, hi) in e.items():
+        cols.append(f"max(CASE WHEN r = {lo} THEN value END) AS p{q}_lo")
+        cols.append(f"max(CASE WHEN r = {hi} THEN value END) AS p{q}_hi")
+    inner = ",\n                 ".join(cols)
+    sel = ",\n               ".join(
+        f"p{q}_lo, p{q}_hi, true AS p{q}_ok" for q in e
+    )
+    return f"""
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ),
+        env AS (
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+                 {inner}
+          FROM ranked GROUP BY 1, 2
+        )
+        SELECT event_type, n,
+               {sel}
+        FROM env
+    """
+
+
 _PIVOT_COLS = ",\n               ".join(
     f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
     for t in EVENT_TYPES
 )
 
 ORACLES = {
+    "approx_percentiles_envelope": _approx_percentiles_envelope_oracle(),
     "percentiles": """
         SELECT event_type,
                quantile_cont(value, 0.25) AS p25,

@@ -464,6 +464,31 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_approx_distinct_envelope(spark, sf_dir):
+    """HLL error-envelope certification — approx_distinct's accuracy
+    contract as an oracle row (VERDICT r7 #5, the
+    approx_percentiles_envelope pattern): per event type, the EXACT
+    distinct-user count (cross-engine value) plus ``within_3rsd`` =
+    |approx - exact| <= 3·rsd·exact, which the oracle pins TRUE.  The
+    HLL++ estimate itself stays rows-only by nature (DuckDB's sketch
+    differs) but it is DETERMINISTIC (register max-merge is
+    order-independent), so the flag cannot flake; a sketch regression
+    beyond the 3-sigma bound flips it and fails the hash."""
+    df = _events(spark, sf_dir)
+    agg = df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("_approx"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(3 * 0.05) * F.col("exact_users")
+        ).alias("within_3rsd"),
+    )
+
+
 # FK relations for the cross-table integrity suite: (name, fact, fk, dim, pk).
 FK_RELATIONS = [
     ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
@@ -498,7 +523,8 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sliding_window_agg": q_sliding_window_agg,
-    "approx_distinct": q_approx_distinct,  # rows-only
+    "approx_distinct": q_approx_distinct,  # rows-only (sketch values; contract oracle below)
+    "approx_distinct_envelope": q_approx_distinct_envelope,  # oracle-backed (exact count + pinned 3-sigma flag)
     "validate": q_validate,
     "categorize": q_categorize,
     "validation_summary": q_validation_summary,
@@ -535,6 +561,12 @@ _DQ_REFERENTIAL_SQL = "\nUNION ALL\n".join(
 
 
 ORACLES = {
+    "approx_distinct_envelope": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               true AS within_3rsd
+        FROM events GROUP BY 1
+    """,
     # Sliding windows: each event belongs to the two 30-min-aligned
     # windows [floor30(ts), +1h) and [floor30(ts)-30m, +1h).
     "sliding_window_agg": f"""

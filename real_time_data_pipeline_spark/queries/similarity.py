@@ -450,6 +450,65 @@ QUERIES["ann_pq_topk_rerank"] = q_ann_pq_topk_rerank
 ORACLES["ann_pq_topk_rerank"] = ORACLES["ann_bruteforce_topk"]
 
 
+def q_ann_pq_shortlist_superset(spark, sf_dir):
+    """PQ pruning-recall certification — ann_pq_topk's PRODUCTION
+    config (shortlist=100) under an oracle (VERDICT r7 #5): the exact
+    brute-force top-10 rows for the 5 probe vectors (the shared
+    cross-engine cosine fold) extended with ``in_shortlist`` =
+    neighbor ∈ the ADC shortlist, which the oracle pins TRUE.  The
+    pruned PQ pass may ORDER candidates however its float-iterative
+    codebooks land (that part stays rows-only by nature), but it must
+    never DROP a true top-k neighbor from the 100-candidate
+    shortlist — the property that makes shortlist+exact-re-rank
+    recover brute force.  A quantizer regression that pushes a true
+    neighbor off the shortlist flips a flag and fails the hash; the
+    exact leg's values cross-check against DuckDB as usual.
+
+    Scale shape: the ADC pass is the one corpus-wide scan per probe
+    (m byte-lookups/vector); the shortlist and exact top-k frames are
+    k/C-bounded and broadcast."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    books = similarity.pq_fit(emb, m=16, k=64, iters=3)
+    codes = similarity.pq_encode(emb, books)
+    exact = similarity.cosine_topk(emb, queries, k=K)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # N_QUERIES probe vectors — bounded by design
+    )
+    legs = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        legs.append(
+            similarity.pq_topk(codes, books, r["embedding"], k=100).select(
+                F.lit(r["vec_id"]).cast("bigint").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                F.lit(True).alias("_in_sl"),
+            )
+        )
+    sl = legs[0]
+    for leg in legs[1:]:
+        sl = sl.unionByName(leg)
+    return exact.join(
+        F.broadcast(sl), ["query_id", "neighbor_id"], "left"
+    ).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cos_bp",
+        F.coalesce("_in_sl", F.lit(False)).alias("in_shortlist"),
+    )
+
+
+QUERIES["ann_pq_shortlist_superset"] = q_ann_pq_shortlist_superset
+# The exact-ANN oracle rows with the shortlist-membership claim pinned
+# TRUE — the quantizer's pruning contract as a value hash.
+ORACLES["ann_pq_shortlist_superset"] = (
+    "SELECT t.*, true AS in_shortlist FROM ("
+    + ORACLES["ann_bruteforce_topk"]
+    + ") t"
+)
+
+
 NOISE_SAMPLE = 50  # audit vec_ids 0..49
 NOISE_K = 5
 
