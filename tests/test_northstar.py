@@ -481,6 +481,76 @@ def test_dedup_embedding_lsh_pruned_is_recall_subset(spark, sf_dir):
         assert len(pruned) / len(exact) >= 0.5
 
 
+def test_semdedup_keep_rule_and_zero_norm(spark, sf_dir):
+    """SemDeDup with the deterministic quantizer: planted near-identical
+    vectors collapse to the lower-id representative, distinct vectors
+    survive, zero-norm vectors are kept with cell -1; and on real
+    embeddings the keep rule matches a sequential brute-force replica
+    (every drop has a lower-id same-cell neighbor at cos >= tau)."""
+    import numpy as np
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        semdedup_cells,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    # the trio 0/1/4 is exactly collinear (cos = 1), so even when each
+    # becomes its own seed the cell-id tie-break collapses them into
+    # ONE cell and the keep rule fires on the lower-id representative
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),        # same direction as 0 -> dropped
+        (2, [0.0, 1.0, 0.0]),        # distinct -> kept
+        (3, [0.0, 0.0, 0.0]),        # zero norm -> cell -1, kept
+        (4, [0.5, 0.0, 0.0]),        # same direction as 0 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup_cells(
+            df, k_cells=4, cos_threshold_bp=9500
+        ).collect()
+    }
+    assert got[0]["keep"] and got[2]["keep"]
+    assert not got[1]["keep"] and not got[4]["keep"]
+    assert got[3]["keep"] and got[3]["cell"] == -1
+    # 0, 1, 4 landed in one cell (they're near-identical)
+    assert got[0]["cell"] == got[1]["cell"] == got[4]["cell"]
+
+    # real-corpus brute-force replica of the keep rule
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup_cells(
+            emb, k_cells=8, cos_threshold_bp=4000
+        ).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    by_cell: dict = {}
+    for vid, r in out.items():
+        if r["cell"] >= 0:
+            by_cell.setdefault(r["cell"], []).append(vid)
+    for cell, ids in by_cell.items():
+        ids.sort()
+        for i, vid in enumerate(ids):
+            v = vecs[vid]
+            has_lower_dup = any(
+                int(
+                    np.floor(
+                        1e4
+                        * float(v @ vecs[o])
+                        / (np.linalg.norm(v) * np.linalg.norm(vecs[o]))
+                    )
+                )
+                >= 4000
+                for o in ids[:i]
+            )
+            assert out[vid]["keep"] == (not has_lower_dup), (cell, vid)
+
+
 def test_approx_percentiles_within_rank_envelope(spark, sf_dir):
     """approx_percentile at accuracy 10000 must land within the exact
     neighboring-rank envelope (value at rank ±n/accuracy·2) per group."""
