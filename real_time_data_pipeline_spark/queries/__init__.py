@@ -54,10 +54,12 @@ _MODULES = [
 # independent check.  No rows-only entries inside the window (VERDICT
 # r7 "what's wrong" #3).
 _R8_PRIORITY = [
-    # (a) round-8 additions — accuracy contracts as oracle rows
+    # (a) round-8 additions — accuracy contracts as oracle rows, plus
+    #     the SemDeDup tier (deterministic portable quantizer)
     "approx_percentiles_envelope",
     "ann_pq_shortlist_superset",
     "approx_distinct_envelope",
+    "semdedup",
     # (b) stalest re-verifies: the full TPC-H tier (r01/r02)
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
@@ -108,10 +110,13 @@ _R8_PRIORITY = [
     "scalar_functions",
     "json_extract",
     "dead_letter",
-    "alerts",
+    # ("alerts" yielded its slot to semdedup: 45 stale re-verifies
+    # still exceed VERDICT r7 #1's 44, and the S11 alert route runs
+    # under the streaming soak every round; it heads the r9 list.)
 ]
 
 # Round-9 rotation: the remaining stale verdicts after this window are
+# alerts (r01, yielded its r8 slot to semdedup),
 # sliding_window_agg (r01; its streaming twin is newer), order_ranking,
 # rollup_counts, set_ops, lineage_summary, dedup_exact,
 # dedup_exact_lineitem, dedup_ngram_jaccard, dedup_minhash_lsh,
