@@ -181,8 +181,9 @@ def decontaminate_substr(
     Text is normalized exactly like the tokenizer front door (lower,
     trim, collapse whitespace) so the check tolerates whitespace
     reflows.  Per doc, over ISLANDS of hit positions (hit windows
-    overlap whenever the position gap is < min_len, so islands break
-    only at gaps >= min_len; an island spanning positions [first,
+    overlap for position gaps < min_len and TOUCH at a gap of exactly
+    min_len — both keep the covered region contiguous — so islands
+    break only at gaps > min_len; an island spanning positions [first,
     last] covers exactly last - first + min_len chars — the true
     union of its hit windows):
 
@@ -284,18 +285,20 @@ def _substr_run_stats(
 ) -> DataFrame:
     """Fold hit positions into per-doc coverage statistics via
     gaps-and-islands at the TRUE UNION grain: hit windows of length
-    min_len overlap whenever the position gap is < min_len, so islands
-    break only where pos - prev_pos >= min_len, and an island spanning
-    positions [first, last] covers exactly last - first + min_len
-    chars (summing per-island spans IS the union of hit windows —
-    islands are >= min_len apart, so their windows never overlap).
+    min_len overlap when the position gap is < min_len and TOUCH
+    end-to-start when the gap is exactly min_len (still one contiguous
+    covered region), so islands break only where pos - prev_pos >
+    min_len, and an island spanning positions [first, last] covers
+    exactly last - first + min_len chars (summing per-island spans IS
+    the union of hit windows — islands are > min_len apart, so their
+    covered regions neither overlap nor touch).
     The island window partitions by doc id — per-key,
     doc-length-bounded, never a single global partition; the
     aggregates are HIT-bounded, not corpus-bounded."""
     w = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(
-        prev.isNull() | (F.col("pos") - prev >= min_len), F.lit(1)
+        prev.isNull() | (F.col("pos") - prev > min_len), F.lit(1)
     ).otherwise(F.lit(0))
     runs = (
         hits.select("id", "pos", brk.alias("brk"))
@@ -392,9 +395,10 @@ def contamination_pairs(
     count and the longest contiguous quoted span, computed with the
     same gaps-and-islands machinery but islanded PER PAIR (a training
     doc quoting two different benchmark items gets one row per item).
-    Islands break at position gaps >= min_len (hit windows overlap for
-    any smaller gap) so max_span_chars is the longest CONTIGUOUS
-    quoted region, not a fragment of it.  The table a human reads to
+    Islands break at position gaps > min_len (hit windows overlap for
+    smaller gaps and touch at exactly min_len — both contiguous) so
+    max_span_chars is the longest CONTIGUOUS quoted region, not a
+    fragment of it.  The table a human reads to
     see WHICH quote compromised WHICH eval item; self-pairs are
     excluded.
 
@@ -416,7 +420,7 @@ def contamination_pairs(
     w = Window.partitionBy("bench_id", "train_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(
-        prev.isNull() | (F.col("pos") - prev >= min_len), F.lit(1)
+        prev.isNull() | (F.col("pos") - prev > min_len), F.lit(1)
     ).otherwise(F.lit(0))
     runs = (
         hits.select("bench_id", "train_id", "pos", brk.alias("brk"))

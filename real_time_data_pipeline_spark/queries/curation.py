@@ -1392,7 +1392,7 @@ ORACLES["decontaminate_substr"] = f"""
                        IS NULL
                     OR pos - lag(pos) OVER (PARTITION BY doc_id
                                             ORDER BY pos)
-                       >= {SUBSTR_MIN_LEN}
+                       > {SUBSTR_MIN_LEN}
                   THEN 1 ELSE 0 END AS brk
       FROM hits
     ),
@@ -1489,7 +1489,7 @@ ORACLES["dup_substr_stats"] = f"""
                        IS NULL
                     OR pos - lag(pos) OVER (PARTITION BY doc_id
                                             ORDER BY pos)
-                       >= {SUBSTR_MIN_LEN}
+                       > {SUBSTR_MIN_LEN}
                   THEN 1 ELSE 0 END AS brk
       FROM hits
     ),
@@ -1607,7 +1607,7 @@ ORACLES["dup_substr_incremental"] = f"""
                        IS NULL
                     OR pos - lag(pos) OVER (PARTITION BY doc_id
                                             ORDER BY pos)
-                       >= {SUBSTR_MIN_LEN}
+                       > {SUBSTR_MIN_LEN}
                   THEN 1 ELSE 0 END AS brk
       FROM hits
     ),
@@ -1856,7 +1856,7 @@ _CONTAMINATION_PAIRS_ORACLE = f"""
                                       ORDER BY pos) IS NULL
                     OR pos - lag(pos) OVER (PARTITION BY bench_id,
                                             train_id ORDER BY pos)
-                       >= {SUBSTR_MIN_LEN}
+                       > {SUBSTR_MIN_LEN}
                   THEN 1 ELSE 0 END AS brk
       FROM hits
     ),
