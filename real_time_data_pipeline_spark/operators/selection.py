@@ -1,0 +1,428 @@
+"""Training-data SELECTION operators — the learned/model-light tier of
+the curation stack, next to the heuristic gates (operators/curation.py)
+and the fixed-weight classifier (operators/text.quality_logit_score):
+
+- :func:`log2_fp16` — engine-portable fixed-point log2 (16 fractional
+  bits) via an exact integer mantissa-grid interpolation.  The primitive
+  that unlocks log-domain scoring (importance weights, cross-entropy,
+  Gumbel-free weighted sampling) under the repo's cross-engine
+  determinism contract: transcendental ``ln`` is NOT guaranteed
+  last-ulp-identical across libm implementations, so every float log is
+  replaced by integer shifts + one broadcast lookup join against a
+  1025-entry table generated ONCE in Python and shared verbatim with
+  the DuckDB oracles (queries/selection.py) as a hex literal.
+
+- :func:`dsir_bucket_weights` / :func:`dsir_select` — Data Selection
+  with Importance Resampling (Xie et al., 2023, arXiv:2302.03169):
+  hashed-ngram bucket counts under a target distribution vs the raw
+  corpus give per-bucket log importance weights; documents are scored
+  by the sum of their tokens' bucket weights and the top fraction is
+  kept (the paper's deterministic top-k variant; the Gumbel-noise
+  sampler swaps in one extra additive term).
+
+- :func:`ccnet_perplexity_buckets` — CCNet-style perplexity bucketing
+  (Wenzek et al., 2020, arXiv:1911.00359): per-language unigram LM
+  cross-entropy per token, docs split into head/middle/tail terciles
+  per language — the classic "keep the head, inspect the middle"
+  pre-filter.
+
+- :func:`weighted_sample_stratified` — Efraimidis–Spirakis A-ES
+  weighted sampling without replacement (IPL 2006): key
+  u^(1/w) ranked per stratum, realized deterministically with the
+  engine-portable sha256 uniform (operators/curation.portable_hash48)
+  and the fixed-point log (rank by (-log2 u)/w ascending — the exact
+  monotone transform of the paper's key).
+
+No reference-counterpart: the reference pipeline (see SURVEY.md §2.9
+N4) stops at heuristic text stats; this module is north-star extension
+surface for the 100 TB training-data use case.
+
+Scale shape: every operator is explode → hash → aggregate with map-side
+combine; the only broadcast joins are the 1024-row grid / bucket-weight
+frames and per-stratum scalars.  No collect() except the bounded
+top-N count in dsir_select (a single scalar).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.curation import portable_hash48
+from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+# ------------------------------------------------------------------ log2
+
+FP_BITS = 16
+FP_ONE = 1 << FP_BITS          # 65536: fixed-point 1.0
+_MANT_BITS = 30                # mantissa normalized to [2^30, 2^31)
+_GRID_BITS = 10                # top 10 mantissa bits index the grid
+_GRID = 1 << _GRID_BITS        # 1024 cells
+_REM_BITS = _MANT_BITS - _GRID_BITS  # 20 remainder bits interpolated
+
+# fp16(log2(1 + g/1024)) for g = 0..1024, 5 lowercase hex chars each —
+# the ONE table both engines read (Spark parses it with conv(); the
+# DuckDB oracle with an ascii fold), so the interpolation can never
+# drift between the query and its oracle.  Max grid value is 65536
+# (g=1024) = 0x10000, still 5 hex chars.
+GRID_HEX = "".join(
+    f"{round(FP_ONE * math.log2(1.0 + g / _GRID)):05x}" for g in range(_GRID + 1)
+)
+assert len(GRID_HEX) == 5 * (_GRID + 1)
+
+
+def log2_fp16_py(x: int) -> int:
+    """Pure-Python twin of the SQL pipeline (tests + documentation).
+    Exact same integer steps: normalize, split grid/remainder, linear
+    interpolation on the shared table.  |result/65536 - log2(x)| is
+    < 4e-5 for all x >= 1 (analytic worst case ~2.5 fp16 units: 0.5
+    table rounding + 1 interpolation floor + ~0.2 curvature, tested
+    across magnitudes in tests/test_selection.py)."""
+    if x < 1:
+        raise ValueError("log2_fp16 domain is x >= 1")
+    e = x.bit_length() - 1
+    m = (x >> (e - _MANT_BITS)) if e >= _MANT_BITS else (x << (_MANT_BITS - e))
+    off = m - (1 << _MANT_BITS)
+    g, r = off >> _REM_BITS, off & ((1 << _REM_BITS) - 1)
+    fp = int(GRID_HEX[g * 5 : g * 5 + 5], 16)
+    fp_nxt = int(GRID_HEX[g * 5 + 5 : g * 5 + 10], 16)
+    return e * FP_ONE + fp + (((fp_nxt - fp) * r) >> _REM_BITS)
+
+
+def _grid_df(spark) -> DataFrame:
+    """(g, fp, fp_nxt) lookup frame, 1024 rows, parsed from GRID_HEX
+    via a literal-bounds range (compile-constant cardinality — the
+    plan guard's bounded-build proof accepts it).  Broadcast at every
+    use site — never a shuffle."""
+    return spark.range(_GRID).select(
+        F.col("id").alias("g"),
+        F.expr(
+            f"CAST(conv(substring('{GRID_HEX}', CAST(id * 5 + 1 AS INT), 5),"
+            " 16, 10) AS BIGINT)"
+        ).alias("fp"),
+        F.expr(
+            f"CAST(conv(substring('{GRID_HEX}', CAST(id * 5 + 6 AS INT), 5),"
+            " 16, 10) AS BIGINT)"
+        ).alias("fp_nxt"),
+    )
+
+
+def log2_fp16(df: DataFrame, x_sql: str, out_col: str) -> DataFrame:
+    """Attach ``out_col`` = fp16 log2 of the positive BIGINT expression
+    ``x_sql``.  Integer ops only (bin/shift/mul/add) + one broadcast
+    join against the 1024-row grid, so the value is bit-identical in
+    any engine that runs the same steps — the DuckDB twin is
+    queries/selection._duck_lg_cte.  Temp columns are prefixed with
+    ``_<out_col>_`` and dropped."""
+    p = f"_{out_col}"
+    d = (
+        df.withColumn(f"{p}_x", F.expr(f"CAST({x_sql} AS BIGINT)"))
+        .withColumn(f"{p}_e", F.expr(f"length(bin({p}_x)) - 1"))
+        .withColumn(
+            f"{p}_m",
+            F.expr(
+                f"CASE WHEN {p}_e >= {_MANT_BITS} THEN "
+                f"shiftright({p}_x, CAST({p}_e - {_MANT_BITS} AS INT)) "
+                f"ELSE shiftleft({p}_x, CAST({_MANT_BITS} - {p}_e AS INT)) END"
+            ),
+        )
+        .withColumn(f"{p}_g", F.expr(f"shiftright({p}_m - {1 << _MANT_BITS}, {_REM_BITS})"))
+        .withColumn(
+            f"{p}_r",
+            F.expr(f"({p}_m - {1 << _MANT_BITS}) % {1 << _REM_BITS}"),
+        )
+    )
+    grid = _grid_df(df.sparkSession).select(
+        F.col("g").alias(f"{p}_g"),
+        F.col("fp").alias(f"{p}_fp"),
+        F.col("fp_nxt").alias(f"{p}_fpn"),
+    )
+    out = d.join(F.broadcast(grid), f"{p}_g").withColumn(
+        out_col,
+        F.expr(
+            f"{p}_e * {FP_ONE} + {p}_fp + "
+            f"shiftright(({p}_fpn - {p}_fp) * {p}_r, {_REM_BITS})"
+        ),
+    )
+    return out.drop(*[c for c in out.columns if c.startswith(f"{p}_")])
+
+
+# ------------------------------------------------------------------ DSIR
+
+DSIR_BUCKETS = 1024
+DSIR_TOP_FRAC_DEN = 5  # keep top 1/5 of docs
+
+
+def _bucket_col(portable: bool, n_buckets: int) -> F.Column:
+    """Token -> feature bucket.  portable=True is the oracle config
+    (sha256 fold, reproducible in DuckDB); portable=False is the scale
+    path (one fused xxhash64, no 64-char digest per token)."""
+    if portable:
+        h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10)
+        return F.pmod(h.cast("bigint"), F.lit(n_buckets))
+    return F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+
+
+def dsir_bucket_weights(
+    docs: DataFrame,
+    target_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    portable: bool = True,
+) -> DataFrame:
+    """DSIR step 1 (Xie et al. 2023 §3): hashed-token bucket counts
+    under the target slice vs the raw corpus, Laplace-smoothed, as
+    fp16 log importance weights:
+
+      weight_fp(b) = lg(ct_b + 1) + lg(Tr + B) - lg(cr_b + 1) - lg(Tt + B)
+
+    where ct/cr are target/raw token counts in bucket b and Tt/Tr the
+    totals (so weight = log2 of the smoothed probability ratio).  The
+    four logs are attached separately — each argument stays < 2^63 at
+    ANY corpus size, where the single-product form lg((ct+1)*(Tr+B))
+    would overflow past ~2^31 tokens.
+
+    Output: (bucket, n_target, n_raw, weight_fp), exactly ``n_buckets``
+    rows (empty buckets densified via a range frame so the output shape
+    is corpus-independent).
+
+    Scale: one explode + one bucket aggregate with map-side combine
+    (shuffle carries <= n_buckets rows per map partition); the grid and
+    totals joins are broadcast.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.explode(tokens_col(text_col)).alias("tok"),
+        F.expr(f"CASE WHEN {target_sql} THEN 1 ELSE 0 END").alias("is_t"),
+    ).select(_bucket_col(portable, n_buckets).alias("bucket"), "is_t")
+    counts = toks.groupBy("bucket").agg(
+        F.sum("is_t").cast("bigint").alias("n_target"),
+        F.count("*").cast("bigint").alias("n_raw"),
+    )
+    dense = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_target", F.lit(0)).cast("bigint").alias("n_target"),
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+        )
+    )
+    totals = dense.agg(
+        F.sum("n_target").cast("bigint").alias("tt"),
+        F.sum("n_raw").cast("bigint").alias("tr"),
+    )
+    totals = log2_fp16(totals, f"tt + {n_buckets}", "lg_tt")
+    totals = log2_fp16(totals, f"tr + {n_buckets}", "lg_tr")
+    d = dense.crossJoin(F.broadcast(totals.select("lg_tt", "lg_tr")))
+    d = log2_fp16(d, "n_target + 1", "lg_ct")
+    d = log2_fp16(d, "n_raw + 1", "lg_cr")
+    return d.select(
+        "bucket",
+        "n_target",
+        "n_raw",
+        (F.col("lg_ct") + F.col("lg_tr") - F.col("lg_cr") - F.col("lg_tt"))
+        .cast("bigint")
+        .alias("weight_fp"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    top_frac_den: int = DSIR_TOP_FRAC_DEN,
+    portable: bool = True,
+) -> DataFrame:
+    """DSIR step 2: score every document by the sum of its tokens'
+    bucket weights (per-occurrence, as the paper's bag-of-hashed-ngrams
+    inner product) and keep the top 1/``top_frac_den`` by score
+    (deterministic top-k; ties broken by id).  Output: the selected
+    (doc_id, score_fp) rows.
+
+    Scale: ONE tokenize+hash pass over the corpus — the persisted
+    (doc, bucket, k) aggregate feeds both the global bucket counts
+    (weights) and the per-doc scores, so the sha256/explode cost isn't
+    paid twice.  The weight frame is ``n_buckets`` rows and broadcasts;
+    the final top-N is TakeOrdered (per-partition heaps + driver merge
+    of N), never a global sort shuffle.  The one driver action is the
+    corpus count (a scalar) to fix N.
+    """
+    from real_time_data_pipeline_spark.operators import cache
+
+    spark = docs.sparkSession
+    per_bucket = cache.track(
+        docs.select(
+            F.col(id_col),
+            F.expr(f"CASE WHEN {target_sql} THEN 1 ELSE 0 END").alias("is_t"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .select(id_col, "is_t", _bucket_col(portable, n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket", "is_t")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    counts = per_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("k")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_target"),
+        F.sum("k").cast("bigint").alias("n_raw"),
+    )
+    dense = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_target", F.lit(0)).cast("bigint").alias("n_target"),
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+        )
+    )
+    totals = dense.agg(
+        F.sum("n_target").cast("bigint").alias("tt"),
+        F.sum("n_raw").cast("bigint").alias("tr"),
+    )
+    totals = log2_fp16(totals, f"tt + {n_buckets}", "lg_tt")
+    totals = log2_fp16(totals, f"tr + {n_buckets}", "lg_tr")
+    d = dense.crossJoin(F.broadcast(totals.select("lg_tt", "lg_tr")))
+    d = log2_fp16(d, "n_target + 1", "lg_ct")
+    d = log2_fp16(d, "n_raw + 1", "lg_cr")
+    w = d.select(
+        "bucket",
+        (F.col("lg_ct") + F.col("lg_tr") - F.col("lg_cr") - F.col("lg_tt"))
+        .cast("bigint")
+        .alias("weight_fp"),
+    )
+    scores = (
+        per_bucket.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("k") * F.col("weight_fp")).cast("bigint").alias("score_fp"))
+    )
+    n_docs = docs.count()
+    n_keep = n_docs // top_frac_den
+    return scores.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(n_keep)
+
+
+# ----------------------------------------------------------------- CCNet
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM bucketing (Wenzek et al. 2020 §3.3): per-language
+    unigram LM over the corpus itself, each doc scored by its mean
+    cross-entropy in fp16 bits/token
+
+      bits(tok) = lg(T_lang) - lg(cf_lang(tok))    [per occurrence]
+      bits_per_tok_fp = SUM(bits) DIV n_tokens
+
+    then split into per-language terciles: 'head' (lowest perplexity,
+    most fluent under the LM), 'middle', 'tail' — CCNet's keep/inspect/
+    drop pre-filter.  ntile(3) with a (bits, doc_id) total order is
+    deterministic and identical across engines.
+
+    Scale: (lang, token) counts with map-side combine; the doc-side
+    join is on the (lang, token) vocabulary — the standard corpus-scale
+    hash join; lang totals (|langs| rows) broadcast.  The tercile
+    window partitions by language — acceptable when |docs per lang|
+    sorts within executors (it's one sort per lang); at extreme scale
+    swap ntile for approx thresholds + a filter, same output contract.
+    """
+    toks = docs.select(
+        F.col(id_col), F.col(lang_col).alias("lang"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    doc_tok = toks.groupBy(id_col, "lang", "tok").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    vocab = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("cf")
+    )
+    lang_tot = vocab.groupBy("lang").agg(F.sum("cf").cast("bigint").alias("t"))
+    lang_tot = log2_fp16(lang_tot, "t", "lg_t")
+    vocab = log2_fp16(vocab, "cf", "lg_cf")
+    scored = (
+        doc_tok.join(vocab, ["lang", "tok"])
+        .join(F.broadcast(lang_tot.select("lang", "lg_t")), "lang")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.col("k") * (F.col("lg_t") - F.col("lg_cf")))
+            .cast("bigint")
+            .alias("bits_fp"),
+            F.sum("k").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "lang",
+            F.expr("bits_fp DIV n_tokens").cast("bigint").alias("bits_per_tok_fp"),
+        )
+    )
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("bits_per_tok_fp", id_col)
+    )
+    return scored.select(
+        id_col,
+        "lang",
+        "bits_per_tok_fp",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+# ------------------------------------------------------- weighted sample
+
+def weighted_sample_stratified(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    weight_sql: str = "GREATEST(n_chars, 1)",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement,
+    k docs per stratum, fully deterministic: the uniform u is the
+    portable 48-bit sha256 key of the doc id, and the paper's
+    max-(u^(1/w)) rank is realized as min of
+
+      key_fp = ((48*65536 - lg(u + 1)) << 20) DIV w
+
+    (exact monotone transform: maximizing log2(u)/w == minimizing
+    (-log2 u)/w; all-integer, so the sample is reproducible in any
+    engine — no RNG, no float pow).  Inclusion probability follows the
+    A-ES guarantee: proportional to w without replacement per stratum.
+
+    Output: the selected rows (doc_id, stratum, weight, sample_rank),
+    min(k, |stratum|) per stratum.
+
+    Scale: one hash + one per-stratum top-k window (per-key sort after
+    a hash exchange); no driver actions.  Skewed strata sort within
+    their partition — for pathological single-stratum corpora pre-slice
+    with a secondary salt and re-rank the k*salts survivors.
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.expr(f"CAST({weight_sql} AS BIGINT)").alias("w"),
+        (portable_hash48(F.col(id_col)) + 1).alias("u"),
+    )
+    d = log2_fp16(d, "u", "lg_u")
+    d = d.withColumn(
+        "key_fp",
+        F.expr(f"shiftleft({48 * FP_ONE}L - lg_u, 20) DIV w").cast("bigint"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("stratum").orderBy("key_fp", id_col)
+    )
+    return (
+        d.select(id_col, "stratum", "w", "key_fp", rn.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, "stratum", "w", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+    )

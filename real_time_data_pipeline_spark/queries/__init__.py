@@ -29,6 +29,7 @@ from real_time_data_pipeline_spark.queries import (
     lineage_q,
     multimodal,
     reference_parity,
+    selection,
     similarity,
     text,
     tpch,
@@ -37,6 +38,7 @@ from real_time_data_pipeline_spark.queries import (
 _MODULES = [
     reference_parity, tpch, analytics, analytics_ext, analytics_r6,
     joins_ext, lineage_q, dedup, text, curation, similarity, multimodal,
+    selection,
 ]
 
 
@@ -115,7 +117,10 @@ _R8_PRIORITY = [
     # under the streaming soak every round; it heads the r9 list.)
 ]
 
-# Round-9 rotation: the remaining stale verdicts after this window are
+# Round-9 rotation: new round-8 additions first — the selection tier
+# (dsir_weights, dsir_select, ccnet_ppl_buckets, weighted_sample_aes,
+# all oracle-backed on the shared fixed-point log2) — then the
+# remaining stale verdicts:
 # alerts (r01, yielded its r8 slot to semdedup),
 # sliding_window_agg (r01; its streaming twin is newer), order_ranking,
 # rollup_counts, set_ops, lineage_summary, dedup_exact,

@@ -1,0 +1,299 @@
+"""Oracle-backed registry entries for the data-selection tier
+(operators/selection.py): DSIR importance weights + top-k selection,
+CCNet perplexity terciles, and A-ES weighted stratified sampling.
+
+Every float log is replaced by the shared fixed-point log2
+(operators/selection.GRID_HEX): the oracle CTEs below re-run the SAME
+integer pipeline — normalize to a 30-bit mantissa with shifts, index
+the top 10 bits into the 1025-entry grid parsed from the SAME hex
+literal, linearly interpolate the 20 remainder bits — so the values are
+bit-identical by construction, not by libm luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
+
+from real_time_data_pipeline_spark.operators import selection as SEL
+from real_time_data_pipeline_spark.queries.dedup import (
+    DUCK_TOKENS,
+    duck_hexfold_n,
+)
+from real_time_data_pipeline_spark.schemas import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------- shared oracle SQL
+
+def _fold5(expr: str) -> str:
+    """Ascii-fold 5 lowercase-hex chars of an existing column into a
+    bigint (the queries/text._fold_hex recipe at width 5, for the
+    grid-table literal)."""
+    hv = lambda i: (  # noqa: E731
+        f"(CASE WHEN ascii(substr({expr}, {i}, 1)) >= 97 "
+        f"THEN CAST(ascii(substr({expr}, {i}, 1)) AS BIGINT) - 87 "
+        f"ELSE CAST(ascii(substr({expr}, {i}, 1)) AS BIGINT) - 48 END)"
+    )
+    folded = hv(1)
+    for i in range(2, 6):
+        folded = f"({folded} * 16 + {hv(i)})"
+    return folded
+
+
+# The grid literal appears once per oracle (raw chunks in fpgrid_raw);
+# the folds run on the materialized 5-char slices, not on the literal.
+_FPGRID = f"""
+    fpgrid_raw AS (
+      SELECT CAST(t.i AS BIGINT) AS g,
+             substr('{SEL.GRID_HEX}', CAST(t.i * 5 + 1 AS INT), 5) AS h5,
+             substr('{SEL.GRID_HEX}', CAST(t.i * 5 + 6 AS INT), 5) AS h5n
+      FROM range(1024) t(i)
+    ),
+    fpgrid AS (
+      SELECT g, {_fold5('h5')} AS fp, {_fold5('h5n')} AS fp_nxt
+      FROM fpgrid_raw
+    )"""
+
+
+def _lg(src: str, x_expr: str, out: str, tag: str) -> str:
+    """Chained-CTE twin of operators/selection.log2_fp16: attach fp16
+    log2 of ``x_expr`` (a positive BIGINT expression over ``src``) as
+    ``out``; the resulting CTE is named ``tag``."""
+    return f"""
+    {tag}_pre AS (
+      SELECT s.*,
+             CAST({x_expr} AS BIGINT) AS {tag}_x,
+             length(bin({tag}_x)) - 1 AS {tag}_e,
+             CASE WHEN {tag}_e >= 30 THEN {tag}_x >> ({tag}_e - 30)
+                  ELSE {tag}_x << (30 - {tag}_e) END AS {tag}_m,
+             ({tag}_m - 1073741824) >> 20 AS {tag}_g,
+             ({tag}_m - 1073741824) % 1048576 AS {tag}_r
+      FROM {src} s
+    ),
+    {tag} AS (
+      SELECT p.* EXCLUDE ({tag}_x, {tag}_e, {tag}_m, {tag}_g, {tag}_r),
+             {tag}_e * 65536 + fg.fp
+               + (((fg.fp_nxt - fg.fp) * {tag}_r) >> 20) AS {out}
+      FROM {tag}_pre p JOIN fpgrid fg ON fg.g = p.{tag}_g
+    )"""
+
+
+_BKT = f"CAST({duck_hexfold_n('tok', 15)} AS BIGINT) % {SEL.DSIR_BUCKETS}"
+
+
+# ------------------------------------------------------------ dsir_weights
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR learned importance weights (Xie et al. 2023,
+    operators/selection.dsir_bucket_weights): hashed-token bucket
+    counts under the target slice (lang='en') vs the raw corpus as
+    fp16 log probability ratios — the review table a curator reads
+    before running the selection itself."""
+    return SEL.dsir_bucket_weights(_docs(spark, sf_dir))
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+
+ORACLES["dsir_weights"] = f"""
+    WITH {_FPGRID},
+    toks AS (
+      SELECT unnest({DUCK_TOKENS}) AS tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      FROM documents
+    ),
+    bkt AS (SELECT {_BKT} AS bucket, is_t FROM toks),
+    counts AS (
+      SELECT bucket, CAST(SUM(is_t) AS BIGINT) AS n_target,
+             CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM bkt GROUP BY 1
+    ),
+    dense AS (
+      SELECT CAST(t.i AS BIGINT) AS bucket,
+             CAST(COALESCE(c.n_target, 0) AS BIGINT) AS n_target,
+             CAST(COALESCE(c.n_raw, 0) AS BIGINT) AS n_raw
+      FROM range({SEL.DSIR_BUCKETS}) t(i)
+      LEFT JOIN counts c ON c.bucket = t.i
+    ),
+    tot0 AS (
+      SELECT CAST(SUM(n_target) AS BIGINT) + {SEL.DSIR_BUCKETS} AS ttb,
+             CAST(SUM(n_raw) AS BIGINT) + {SEL.DSIR_BUCKETS} AS trb
+      FROM dense
+    ),
+    {_lg('tot0', 'ttb', 'lg_tt', 'lt1')},
+    {_lg('lt1', 'trb', 'lg_tr', 'lt2')},
+    densetot AS (
+      SELECT d.*, l.lg_tt, l.lg_tr FROM dense d CROSS JOIN lt2 l
+    ),
+    {_lg('densetot', 'n_target + 1', 'lg_ct', 'lc1')},
+    {_lg('lc1', 'n_raw + 1', 'lg_cr', 'lc2')}
+    SELECT bucket, n_target, n_raw,
+           CAST(lg_ct + lg_tr - lg_cr - lg_tt AS BIGINT) AS weight_fp
+    FROM lc2
+"""
+
+
+# ------------------------------------------------------------- dsir_select
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR top-k selection (operators/selection.dsir_select): every
+    doc scored by the sum of its tokens' learned bucket weights, top
+    20% kept (deterministic variant; ties by doc_id)."""
+    return SEL.dsir_select(_docs(spark, sf_dir))
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+ORACLES["dsir_select"] = f"""
+    WITH {_FPGRID},
+    toks AS (
+      SELECT unnest({DUCK_TOKENS}) AS tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      FROM documents
+    ),
+    bkt AS (SELECT {_BKT} AS bucket, is_t FROM toks),
+    counts AS (
+      SELECT bucket, CAST(SUM(is_t) AS BIGINT) AS n_target,
+             CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM bkt GROUP BY 1
+    ),
+    dense AS (
+      SELECT CAST(t.i AS BIGINT) AS bucket,
+             CAST(COALESCE(c.n_target, 0) AS BIGINT) AS n_target,
+             CAST(COALESCE(c.n_raw, 0) AS BIGINT) AS n_raw
+      FROM range({SEL.DSIR_BUCKETS}) t(i)
+      LEFT JOIN counts c ON c.bucket = t.i
+    ),
+    tot0 AS (
+      SELECT CAST(SUM(n_target) AS BIGINT) + {SEL.DSIR_BUCKETS} AS ttb,
+             CAST(SUM(n_raw) AS BIGINT) + {SEL.DSIR_BUCKETS} AS trb
+      FROM dense
+    ),
+    {_lg('tot0', 'ttb', 'lg_tt', 'lt1')},
+    {_lg('lt1', 'trb', 'lg_tr', 'lt2')},
+    densetot AS (
+      SELECT d.*, l.lg_tt, l.lg_tr FROM dense d CROSS JOIN lt2 l
+    ),
+    {_lg('densetot', 'n_target + 1', 'lg_ct', 'lc1')},
+    {_lg('lc1', 'n_raw + 1', 'lg_cr', 'lc2')},
+    wts AS (
+      SELECT bucket,
+             CAST(lg_ct + lg_tr - lg_cr - lg_tt AS BIGINT) AS weight_fp
+      FROM lc2
+    ),
+    doctok AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+    ),
+    docbkt AS (
+      SELECT doc_id, {_BKT} AS bucket, CAST(COUNT(*) AS BIGINT) AS k
+      FROM doctok GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT doc_id, CAST(SUM(k * weight_fp) AS BIGINT) AS score_fp
+      FROM docbkt JOIN wts USING (bucket) GROUP BY 1
+    )
+    SELECT doc_id, score_fp FROM (
+      SELECT doc_id, score_fp,
+             ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rn,
+             (SELECT COUNT(*) FROM documents) AS n
+      FROM scores
+    ) WHERE rn <= n // {SEL.DSIR_TOP_FRAC_DEN}
+"""
+
+
+# --------------------------------------------------- ccnet_ppl_buckets
+
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet perplexity terciles (Wenzek et al. 2020,
+    operators/selection.ccnet_perplexity_buckets): per-language unigram
+    cross-entropy per token in fp16 bits, docs bucketed head/middle/
+    tail per language."""
+    return SEL.ccnet_perplexity_buckets(_docs(spark, sf_dir))
+
+
+QUERIES["ccnet_ppl_buckets"] = q_ccnet_ppl_buckets
+
+ORACLES["ccnet_ppl_buckets"] = f"""
+    WITH {_FPGRID},
+    toks AS (
+      SELECT doc_id, lang, unnest({DUCK_TOKENS}) AS tok FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS k
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    vocab0 AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM toks GROUP BY 1, 2
+    ),
+    ltot0 AS (
+      SELECT lang, CAST(SUM(cf) AS BIGINT) AS t FROM vocab0 GROUP BY 1
+    ),
+    {_lg('ltot0', 't', 'lg_t', 'lx1')},
+    {_lg('vocab0', 'cf', 'lg_cf', 'lx2')},
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(CAST(SUM(d.k * (lt.lg_t - v.lg_cf)) AS BIGINT)
+                  // CAST(SUM(d.k) AS BIGINT) AS BIGINT)
+                 AS bits_per_tok_fp
+      FROM doc_tok d
+      JOIN lx2 v ON v.lang = d.lang AND v.tok = d.tok
+      JOIN lx1 lt ON lt.lang = d.lang
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, bits_per_tok_fp,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY bits_per_tok_fp, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored
+"""
+
+
+# ------------------------------------------------------ weighted_sample
+
+def _duck_hexfold48(col_expr: str) -> str:
+    return duck_hexfold_n(col_expr, 12)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, operators/selection.weighted_sample_stratified): 20
+    docs per language, inclusion proportional to n_chars, via the
+    portable sha256 uniform + fixed-point log — zero RNG, reproducible
+    anywhere.  The exact-distribution upgrade of the `weighted_sample`
+    u/w-rank heuristic (analytics_ext) and the weighted counterpart of
+    `balanced_sample` (uniform hash-rank per group): A-ES keys
+    u^(1/w) are the provably-correct inclusion probabilities for
+    sampling without replacement."""
+    return SEL.weighted_sample_stratified(_docs(spark, sf_dir))
+
+
+QUERIES["weighted_sample_aes"] = q_weighted_sample
+
+ORACLES["weighted_sample_aes"] = f"""
+    WITH {_FPGRID},
+    keyed0 AS (
+      SELECT doc_id, lang AS stratum,
+             CAST(GREATEST(n_chars, 1) AS BIGINT) AS w,
+             CAST({_duck_hexfold48('CAST(doc_id AS VARCHAR)')} AS BIGINT)
+               + 1 AS u
+      FROM documents
+    ),
+    {_lg('keyed0', 'u', 'lg_u', 'lu1')},
+    ranked AS (
+      SELECT doc_id, stratum, w,
+             ROW_NUMBER() OVER (
+               PARTITION BY stratum
+               ORDER BY (({48 * SEL.FP_ONE} - lg_u) << 20) // w, doc_id
+             ) AS sample_rank
+      FROM lu1
+    )
+    SELECT doc_id, stratum, w, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 20
+"""

@@ -93,6 +93,15 @@ def _is_bounded(node) -> bool:
         return True
     if name.startswith("LocalTableScan") or name.startswith("EmptyRelation"):
         return True  # literal rows, bounded by construction
+    if name.startswith("Range"):
+        # spark.range with literal bounds: compile-constant cardinality
+        # (lookup grids, bucket-densify frames).  Cap at 2^20 rows so a
+        # huge literal range can't ride the proof into a broadcast.
+        try:
+            n = node.numElements()
+            return int(n if isinstance(n, int) else n.longValue()) <= (1 << 20)
+        except Exception:
+            return False
     if name.startswith("BroadcastQueryStage") or name.startswith(
         "ShuffleQueryStage"
     ):
@@ -148,6 +157,8 @@ SEMANTICALLY_BOUNDED = {
     "blocking_eval": "100-doc evaluation anchor set (doc_id < 100)",
     "knn_label_noise": "50-probe anchor set (vec_id < 50)",
     "hard_negatives": "5-probe anchor set (vec_id < 5)",
+    "ann_pq_shortlist_superset": "5-probe anchor set (the exact leg's "
+    "query frame), same bound as ann_pq_topk's siblings",
     # group-by-SPARK_PARTITION_ID boundary frame: <= numPartitions rows
     # (the two-phase distributed-rank recipe); the plan groups by the
     # projected attribute, so the expression-level proof can't see it
@@ -179,8 +190,8 @@ ARROW_PYTHON_ALLOWED = {
     # vectorized numpy GEMM / codebook scans over packed float arrays
     # (operators/similarity.py: Arrow-batched, the documented fast path)
     "ann_gemm_topk", "ann_pq_topk", "ann_pq_topk_rerank",
-    "ann_ivfpq_topk", "embedding_pca", "embedding_quantization",
-    "kmeans_clusters",
+    "ann_ivfpq_topk", "ann_pq_shortlist_superset", "embedding_pca",
+    "embedding_quantization", "kmeans_clusters",
     # bloom-bitmap probe: distributed bit_or bitmap tested vectorized
     # (operators/curation.py:860)
     "decontaminate_bloom", "decontaminate_bloom_verified",
@@ -194,7 +205,7 @@ ARROW_PYTHON_ALLOWED = {
     "ann_ivf_topk",
     # sign-LSH projections: numpy matmul against the broadcast
     # hyperplane matrix (operators/dedup.embedding_near_dup_lsh)
-    "dedup_embedding_lsh",
+    "dedup_embedding_lsh", "dedup_embedding_lsh_pruned",
     # BPE trainer's distributed pair-count fallback path
     "bpe_vocab",
 }
@@ -224,7 +235,10 @@ FAT_COLUMNS = {
 # Module-level permissions: these tiers' queries legitimately consume
 # the fat column; anything else scanning it is a pruning regression.
 FAT_ALLOWED_MODULES = {
-    ("documents", "text"): {"text", "dedup", "curation", "multimodal"},
+    # selection tokenizes text for DSIR hashed features and the CCNet
+    # unigram LM — same front door as the text tier
+    ("documents", "text"): {"text", "dedup", "curation", "multimodal",
+                            "selection"},
     ("embeddings", "embedding"): {"similarity", "dedup"},
     ("events", "props"): {"reference_parity"},
 }
@@ -362,10 +376,20 @@ def test_guard_catches_a_real_unbounded_bnl(spark, sf_dir):
     returning bounded) would disarm the whole test."""
     from pyspark.sql import functions as F
 
+    from real_time_data_pipeline_spark.schemas import load_table
+
     big = spark.range(1000)
-    other = spark.range(500).withColumnRenamed("id", "rid")
-    # non-equi join forces a nested loop; neither side is bounded
+    # data-scale build side (a parquet scan grows with the corpus)
+    other = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("rid")
+    )
+    # non-equi join forces a nested loop; the build side is unbounded
     df = big.join(
         F.broadcast(other), big["id"] > other["rid"] * 2, "inner"
     )
     assert _bnl_violations(df), "guard failed to flag an unbounded BNL"
+    # literal ranges are compile-constant ONLY up to the 2^20 cap; a
+    # bigger literal must still flag (the cap is the proof's boundary)
+    huge = spark.range((1 << 20) + 1).withColumnRenamed("id", "hid")
+    df2 = big.join(F.broadcast(huge), big["id"] > huge["hid"], "inner")
+    assert _bnl_violations(df2), "over-cap literal range rode the proof"

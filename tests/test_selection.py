@@ -1,0 +1,194 @@
+"""Selection-tier tests (operators/selection.py): the fixed-point log2
+primitive against its pure-Python twin and math.log2, plus sequential
+brute-force replicas of DSIR, CCNet bucketing, and A-ES sampling."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import selection as S
+from real_time_data_pipeline_spark.schemas import load_table
+
+
+# ------------------------------------------------------------- log2_fp16
+
+def test_log2_fp16_matches_python_twin_and_log2(spark):
+    """The Spark pipeline equals the pure-Python integer twin bit-for-bit
+    and tracks math.log2 to < 4e-5 across magnitudes (powers of two,
+    neighbors, random-ish odd composites, near-overflow) — the analytic
+    worst case is ~2.5 fp16 units: 0.5 from table rounding, 1 from the
+    interpolation floor, ~0.2 curvature, plus the remainder floor."""
+    xs = [1, 2, 3, 4, 5, 7, 15, 16, 17, 1000, 1023, 1024, 1025]
+    xs += [(1 << k) - 1 for k in range(2, 62, 7)]
+    xs += [(1 << k) + 1 for k in range(2, 62, 7)]
+    xs += [x * x * 7919 + 13 for x in range(1, 400, 7)]
+    xs += [(1 << 62) - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r["x"]: r["lg"] for r in S.log2_fp16(df, "x", "lg").collect()}
+    assert len(got) == len(set(xs))
+    for x in set(xs):
+        assert got[x] == S.log2_fp16_py(x), x
+        assert abs(got[x] / S.FP_ONE - math.log2(x)) < 4e-5, x
+
+
+def test_log2_fp16_py_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        S.log2_fp16_py(0)
+
+
+# ------------------------------------------------------- brute-force twins
+
+def _toks(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+
+
+def _bucket(tok: str, n: int = S.DSIR_BUCKETS) -> int:
+    return int(hashlib.sha256(tok.encode()).hexdigest()[:15], 16) % n
+
+
+def _u48(doc_id: int) -> int:
+    return int(hashlib.sha256(str(doc_id).encode()).hexdigest()[:12], 16)
+
+
+def _docs_rows(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    ).collect()
+
+
+def test_dsir_weights_match_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    ct, cr = Counter(), Counter()
+    for r in rows:
+        for t in _toks(r["text"]):
+            b = _bucket(t)
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    B = S.DSIR_BUCKETS
+    tt, tr = sum(ct.values()) + B, sum(cr.values()) + B
+    lg = S.log2_fp16_py
+    want = {
+        b: lg(ct[b] + 1) + lg(tr) - lg(cr[b] + 1) - lg(tt) for b in range(B)
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["bucket"]: r["weight_fp"]
+        for r in S.dsir_bucket_weights(docs).collect()
+    }
+    assert len(got) == B
+    assert got == want
+
+
+def test_dsir_select_is_true_topk(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    ct, cr = Counter(), Counter()
+    for r in rows:
+        for t in _toks(r["text"]):
+            b = _bucket(t)
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    B = S.DSIR_BUCKETS
+    tt, tr = sum(ct.values()) + B, sum(cr.values()) + B
+    lg = S.log2_fp16_py
+    w = {b: lg(ct[b] + 1) + lg(tr) - lg(cr[b] + 1) - lg(tt) for b in range(B)}
+    scores = {
+        r["doc_id"]: sum(w[_bucket(t)] for t in _toks(r["text"]))
+        for r in rows
+    }
+    n_keep = len(rows) // S.DSIR_TOP_FRAC_DEN
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:n_keep]
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: r["score_fp"] for r in S.dsir_select(docs).collect()
+    }
+    assert got == dict(want)
+
+
+def test_dsir_xxhash_scale_path_same_shape(spark, sf_dir):
+    """portable=False swaps the sha256 fold for xxhash64: different
+    bucket assignment (no cross-engine oracle), same output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = S.dsir_bucket_weights(docs, portable=False)
+    rows = w.collect()
+    assert len(rows) == S.DSIR_BUCKETS
+    assert sum(r["n_raw"] for r in rows) == sum(
+        len(_toks(r["text"])) for r in _docs_rows(spark, sf_dir)
+    )
+    sel = S.dsir_select(docs, portable=False)
+    assert sel.count() == len(_docs_rows(spark, sf_dir)) // 5
+
+
+def test_ccnet_buckets_match_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    cf, tot = defaultdict(Counter), Counter()
+    for r in rows:
+        for t in _toks(r["text"]):
+            cf[r["lang"]][t] += 1
+            tot[r["lang"]] += 1
+    lg = S.log2_fp16_py
+    bits = {}
+    for r in rows:
+        ts = _toks(r["text"])
+        s = sum(lg(tot[r["lang"]]) - lg(cf[r["lang"]][t]) for t in ts)
+        bits[r["doc_id"]] = s // len(ts)
+    # terciles per lang on (bits, doc_id)
+    want_bucket = {}
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r["doc_id"])
+    for lang, ids in by_lang.items():
+        ids.sort(key=lambda i: (bits[i], i))
+        n = len(ids)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        labels = ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+        for i, d in enumerate(ids):
+            want_bucket[d] = labels[i]
+    docs = load_table(spark, sf_dir, "documents")
+    got = S.ccnet_perplexity_buckets(docs).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["bits_per_tok_fp"] == bits[r["doc_id"]], r["doc_id"]
+        assert r["ppl_bucket"] == want_bucket[r["doc_id"]], r["doc_id"]
+
+
+def test_weighted_sample_aes_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    lg = S.log2_fp16_py
+    key = {
+        r["doc_id"]: ((48 * S.FP_ONE - lg(_u48(r["doc_id"]) + 1)) << 20)
+        // max(r["n_chars"], 1)
+        for r in rows
+    }
+    by_stratum = defaultdict(list)
+    for r in rows:
+        by_stratum[r["lang"]].append(r["doc_id"])
+    want = {}
+    for lang, ids in by_stratum.items():
+        ids.sort(key=lambda i: (key[i], i))
+        for rank, d in enumerate(ids[:20], start=1):
+            want[d] = (lang, rank)
+    docs = load_table(spark, sf_dir, "documents")
+    got = S.weighted_sample_stratified(docs).collect()
+    assert len(got) == sum(min(20, len(v)) for v in by_stratum.values())
+    for r in got:
+        assert want[r["doc_id"]] == (r["stratum"], r["sample_rank"])
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-ES sanity: the average weight of sampled docs exceeds the
+    stratum average (weighted inclusion must tilt heavy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = S.weighted_sample_stratified(docs, k=20).collect()
+    rows = _docs_rows(spark, sf_dir)
+    avg_all = sum(max(r["n_chars"], 1) for r in rows) / len(rows)
+    avg_sampled = sum(r["w"] for r in got) / len(got)
+    assert avg_sampled > avg_all
