@@ -165,6 +165,64 @@ def _bucket_col(portable: bool, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
 
 
+def _dsir_count_tokens(
+    docs: DataFrame,
+    target_sql: str,
+    text_col: str,
+    n_buckets: int,
+    portable: bool,
+) -> DataFrame:
+    """Sparse (bucket, n_target, n_raw) counts for a doc slice — the
+    additive sufficient statistic of the DSIR model (counts from two
+    corpora ADD, which is what makes incremental weight refresh a
+    ``n_buckets``-row job)."""
+    toks = docs.select(
+        F.explode(tokens_col(text_col)).alias("tok"),
+        F.expr(f"CASE WHEN {target_sql} THEN 1 ELSE 0 END").alias("is_t"),
+    ).select(_bucket_col(portable, n_buckets).alias("bucket"), "is_t")
+    return toks.groupBy("bucket").agg(
+        F.sum("is_t").cast("bigint").alias("n_target"),
+        F.count("*").cast("bigint").alias("n_raw"),
+    )
+
+
+def _dsir_densify(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """Left-join counts onto the full bucket range so the output shape
+    (and the Laplace smoothing) is corpus-independent."""
+    return (
+        counts.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_target", F.lit(0)).cast("bigint").alias("n_target"),
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+        )
+    )
+
+
+def _dsir_weights_from_dense(dense: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, n_target, n_raw) -> + weight_fp, the fp16 log ratio of
+    the Laplace-smoothed target/raw bucket probabilities."""
+    totals = dense.agg(
+        F.sum("n_target").cast("bigint").alias("tt"),
+        F.sum("n_raw").cast("bigint").alias("tr"),
+    )
+    totals = log2_fp16(totals, f"tt + {n_buckets}", "lg_tt")
+    totals = log2_fp16(totals, f"tr + {n_buckets}", "lg_tr")
+    d = dense.crossJoin(F.broadcast(totals.select("lg_tt", "lg_tr")))
+    d = log2_fp16(d, "n_target + 1", "lg_ct")
+    d = log2_fp16(d, "n_raw + 1", "lg_cr")
+    return d.select(
+        "bucket",
+        "n_target",
+        "n_raw",
+        (F.col("lg_ct") + F.col("lg_tr") - F.col("lg_cr") - F.col("lg_tt"))
+        .cast("bigint")
+        .alias("weight_fp"),
+    )
+
+
 def dsir_bucket_weights(
     docs: DataFrame,
     target_sql: str = "lang = 'en'",
@@ -193,41 +251,102 @@ def dsir_bucket_weights(
     (shuffle carries <= n_buckets rows per map partition); the grid and
     totals joins are broadcast.
     """
-    spark = docs.sparkSession
-    toks = docs.select(
-        F.explode(tokens_col(text_col)).alias("tok"),
-        F.expr(f"CASE WHEN {target_sql} THEN 1 ELSE 0 END").alias("is_t"),
-    ).select(_bucket_col(portable, n_buckets).alias("bucket"), "is_t")
-    counts = toks.groupBy("bucket").agg(
-        F.sum("is_t").cast("bigint").alias("n_target"),
-        F.count("*").cast("bigint").alias("n_raw"),
+    counts = _dsir_count_tokens(docs, target_sql, text_col, n_buckets, portable)
+    return _dsir_weights_from_dense(
+        _dsir_densify(counts, n_buckets), n_buckets
     )
-    dense = (
-        spark.range(n_buckets)
-        .select(F.col("id").alias("bucket"))
-        .join(counts, "bucket", "left")
+
+
+def build_dsir_counts(
+    docs: DataFrame,
+    path: str,
+    target_sql: str = "lang = 'en'",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    portable: bool = True,
+) -> None:
+    """Persist the dense (bucket, n_target, n_raw) count table for a
+    history corpus — the WHOLE DSIR model state, ``n_buckets`` rows at
+    any corpus size.  Incremental refresh (new data arrives) reads this
+    back, ADDS the increment's counts, and re-derives weights: the
+    history is never re-tokenized."""
+    dense = _dsir_densify(
+        _dsir_count_tokens(docs, target_sql, text_col, n_buckets, portable),
+        n_buckets,
+    )
+    dense.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dsir_weights_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    target_sql: str = "lang = 'en'",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    portable: bool = True,
+) -> DataFrame:
+    """Refresh DSIR weights after an ingest increment WITHOUT touching
+    the history: tokenize only ``new_docs``, add their bucket counts to
+    the persisted table (counts are additive sufficient statistics),
+    re-derive weights.  Output is the full (bucket, n_target, n_raw,
+    weight_fp) table — bit-identical to a ground-up
+    :func:`dsir_bucket_weights` over history+increment, which is the
+    equality certificate the registry oracle pins.
+
+    Scale: the increment pays its own tokenize; the history costs ONE
+    ``n_buckets``-row parquet read.  This is the 100 TB shape — a daily
+    model refresh reads a few KB of state plus the day's data."""
+    hist = spark.read.parquet(path).select("bucket", "n_target", "n_raw")
+    inc = _dsir_count_tokens(
+        new_docs, target_sql, text_col, n_buckets, portable
+    )
+    merged = (
+        hist.join(inc.withColumnRenamed("n_target", "it")
+                  .withColumnRenamed("n_raw", "ir"), "bucket", "left")
         .select(
             "bucket",
-            F.coalesce("n_target", F.lit(0)).cast("bigint").alias("n_target"),
-            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+            (F.col("n_target") + F.coalesce("it", F.lit(0)))
+            .cast("bigint")
+            .alias("n_target"),
+            (F.col("n_raw") + F.coalesce("ir", F.lit(0)))
+            .cast("bigint")
+            .alias("n_raw"),
         )
     )
-    totals = dense.agg(
-        F.sum("n_target").cast("bigint").alias("tt"),
-        F.sum("n_raw").cast("bigint").alias("tr"),
+    return _dsir_weights_from_dense(merged, n_buckets)
+
+
+def dsir_score_against(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    portable: bool = True,
+) -> DataFrame:
+    """Score docs against a FROZEN weight frame (bucket, weight_fp) —
+    the ingest-gate half of DSIR: weights learned on the history, new
+    docs scored as they arrive (each micro-batch calls this).  Output:
+    (doc_id, score_fp)."""
+    per_bucket = (
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .select(id_col, _bucket_col(portable, n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("k"))
     )
-    totals = log2_fp16(totals, f"tt + {n_buckets}", "lg_tt")
-    totals = log2_fp16(totals, f"tr + {n_buckets}", "lg_tr")
-    d = dense.crossJoin(F.broadcast(totals.select("lg_tt", "lg_tr")))
-    d = log2_fp16(d, "n_target + 1", "lg_ct")
-    d = log2_fp16(d, "n_raw + 1", "lg_cr")
-    return d.select(
-        "bucket",
-        "n_target",
-        "n_raw",
-        (F.col("lg_ct") + F.col("lg_tr") - F.col("lg_cr") - F.col("lg_tt"))
-        .cast("bigint")
-        .alias("weight_fp"),
+    return (
+        per_bucket.join(
+            F.broadcast(weights.select("bucket", "weight_fp")), "bucket"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("k") * F.col("weight_fp"))
+            .cast("bigint")
+            .alias("score_fp")
+        )
     )
 
 

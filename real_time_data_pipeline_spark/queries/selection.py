@@ -87,74 +87,17 @@ def _lg(src: str, x_expr: str, out: str, tag: str) -> str:
 _BKT = f"CAST({duck_hexfold_n('tok', 15)} AS BIGINT) % {SEL.DSIR_BUCKETS}"
 
 
-# ------------------------------------------------------------ dsir_weights
-
-def q_dsir_weights(spark, sf_dir):
-    """DSIR learned importance weights (Xie et al. 2023,
-    operators/selection.dsir_bucket_weights): hashed-token bucket
-    counts under the target slice (lang='en') vs the raw corpus as
-    fp16 log probability ratios — the review table a curator reads
-    before running the selection itself."""
-    return SEL.dsir_bucket_weights(_docs(spark, sf_dir))
-
-
-QUERIES["dsir_weights"] = q_dsir_weights
-
-ORACLES["dsir_weights"] = f"""
-    WITH {_FPGRID},
+def _dsir_wts_ctes(where_sql: str = "") -> str:
+    """CTE chain computing the DSIR weight table over ``documents``
+    (optionally sliced by ``where_sql``), ending in a CTE named ``wts``
+    with columns (bucket, n_target, n_raw, weight_fp).  ONE generator
+    for the full/incremental/frozen-gate oracles so the smoothing and
+    log recipe can never drift between them."""
+    return f"""
     toks AS (
       SELECT unnest({DUCK_TOKENS}) AS tok,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
-      FROM documents
-    ),
-    bkt AS (SELECT {_BKT} AS bucket, is_t FROM toks),
-    counts AS (
-      SELECT bucket, CAST(SUM(is_t) AS BIGINT) AS n_target,
-             CAST(COUNT(*) AS BIGINT) AS n_raw
-      FROM bkt GROUP BY 1
-    ),
-    dense AS (
-      SELECT CAST(t.i AS BIGINT) AS bucket,
-             CAST(COALESCE(c.n_target, 0) AS BIGINT) AS n_target,
-             CAST(COALESCE(c.n_raw, 0) AS BIGINT) AS n_raw
-      FROM range({SEL.DSIR_BUCKETS}) t(i)
-      LEFT JOIN counts c ON c.bucket = t.i
-    ),
-    tot0 AS (
-      SELECT CAST(SUM(n_target) AS BIGINT) + {SEL.DSIR_BUCKETS} AS ttb,
-             CAST(SUM(n_raw) AS BIGINT) + {SEL.DSIR_BUCKETS} AS trb
-      FROM dense
-    ),
-    {_lg('tot0', 'ttb', 'lg_tt', 'lt1')},
-    {_lg('lt1', 'trb', 'lg_tr', 'lt2')},
-    densetot AS (
-      SELECT d.*, l.lg_tt, l.lg_tr FROM dense d CROSS JOIN lt2 l
-    ),
-    {_lg('densetot', 'n_target + 1', 'lg_ct', 'lc1')},
-    {_lg('lc1', 'n_raw + 1', 'lg_cr', 'lc2')}
-    SELECT bucket, n_target, n_raw,
-           CAST(lg_ct + lg_tr - lg_cr - lg_tt AS BIGINT) AS weight_fp
-    FROM lc2
-"""
-
-
-# ------------------------------------------------------------- dsir_select
-
-def q_dsir_select(spark, sf_dir):
-    """DSIR top-k selection (operators/selection.dsir_select): every
-    doc scored by the sum of its tokens' learned bucket weights, top
-    20% kept (deterministic variant; ties by doc_id)."""
-    return SEL.dsir_select(_docs(spark, sf_dir))
-
-
-QUERIES["dsir_select"] = q_dsir_select
-
-ORACLES["dsir_select"] = f"""
-    WITH {_FPGRID},
-    toks AS (
-      SELECT unnest({DUCK_TOKENS}) AS tok,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
-      FROM documents
+      FROM documents {where_sql}
     ),
     bkt AS (SELECT {_BKT} AS bucket, is_t FROM toks),
     counts AS (
@@ -182,10 +125,46 @@ ORACLES["dsir_select"] = f"""
     {_lg('densetot', 'n_target + 1', 'lg_ct', 'lc1')},
     {_lg('lc1', 'n_raw + 1', 'lg_cr', 'lc2')},
     wts AS (
-      SELECT bucket,
+      SELECT bucket, n_target, n_raw,
              CAST(lg_ct + lg_tr - lg_cr - lg_tt AS BIGINT) AS weight_fp
       FROM lc2
-    ),
+    )"""
+
+
+# ------------------------------------------------------------ dsir_weights
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR learned importance weights (Xie et al. 2023,
+    operators/selection.dsir_bucket_weights): hashed-token bucket
+    counts under the target slice (lang='en') vs the raw corpus as
+    fp16 log probability ratios — the review table a curator reads
+    before running the selection itself."""
+    return SEL.dsir_bucket_weights(_docs(spark, sf_dir))
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+
+ORACLES["dsir_weights"] = f"""
+    WITH {_FPGRID},
+    {_dsir_wts_ctes()}
+    SELECT bucket, n_target, n_raw, weight_fp FROM wts
+"""
+
+
+# ------------------------------------------------------------- dsir_select
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR top-k selection (operators/selection.dsir_select): every
+    doc scored by the sum of its tokens' learned bucket weights, top
+    20% kept (deterministic variant; ties by doc_id)."""
+    return SEL.dsir_select(_docs(spark, sf_dir))
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+ORACLES["dsir_select"] = f"""
+    WITH {_FPGRID},
+    {_dsir_wts_ctes()},
     doctok AS (
       SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
     ),
@@ -296,4 +275,102 @@ ORACLES["weighted_sample_aes"] = f"""
     )
     SELECT doc_id, stratum, w, CAST(sample_rank AS BIGINT) AS sample_rank
     FROM ranked WHERE sample_rank <= 20
+"""
+
+
+# ------------------------------------------- dsir_weights_incremental
+
+def q_dsir_weights_incremental(spark, sf_dir):
+    """Incremental DSIR model refresh
+    (operators/selection.dsir_weights_incremental): docs with
+    doc_id % 10 == 0 play the daily increment, the rest the history
+    whose dense bucket-count table is a staged artifact (first call
+    per sf builds it; in production it is maintained by the same add).
+    Only the increment is tokenized; counts ADD; weights re-derive
+    from n_buckets rows.  Oracle: ground-up recompute over the FULL
+    corpus — the equality certificate that the incremental fold loses
+    nothing."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    wh = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+    )
+    path = os.path.join(
+        wh, f"dsir_counts_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    try:
+        n = spark.read.parquet(path).count()
+        assert n == SEL.DSIR_BUCKETS
+    except Exception:
+        SEL.build_dsir_counts(hist, path)
+    return SEL.dsir_weights_incremental(spark, new, path)
+
+
+QUERIES["dsir_weights_incremental"] = q_dsir_weights_incremental
+
+# The certificate: incremental fold == ground-up full-corpus weights.
+ORACLES["dsir_weights_incremental"] = ORACLES["dsir_weights"]
+
+
+# ------------------------------------------------------ stream_dsir_gate
+
+def q_stream_dsir_gate(spark, sf_dir):
+    """Streaming twin of the DSIR ingest gate: weights are FROZEN from
+    the history slice (doc_id % 10 != 0), then the increment ARRIVES AS
+    A STREAM and every micro-batch scores its docs against the
+    broadcast weight frame (operators/selection.dsir_score_against).
+    A doc's tokens land in one batch, so per-batch outputs are disjoint
+    by doc id and their union equals the one-shot scoring — the
+    property the oracle pins end-to-end through the
+    readStream→foreachBatch cycle."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    w = SEL.dsir_bucket_weights(hist).select("bucket", "weight_fp")
+    out_schema = SEL.dsir_score_against(docs.limit(0), w.limit(0)).schema
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents*.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    rows: list = []
+
+    def sink(batch, _batch_id):
+        rows.extend(SEL.dsir_score_against(batch, w).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_dsir_gate")
+    return spark.createDataFrame(rows, out_schema)
+
+
+QUERIES["stream_dsir_gate"] = q_stream_dsir_gate
+
+ORACLES["stream_dsir_gate"] = f"""
+    WITH {_FPGRID},
+    {_dsir_wts_ctes("WHERE doc_id % 10 != 0")},
+    doctok AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    docbkt AS (
+      SELECT doc_id, {_BKT} AS bucket, CAST(COUNT(*) AS BIGINT) AS k
+      FROM doctok GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(k * weight_fp) AS BIGINT) AS score_fp
+    FROM docbkt JOIN wts USING (bucket) GROUP BY 1
 """

@@ -192,3 +192,53 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     avg_all = sum(max(r["n_chars"], 1) for r in rows) / len(rows)
     avg_sampled = sum(r["w"] for r in got) / len(got)
     assert avg_sampled > avg_all
+
+
+def test_dsir_incremental_fold_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Counts are additive sufficient statistics: history counts +
+    increment counts -> weights must be BIT-identical to a ground-up
+    pass over history+increment."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "dsir_counts")
+    S.build_dsir_counts(hist, path)
+    inc = {
+        r["bucket"]: (r["n_target"], r["n_raw"], r["weight_fp"])
+        for r in S.dsir_weights_incremental(spark, new, path).collect()
+    }
+    full = {
+        r["bucket"]: (r["n_target"], r["n_raw"], r["weight_fp"])
+        for r in S.dsir_bucket_weights(docs).collect()
+    }
+    assert inc == full
+
+
+def test_dsir_score_against_frozen_weights_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    hist = [r for r in rows if r["doc_id"] % 10 != 0]
+    new = [r for r in rows if r["doc_id"] % 10 == 0]
+    ct, cr = Counter(), Counter()
+    for r in hist:
+        for t in _toks(r["text"]):
+            b = _bucket(t)
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    B = S.DSIR_BUCKETS
+    tt, tr = sum(ct.values()) + B, sum(cr.values()) + B
+    lg = S.log2_fp16_py
+    w = {b: lg(ct[b] + 1) + lg(tr) - lg(cr[b] + 1) - lg(tt) for b in range(B)}
+    want = {
+        r["doc_id"]: sum(w[_bucket(t)] for t in _toks(r["text"]))
+        for r in new
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    hist_df = docs.filter(F.col("doc_id") % 10 != 0)
+    new_df = docs.filter(F.col("doc_id") % 10 == 0)
+    weights = S.dsir_bucket_weights(hist_df)
+    got = {
+        r["doc_id"]: r["score_fp"]
+        for r in S.dsir_score_against(new_df, weights).collect()
+    }
+    assert got == want
