@@ -350,29 +350,20 @@ def dsir_score_against(
     )
 
 
-def dsir_select(
+def _dsir_scores_onepass(
     docs: DataFrame,
-    target_sql: str = "lang = 'en'",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = DSIR_BUCKETS,
-    top_frac_den: int = DSIR_TOP_FRAC_DEN,
-    portable: bool = True,
+    target_sql: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    portable: bool,
 ) -> DataFrame:
-    """DSIR step 2: score every document by the sum of its tokens'
-    bucket weights (per-occurrence, as the paper's bag-of-hashed-ngrams
-    inner product) and keep the top 1/``top_frac_den`` by score
-    (deterministic top-k; ties broken by id).  Output: the selected
-    (doc_id, score_fp) rows.
-
-    Scale: ONE tokenize+hash pass over the corpus — the persisted
-    (doc, bucket, k) aggregate feeds both the global bucket counts
-    (weights) and the per-doc scores, so the sha256/explode cost isn't
-    paid twice.  The weight frame is ``n_buckets`` rows and broadcasts;
-    the final top-N is TakeOrdered (per-partition heaps + driver merge
-    of N), never a global sort shuffle.  The one driver action is the
-    corpus count (a scalar) to fix N.
-    """
+    """Full (doc_id, score_fp) frame in ONE tokenize+hash pass: the
+    persisted (doc, bucket, k) aggregate feeds both the global bucket
+    counts (weights) and the per-doc scores, so the sha256/explode cost
+    isn't paid twice.  Shared by the deterministic top-k
+    (:func:`dsir_select`) and the Gumbel sampler
+    (:func:`dsir_sample_gumbel`)."""
     from real_time_data_pipeline_spark.operators import cache
 
     spark = docs.sparkSession
@@ -417,14 +408,97 @@ def dsir_select(
         .cast("bigint")
         .alias("weight_fp"),
     )
-    scores = (
+    return (
         per_bucket.join(F.broadcast(w), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("k") * F.col("weight_fp")).cast("bigint").alias("score_fp"))
     )
-    n_docs = docs.count()
-    n_keep = n_docs // top_frac_den
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    top_frac_den: int = DSIR_TOP_FRAC_DEN,
+    portable: bool = True,
+) -> DataFrame:
+    """DSIR step 2: score every document by the sum of its tokens'
+    bucket weights (per-occurrence, as the paper's bag-of-hashed-ngrams
+    inner product) and keep the top 1/``top_frac_den`` by score
+    (deterministic top-k; ties broken by id).  Output: the selected
+    (doc_id, score_fp) rows.
+
+    Scale: one corpus pass (:func:`_dsir_scores_onepass`); the final
+    top-N is TakeOrdered (per-partition heaps + driver merge of N),
+    never a global sort shuffle.  The one driver action is the corpus
+    count (a scalar) to fix N.
+    """
+    scores = _dsir_scores_onepass(
+        docs, target_sql, id_col, text_col, n_buckets, portable
+    )
+    n_keep = docs.count() // top_frac_den
     return scores.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(n_keep)
+
+
+# Gumbel constant: -fp16(log2(ln 2)) — the base-2 Gumbel shift.  A
+# fixed Python literal by construction (round of a constant expression,
+# nowhere near a .5 boundary), embedded verbatim in the DuckDB oracle.
+GUMBEL_C_FP = round(-FP_ONE * math.log2(math.log(2.0)))
+
+
+def dsir_sample_gumbel(
+    docs: DataFrame,
+    target_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    top_frac_den: int = DSIR_TOP_FRAC_DEN,
+    portable: bool = True,
+) -> DataFrame:
+    """DSIR's actual sampler (Xie et al. 2023 §3): resample WITHOUT
+    replacement with probability proportional to the importance weight
+    via Gumbel-top-k — keep the top N of log w_i + G_i.  Realized
+    deterministically: the uniform is the portable sha256 key of the
+    doc id and the Gumbel noise is derived in fixed point,
+
+      T_fp  = 48*2^16 - lg(u48 + 1)          # -log2 u, >= 1 guard
+      G2_fp = 16*2^16 + GUMBEL_C_FP - lg(T_fp)
+            # base-2 Gumbel: G/ln2 = -log2(-log2 u) - log2(ln 2)
+      key   = score_fp + G2_fp               # top-N desc, tie by id
+
+    (G/ln2 is the correct noise scale when the scores are log2-domain —
+    Gumbel-top-k in base b needs Gumbel/ln b.)  Same seed, same sample,
+    any engine.  Output: the sampled (doc_id, score_fp, key_fp) rows.
+
+    Scale: the scoring pass plus two broadcast grid joins and one
+    TakeOrdered — identical shape to :func:`dsir_select`.
+    """
+    scores = _dsir_scores_onepass(
+        docs, target_sql, id_col, text_col, n_buckets, portable
+    )
+    d = scores.withColumn(
+        "u", portable_hash48(F.col(id_col)) + F.lit(1)
+    )
+    d = log2_fp16(d, "u", "lg_u")
+    d = d.withColumn(
+        "t_fp", F.greatest(F.lit(48 * FP_ONE) - F.col("lg_u"), F.lit(1))
+    )
+    d = log2_fp16(d, "t_fp", "lg_t")
+    d = d.select(
+        id_col,
+        "score_fp",
+        (
+            F.col("score_fp")
+            + F.lit(16 * FP_ONE + GUMBEL_C_FP)
+            - F.col("lg_t")
+        )
+        .cast("bigint")
+        .alias("key_fp"),
+    )
+    n_keep = docs.count() // top_frac_den
+    return d.orderBy(F.desc("key_fp"), F.asc(id_col)).limit(n_keep)
 
 
 # ----------------------------------------------------------------- CCNet

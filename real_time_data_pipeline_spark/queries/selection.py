@@ -374,3 +374,53 @@ ORACLES["stream_dsir_gate"] = f"""
     SELECT doc_id, CAST(SUM(k * weight_fp) AS BIGINT) AS score_fp
     FROM docbkt JOIN wts USING (bucket) GROUP BY 1
 """
+
+
+# ---------------------------------------------------- dsir_sample_gumbel
+
+def q_dsir_sample_gumbel(spark, sf_dir):
+    """DSIR's Gumbel-top-k resampler
+    (operators/selection.dsir_sample_gumbel): inclusion probability
+    proportional to the importance weight, realized with the portable
+    sha256 uniform + fixed-point base-2 Gumbel noise — the paper's
+    sampler, deterministic in any engine.  Top 20% kept."""
+    return SEL.dsir_sample_gumbel(_docs(spark, sf_dir))
+
+
+QUERIES["dsir_sample_gumbel"] = q_dsir_sample_gumbel
+
+ORACLES["dsir_sample_gumbel"] = f"""
+    WITH {_FPGRID},
+    {_dsir_wts_ctes()},
+    doctok AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+    ),
+    docbkt AS (
+      SELECT doc_id, {_BKT} AS bucket, CAST(COUNT(*) AS BIGINT) AS k
+      FROM doctok GROUP BY 1, 2
+    ),
+    scores0 AS (
+      SELECT doc_id, CAST(SUM(k * weight_fp) AS BIGINT) AS score_fp,
+             CAST({_duck_hexfold48('CAST(doc_id AS VARCHAR)')} AS BIGINT)
+               + 1 AS u
+      FROM docbkt JOIN wts USING (bucket) GROUP BY 1
+    ),
+    {_lg('scores0', 'u', 'lg_u', 'lg1')},
+    tf AS (
+      SELECT doc_id, score_fp,
+             GREATEST({48 * SEL.FP_ONE} - lg_u, 1) AS t_fp
+      FROM lg1
+    ),
+    {_lg('tf', 't_fp', 'lg_t', 'lg2')},
+    keyed AS (
+      SELECT doc_id, score_fp,
+             CAST(score_fp + {16 * SEL.FP_ONE + SEL.GUMBEL_C_FP} - lg_t
+                  AS BIGINT) AS key_fp
+      FROM lg2
+    )
+    SELECT doc_id, score_fp, key_fp FROM (
+      SELECT k.*, ROW_NUMBER() OVER (ORDER BY key_fp DESC, doc_id) AS rn,
+             (SELECT COUNT(*) FROM documents) AS n
+      FROM keyed k
+    ) WHERE rn <= n // {SEL.DSIR_TOP_FRAC_DEN}
+"""

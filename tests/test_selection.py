@@ -242,3 +242,44 @@ def test_dsir_score_against_frozen_weights_bruteforce(spark, sf_dir):
         for r in S.dsir_score_against(new_df, weights).collect()
     }
     assert got == want
+
+
+def test_dsir_gumbel_sampler_matches_bruteforce(spark, sf_dir):
+    """The Gumbel-top-k key (score + base-2 Gumbel from the portable
+    uniform) replicated sequentially; selection must match exactly."""
+    rows = _docs_rows(spark, sf_dir)
+    ct, cr = Counter(), Counter()
+    for r in rows:
+        for t in _toks(r["text"]):
+            b = _bucket(t)
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    B = S.DSIR_BUCKETS
+    tt, tr = sum(ct.values()) + B, sum(cr.values()) + B
+    lg = S.log2_fp16_py
+    w = {b: lg(ct[b] + 1) + lg(tr) - lg(cr[b] + 1) - lg(tt) for b in range(B)}
+    keys = {}
+    for r in rows:
+        score = sum(w[_bucket(t)] for t in _toks(r["text"]))
+        t_fp = max(48 * S.FP_ONE - lg(_u48(r["doc_id"]) + 1), 1)
+        keys[r["doc_id"]] = (score, score + 16 * S.FP_ONE + S.GUMBEL_C_FP - lg(t_fp))
+    n_keep = len(rows) // S.DSIR_TOP_FRAC_DEN
+    want = dict(
+        sorted(
+            ((d, k) for d, k in keys.items()),
+            key=lambda kv: (-kv[1][1], kv[0]),
+        )[:n_keep]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["score_fp"], r["key_fp"])
+        for r in S.dsir_sample_gumbel(docs).collect()
+    }
+    assert got == want
+    # the noisy sample must differ from the deterministic top-k on at
+    # least one doc (else the noise did nothing) while overlapping
+    # heavily (the noise is zero-mean on a peaked score distribution)
+    det = {r["doc_id"] for r in S.dsir_select(docs).collect()}
+    assert set(got) != det
+    assert len(set(got) & det) > n_keep // 2
