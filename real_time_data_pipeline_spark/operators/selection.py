@@ -619,3 +619,93 @@ def weighted_sample_stratified(
         .filter(F.col("sample_rank") <= k)
         .select(id_col, "stratum", "w", F.col("sample_rank").cast("bigint").alias("sample_rank"))
     )
+
+
+def ccnet_bigram_ppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram upgrade of :func:`ccnet_perplexity_buckets` — the CCNet
+    recipe with a first-order LM instead of unigrams: per language,
+    Laplace-smoothed conditionals over adjacent-token pairs,
+
+      bits(w1 w2) = lg(ctx(w1) + V_lang) - lg(big(w1, w2) + 1)
+      bits_per_pair_fp = SUM over the doc's pairs DIV n_pairs
+
+    where ctx counts w1 as a pair CONTEXT, big the pair, and V_lang the
+    language's distinct-token vocabulary (the smoothing denominator).
+    Head/middle/tail terciles per language as before.  Docs with no
+    pair (single-token) are excluded — a mean over zero pairs has no
+    value either engine could agree on.
+
+    Bigrams are built in LIST SPACE (transform over the token array —
+    codegen'd, no explode-then-self-join); the (lang, w1, w2) model
+    join is the standard corpus-LM shuffle; lang scalars broadcast.
+    """
+    toks = tokens_col(text_col)
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(
+        F.col(id_col), F.col(lang_col).alias("lang"),
+        F.explode(pair_arr).alias("p"),
+    ).select(id_col, "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    doc_pair = pairs.groupBy(id_col, "lang", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    big = pairs.groupBy("lang", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("big")
+    )
+    ctx = pairs.groupBy("lang", "w1").agg(
+        F.count("*").cast("bigint").alias("ctx")
+    )
+    vsz = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    ctx = ctx.join(F.broadcast(vsz), "lang")
+    ctx = log2_fp16(ctx, "ctx + v", "lg_ctx")
+    big = log2_fp16(big, "big + 1", "lg_big")
+    scored = (
+        doc_pair.join(big, ["lang", "w1", "w2"])
+        .join(ctx.select("lang", "w1", "lg_ctx"), ["lang", "w1"])
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.col("k") * (F.col("lg_ctx") - F.col("lg_big")))
+            .cast("bigint")
+            .alias("bits_fp"),
+            F.sum("k").cast("bigint").alias("n_pairs"),
+        )
+        .select(
+            id_col,
+            "lang",
+            F.expr("bits_fp DIV n_pairs").cast("bigint").alias(
+                "bits_per_pair_fp"
+            ),
+        )
+    )
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("bits_per_pair_fp", id_col)
+    )
+    return scored.select(
+        id_col,
+        "lang",
+        "bits_per_pair_fp",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -1271,3 +1271,118 @@ def bigram_collocations(
             ).alias("lift_bp"),
         )
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = 100,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over corpus
+    tokens, certified against exact counts: estimate(t) = min over the
+    ``depth`` rows of the counter its salted hash lands in — always
+    >= the true count, over by whatever collision mass shares the
+    counters.  Output: the top-``k`` tokens by EXACT count (ties by
+    token) with (term, exact_count, cms_count, over_bp).
+
+    The deterministic-hash design makes the ESTIMATE itself
+    reproducible in any engine — so the registry oracle recomputes the
+    whole sketch in DuckDB and value-hashes it, a stronger check than
+    the probabilistic eps*T envelope (which the over_bp column lets a
+    reader audit anyway).  Next to `heavy_hitters` (Misra-Gries, which
+    UNDERestimates): the two sketches bracket the truth.
+
+    Scale: ONE corpus pass to vocabulary counts; the sketch is built
+    FROM the vocab table (CMS[j][b] = sum of counts of tokens hashing
+    to b), so the xdepth fanout and the depth*width counter table
+    (8192 rows) are vocab-scale, never corpus-scale.  Top-k is
+    TakeOrdered; the counter join is a broadcast.
+    """
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    vocab = cache.track(vocab)
+
+    def bucket(j: int) -> F.Column:
+        salted = F.concat(F.lit(f"{j}:"), F.col("tok"))
+        if portable:
+            h = F.conv(F.substring(F.sha2(salted, 256), 1, 15), 16, 10)
+            return F.pmod(h.cast("bigint"), F.lit(width))
+        return F.pmod(F.xxhash64(salted), F.lit(width))
+
+    fan = vocab.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                for j in range(depth)
+            ])
+        ).alias("jb"),
+    ).select("tok", "cnt", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    cms = fan.groupBy("j", "b").agg(F.sum("cnt").cast("bigint").alias("c"))
+    top = (
+        vocab.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+        .withColumnRenamed("tok", "term")
+        .withColumnRenamed("cnt", "exact_count")
+    )
+    probe = top.select(
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.sha2(
+                                    F.concat(F.lit(f"{j}:"), F.col("term")),
+                                    256,
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                        F.lit(width),
+                    ).alias("b")
+                    if portable
+                    else F.pmod(
+                        F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("term"))),
+                        F.lit(width),
+                    ).alias("b"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("jb"),
+    ).select("term", "exact_count", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    est = (
+        probe.join(F.broadcast(cms), ["j", "b"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_count"))
+    )
+    # integer division, not FLOOR(double /): a double quotient landing
+    # one ulp above an integer would flip FLOOR between engines
+    return est.select(
+        "term",
+        "exact_count",
+        "cms_count",
+        F.expr("(10000 * (cms_count - exact_count)) DIV exact_count")
+        .cast("bigint")
+        .alias("over_bp"),
+    )

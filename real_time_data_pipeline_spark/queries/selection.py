@@ -424,3 +424,66 @@ ORACLES["dsir_sample_gumbel"] = f"""
       FROM keyed k
     ) WHERE rn <= n // {SEL.DSIR_TOP_FRAC_DEN}
 """
+
+
+# ------------------------------------------------------ ccnet_bigram_ppl
+
+def q_ccnet_bigram_ppl(spark, sf_dir):
+    """First-order CCNet bucketing
+    (operators/selection.ccnet_bigram_ppl): per-language bigram LM
+    with Laplace smoothing over the vocabulary, mean bits per adjacent
+    pair in fp16, head/middle/tail terciles per language.  Single-token
+    docs (no pair) are excluded by construction."""
+    return SEL.ccnet_bigram_ppl(_docs(spark, sf_dir))
+
+
+QUERIES["ccnet_bigram_ppl"] = q_ccnet_bigram_ppl
+
+_PAIR_RANGE = "range(1, greatest(len(t) - 1, 0) + 1)"
+
+ORACLES["ccnet_bigram_ppl"] = f"""
+    WITH {_FPGRID},
+    base AS (SELECT doc_id, lang, {DUCK_TOKENS} AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform({_PAIR_RANGE}, i -> t[i])) AS w1,
+             unnest(list_transform({_PAIR_RANGE}, i -> t[i + 1])) AS w2
+      FROM base
+    ),
+    doc_pair AS (
+      SELECT doc_id, lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    big0 AS (
+      SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS big
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    ctx0 AS (
+      SELECT lang, w1, CAST(COUNT(*) AS BIGINT) AS ctx
+      FROM pairs GROUP BY 1, 2
+    ),
+    vsz AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT lang, unnest({DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    ctxv AS (SELECT c.*, v.v FROM ctx0 c JOIN vsz v USING (lang)),
+    {_lg('ctxv', 'ctx + v', 'lg_ctx', 'lb1')},
+    {_lg('big0', 'big + 1', 'lg_big', 'lb2')},
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(CAST(SUM(d.k * (c.lg_ctx - b.lg_big)) AS BIGINT)
+                  // CAST(SUM(d.k) AS BIGINT) AS BIGINT)
+                 AS bits_per_pair_fp
+      FROM doc_pair d
+      JOIN lb2 b ON b.lang = d.lang AND b.w1 = d.w1 AND b.w2 = d.w2
+      JOIN lb1 c ON c.lang = d.lang AND c.w1 = d.w1
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, bits_per_pair_fp,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY bits_per_pair_fp, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored
+"""

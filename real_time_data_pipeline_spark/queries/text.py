@@ -9,7 +9,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators import text as T
-from real_time_data_pipeline_spark.queries.dedup import DUCK_TOKENS
+from real_time_data_pipeline_spark.queries.dedup import (
+    DUCK_TOKENS,
+    duck_hexfold_n,
+)
 from real_time_data_pipeline_spark.schemas import load_table
 
 
@@ -901,4 +904,59 @@ ORACLES["collocations"] = f"""
     JOIN fc USING (tok_a)
     JOIN sc USING (tok_b)
     CROSS JOIN tot
+"""
+
+
+# ------------------------------------------------------ count-min sketch
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch certified against exact counts
+    (operators/text.cms_heavy_hitters): top-100 tokens by exact count
+    with their CMS estimates and overestimate in bp.  The deterministic
+    salted-sha256 rows make the ESTIMATE itself engine-reproducible, so
+    the oracle recomputes the whole 4x2048 sketch in DuckDB — a
+    stronger certification than the probabilistic envelope.  The
+    overestimating dual of `heavy_hitters` (Misra-Gries, which
+    underestimates): together they bracket the truth."""
+    docs = _docs(spark, sf_dir)
+    return T.cms_heavy_hitters(docs)
+
+
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+
+_CMS_HASH = duck_hexfold_n("(CAST(js.j AS VARCHAR) || ':' || tok)", 15)
+_CMS_HASH_TERM = duck_hexfold_n("(CAST(js.j AS VARCHAR) || ':' || term)", 15)
+
+ORACLES["cms_heavy_hitters"] = f"""
+    WITH vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    js AS (SELECT CAST(v AS INT) AS j FROM (VALUES (0),(1),(2),(3)) t(v)),
+    fan AS (
+      SELECT tok, cnt, js.j,
+             CAST({_CMS_HASH} AS BIGINT) % 2048 AS b
+      FROM vocab, js
+    ),
+    cms AS (
+      SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS c FROM fan GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok AS term, cnt AS exact_count FROM vocab
+      ORDER BY cnt DESC, tok LIMIT 100
+    ),
+    probe AS (
+      SELECT term, exact_count, js.j,
+             CAST({_CMS_HASH_TERM} AS BIGINT) % 2048 AS b
+      FROM top, js
+    ),
+    est AS (
+      SELECT term, exact_count, CAST(MIN(c) AS BIGINT) AS cms_count
+      FROM probe JOIN cms USING (j, b) GROUP BY 1, 2
+    )
+    SELECT term, exact_count, cms_count,
+           CAST((10000 * (cms_count - exact_count)) // exact_count
+                AS BIGINT) AS over_bp
+    FROM est
 """

@@ -283,3 +283,67 @@ def test_dsir_gumbel_sampler_matches_bruteforce(spark, sf_dir):
     det = {r["doc_id"] for r in S.dsir_select(docs).collect()}
     assert set(got) != det
     assert len(set(got) & det) > n_keep // 2
+
+
+def test_cms_heavy_hitters_matches_bruteforce(spark, sf_dir):
+    """CMS replica: salted sha256 rows, width-2048 counters, min over
+    depth; every estimate >= exact (the CMS one-sided guarantee)."""
+    from real_time_data_pipeline_spark.operators import text as T
+
+    rows = _docs_rows(spark, sf_dir)
+    vocab = Counter()
+    for r in rows:
+        vocab.update(_toks(r["text"]))
+    W, D = T.CMS_WIDTH, T.CMS_DEPTH
+
+    def b(j, tok):
+        return int(
+            hashlib.sha256(f"{j}:{tok}".encode()).hexdigest()[:15], 16
+        ) % W
+
+    cms = defaultdict(int)
+    for tok, c in vocab.items():
+        for j in range(D):
+            cms[(j, b(j, tok))] += c
+    top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    want = {}
+    for tok, c in top:
+        est = min(cms[(j, b(j, tok))] for j in range(D))
+        want[tok] = (c, est, (10000 * (est - c)) // c)
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["term"]: (r["exact_count"], r["cms_count"], r["over_bp"])
+        for r in T.cms_heavy_hitters(docs).collect()
+    }
+    assert got == want
+    for term, (exact, est, _) in got.items():
+        assert est >= exact, term
+
+
+def test_ccnet_bigram_matches_bruteforce(spark, sf_dir):
+    rows = _docs_rows(spark, sf_dir)
+    big, ctx, vocab = defaultdict(Counter), defaultdict(Counter), defaultdict(set)
+    for r in rows:
+        ts = _toks(r["text"])
+        vocab[r["lang"]].update(ts)
+        for a, b in zip(ts, ts[1:]):
+            big[r["lang"]][(a, b)] += 1
+            ctx[r["lang"]][a] += 1
+    lg = S.log2_fp16_py
+    bits = {}
+    for r in rows:
+        ts = _toks(r["text"])
+        prs = list(zip(ts, ts[1:]))
+        if not prs:
+            continue
+        v = len(vocab[r["lang"]])
+        s = sum(
+            lg(ctx[r["lang"]][a] + v) - lg(big[r["lang"]][(a, b)] + 1)
+            for a, b in prs
+        )
+        bits[r["doc_id"]] = s // len(prs)
+    docs = load_table(spark, sf_dir, "documents")
+    got = S.ccnet_bigram_ppl(docs).collect()
+    assert len(got) == len(bits)
+    for r in got:
+        assert r["bits_per_pair_fp"] == bits[r["doc_id"]], r["doc_id"]
