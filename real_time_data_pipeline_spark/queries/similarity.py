@@ -696,6 +696,83 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk  # rows-only (iterative fit)
 
 
+def q_ann_ivfpq_shortlist_superset(spark, sf_dir):
+    """IVF-PQ pruning-recall certification — the residual-quantizer
+    sibling of ``ann_pq_shortlist_superset`` (which certified the flat
+    PQ tier in r8's window): the exact brute-force top-10 rows for the
+    5 probe vectors extended with ``in_shortlist`` = neighbor ∈ the
+    FULL-PROBE IVF-PQ ADC shortlist, pinned TRUE by the oracle.  At
+    nprobe == n_cells the coarse stage prunes nothing, so the only way
+    a true neighbor escapes the shortlist is a residual-encoding or
+    per-cell-ADC-table defect — exactly the machinery ``ann_ivfpq_topk``
+    exercises rows-only (its float-iterative codebooks keep the ADC
+    ORDER uncertifiable, but membership at the configured C is a
+    stable contract; same argument as the PQ tier).  The pruned
+    nprobe=4 recall tradeoff stays covered by the northstar tests.
+
+    Shortlist size: max(100, 2n/3), codes at m=16/k=64 (the flat
+    tier's code budget — the production m=8/k=16 config stays in
+    ``ann_ivfpq_topk``).  The synthetic near-uniform embeddings leave
+    the coarse cells almost no variance to absorb, so the RESIDUALS
+    are as hard to quantize as the raw vectors and the measured worst
+    ADC rank of a true top-10 neighbor is ~28-34% of the corpus at
+    sf0.001, sf0.01 AND sf0.1 (n=500/500/2000 — the ratio, not the
+    count, is the stable quantity); 2n/3 gives ~2x margin.  A
+    clustered production corpus runs constant C ~ 10-100x k — the
+    CONTRACT pinned here (membership at the configured C) is the same
+    statement at any C.
+
+    Scale shape: one ADC scan over all cells (full probe — the
+    certification config); per-cell tables are nprobe·m·k floats in
+    the task closure; shortlist and exact frames are C/k-bounded."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    shortlist = max(100, (2 * emb.count()) // 3)
+    n_cells = 16
+    Cm, books, codes = similarity.ivfpq_build(
+        emb, n_cells=n_cells, m=16, k=64, iters=2
+    )
+    exact = similarity.cosine_topk(emb, queries, k=K)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # N_QUERIES probe vectors — bounded by design
+    )
+    legs = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        legs.append(
+            similarity.ivfpq_topk(
+                codes, Cm, books, r["embedding"], k=shortlist,
+                nprobe=n_cells,
+            ).select(
+                F.lit(r["vec_id"]).cast("bigint").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                F.lit(True).alias("_in_sl"),
+            )
+        )
+    sl = legs[0]
+    for leg in legs[1:]:
+        sl = sl.unionByName(leg)
+    return exact.join(
+        F.broadcast(sl), ["query_id", "neighbor_id"], "left"
+    ).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cos_bp",
+        F.coalesce("_in_sl", F.lit(False)).alias("in_shortlist"),
+    )
+
+
+QUERIES["ann_ivfpq_shortlist_superset"] = q_ann_ivfpq_shortlist_superset
+# The exact-ANN oracle rows with the full-probe IVF-PQ shortlist
+# membership pinned TRUE — the residual quantizer's pruning contract.
+ORACLES["ann_ivfpq_shortlist_superset"] = (
+    "SELECT t.*, true AS in_shortlist FROM ("
+    + ORACLES["ann_bruteforce_topk"]
+    + ") t"
+)
+
+
 QUERIES["semdedup"] = q_semdedup
 
 _SEMDEDUP_COS = """list_sum(list_transform(list_zip({a}, {b}),
