@@ -24,7 +24,7 @@ here, to avoid losing precision in downstream math.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators import cache
@@ -168,6 +168,171 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     """N2: HyperLogLog++ approximate distinct count — constant memory per
     partition, single small shuffle of sketches (not rows)."""
     return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+
+
+KMV_K = 64
+KMV_SPACE = 1 << 48  # portable_hash48 range
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002),
+    certified EXACTLY — the mergeable/deterministic sibling of the HLL
+    path (:func:`approx_distinct`, whose JVM sketch is opaque and
+    rows-only): hash every value with the engine-portable 48-bit
+    sha256 fold (operators/curation.portable_hash48), keep the k
+    smallest DISTINCT hashes per group, estimate
+    ``(k-1)·2^48 // h_k`` (floor — exact integer) when ≥ k distinct
+    hashes exist, else the seen count (exact by construction).  The
+    deterministic hash makes the whole sketch — kth hash, estimate,
+    error — reproducible in any engine, so the DuckDB oracle recomputes
+    it outright (the CMS posture from ``cms_heavy_hitters``: stronger
+    than an error-envelope check).  Each row also carries the TRUE
+    distinct count and the signed error in bp — the accuracy ledger a
+    drift monitor reads.
+
+    Scale shape: one distinct-aggregate on (group, hash) with map-side
+    combine is the only data-scale shuffle; the k-smallest rank window
+    sorts the DEDUPED hash domain per group, not raw rows.  Sketches
+    MERGE losslessly (k smallest of a union = k smallest of the merged
+    k-smallest sets) — the property ``kmv_merge`` certifies — so at
+    100 TB per-partition/per-day sketches fold into corpus totals
+    without re-touching history, the same additive-state shape as the
+    DSIR count table.
+
+    Output: (group, n_exact, n_kept, kth_hash, est_kmv, err_bp).
+    Hash collisions under-count by ~n²/2^49 (≪ 1 at any per-group
+    cardinality this sketch is sized for) and are part of the certified
+    value, not noise."""
+    from real_time_data_pipeline_spark.operators.curation import (
+        portable_hash48,
+    )
+
+    hashes = df.select(
+        F.col(group_col).alias(group_col),
+        portable_hash48(F.col(value_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sk = kept.groupBy(group_col).agg(
+        F.max("rn").cast("bigint").alias("n_kept"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(value_col).cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"{(k - 1) * KMV_SPACE} div kth_hash"))
+    return (
+        sk.join(exact, group_col)
+        .withColumn("est_kmv", est.cast("bigint"))
+        .select(
+            group_col,
+            "n_exact",
+            "n_kept",
+            "kth_hash",
+            "est_kmv",
+            F.expr("(est_kmv - n_exact) * 10000 div n_exact")
+            .cast("bigint")
+            .alias("err_bp"),
+        )
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV mergeability certificate: the corpus-wide estimate computed
+    TWO ways — by folding k-smallest sketches over 32 PHYSICAL hash
+    shards (the direct/two-phase leg: every global k-smallest hash is
+    among its shard's k smallest, so no global sort ever sees the raw
+    hash domain), and by folding the per-``group_col`` LOGICAL sketches
+    (union → distinct → k smallest) — with the equality emitted as a
+    column the oracle pins TRUE.  Merging across two UNRELATED
+    partitionings landing on the identical sketch is the exactly-
+    checkable form of the claim that makes KMV the 100 TB shape:
+    per-shard/per-day sketches (k·8 bytes each) fold into the global
+    sketch losslessly, so distinct-count rollups never rescan history.
+    Every window here partitions first or runs on a shard/group-bounded
+    survivor set (≤ 32k / |groups|·k rows).  One output row:
+    (k, n_exact, kth_direct, est_direct, est_merged, merge_equal)."""
+    from real_time_data_pipeline_spark.operators.curation import (
+        portable_hash48,
+    )
+
+    n_shards = 32
+    hashes = df.select(
+        F.col(group_col).alias("grp"),
+        portable_hash48(F.col(value_col)).alias("h"),
+    )
+    # direct leg, two-phase: k smallest per physical hash shard, then
+    # k smallest of the <= 32k survivors
+    ws = Window.partitionBy("shard").orderBy("h")
+    direct = (
+        hashes.select("h")
+        .distinct()
+        .withColumn("shard", F.pmod("h", F.lit(n_shards)))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .agg(
+            F.max("rn").cast("bigint").alias("n_kept_d"),
+            F.max("h").cast("bigint").alias("kth_direct"),
+        )
+    )
+    # merged: per-group k-smallest sketches, then k smallest of their union
+    wg = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        hashes.distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .agg(
+            F.max("rn").cast("bigint").alias("n_kept_m"),
+            F.max("h").cast("bigint").alias("kth_merged"),
+        )
+    )
+    exact = df.agg(
+        F.countDistinct(value_col).cast("bigint").alias("n_exact")
+    )
+
+    def _est(n_kept: str, kth: str) -> F.Column:
+        return (
+            F.when(F.col(n_kept) < k, F.col(n_kept))
+            .otherwise(F.expr(f"{(k - 1) * KMV_SPACE} div {kth}"))
+            .cast("bigint")
+        )
+
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_exact",
+            "kth_direct",
+            _est("n_kept_d", "kth_direct").alias("est_direct"),
+            _est("n_kept_m", "kth_merged").alias("est_merged"),
+            (
+                (F.col("kth_direct") == F.col("kth_merged"))
+                & (F.col("n_kept_d") == F.col("n_kept_m"))
+            ).alias("merge_equal"),
+        )
+    )
 
 
 def gapfill_daily(

@@ -31,6 +31,7 @@ from real_time_data_pipeline_spark.queries import (
     reference_parity,
     selection,
     similarity,
+    sketches,
     text,
     tpch,
 )
@@ -38,7 +39,7 @@ from real_time_data_pipeline_spark.queries import (
 _MODULES = [
     reference_parity, tpch, analytics, analytics_ext, analytics_r6,
     joins_ext, lineage_q, dedup, text, curation, similarity, multimodal,
-    selection,
+    selection, sketches,
 ]
 
 

@@ -274,6 +274,55 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users)
 
 
+def test_kmv_distinct_matches_bruteforce(spark, sf_dir):
+    """KMV replica: sequential 48-bit sha256 fold, k smallest distinct
+    hashes per event_type, (k-1)*2^48 // kth estimate; the sub-k branch
+    returns the exact count."""
+    import hashlib
+
+    from real_time_data_pipeline_spark.operators import aggregates as A
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    def h48(v):
+        return int(hashlib.sha256(str(v).encode()).hexdigest()[:12], 16)
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("event_type", "user_id").collect()
+    users = {}
+    for r in rows:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    want = {}
+    for et, us in users.items():
+        hs = sorted({h48(u) for u in us})[: A.KMV_K]
+        est = (
+            len(hs)
+            if len(hs) < A.KMV_K
+            else ((A.KMV_K - 1) * A.KMV_SPACE) // hs[-1]
+        )
+        want[et] = (len(us), len(hs), hs[-1], est)
+    got = {
+        r["event_type"]: (r["n_exact"], r["n_kept"], r["kth_hash"], r["est_kmv"])
+        for r in A.kmv_distinct(events, "event_type", "user_id").collect()
+    }
+    assert got == want
+
+
+def test_kmv_subk_groups_are_exact_and_merge_holds(spark):
+    """Groups with < k distinct values report the exact count with zero
+    error, and the shard-fold equals the group-fold sketch."""
+    from real_time_data_pipeline_spark.operators import aggregates as A
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i % 40) for i in range(400)], "grp string, v int"
+    )
+    for r in A.kmv_distinct(df, "grp", "v", k=64).collect():
+        assert r["n_exact"] == r["est_kmv"] == r["n_kept"]
+        assert r["err_bp"] == 0
+    [m] = A.kmv_merge(df, "grp", "v", k=64).collect()
+    assert m["merge_equal"]
+    assert m["est_direct"] == m["est_merged"] == m["n_exact"] == 40
+
+
 def test_gemm_topk_matches_exact_neighbors(spark, sf_dir):
     from real_time_data_pipeline_spark.queries.similarity import (
         _corpus_and_queries,
