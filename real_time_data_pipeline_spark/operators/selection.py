@@ -709,3 +709,199 @@ def ccnet_bigram_ppl(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+# ------------------------------------------------- Naive Bayes classifier
+
+NB_CLASSES = ("de", "en", "es", "fr", "zh")
+NB_HOLDOUT_MOD = 5  # doc_id % 5 == 0 -> held-out test split
+
+
+def nb_train_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    classes: tuple = NB_CLASSES,
+    n_buckets: int = DSIR_BUCKETS,
+    holdout_mod: int = NB_HOLDOUT_MOD,
+    portable: bool = True,
+) -> DataFrame:
+    """TRAINED hashed-feature multinomial Naive Bayes — the classifier
+    tier of the selection stack (the fastText-style in-domain/quality
+    model of CCNet and the GPT-3 WebText filter, in its count-based
+    exact form), next to the fixed-weight scorer
+    (operators/text.quality_logit_score) and the pairwise-ratio DSIR
+    weights (which are NB's two-class conditional ratio WITHOUT priors
+    or argmax).  Everything is counts + the shared fixed-point log2, so
+    training AND inference are engine-exact and the DuckDB oracle
+    recomputes the whole model.
+
+    Train on docs with ``id % holdout_mod != 0``, score EVERY doc:
+
+      score_fp(d, c) = lg(N_c + 1) - lg(N + |C|)                 (prior)
+                     + sum_b k_db * lg(cnt_cb + 1)               (likelihood)
+                     - n_tok_d * lg(T_c + B)                     (denominator)
+
+    — the log of the Laplace-smoothed multinomial posterior, all lg in
+    fp16.  ``classes`` is a DECLARED label space (a literal, so the
+    class fan-out is a 5-element explode, not a data-driven frame the
+    plan guard can't bound).
+
+    Output: (doc_id, <label_col>, split, pred_<label_col>, score_fp,
+    margin_fp, correct) — one row per doc; pred = argmax with
+    lexicographic tie-break; margin = top1 - top2 score (the
+    abstain/confidence signal a curation gate thresholds on).
+
+    Scale shape: ONE tokenize+hash pass persisted as the (doc, bucket,
+    k) aggregate feeding both the model counts and the scores (the
+    dsir_select dataflow); the model — |C|·B count rows + |C| constants
+    — BROADCASTS at any corpus size; scoring is a bucket-key broadcast
+    join + one (doc, class) hash aggregate; the per-doc argmax window
+    partitions by doc over |C| rows."""
+    from real_time_data_pipeline_spark.operators import cache
+
+    n_classes = len(classes)
+    meta = docs.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.when(F.col(id_col) % holdout_mod == 0, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    doc_bkt = cache.track(
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .select(id_col, _bucket_col(portable, n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    doc_tot = meta.join(
+        doc_bkt.groupBy(id_col).agg(
+            F.sum("k").cast("bigint").alias("n_tok")
+        ),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        label_col,
+        "split",
+        F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
+    )
+
+    train_meta = meta.filter(F.col("split") == "train")
+    cls_counts = (
+        doc_bkt.join(
+            train_meta.select(id_col, F.col(label_col).alias("cls")), id_col
+        )
+        .groupBy("cls", "bucket")
+        .agg(F.sum("k").cast("bigint").alias("cnt"))
+    )
+    wt = log2_fp16(cls_counts, "cnt + 1", "lg_ct").select(
+        "cls", "bucket", "lg_ct"
+    )
+
+    cls_lit = F.explode(
+        F.array(*[F.lit(c) for c in classes])
+    ).alias("cls")
+    spark = docs.sparkSession
+    cls_frame = spark.range(1).select(cls_lit)
+    consts = (
+        cls_frame.join(
+            cls_counts.groupBy("cls").agg(
+                F.sum("cnt").cast("bigint").alias("t_c")
+            ),
+            "cls",
+            "left",
+        )
+        .join(
+            train_meta.groupBy(F.col(label_col).alias("cls")).agg(
+                F.count("*").cast("bigint").alias("nd_c")
+            ),
+            "cls",
+            "left",
+        )
+        .select(
+            "cls",
+            F.coalesce("t_c", F.lit(0)).cast("bigint").alias("t_c"),
+            F.coalesce("nd_c", F.lit(0)).cast("bigint").alias("nd_c"),
+        )
+        .crossJoin(
+            F.broadcast(
+                log2_fp16(
+                    train_meta.agg(
+                        F.count("*").cast("bigint").alias("n_train")
+                    ),
+                    f"n_train + {n_classes}",
+                    "lg_pd",
+                ).select("lg_pd")
+            )
+        )
+    )
+    consts = log2_fp16(consts, f"t_c + {n_buckets}", "lg_den")
+    consts = log2_fp16(consts, "nd_c + 1", "lg_pn")
+    consts = consts.select(
+        "cls",
+        (F.col("lg_pn") - F.col("lg_pd")).cast("bigint").alias("prior_fp"),
+        "lg_den",
+    )
+
+    partial = (
+        doc_bkt.join(F.broadcast(wt), "bucket")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("k") * F.col("lg_ct")).cast("bigint").alias("part"))
+    )
+    scored = (
+        doc_tot.select("*", cls_lit)
+        .join(F.broadcast(consts), "cls")
+        .join(partial, [id_col, "cls"], "left")
+        .select(
+            id_col,
+            label_col,
+            "split",
+            "cls",
+            (
+                F.col("prior_fp")
+                + F.coalesce("part", F.lit(0))
+                - F.col("n_tok") * F.col("lg_den")
+            )
+            .cast("bigint")
+            .alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_fp"), F.asc("cls")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.lead("score_fp").over(w).alias("score2"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        id_col,
+        label_col,
+        "split",
+        F.col("cls").alias(f"pred_{label_col}"),
+        "score_fp",
+        (F.col("score_fp") - F.coalesce("score2", F.col("score_fp")))
+        .cast("bigint")
+        .alias("margin_fp"),
+        (F.col("cls") == F.col(label_col)).alias("correct"),
+    )
+
+
+def nb_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    **kwargs,
+) -> DataFrame:
+    """Held-out confusion matrix of :func:`nb_train_classify` — the
+    model-quality ledger (one row per observed (true, predicted) pair
+    on the test split, |C|²-bounded)."""
+    out = nb_train_classify(docs, label_col=label_col, **kwargs)
+    return (
+        out.filter(F.col("split") == "test")
+        .groupBy(label_col, f"pred_{label_col}")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -347,3 +347,86 @@ def test_ccnet_bigram_matches_bruteforce(spark, sf_dir):
     assert len(got) == len(bits)
     for r in got:
         assert r["bits_per_pair_fp"] == bits[r["doc_id"]], r["doc_id"]
+
+
+# ------------------------------------------------------- nb_classify
+
+def test_nb_classifier_matches_bruteforce(spark, sf_dir):
+    """Sequential NB replica: Laplace counts on the train split,
+    fp16-log posterior per (doc, class), argmax with lexicographic
+    tie-break, margin = top1 - top2 — every row equal to the Spark
+    output."""
+    from real_time_data_pipeline_spark.queries.selection import (
+        NB_SPEED_CLASSES,
+        _docs_with_speed_label,
+    )
+
+    rows = _docs_rows(spark, sf_dir)
+    B = S.DSIR_BUCKETS
+    lab, toks = {}, {}
+    for r in rows:
+        ts = _toks(r["text"])
+        nf, ns = ts.count("fast"), ts.count("slow")
+        lab[r["doc_id"]] = (
+            "fast" if nf > ns else ("slow" if nf < ns else "even")
+        )
+        toks[r["doc_id"]] = ts
+    train = [d for d in lab if d % S.NB_HOLDOUT_MOD != 0]
+    cnt = Counter()  # (cls, bucket) -> token count
+    nd = Counter()   # cls -> train docs
+    for d in train:
+        nd[lab[d]] += 1
+        for t in toks[d]:
+            cnt[(lab[d], _bucket(t))] += 1
+    t_c = Counter()
+    for (c, _b), k in cnt.items():
+        t_c[c] += k
+    lg = S.log2_fp16_py
+    lg_pd = lg(len(train) + len(NB_SPEED_CLASSES))
+    want = {}
+    for d, ts in toks.items():
+        scores = {}
+        for c in NB_SPEED_CLASSES:
+            s = lg(nd[c] + 1) - lg_pd
+            s += sum(lg(cnt[(c, _bucket(t))] + 1) for t in ts)
+            s -= len(ts) * lg(t_c[c] + B)
+            scores[c] = s
+        order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        pred, top = order[0]
+        margin = top - order[1][1]
+        want[d] = (
+            lab[d],
+            "test" if d % S.NB_HOLDOUT_MOD == 0 else "train",
+            pred,
+            top,
+            margin,
+            pred == lab[d],
+        )
+    out = S.nb_train_classify(
+        _docs_with_speed_label(spark, sf_dir),
+        label_col="speed_label",
+        classes=NB_SPEED_CLASSES,
+    )
+    got = {
+        r["doc_id"]: (
+            r["speed_label"], r["split"], r["pred_speed_label"],
+            r["score_fp"], r["margin_fp"], r["correct"],
+        )
+        for r in out.collect()
+    }
+    assert got == want
+
+
+def test_nb_classifier_beats_majority_prior(spark, sf_dir):
+    """Learnability pin: held-out accuracy strictly beats always
+    predicting the test split's majority class."""
+    from real_time_data_pipeline_spark.queries.selection import q_nb_classify
+
+    rows = [
+        r
+        for r in q_nb_classify(spark, sf_dir).collect()
+        if r["split"] == "test"
+    ]
+    acc = sum(r["correct"] for r in rows)
+    prior = Counter(r["speed_label"] for r in rows).most_common(1)[0][1]
+    assert acc > prior
