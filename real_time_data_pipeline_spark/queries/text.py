@@ -6,6 +6,7 @@ operators/text.py; the DuckDB SQL mirrors them expression-for-expression.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators import text as T
@@ -805,42 +806,52 @@ _DUCK_COS = """
    sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
 
-ORACLES["embed_search"] = f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+# The portable-encoder CTE chain (token → sha256 → (dim, sign) → dense
+# unit vector), ONE generator shared by embed_search and hybrid_rrf so
+# the encoder recipe can never drift between oracles.  ``src`` must
+# expose (doc_id, tok).
+def _duck_vec_ctes(src: str, tag: str) -> str:
+    return f"""
+    {tag}hx AS (
+      SELECT doc_id, sha256(tok) AS h FROM {src}
     ),
-    hx AS (
-      SELECT doc_id, sha256(tok) AS h FROM toks
-    ),
-    hashed AS (
+    {tag}hashed AS (
       SELECT doc_id,
              {_fold_hex('h', 15)} % 64 AS d,
              CASE WHEN ({_fold_hex("substr(h, 16, 1)", 1)}) % 2 = 0
                   THEN CAST(1 AS DOUBLE)
                   ELSE CAST(-1 AS DOUBLE) END AS sgn
-      FROM hx
+      FROM {tag}hx
     ),
-    sums AS (
-      SELECT doc_id, d, SUM(sgn) AS s FROM hashed GROUP BY 1, 2
+    {tag}sums AS (
+      SELECT doc_id, d, SUM(sgn) AS s FROM {tag}hashed GROUP BY 1, 2
     ),
-    grid AS (
+    {tag}grid AS (
       SELECT doc_id, CAST(r.range AS BIGINT) AS d
-      FROM (SELECT DISTINCT doc_id FROM sums), range(64) r
+      FROM (SELECT DISTINCT doc_id FROM {tag}sums), range(64) r
     ),
-    dense AS (
+    {tag}dense AS (
       SELECT g.doc_id, g.d, COALESCE(s.s, CAST(0 AS DOUBLE)) AS s
-      FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.d = s.d
+      FROM {tag}grid g
+      LEFT JOIN {tag}sums s ON g.doc_id = s.doc_id AND g.d = s.d
     ),
-    norms AS (
-      SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM dense GROUP BY 1
+    {tag}norms AS (
+      SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM {tag}dense GROUP BY 1
     ),
-    vec AS (
+    {tag}vec AS (
       SELECT d.doc_id,
              list(CASE WHEN n.nrm > 0 THEN d.s / n.nrm
                        ELSE CAST(0 AS DOUBLE) END ORDER BY d.d) AS embedding
-      FROM dense d JOIN norms n ON d.doc_id = n.doc_id
+      FROM {tag}dense d JOIN {tag}norms n ON d.doc_id = n.doc_id
       GROUP BY d.doc_id, n.nrm
-    )
+    )"""
+
+
+ORACLES["embed_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+    ),
+    {_duck_vec_ctes('toks', '')}
     SELECT query_id, rank, neighbor_id, cos_bp FROM (
       SELECT q.doc_id AS query_id,
              c.doc_id AS neighbor_id,
@@ -854,6 +865,109 @@ ORACLES["embed_search"] = f"""
         AND list_sum(list_transform(c.embedding, x -> x * x)) > 0
         AND list_sum(list_transform(q.embedding, x -> x * x)) > 0
     ) WHERE rank <= 10
+"""
+
+
+RRF_K = 60  # Cormack et al. 2009's smoothing constant
+RRF_SCALE = 1 << 20  # integer RRF: score term = floor(2^20 / (K + rank))
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009): the SAME query — the ``BM25_QUERY_TERMS``
+    bag — runs down the lexical leg (``bm25_topk``, integer-micro BM25)
+    and the semantic leg (portable feature-hash encoder on the query
+    text + exact cosine, the ``embed_search`` machinery), and the two
+    certified top-10 lists fuse with integer RRF:
+    ``floor(2^20/(60+rank))`` summed over the legs a doc appears in —
+    exact in any engine, no float weights to tune.  Output: the union
+    of both lists re-ranked by fused score (rank_lex / rank_sem NULL
+    where a leg missed the doc).
+
+    Scale shape: each leg is its own certified query (corpus-scale
+    work lives there); the fusion itself joins two k-row frames and
+    windows over <= 2k rows — free at any corpus size, which is
+    exactly why RRF is the production hybrid default."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lex = T.bm25_topk(docs, BM25_QUERY_TERMS, k=10).select(
+        "doc_id", F.col("rnk").alias("rank_lex")
+    )
+    emb = T.hash_embed(docs, portable=True).select("doc_id", "embedding")
+    qdf = spark.createDataFrame(
+        [(-1, " ".join(BM25_QUERY_TERMS))], "doc_id long, text string"
+    )
+    qvec = T.hash_embed(qdf, portable=True).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = cosine_topk(
+        emb, qvec, k=10, id_col="doc_id", vec_col="embedding"
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem"))
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + {r})"), F.lit(0)
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_micro",
+            (term("rank_lex") + term("rank_sem")).cast("bigint"),
+        )
+        .withColumn(
+            "fused_rank",
+            F.row_number().over(
+                W.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+            ).cast("bigint"),
+        )
+    )
+    return fused.select(
+        "doc_id", "rank_lex", "rank_sem", "rrf_micro", "fused_rank"
+    )
+
+
+QUERIES["hybrid_rrf"] = q_hybrid_rrf
+
+_RRF_TERMS_LIST = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + "]"
+
+ORACLES["hybrid_rrf"] = f"""
+    WITH lex AS (
+      SELECT doc_id, rnk AS rank_lex FROM ({ORACLES['bm25_topk']})
+    ),
+    toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+    ),
+    {_duck_vec_ctes('toks', '')},
+    qtoks AS (
+      SELECT CAST(-1 AS BIGINT) AS doc_id,
+             unnest({_RRF_TERMS_LIST}) AS tok
+    ),
+    {_duck_vec_ctes('qtoks', 'q')},
+    sem AS (
+      SELECT neighbor_id AS doc_id, rank AS rank_sem FROM (
+        SELECT c.doc_id AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY ({_DUCK_COS}) DESC, c.doc_id ASC
+               ) AS rank
+        FROM vec c, qvec q
+        WHERE list_sum(list_transform(c.embedding, x -> x * x)) > 0
+          AND list_sum(list_transform(q.embedding, x -> x * x)) > 0
+      ) WHERE rank <= 10
+    )
+    SELECT doc_id,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_sem AS BIGINT) AS rank_sem,
+           CAST(COALESCE({RRF_SCALE} // ({RRF_K} + rank_lex), 0)
+                + COALESCE({RRF_SCALE} // ({RRF_K} + rank_sem), 0)
+                AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (
+             ORDER BY COALESCE({RRF_SCALE} // ({RRF_K} + rank_lex), 0)
+                      + COALESCE({RRF_SCALE} // ({RRF_K} + rank_sem), 0)
+                      DESC, doc_id ASC
+           ) AS BIGINT) AS fused_rank
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
 """
 
 

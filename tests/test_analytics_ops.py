@@ -972,3 +972,40 @@ def test_wow_change_lag_and_first_week(spark):
     # week of 2024-01-08: 1 vs 2 -> -5000 bp
     assert rows[("click", "2024-01-08")]["change_bp"] == -5000
     assert rows[("view", "2024-01-08")]["prev_week_events"] is None
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """RRF fusion ledger: every row's rrf_micro equals the integer
+    formula over its (nullable) leg ranks, both-leg docs dominate any
+    doc whose single leg rank is no better, and fused_rank is the
+    (rrf desc, doc_id) total order."""
+    from real_time_data_pipeline_spark.queries.text import (
+        RRF_K,
+        RRF_SCALE,
+        q_hybrid_rrf,
+    )
+
+    rows = sorted(
+        q_hybrid_rrf(spark, sf_dir).collect(), key=lambda r: r["fused_rank"]
+    )
+    assert rows, "fusion produced no rows"
+
+    def term(rank):
+        return 0 if rank is None else RRF_SCALE // (RRF_K + rank)
+
+    prev = None
+    for r in rows:
+        assert r["rank_lex"] is not None or r["rank_sem"] is not None
+        assert r["rrf_micro"] == term(r["rank_lex"]) + term(r["rank_sem"])
+        key = (-r["rrf_micro"], r["doc_id"])
+        assert prev is None or prev < key
+        prev = key
+    both = [r for r in rows if r["rank_lex"] and r["rank_sem"]]
+    for b in both:
+        for r in rows:
+            if (
+                (r["rank_lex"] is None or r["rank_lex"] >= b["rank_lex"])
+                and (r["rank_sem"] is None or r["rank_sem"] >= b["rank_sem"])
+                and r["doc_id"] != b["doc_id"]
+            ):
+                assert b["rrf_micro"] >= r["rrf_micro"]

@@ -159,6 +159,8 @@ SEMANTICALLY_BOUNDED = {
     "hard_negatives": "5-probe anchor set (vec_id < 5)",
     "ann_pq_shortlist_superset": "5-probe anchor set (the exact leg's "
     "query frame), same bound as ann_pq_topk's siblings",
+    "ann_ivfpq_shortlist_superset": "5-probe anchor set (the exact "
+    "leg's query frame), same bound as ann_pq_shortlist_superset",
     # group-by-SPARK_PARTITION_ID boundary frame: <= numPartitions rows
     # (the two-phase distributed-rank recipe); the plan groups by the
     # projected attribute, so the expression-level proof can't see it
@@ -190,7 +192,8 @@ ARROW_PYTHON_ALLOWED = {
     # vectorized numpy GEMM / codebook scans over packed float arrays
     # (operators/similarity.py: Arrow-batched, the documented fast path)
     "ann_gemm_topk", "ann_pq_topk", "ann_pq_topk_rerank",
-    "ann_ivfpq_topk", "ann_pq_shortlist_superset", "embedding_pca",
+    "ann_ivfpq_topk", "ann_pq_shortlist_superset",
+    "ann_ivfpq_shortlist_superset", "embedding_pca",
     "embedding_quantization", "kmeans_clusters",
     # bloom-bitmap probe: distributed bit_or bitmap tested vectorized
     # (operators/curation.py:860)
