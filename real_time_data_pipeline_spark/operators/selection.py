@@ -905,3 +905,146 @@ def nb_confusion(
         .groupBy(label_col, f"pred_{label_col}")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+def nb_fit(
+    train_docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    classes: tuple = NB_CLASSES,
+    n_buckets: int = DSIR_BUCKETS,
+    portable: bool = True,
+) -> tuple:
+    """Fit the NB model on a labeled history slice and return its TWO
+    broadcastable frames — ``wt`` (cls, bucket, lg_ct), ≤ |C|·B rows,
+    and ``consts`` (cls, prior_fp, lg_den), |C| rows.  Together they
+    ARE the model (the count table is the sufficient statistic), which
+    is what makes the streaming gate shape work: freeze these at
+    train time, score every arriving micro-batch against them without
+    ever re-reading the history (the stream_dsir_gate dataflow)."""
+    toks = train_docs.select(
+        F.col(label_col).alias("cls"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).select("cls", _bucket_col(portable, n_buckets).alias("bucket"))
+    cls_counts = toks.groupBy("cls", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wt = log2_fp16(cls_counts, "cnt + 1", "lg_ct").select(
+        "cls", "bucket", "lg_ct"
+    )
+    n_classes = len(classes)
+    spark = train_docs.sparkSession
+    cls_frame = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in classes])).alias("cls")
+    )
+    consts = (
+        cls_frame.join(
+            cls_counts.groupBy("cls").agg(
+                F.sum("cnt").cast("bigint").alias("t_c")
+            ),
+            "cls",
+            "left",
+        )
+        .join(
+            train_docs.groupBy(F.col(label_col).alias("cls")).agg(
+                F.count("*").cast("bigint").alias("nd_c")
+            ),
+            "cls",
+            "left",
+        )
+        .select(
+            "cls",
+            F.coalesce("t_c", F.lit(0)).cast("bigint").alias("t_c"),
+            F.coalesce("nd_c", F.lit(0)).cast("bigint").alias("nd_c"),
+        )
+        .crossJoin(
+            F.broadcast(
+                log2_fp16(
+                    train_docs.agg(
+                        F.count("*").cast("bigint").alias("n_train")
+                    ),
+                    f"n_train + {n_classes}",
+                    "lg_pd",
+                ).select("lg_pd")
+            )
+        )
+    )
+    consts = log2_fp16(consts, f"t_c + {n_buckets}", "lg_den")
+    consts = log2_fp16(consts, "nd_c + 1", "lg_pn")
+    return wt, consts.select(
+        "cls",
+        (F.col("lg_pn") - F.col("lg_pd")).cast("bigint").alias("prior_fp"),
+        "lg_den",
+    )
+
+
+def nb_score_against(
+    docs: DataFrame,
+    wt: DataFrame,
+    consts: DataFrame,
+    classes: tuple = NB_CLASSES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_out: str = "pred_label",
+    n_buckets: int = DSIR_BUCKETS,
+    portable: bool = True,
+) -> DataFrame:
+    """Score docs against a FROZEN NB model (:func:`nb_fit` frames) —
+    the inference half: bucket counts per doc, one broadcast join per
+    frame, argmax + margin.  Output: (id, <label_out>, score_fp,
+    margin_fp)."""
+    doc_bkt = (
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .select(id_col, _bucket_col(portable, n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    doc_tot = docs.select(id_col).join(
+        doc_bkt.groupBy(id_col).agg(
+            F.sum("k").cast("bigint").alias("n_tok")
+        ),
+        id_col,
+        "left",
+    ).select(
+        id_col, F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok")
+    )
+    partial = (
+        doc_bkt.join(F.broadcast(wt), "bucket")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("k") * F.col("lg_ct")).cast("bigint").alias("part"))
+    )
+    scored = (
+        doc_tot.select(
+            "*",
+            F.explode(F.array(*[F.lit(c) for c in classes])).alias("cls"),
+        )
+        .join(F.broadcast(consts), "cls")
+        .join(partial, [id_col, "cls"], "left")
+        .select(
+            id_col,
+            "cls",
+            (
+                F.col("prior_fp")
+                + F.coalesce("part", F.lit(0))
+                - F.col("n_tok") * F.col("lg_den")
+            )
+            .cast("bigint")
+            .alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_fp"), F.asc("cls"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.lead("score_fp").over(w).alias("score2"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        id_col,
+        F.col("cls").alias(label_out),
+        "score_fp",
+        (F.col("score_fp") - F.coalesce("score2", F.col("score_fp")))
+        .cast("bigint")
+        .alias("margin_fp"),
+    )

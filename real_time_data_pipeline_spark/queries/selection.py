@@ -553,11 +553,14 @@ QUERIES["nb_confusion"] = q_nb_confusion
 _NB_CLASSES_SQL = ", ".join(f"('{c}')" for c in NB_SPEED_CLASSES)
 
 # Full model recompute: counts, priors, denominators, per-doc argmax —
-# every log through the shared fp16 grid.
-_NB_CTES = f"""
+# every log through the shared fp16 grid.  ONE generator for the batch
+# classifier and the streaming gate oracles (different train/score
+# slices, same model recipe) so the smoothing can never drift.
+def _nb_ctes(test_pred_sql: str, score_where: str = "") -> str:
+    return f"""
     lab AS (
       SELECT doc_id,
-             CASE WHEN doc_id % {SEL.NB_HOLDOUT_MOD} = 0
+             CASE WHEN {test_pred_sql}
                   THEN 'test' ELSE 'train' END AS split,
              CASE WHEN nf > ns THEN 'fast'
                   WHEN nf < ns THEN 'slow'
@@ -581,7 +584,7 @@ _NB_CTES = f"""
              CAST(COALESCE(s.n_tok, 0) AS BIGINT) AS n_tok
       FROM lab l LEFT JOIN (
         SELECT doc_id, SUM(k) AS n_tok FROM docbkt GROUP BY 1
-      ) s USING (doc_id)
+      ) s USING (doc_id) {score_where}
     ),
     clsc0 AS (
       SELECT l.speed_label AS cls, b.bucket, CAST(SUM(b.k) AS BIGINT) AS cnt
@@ -643,6 +646,9 @@ _NB_CTES = f"""
       FROM nbranked WHERE rn = 1
     )"""
 
+
+_NB_CTES = _nb_ctes(f"doc_id % {SEL.NB_HOLDOUT_MOD} = 0")
+
 ORACLES["nb_classify"] = f"""
     WITH {_FPGRID},
     {_NB_CTES}
@@ -654,4 +660,70 @@ ORACLES["nb_confusion"] = f"""
     {_NB_CTES}
     SELECT speed_label, pred_speed_label, CAST(COUNT(*) AS BIGINT) AS n
     FROM nbout WHERE split = 'test' GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ stream_nb_gate
+
+def q_stream_nb_gate(spark, sf_dir):
+    """Streaming twin of the NB classification gate: the model is
+    FROZEN on the history slice (doc_id % 10 != 0 — nb_fit's two
+    broadcastable frames), then the increment ARRIVES AS A STREAM and
+    every micro-batch classifies its docs against the frozen frames
+    (operators/selection.nb_score_against) through
+    readStream→foreachBatch — the stream_dsir_gate dataflow with an
+    argmax classifier in place of the importance score.  A doc's
+    tokens land in one batch, so per-batch outputs are disjoint by doc
+    id and their union equals the one-shot scoring — the property the
+    oracle (a ground-up batch recompute of model + increment scores)
+    pins end-to-end."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    docs = _docs_with_speed_label(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    wt, consts = SEL.nb_fit(
+        hist, label_col="speed_label", classes=NB_SPEED_CLASSES
+    )
+    wt = wt.cache()
+    consts = consts.cache()
+    out_schema = SEL.nb_score_against(
+        docs.limit(0), wt.limit(0), consts.limit(0),
+        classes=NB_SPEED_CLASSES,
+    ).schema
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents*.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    rows: list = []
+
+    def sink(batch, _batch_id):
+        rows.extend(
+            SEL.nb_score_against(
+                batch, wt, consts, classes=NB_SPEED_CLASSES
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_nb_gate")
+    wt.unpersist()
+    consts.unpersist()
+    return spark.createDataFrame(rows, out_schema)
+
+
+QUERIES["stream_nb_gate"] = q_stream_nb_gate
+
+ORACLES["stream_nb_gate"] = f"""
+    WITH {_FPGRID},
+    {_nb_ctes("doc_id % 10 = 0", "WHERE l.split = 'test'")}
+    SELECT doc_id, pred_speed_label AS pred_label, score_fp, margin_fp
+    FROM nbout
 """

@@ -430,3 +430,35 @@ def test_nb_classifier_beats_majority_prior(spark, sf_dir):
     acc = sum(r["correct"] for r in rows)
     prior = Counter(r["speed_label"] for r in rows).most_common(1)[0][1]
     assert acc > prior
+
+
+def test_nb_fit_score_pair_reproduces_train_classify(spark, sf_dir):
+    """The streaming gate's fit/score split is the SAME model: freezing
+    nb_fit on the train slice and scoring every doc reproduces
+    nb_train_classify's (pred, score, margin) row-for-row."""
+    from real_time_data_pipeline_spark.queries.selection import (
+        NB_SPEED_CLASSES,
+        _docs_with_speed_label,
+    )
+
+    docs = _docs_with_speed_label(spark, sf_dir)
+    full = S.nb_train_classify(
+        docs, label_col="speed_label", classes=NB_SPEED_CLASSES
+    )
+    wt, consts = S.nb_fit(
+        docs.filter(F.col("doc_id") % S.NB_HOLDOUT_MOD != 0),
+        label_col="speed_label",
+        classes=NB_SPEED_CLASSES,
+    )
+    pair = S.nb_score_against(
+        docs, wt, consts, classes=NB_SPEED_CLASSES, label_out="pred"
+    )
+    want = {
+        r["doc_id"]: (r["pred_speed_label"], r["score_fp"], r["margin_fp"])
+        for r in full.collect()
+    }
+    got = {
+        r["doc_id"]: (r["pred"], r["score_fp"], r["margin_fp"])
+        for r in pair.collect()
+    }
+    assert got == want
