@@ -120,7 +120,11 @@ _R8_PRIORITY = [
 
 # Round-9 rotation: new round-8 additions first — the selection tier
 # (dsir_weights, dsir_select, ccnet_ppl_buckets, weighted_sample_aes,
-# all oracle-backed on the shared fixed-point log2) — then the
+# all oracle-backed on the shared fixed-point log2), the late-r8
+# additions (nb_classify, nb_confusion, stream_nb_gate, kmv_distinct,
+# kmv_merge, stream_kmv_fold, hybrid_rrf, ann_ivfpq_shortlist_superset,
+# dsir_sample_gumbel, cms_heavy_hitters, ccnet_bigram_ppl,
+# dsir_weights_incremental, stream_dsir_gate) — then the
 # remaining stale verdicts:
 # alerts (r01, yielded its r8 slot to semdedup),
 # sliding_window_agg (r01; its streaming twin is newer), order_ranking,
