@@ -1436,3 +1436,86 @@ def theil_sen_trend(
         F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
         "slope_u",
     )
+
+
+def change_point_binary(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Single change-point detection by binary segmentation (the first
+    split of Scott & Knott / the CUSUM-location argmax), engine-exact:
+    for each candidate split s of the per-group (x, y) series, the
+    between-group sum of squares
+
+        SS_b(s) = n_L·n_R/N · (mean_L − mean_R)²
+                = (S_L·n_R − S_R·n_L)² / (N·n_L·n_R)
+
+    is evaluated as ``D² · scale div (N·n_L·n_R)`` with the square in
+    DECIMAL(38,0) (DuckDB: HUGEINT — the contingency_chi2 recipe), so
+    the argmax and the gain itself are exact integers, never a float
+    variance.  The winning split maximizes SS_b, which for a single
+    change-point equals minimizing total within-segment SSE (the Σy²
+    term cancels).  Headroom: |D| ≤ Σ|y|·n ~ 1e12 at sf0.1 → D²·scale
+    ~ 1e26 ≪ 1e38; the quotient ~ 1e17 fits bigint through ~1e3× this
+    scale — past that, pre-divide y (cents → dollars) on both engines.
+
+    Output per group: (group, split_x — the last x of the left
+    segment, n_left, n_right, mean_left, mean_right — exact integral
+    divisions, gain_u — SS_b in scale-ths of y-units²).
+
+    Scale shape: one (group, x) hash aggregate is the only data-scale
+    shuffle; the candidate sweep is two windows over the x-DOMAIN
+    grain (days, not rows) per group; the argmax is a row_number over
+    the same partition."""
+    pts = df.groupBy(group_col, x_col).agg(
+        F.sum(y_col).cast("bigint").alias("y")
+    )
+    w = Window.partitionBy(group_col).orderBy(x_col)
+    wall = Window.partitionBy(group_col)
+    cand = (
+        pts.select(
+            group_col,
+            x_col,
+            F.row_number().over(w).cast("bigint").alias("n_l"),
+            F.sum("y").over(w).cast("bigint").alias("s_l"),
+            F.count("*").over(wall).cast("bigint").alias("n"),
+            F.sum("y").over(wall).cast("bigint").alias("s"),
+        )
+        .filter(F.col("n_l") < F.col("n"))
+        .select(
+            group_col,
+            x_col,
+            "n_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            "s_l",
+            (F.col("s") - F.col("s_l")).alias("s_r"),
+            "n",
+        )
+        .withColumn(
+            "gain_u",
+            F.expr(
+                f"(CAST(s_l * n_r - s_r * n_l AS DECIMAL(38,0))"
+                f" * CAST(s_l * n_r - s_r * n_l AS DECIMAL(38,0))"
+                f" * {scale}) div (n * n_l * n_r)"
+            ).cast("bigint"),
+        )
+    )
+    pick = Window.partitionBy(group_col).orderBy(
+        F.desc("gain_u"), F.asc(x_col)
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            group_col,
+            F.col(x_col).alias("split_x"),
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+            F.expr("s_l div n_l").cast("bigint").alias("mean_left"),
+            F.expr("s_r div n_r").cast("bigint").alias("mean_right"),
+            "gain_u",
+        )
+    )

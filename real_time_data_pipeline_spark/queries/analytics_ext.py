@@ -2062,3 +2062,70 @@ ORACLES["grouping_sets_revenue"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY GROUPING SETS ((c.c_mktsegment), (EXTRACT(year FROM o.o_orderdate)), ())
 """
+
+
+def q_change_point(spark, sf_dir):
+    """Single change-point per event-type daily-revenue series by
+    binary segmentation (operators/statistics.change_point_binary):
+    the split maximizing the exact integer between-group sum of
+    squares — CUSUM's location argmax with no float variance anywhere,
+    the monitoring primitive that answers "WHEN did this series
+    shift"."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        change_point_binary,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily_in = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    out = change_point_binary(daily_in, "event_type", "day", "cents")
+    return out.select(
+        "event_type",
+        F.date_format("split_x", "yyyy-MM-dd").alias("split_day"),
+        "n_left",
+        "n_right",
+        "mean_left",
+        "mean_right",
+        "gain_u",
+    )
+
+
+QUERIES["change_point"] = q_change_point
+
+ORACLES["change_point"] = """
+    WITH pts AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT event_type, day,
+             CAST(row_number() OVER w AS BIGINT) AS n_l,
+             CAST(SUM(y) OVER w AS BIGINT) AS s_l,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, day, n_l, n - n_l AS n_r, s_l, s - s_l AS s_r, n,
+             CAST((CAST(s_l * (n - n_l) - (s - s_l) * n_l AS HUGEINT)
+                   * CAST(s_l * (n - n_l) - (s - s_l) * n_l AS HUGEINT)
+                   * 100)
+                  // (n * n_l * (n - n_l)) AS BIGINT) AS gain_u
+      FROM cand WHERE n_l < n
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+           n_l AS n_left, n_r AS n_right,
+           CAST(s_l // n_l AS BIGINT) AS mean_left,
+           CAST(s_r // n_r AS BIGINT) AS mean_right,
+           gain_u
+    FROM (
+      SELECT sc.*, row_number() OVER (
+        PARTITION BY event_type ORDER BY gain_u DESC, day
+      ) AS rn FROM scored sc
+    ) WHERE rn = 1
+"""

@@ -607,3 +607,47 @@ def test_theil_sen_robust_to_outlier(spark):
     one = spark.createDataFrame([("z", 3, 7, 1)], "g string, x long, y long, s long")
     rz = theil_sen_trend(one, "g", "x", "y", "s").collect()[0]
     assert rz["slope_u"] is None and rz["n_pairs"] == 0
+
+
+def test_change_point_finds_planted_step(spark):
+    """A clean level shift is recovered exactly: split after the last
+    low day, segment means exact, gain equals the closed form
+    n_l*n_r/N*(m_l-m_r)^2 (x100).  A brute-force argmax over all
+    splits agrees on a noisy series too."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        change_point_binary,
+    )
+
+    rows = [("a", x, 100) for x in range(10)]
+    rows += [("a", x, 500) for x in range(10, 25)]
+    # noisy series: deterministic pseudo-noise around a shift at x=12
+    noisy = [
+        ("b", x, (200 if x < 12 else 900) + (x * 37 % 11) - 5)
+        for x in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows + noisy, "grp string, x int, y long"
+    )
+    got = {
+        r["grp"]: r
+        for r in change_point_binary(df, "grp", "x", "y").collect()
+    }
+    a = got["a"]
+    assert (a["split_x"], a["n_left"], a["n_right"]) == (9, 10, 15)
+    assert (a["mean_left"], a["mean_right"]) == (100, 500)
+    # SS_b = n_l*n_r/N*(m_l-m_r)^2 = 10*15/25*400^2 = 960000 (x100)
+    assert a["gain_u"] == 96_000_000
+
+    # brute force on the noisy series
+    ys = [y for (_, _, y) in noisy]
+    n, s = len(ys), sum(ys)
+    best = max(
+        (
+            ((sum(ys[:i]) * (n - i) - (s - sum(ys[:i])) * i) ** 2 * 100)
+            // (n * i * (n - i)),
+            -i,
+        )
+        for i in range(1, n)
+    )
+    b = got["b"]
+    assert b["gain_u"] == best[0] and b["split_x"] == -best[1] - 1
