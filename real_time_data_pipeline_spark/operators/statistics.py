@@ -1519,3 +1519,97 @@ def change_point_binary(
             "gain_u",
         )
     )
+
+
+def attribution_u_shape(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    touch_types: tuple = ("click", "view"),
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution with EXACT
+    integer allocation — the path-grain upgrade of last-touch: each
+    conversion's credit splits over the touches since the user's
+    previous conversion as 40% first / 40% last / 20% spread over the
+    middles (1 touch → 100%, 2 → 50/50), weights in basis points with
+    the 20% remainder distributed to the EARLIEST middles
+    (largest-remainder rule on equal fractions), so per conversion the
+    weights sum to exactly 10000 and the emitted credit — in
+    cents·bp — sums to exactly ``value_c · 10000``.  Pathless
+    conversions credit 'direct'.
+
+    Scale shape: one window pass per user assigns every event its
+    conversion index (running count of conversions — touches attach to
+    the NEXT conversion); position/path-length are a second window on
+    the (user, conversion) grain; the value join is conversion-grain;
+    the rollup is |touch types|-bounded.  Per-user state is never
+    materialized beyond the window frames."""
+    w = Window.partitionBy(user_col).orderBy("ts", "event_id")
+    is_conv = (F.col(type_col) == convert_type).cast("bigint")
+    base = df.select(
+        user_col,
+        "ts",
+        "event_id",
+        type_col,
+        F.floor(F.coalesce(F.col(value_col), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("value_c"),
+        F.sum(is_conv).over(w).alias("p_upto"),
+    )
+    convs = base.filter(F.col(type_col) == convert_type).select(
+        user_col,
+        F.col("p_upto").alias("conv_idx"),
+        "value_c",
+    )
+    touches = base.filter(F.col(type_col).isin(*touch_types)).select(
+        user_col,
+        type_col,
+        "ts",
+        "event_id",
+        (F.col("p_upto") + 1).alias("conv_idx"),
+    )
+    wp = Window.partitionBy(user_col, "conv_idx").orderBy("ts", "event_id")
+    wk = Window.partitionBy(user_col, "conv_idx")
+    pos = touches.select(
+        user_col,
+        type_col,
+        "conv_idx",
+        F.row_number().over(wp).cast("bigint").alias("i"),
+        F.count("*").over(wk).cast("bigint").alias("k"),
+    )
+    weighted = pos.withColumn(
+        "w_bp",
+        F.expr(
+            "CASE WHEN k = 1 THEN 10000 "
+            "WHEN k = 2 THEN 5000 "
+            "WHEN i = 1 OR i = k THEN 4000 "
+            "ELSE 2000 div (k - 2) "
+            "  + (CASE WHEN i - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END) "
+            "END"
+        ).cast("bigint"),
+    )
+    credited = weighted.join(convs, [user_col, "conv_idx"]).select(
+        F.col(type_col).alias("touch_type"),
+        (F.col("value_c") * F.col("w_bp")).alias("credit_cbp"),
+    )
+    direct = (
+        convs.join(
+            weighted.select(user_col, "conv_idx").distinct(),
+            [user_col, "conv_idx"],
+            "left_anti",
+        )
+        .select(
+            F.lit("direct").alias("touch_type"),
+            (F.col("value_c") * F.lit(10000)).alias("credit_cbp"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum("credit_cbp").cast("bigint").alias("credit_cbp"),
+        )
+    )

@@ -2129,3 +2129,77 @@ ORACLES["change_point"] = """
       ) AS rn FROM scored sc
     ) WHERE rn = 1
 """
+
+
+def q_attribution_u_shape(spark, sf_dir):
+    """U-shaped multi-touch attribution
+    (operators/statistics.attribution_u_shape): per-conversion paths
+    (touches since the previous purchase), 40/20/40 position weights
+    in exact bp with the largest-remainder middle spread — credits per
+    conversion sum to EXACTLY value_c·10000, the path-grain companion
+    of attribution_last_touch."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        attribution_u_shape,
+    )
+
+    return attribution_u_shape(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["attribution_u_shape"] = q_attribution_u_shape
+
+ORACLES["attribution_u_shape"] = """
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT) AS value_c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS p_upto
+      FROM events
+    ),
+    convs AS (
+      SELECT user_id, p_upto AS conv_idx, value_c
+      FROM base WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type, ts, event_id, p_upto + 1 AS conv_idx
+      FROM base WHERE event_type IN ('click', 'view')
+    ),
+    pos AS (
+      SELECT user_id, event_type, conv_idx,
+             CAST(row_number() OVER (
+               PARTITION BY user_id, conv_idx ORDER BY ts, event_id
+             ) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id, conv_idx
+             ) AS BIGINT) AS k
+      FROM touches
+    ),
+    weighted AS (
+      SELECT p.*,
+             CAST(CASE WHEN k = 1 THEN 10000
+                  WHEN k = 2 THEN 5000
+                  WHEN i = 1 OR i = k THEN 4000
+                  ELSE 2000 // (k - 2)
+                    + (CASE WHEN i - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS w_bp
+      FROM pos p
+    ),
+    credited AS (
+      SELECT w.event_type AS touch_type, c.value_c * w.w_bp AS credit_cbp
+      FROM weighted w JOIN convs c USING (user_id, conv_idx)
+    ),
+    direct AS (
+      SELECT 'direct' AS touch_type, c.value_c * 10000 AS credit_cbp
+      FROM convs c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM weighted w
+        WHERE w.user_id = c.user_id AND w.conv_idx = c.conv_idx
+      )
+    ),
+    unioned AS (
+      SELECT * FROM credited UNION ALL SELECT * FROM direct
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(credit_cbp) AS BIGINT) AS credit_cbp
+    FROM unioned GROUP BY 1
+"""

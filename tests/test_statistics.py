@@ -651,3 +651,47 @@ def test_change_point_finds_planted_step(spark):
     )
     b = got["b"]
     assert b["gain_u"] == best[0] and b["split_x"] == -best[1] - 1
+
+
+def test_attribution_u_shape_goldens_and_exact_sum(spark):
+    """Hand-built paths: 1-touch 100%, 2-touch 50/50, 5-touch
+    40/20/40 with the remainder rule (2000//3=666 rem 2 -> middles
+    667,667,666); pathless purchase credits 'direct'; per-conversion
+    credits sum to exactly value_c*10000."""
+    from real_time_data_pipeline_spark.operators.statistics import (
+        attribution_u_shape,
+    )
+
+    rows = []
+    # user 1: one click then purchase 100.00 -> click 100%
+    rows += [(1, "2024-01-01 00:00:01", 1, "click", None),
+             (1, "2024-01-01 00:00:02", 2, "purchase", 100.0)]
+    # user 2: view, click, purchase 50.00 -> 50/50
+    rows += [(2, "2024-01-01 00:00:01", 3, "view", None),
+             (2, "2024-01-01 00:00:02", 4, "click", None),
+             (2, "2024-01-01 00:00:03", 5, "purchase", 50.0)]
+    # user 3: c v v v c then purchase 1.00 -> 4000,667,667,666,4000
+    rows += [(3, "2024-01-01 00:00:01", 6, "click", None),
+             (3, "2024-01-01 00:00:02", 7, "view", None),
+             (3, "2024-01-01 00:00:03", 8, "view", None),
+             (3, "2024-01-01 00:00:04", 9, "view", None),
+             (3, "2024-01-01 00:00:05", 10, "click", None),
+             (3, "2024-01-01 00:00:06", 11, "purchase", 1.0)]
+    # user 4: pathless purchase 9.99 -> direct
+    rows += [(4, "2024-01-01 00:00:01", 12, "purchase", 9.99)]
+    # user 4 second path: touch AFTER the last purchase is uncredited
+    rows += [(4, "2024-01-01 00:00:02", 13, "click", None)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["touch_type"]: (r["n_credits"], r["credit_cbp"])
+        for r in attribution_u_shape(df).collect()
+    }
+    # click: u1 10000*10000 + u2 5000*5000 + u3 (4000+4000)*100
+    assert got["click"] == (4, 100_000_000 + 25_000_000 + 800_000)
+    # view: u2 5000*5000 + u3 (667+667+666)*100
+    assert got["view"] == (4, 25_000_000 + 200_000)
+    assert got["direct"] == (1, 999 * 10000)
+    total = sum(v for _, v in got.values())
+    assert total == (10000 + 5000 + 100 + 999) * 10000
