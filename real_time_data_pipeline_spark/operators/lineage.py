@@ -123,3 +123,69 @@ def track_processing_step(
     data_lineage.py:224-260)."""
     append_lineage(lineage_records(df, stage, process_name, **kw), path)
     return df
+
+
+def merkle_manifest(
+    df: DataFrame,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    fanout_hex: int = 2,
+) -> DataFrame:
+    """Merkle integrity manifest of a partitioned corpus — the
+    verification ledger a 100 TB data-versioning story needs next to
+    the row-grain lineage table: per-partition content hashes roll up
+    a fixed-fanout hash tree to ONE root, so two corpus replicas (or
+    two points in time — compose with snapshot_diff to find WHAT
+    changed) compare in O(partitions) hash lookups, and a re-ingest
+    verifies per partition without touching the rest.
+
+    Tree: doc fingerprint = sha256(id ':' content); docs bucket by the
+    first ``fanout_hex`` hex chars of their fingerprint (256 buckets at
+    2 — grow with the corpus so each bucket's member list stays
+    executor-sized); bucket hash = sha256 of the fingerprints
+    concatenated in SORTED order (order-independent of ingest);
+    partition hash = sha256 of its sorted bucket hashes; root = sha256
+    of the sorted partition hashes.  Every step is sha256-of-strings —
+    reproducible in any engine, so the whole manifest sits under a
+    value-hash oracle.
+
+    Output: one row per partition (level='source') + the root row
+    (level='root', key='__all__'), each with its doc count.
+
+    Scale shape: one (partition, bucket) hash aggregate over the
+    corpus — the only data-scale shuffle — then partition-grain and
+    1-row folds; collect_list is bucket-bounded by fanout choice."""
+    fp = F.sha2(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(content_col)),
+        256,
+    )
+    buckets = (
+        df.select(
+            F.col(part_col).alias("key"),
+            fp.alias("fp"),
+        )
+        .withColumn("bkt", F.substring("fp", 1, fanout_hex))
+        .groupBy("key", "bkt")
+        .agg(
+            F.sha2(F.array_join(F.array_sort(F.collect_list("fp")), ""), 256)
+            .alias("h"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    parts = buckets.groupBy("key").agg(
+        F.sha2(F.array_join(F.array_sort(F.collect_list("h")), ""), 256)
+        .alias("hash"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+    )
+    root = parts.agg(
+        F.sha2(F.array_join(F.array_sort(F.collect_list("hash")), ""), 256)
+        .alias("hash"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+    ).select(F.lit("__all__").alias("key"), "hash", "n_docs")
+    return (
+        parts.select("key", "hash", "n_docs")
+        .withColumn("level", F.lit("source"))
+        .unionByName(root.withColumn("level", F.lit("root")))
+        .select("level", "key", "n_docs", "hash")
+    )

@@ -64,3 +64,48 @@ ORACLES = {
         GROUP BY 2
     """,
 }
+
+
+def q_corpus_merkle(spark, sf_dir):
+    """Merkle integrity manifest of the document corpus
+    (operators/lineage.merkle_manifest): per-source content hashes
+    rolled up a fixed-fanout sha256 tree to one root — replica/epoch
+    verification in O(partitions) comparisons, every hash reproducible
+    in any engine."""
+    from real_time_data_pipeline_spark.operators.lineage import (
+        merkle_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merkle_manifest(docs)
+
+
+QUERIES["corpus_merkle"] = q_corpus_merkle
+
+ORACLES["corpus_merkle"] = """
+    WITH fp AS (
+      SELECT source AS key,
+             sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS fp
+      FROM documents
+    ),
+    b AS (
+      SELECT key, substr(fp, 1, 2) AS bkt,
+             sha256(string_agg(fp, '' ORDER BY fp)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM fp GROUP BY 1, 2
+    ),
+    parts AS (
+      SELECT key, sha256(string_agg(h, '' ORDER BY h)) AS hash,
+             CAST(SUM(n) AS BIGINT) AS n_docs
+      FROM b GROUP BY 1
+    ),
+    root AS (
+      SELECT '__all__' AS key,
+             sha256(string_agg(hash, '' ORDER BY hash)) AS hash,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs
+      FROM parts
+    )
+    SELECT 'source' AS level, key, n_docs, hash FROM parts
+    UNION ALL
+    SELECT 'root' AS level, key, n_docs, hash FROM root
+"""

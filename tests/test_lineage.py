@@ -56,3 +56,44 @@ def test_lineage_readback_time_ordered(spark, tmp_path):
     assert sorted(r.processing_stage for r in back) == ["receive", "validate"]
     ts = [r.processing_timestamp for r in back]
     assert ts == sorted(ts)  # ordered by processing_timestamp
+
+
+def test_merkle_manifest_detects_tamper_and_ignores_order(spark):
+    """Root/partition hashes are ingest-order-free; a single-char edit
+    in one partition changes THAT partition's hash and the root, and
+    no other partition's."""
+    rows = [(i, f"doc text {i}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = {
+        (r["level"], r["key"]): (r["hash"], r["n_docs"])
+        for r in lineage.merkle_manifest(df).collect()
+    }
+    assert len(base) == 4 and ("root", "__all__") in base
+    assert base[("root", "__all__")][1] == 30
+
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, text string, source string"
+    ).repartition(7)
+    again = {
+        (r["level"], r["key"]): (r["hash"], r["n_docs"])
+        for r in lineage.merkle_manifest(shuffled).collect()
+    }
+    assert again == base
+
+    tampered_rows = [
+        (i, ("doc text X" if i == 4 else f"doc text {i}"), f"s{i % 3}")
+        for i in range(30)
+    ]
+    tampered = {
+        (r["level"], r["key"]): r["hash"]
+        for r in lineage.merkle_manifest(
+            spark.createDataFrame(
+                tampered_rows, "doc_id long, text string, source string"
+            )
+        ).collect()
+    }
+    # doc 4 lives in s1: only s1's hash and the root change
+    assert tampered[("source", "s1")] != base[("source", "s1")][0]
+    assert tampered[("root", "__all__")] != base[("root", "__all__")][0]
+    for k in (("source", "s0"), ("source", "s2")):
+        assert tampered[k] == base[k][0]

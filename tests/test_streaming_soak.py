@@ -2,14 +2,15 @@
 micro-batches (VERDICT r4 item #6 — the closest sandbox-feasible
 stand-in for the env-blocked live-Kafka run).
 
-Two rate-source streams drive SEVEN concurrent queries — the
+Two rate-source streams drive NINE concurrent queries — the
 transaction side (the S9 partitioned warehouse sink on `enriched`,
 parquet side sinks for `alerts` (S11) and `dead_letter` (S10), and the
 watermarked windowed aggregation) plus, since round 8 (VERDICT r7 #8),
 the round-7 ingest gates on a synthetic document stream (ExactSubstr
 decontamination, the combined curation verdict, and the
-calibration-drift counter fold) — and the test asserts the properties
-a long-lived production run depends on:
+calibration-drift counter fold) and the round-8 late gates (the frozen
+NB classification gate, the KMV distinct-sketch fold) — and the test
+asserts the properties a long-lived production run depends on:
 
 * every query processes >=100 micro-batches with zero exceptions;
 * aggregation STATE stays bounded by (windows x keys), NOT by input
@@ -38,7 +39,10 @@ from real_time_data_pipeline_spark.operators import cache
 from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources
 
 TARGET_BATCHES = 100
-TIMEOUT_S = 420
+# 9 concurrent queries share the one local scheduler; the slowest gate
+# sustains ~8-9 batches/min under full contention (measured r8), so 100
+# batches needs ~12 min of headroom.
+TIMEOUT_S = 900
 
 
 class _InputRowCounter(StreamingQueryListener):
@@ -164,6 +168,74 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
     def flags_sink(flags, _i):
         flags_stats["rows"] += flags.count()
 
+    # --- round-8 late gates: the NB classification gate (model frozen
+    # once on a static bootstrap built by the SAME generator expression,
+    # every micro-batch argmax-classified against the two broadcast
+    # model frames) and the KMV distinct-sketch fold (per-batch
+    # ≤|sources|·k sketch frames merged into driver state — the
+    # monitoring shape whose batch/stream equality stream_kmv_fold
+    # certifies).
+    from real_time_data_pipeline_spark.operators import (
+        aggregates as agg_ops,
+        selection as sel_ops,
+    )
+
+    boot = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), j), F.lit(500))
+                ),
+            ),
+        ).alias("text"),
+        F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(5))).alias("source"),
+    )
+    nb_classes = tuple(f"s{i}" for i in range(5))
+    nb_wt, nb_consts = sel_ops.nb_fit(
+        boot, label_col="source", classes=nb_classes
+    )
+    nb_wt = nb_wt.cache()
+    nb_consts = nb_consts.cache()
+    nb_wt.count(), nb_consts.count()  # materialize once, before the soak
+    nb_stats = {"rows": 0}
+
+    def nb_gate(batch, _i):
+        nb_stats["rows"] += sel_ops.nb_score_against(
+            batch, nb_wt, nb_consts, classes=nb_classes
+        ).count()
+
+    kmv_state: dict = {}
+
+    def kmv_fold(batch, _i):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("h")
+        sk = (
+            batch.select(
+                "source",
+                F.pmod(F.xxhash64("doc_id"), F.lit(5000)).alias("v"),
+            )
+            .select(
+                "source",
+                F.pmod(F.xxhash64("v"), F.lit(1 << 48)).alias("h"),
+            )
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= agg_ops.KMV_K)
+            .select("source", "h")
+            .collect()
+        )
+        per: dict = {}
+        for r in sk:
+            per.setdefault(r["source"], []).append(r["h"])
+        for g, hs in per.items():
+            kmv_state[g] = sorted(set(kmv_state.get(g, [])) | set(hs))[
+                : agg_ops.KMV_K
+            ]
+
     calib_partials: dict = {}
 
     def calib_fold(batch, _i):
@@ -232,9 +304,20 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "chk_calib"))
         .start()
     )
+    q_nb = (
+        docs_stream.writeStream.foreachBatch(nb_gate)
+        .option("checkpointLocation", str(tmp_path / "chk_nb"))
+        .start()
+    )
+    q_kmv = (
+        docs_stream.writeStream.foreachBatch(kmv_fold)
+        .option("checkpointLocation", str(tmp_path / "chk_kmv"))
+        .start()
+    )
     queries = {
         "wh": q_wh, "alerts": q_alerts, "dead": q_dead, "agg": q_agg,
         "decon": q_decon, "flags": q_flags, "calib": q_calib,
+        "nb": q_nb, "kmv": q_kmv,
     }
 
     t0 = time.monotonic()
@@ -321,6 +404,24 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
         f"calibration state unbounded: {len(calib_partials)} keys"
     )
     assert sum(n for n, _ in calib_partials.values()) > 0
+
+    # --- round-8 late gates under sustained load -----------------------
+    # The NB gate classified every doc it saw against the frozen model;
+    # the KMV fold's state is |sources|·k hashes no matter how many rows
+    # streamed, every source's sketch saturated (k distinct hashes seen),
+    # and each estimate lands inside a ±5σ band around the 5000-value
+    # domain (KMV rsd ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; the domain is not
+    # fully visited, so the band is one-sided-tolerant downward).
+    assert nb_stats["rows"] > 0
+    nb_wt.unpersist()
+    nb_consts.unpersist()
+    assert set(kmv_state) == {f"s{i}" for i in range(5)}
+    assert all(len(hs) == agg_ops.KMV_K for hs in kmv_state.values()), {
+        g: len(hs) for g, hs in kmv_state.items()
+    }
+    for g, hs in kmv_state.items():
+        est = ((agg_ops.KMV_K - 1) << 48) // hs[-1]
+        assert 1500 <= est <= 12000, f"{g}: implausible KMV estimate {est}"
 
     # --- cache discipline under sustained execution -------------------
     # Baseline-relative on BOTH counters: earlier suite tests exercise
