@@ -189,3 +189,112 @@ def merkle_manifest(
         .unionByName(root.withColumn("level", F.lit("root")))
         .select("level", "key", "n_docs", "hash")
     )
+
+
+def build_merkle_store(
+    df: DataFrame,
+    path: str,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    fanout_hex: int = 2,
+) -> None:
+    """Persist the Merkle leaf store for a history corpus: the
+    (key, bkt, fp) fingerprint table partitioned by key (the git-style
+    object index — 64 B per doc, the state that makes re-hashing
+    incremental) plus the derived (key, bkt, h, n) bucket-hash table
+    under ``<path>/buckets``."""
+    fp = F.sha2(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(content_col)),
+        256,
+    )
+    fps = df.select(
+        F.col(part_col).alias("key"), fp.alias("fp")
+    ).withColumn("bkt", F.substring("fp", 1, fanout_hex))
+    fps.write.mode("overwrite").partitionBy("key").parquet(f"{path}/fps")
+    spark = df.sparkSession
+    (
+        spark.read.parquet(f"{path}/fps")
+        .groupBy("key", "bkt")
+        .agg(
+            F.sha2(F.array_join(F.array_sort(F.collect_list("fp")), ""), 256)
+            .alias("h"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def merkle_manifest_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    fanout_hex: int = 2,
+) -> DataFrame:
+    """Refresh the Merkle manifest after an ingest increment WITHOUT
+    re-hashing the history: only buckets the increment TOUCHES recompute
+    (from the persisted leaf store plus the new fingerprints — a
+    touched-keys semi-join, partition-pruned on ``key``); every other
+    bucket reuses its stored hash.  Output is the full manifest —
+    bit-identical to a ground-up :func:`merkle_manifest` over
+    history+increment, which is the fold-equality certificate the
+    registry oracle pins (the dup_substr_append /
+    dsir_weights_incremental posture).
+
+    Scale: the increment pays its own hashing; history cost is the
+    touched buckets' leaf lists + one bucket-table read — at a 2-hex
+    fanout an increment touching t buckets re-reads ~t/256ths of each
+    touched partition's leaf store, and fanout grows with the corpus."""
+    new_fp = (
+        new_docs.select(
+            F.col(part_col).alias("key"),
+            F.sha2(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col(content_col),
+                ),
+                256,
+            ).alias("fp"),
+        )
+        .withColumn("bkt", F.substring("fp", 1, fanout_hex))
+    )
+    from real_time_data_pipeline_spark.operators import cache
+
+    new_fp = cache.track(new_fp)
+    touched = new_fp.select("key", "bkt").distinct()
+    hist_fps = spark.read.parquet(f"{path}/fps").select("key", "bkt", "fp")
+    touched_hist = hist_fps.join(F.broadcast(touched), ["key", "bkt"], "semi")
+    recomputed = (
+        touched_hist.unionByName(new_fp)
+        .groupBy("key", "bkt")
+        .agg(
+            F.sha2(F.array_join(F.array_sort(F.collect_list("fp")), ""), 256)
+            .alias("h"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    kept = spark.read.parquet(f"{path}/buckets").join(
+        F.broadcast(touched), ["key", "bkt"], "left_anti"
+    )
+    buckets = kept.unionByName(recomputed)
+    parts = buckets.groupBy("key").agg(
+        F.sha2(F.array_join(F.array_sort(F.collect_list("h")), ""), 256)
+        .alias("hash"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+    )
+    root = parts.agg(
+        F.sha2(F.array_join(F.array_sort(F.collect_list("hash")), ""), 256)
+        .alias("hash"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+    ).select(F.lit("__all__").alias("key"), "hash", "n_docs")
+    return (
+        parts.select("key", "hash", "n_docs")
+        .withColumn("level", F.lit("source"))
+        .unionByName(root.withColumn("level", F.lit("root")))
+        .select("level", "key", "n_docs", "hash")
+    )

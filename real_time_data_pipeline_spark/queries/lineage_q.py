@@ -109,3 +109,43 @@ ORACLES["corpus_merkle"] = """
     UNION ALL
     SELECT 'root' AS level, key, n_docs, hash FROM root
 """
+
+
+def q_corpus_merkle_append(spark, sf_dir):
+    """Incremental Merkle refresh
+    (operators/lineage.merkle_manifest_incremental): docs with
+    doc_id % 10 == 0 play the ingest increment, the rest the history
+    whose leaf store is a staged artifact (first call per sf builds
+    it).  Only touched buckets re-hash; the oracle is the ground-up
+    full-corpus manifest — the fold-equality certificate that the
+    append loses nothing."""
+    import os
+
+    from real_time_data_pipeline_spark.operators.lineage import (
+        build_merkle_store,
+        merkle_manifest_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    wh = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+    )
+    path = os.path.join(
+        wh, f"merkle_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    try:
+        assert spark.read.parquet(f"{path}/buckets").count() > 0
+    except Exception:
+        build_merkle_store(hist, path)
+    return merkle_manifest_incremental(spark, new, path)
+
+
+QUERIES["corpus_merkle_append"] = q_corpus_merkle_append
+
+# The certificate: incremental re-hash == ground-up full-corpus manifest.
+ORACLES["corpus_merkle_append"] = ORACLES["corpus_merkle"]

@@ -97,3 +97,23 @@ def test_merkle_manifest_detects_tamper_and_ignores_order(spark):
     assert tampered[("root", "__all__")] != base[("root", "__all__")][0]
     for k in (("source", "s0"), ("source", "s2")):
         assert tampered[k] == base[k][0]
+
+
+def test_merkle_incremental_fold_equals_full(spark, tmp_path):
+    """Incremental re-hash from the persisted leaf store equals the
+    ground-up manifest over history+increment."""
+    rows = [(i, f"doc body {i * 7 % 13} {i}", f"s{i % 4}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    hist = df.filter(F.col("doc_id") % 10 != 0)
+    inc = df.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "merkle")
+    lineage.build_merkle_store(hist, path)
+    got = {
+        (r["level"], r["key"]): (r["hash"], r["n_docs"])
+        for r in lineage.merkle_manifest_incremental(spark, inc, path).collect()
+    }
+    want = {
+        (r["level"], r["key"]): (r["hash"], r["n_docs"])
+        for r in lineage.merkle_manifest(df).collect()
+    }
+    assert got == want

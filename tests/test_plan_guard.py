@@ -157,6 +157,8 @@ SEMANTICALLY_BOUNDED = {
     "blocking_eval": "100-doc evaluation anchor set (doc_id < 100)",
     "knn_label_noise": "50-probe anchor set (vec_id < 50)",
     "hard_negatives": "5-probe anchor set (vec_id < 5)",
+    "hybrid_rrf": "single-row literal query-vector frame "
+    "(createDataFrame of the one query text)",
     "ann_pq_shortlist_superset": "5-probe anchor set (the exact leg's "
     "query frame), same bound as ann_pq_topk's siblings",
     "ann_ivfpq_shortlist_superset": "5-probe anchor set (the exact "
@@ -247,7 +249,12 @@ FAT_ALLOWED_MODULES = {
 }
 # Reviewed per-query exceptions living outside their natural module.
 FAT_ALLOWED_QUERIES = {
-    ("documents", "text"): {"dedup_containment"},  # dedup op, lives in analytics_ext
+    ("documents", "text"): {
+        "dedup_containment",  # dedup op, lives in analytics_ext
+        # the Merkle manifest's WHOLE job is hashing content — the text
+        # scan is the operator, not a pruning miss (lineage_q module)
+        "corpus_merkle", "corpus_merkle_append",
+    },
 }
 _SCAN_RE = None
 
