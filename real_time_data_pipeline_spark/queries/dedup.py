@@ -875,3 +875,18 @@ ORACLES["dedup_simhash"] = f"""
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.f, b.f)) <= 3
 """
+
+
+def q_dedup_prefix_filter(spark, sf_dir):
+    """Exact 0.8-Jaccard pairs via lossless prefix filtering
+    (operators/dedup.prefix_filter_pairs) — the PPJoin candidate bound:
+    provably-complete pruning (vs MinHash-LSH's probabilistic recall),
+    shares the brute-force oracle because the prune loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(
+        docs, "doc_id", "text", n=3, threshold_bp=8000
+    )
+
+
+QUERIES["dedup_prefix_filter"] = q_dedup_prefix_filter
+ORACLES["dedup_prefix_filter"] = _JACCARD_ORACLE

@@ -1119,3 +1119,63 @@ def test_incremental_clusters_merges_bridged_clusters(spark, tmp_path):
     assert got == expected
     # and the merge actually happened: every doc in ONE cluster, min id 0
     assert {c for _, c in got} == {0}
+
+
+def test_prefix_filter_equals_bruteforce_and_prunes(spark, sf_dir):
+    """Lossless-prune certificate in pytest terms: the prefix-filter
+    output equals ngram_jaccard_pairs row-for-row, and its candidate
+    set is strictly smaller than the all-shared-shingle pair space."""
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_bp"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_bp"])
+        for r in dedup.prefix_filter_pairs(
+            docs, "doc_id", "text", n=3, threshold_bp=8000
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+
+    # the prune is real: prefix collisions << shared-shingle collisions
+    ex = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(dedup.shingles_col("text", 3)).alias("shingle"),
+    )
+    all_pairs = (
+        ex.select(F.col("id").alias("id_a"), "shingle")
+        .join(ex.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("id").orderBy(F.asc("n_df"), F.asc("shingle"))
+    prefix = (
+        ex.join(ex.groupBy("shingle").agg(F.count("*").alias("n_df")), "shingle")
+        .join(sizes, "id")
+        .withColumn("pos", F.row_number().over(wp))
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.expr("(n_sh * 8000 + 9999) div 10000") + 1
+        )
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert cand < all_pairs, (cand, all_pairs)
+    assert cand >= len(got)
