@@ -1386,3 +1386,55 @@ def cms_heavy_hitters(
         .cast("bigint")
         .alias("over_bp"),
     )
+
+
+def positional_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings: one row per (term, doc, pos) — the
+    phrase/proximity-capable extension of :func:`inverted_index` (which
+    keeps only frequencies).  One posexplode, no aggregate; persist
+    term-partitioned at serving scale, same as the frequency index."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+    ).select(id_col, "term", F.col("pos").cast("bigint").alias("pos"))
+
+
+def phrase_search(
+    index_pos: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact phrase matching over positional postings (the classic
+    adjacency join): the i-th phrase term's postings, shifted by −i,
+    must all meet at one anchor position — an |phrase|-way equi-join on
+    (doc, anchor), each leg pruned to ONE term's postings first, so
+    cost is bounded by the rarest term's postings list, never the
+    corpus (the same pruned-read argument as conjunctive_search, plus
+    position intersection instead of document intersection).
+
+    Output: top-k docs by phrase-occurrence count (tie-break doc id):
+    (doc, n_hits, rank)."""
+    legs = []
+    for i, t in enumerate(phrase):
+        legs.append(
+            index_pos.filter(F.col("term") == t.lower()).select(
+                F.col(id_col),
+                (F.col("pos") - i).alias("anchor"),
+            )
+        )
+    anchors = legs[0]
+    for leg in legs[1:]:
+        anchors = anchors.join(leg, [id_col, "anchor"])
+    from pyspark.sql import Window
+
+    hits = anchors.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    out = hits.orderBy(F.desc("n_hits"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("n_hits"), F.col(id_col))
+    return out.select(
+        id_col, "n_hits", F.row_number().over(w).cast("bigint").alias("rank")
+    )

@@ -1074,3 +1074,39 @@ ORACLES["cms_heavy_hitters"] = f"""
                 AS BIGINT) AS over_bp
     FROM est
 """
+
+
+PHRASE = ["fast", "join"]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search over positional postings
+    (operators/text.positional_index + phrase_search): the adjacency
+    equi-join on (doc, shifted position), each leg pruned to one
+    term's postings — phrase/proximity capability on top of the
+    conjunctive/BM25 tier."""
+    idx = T.positional_index(_docs(spark, sf_dir))
+    return T.phrase_search(idx, PHRASE, k=20)
+
+
+QUERIES["phrase_search"] = q_phrase_search
+
+_PHRASE_RANGE = "range(1, greatest(len(t) - 1, 0) + 1)"
+
+ORACLES["phrase_search"] = f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+    ),
+    nh AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_PHRASE_RANGE},
+                  i -> t[i] = '{PHRASE[0]}' AND t[i + 1] = '{PHRASE[1]}'))
+                  AS BIGINT) AS n_hits
+      FROM t
+    )
+    SELECT doc_id, n_hits,
+           CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM nh WHERE n_hits > 0
+    ORDER BY rank LIMIT 20
+"""

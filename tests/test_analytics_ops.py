@@ -1009,3 +1009,33 @@ def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
                 and r["doc_id"] != b["doc_id"]
             ):
                 assert b["rrf_micro"] >= r["rrf_micro"]
+
+
+def test_phrase_search_adjacency_semantics(spark):
+    """Phrase hits are exact adjacencies: overlapping occurrences count,
+    reversed order does not match, repeated-term phrases work."""
+    from real_time_data_pipeline_spark.operators.text import (
+        phrase_search,
+        positional_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast join fast join slow"),   # two 'fast join' hits
+            (2, "join fast"),                  # reversed -> no hit
+            (3, "go go go"),                   # overlapping 'go go' x2
+            (4, "fast slow join"),             # not adjacent -> no hit
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(df)
+    got = {
+        r["doc_id"]: (r["n_hits"], r["rank"])
+        for r in phrase_search(idx, ["fast", "join"]).collect()
+    }
+    assert got == {1: (2, 1)}
+    rep = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(idx, ["go", "go"]).collect()
+    }
+    assert rep == {3: 2}
