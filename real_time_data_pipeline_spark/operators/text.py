@@ -1438,3 +1438,69 @@ def phrase_search(
     return out.select(
         id_col, "n_hits", F.row_number().over(w).cast("bigint").alias("rank")
     )
+
+
+def proximity_search(
+    index_pos: DataFrame,
+    terms: list[str],
+    max_span: int = 10,
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Proximity (slop) search: docs where ALL query terms co-occur
+    inside a ``max_span``-token window, ranked by the TIGHTEST such
+    window — the classic minimal-covering-window scan expressed as
+    window functions: over each doc's merged query-term postings in
+    position order, track the running LAST position of every term
+    (one MAX-CASE running column per term — |terms| is a query
+    constant); wherever all are non-null, the candidate span is
+    pos − min(last_i) + 1, and the per-doc minimum is the answer.
+    One pass over the PRUNED postings (only the query terms' rows),
+    no self-join — cost is the rarest-terms postings merge, the same
+    bound as phrase_search with adjacency relaxed to a window.
+
+    Output: (doc, min_span, rank), span ≤ max_span, rank by
+    (min_span asc, doc) — top-k."""
+    from pyspark.sql import Window
+
+    lterms = [t.lower() for t in terms]
+    pruned = index_pos.filter(F.col("term").isin(lterms))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(
+            F.when(F.col("term") == t, F.col("pos"))
+        ).over(w).alias(f"_l{i}")
+        for i, t in enumerate(lterms)
+    ]
+    # least()/greatest() skip NULLs in both engines, so gate the span on
+    # EVERY term having appeared — otherwise a prefix missing a term
+    # would produce a bogus small window over the terms seen so far.
+    all_seen = F.lit(True)
+    for i in range(len(lterms)):
+        all_seen = all_seen & F.col(f"_l{i}").isNotNull()
+    spans = pruned.select(id_col, "pos", *lasts).select(
+        id_col,
+        F.when(
+            all_seen,
+            F.col("pos")
+            - F.least(*[F.col(f"_l{i}") for i in range(len(lterms))])
+            + 1,
+        ).alias("span"),
+    )
+    best = (
+        spans.filter(F.col("span").isNotNull())
+        .groupBy(id_col)
+        .agg(F.min("span").cast("bigint").alias("min_span"))
+        .filter(F.col("min_span") <= max_span)
+    )
+    out = best.orderBy(F.asc("min_span"), F.col(id_col)).limit(k)
+    wr = Window.orderBy(F.asc("min_span"), F.col(id_col))
+    return out.select(
+        id_col,
+        "min_span",
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+    )

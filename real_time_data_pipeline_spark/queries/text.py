@@ -1110,3 +1110,65 @@ ORACLES["phrase_search"] = f"""
     FROM nh WHERE n_hits > 0
     ORDER BY rank LIMIT 20
 """
+
+
+PROX_SPAN = 10
+
+
+def q_proximity_search(spark, sf_dir):
+    """Proximity (slop) search (operators/text.proximity_search): docs
+    where all of SEARCH_TERMS co-occur inside a 10-token window,
+    ranked by the tightest window — the minimal-covering-window scan
+    as running per-term last-position columns, one pass over the
+    pruned postings, no self-join."""
+    idx = T.positional_index(_docs(spark, sf_dir))
+    return T.proximity_search(idx, SEARCH_TERMS, max_span=PROX_SPAN, k=20)
+
+
+QUERIES["proximity_search"] = q_proximity_search
+
+
+def _prox_oracle() -> str:
+    terms = [t.lower() for t in SEARCH_TERMS]
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    lasts = ",\n             ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{i}"
+        for i, t in enumerate(terms)
+    )
+    not_null = " AND ".join(f"l{i} IS NOT NULL" for i in range(len(terms)))
+    least = ", ".join(f"l{i}" for i in range(len(terms)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos,
+             unnest(t) AS term
+      FROM base
+    ),
+    pruned AS (
+      SELECT doc_id, pos, term FROM pos WHERE term IN ({in_list})
+    ),
+    lasts AS (
+      SELECT doc_id, pos,
+             {lasts}
+      FROM pruned
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    best AS (
+      SELECT doc_id,
+             CAST(MIN(pos - LEAST({least}) + 1) AS BIGINT) AS min_span
+      FROM lasts WHERE {not_null}
+      GROUP BY 1
+    )
+    SELECT doc_id, min_span,
+           CAST(row_number() OVER (ORDER BY min_span, doc_id) AS BIGINT)
+               AS rank
+    FROM best WHERE min_span <= {PROX_SPAN}
+    ORDER BY rank LIMIT 20
+"""
+
+
+ORACLES["proximity_search"] = _prox_oracle()

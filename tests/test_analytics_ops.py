@@ -1039,3 +1039,30 @@ def test_phrase_search_adjacency_semantics(spark):
         for r in phrase_search(idx, ["go", "go"]).collect()
     }
     assert rep == {3: 2}
+
+
+def test_proximity_search_minimal_window(spark):
+    """Tightest-window semantics: the minimal covering window over all
+    terms, not the first; docs missing a term never match; span equals
+    the hand-computed optimum."""
+    from real_time_data_pipeline_spark.operators.text import (
+        positional_index,
+        proximity_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # optimum is b..c..a at positions 5..7 -> span 3
+            (1, "a x x x x b c a x x"),
+            (2, "a b x x x x x x x c"),   # span 10 (exactly max)
+            (3, "a b x x x x x x x x c"),  # span 11 -> filtered out
+            (4, "a b a b a b"),            # missing c -> no row
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(df)
+    got = {
+        r["doc_id"]: (r["min_span"], r["rank"])
+        for r in proximity_search(idx, ["a", "b", "c"], max_span=10).collect()
+    }
+    assert got == {1: (3, 1), 2: (10, 2)}
