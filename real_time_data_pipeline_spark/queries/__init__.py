@@ -124,7 +124,9 @@ _R8_PRIORITY = [
 # additions (nb_classify, nb_confusion, stream_nb_gate, kmv_distinct,
 # kmv_merge, stream_kmv_fold, hybrid_rrf, ann_ivfpq_shortlist_superset,
 # dsir_sample_gumbel, cms_heavy_hitters, ccnet_bigram_ppl,
-# dsir_weights_incremental, stream_dsir_gate) — then the
+# dsir_weights_incremental, stream_dsir_gate, change_point,
+# attribution_u_shape, corpus_merkle, corpus_merkle_append,
+# dedup_prefix_filter, phrase_search, proximity_search) — then the
 # remaining stale verdicts:
 # alerts (r01, yielded its r8 slot to semdedup),
 # sliding_window_agg (r01; its streaming twin is newer), order_ranking,
