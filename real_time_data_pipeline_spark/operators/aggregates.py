@@ -207,15 +207,27 @@ def kmv_distinct(
     Output: (group, n_exact, n_kept, kth_hash, est_kmv, err_bp).
     Hash collisions under-count by ~n²/2^49 (≪ 1 at any per-group
     cardinality this sketch is sized for) and are part of the certified
-    value, not noise."""
+    value, not noise.
+
+    NULL ``value_col`` rows are excluded up front: sha256(NULL) is a
+    NULL hash that Spark's ascending window would rank NULLS FIRST
+    (displacing the true k-th smallest and inflating n_kept) while
+    countDistinct ignores it — and DuckDB orders NULLS LAST, so the two
+    engines would disagree.  countDistinct-of-non-NULLs is the
+    cardinality a distinct sketch estimates anyway; an all-NULL group
+    has no sketch and is dropped (n_exact=0 would also break err_bp)."""
     from real_time_data_pipeline_spark.operators.curation import (
         portable_hash48,
     )
 
-    hashes = df.select(
-        F.col(group_col).alias(group_col),
-        portable_hash48(F.col(value_col)).alias("h"),
-    ).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias(group_col),
+            portable_hash48(F.col(value_col)).alias("h"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("h")
     kept = hashes.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
@@ -271,7 +283,10 @@ def kmv_merge(
     )
 
     n_shards = 32
-    hashes = df.select(
+    # NULL value_col rows excluded for the same reason as kmv_distinct:
+    # a NULL hash ranks NULLS FIRST in Spark / NULLS LAST in DuckDB and
+    # countDistinct never counts it.
+    hashes = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         portable_hash48(F.col(value_col)).alias("h"),
     )

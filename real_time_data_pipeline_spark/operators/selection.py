@@ -358,10 +358,16 @@ def _dsir_scores_onepass(
     n_buckets: int,
     portable: bool,
 ) -> DataFrame:
-    """Full (doc_id, score_fp) frame in ONE tokenize+hash pass: the
-    persisted (doc, bucket, k) aggregate feeds both the global bucket
-    counts (weights) and the per-doc scores, so the sha256/explode cost
-    isn't paid twice.  Shared by the deterministic top-k
+    """Full (doc_id, score_fp) frame in ONE tokenize+hash pass,
+    returned as ``(scores, n_docs)``: the persisted (doc, bucket, k)
+    aggregate feeds the global bucket counts (weights), the per-doc
+    scores, AND the corpus count the top-N callers need to fix N — so
+    the sha256/explode cost isn't paid twice and no separate
+    full-corpus count() job ever runs (the count action materializes
+    the cached aggregate the scoring pass then reuses).  explode_outer
+    keeps zero-token docs as a NULL-bucket row so they stay countable;
+    NULL buckets never join the weight table, so scores are
+    unaffected.  Shared by the deterministic top-k
     (:func:`dsir_select`) and the Gumbel sampler
     (:func:`dsir_sample_gumbel`)."""
     from real_time_data_pipeline_spark.operators import cache
@@ -371,11 +377,21 @@ def _dsir_scores_onepass(
         docs.select(
             F.col(id_col),
             F.expr(f"CASE WHEN {target_sql} THEN 1 ELSE 0 END").alias("is_t"),
-            F.explode(tokens_col(text_col)).alias("tok"),
+            F.explode_outer(tokens_col(text_col)).alias("tok"),
         )
-        .select(id_col, "is_t", _bucket_col(portable, n_buckets).alias("bucket"))
+        .select(
+            id_col,
+            "is_t",
+            F.when(
+                F.col("tok").isNotNull(),
+                _bucket_col(portable, n_buckets),
+            ).alias("bucket"),
+        )
         .groupBy(id_col, "bucket", "is_t")
         .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    n_docs = (
+        per_bucket.agg(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
     )
     counts = per_bucket.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("k")).otherwise(F.lit(0)))
@@ -408,11 +424,12 @@ def _dsir_scores_onepass(
         .cast("bigint")
         .alias("weight_fp"),
     )
-    return (
+    scores = (
         per_bucket.join(F.broadcast(w), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("k") * F.col("weight_fp")).cast("bigint").alias("score_fp"))
     )
+    return scores, n_docs
 
 
 def dsir_select(
@@ -432,13 +449,14 @@ def dsir_select(
 
     Scale: one corpus pass (:func:`_dsir_scores_onepass`); the final
     top-N is TakeOrdered (per-partition heaps + driver merge of N),
-    never a global sort shuffle.  The one driver action is the corpus
-    count (a scalar) to fix N.
+    never a global sort shuffle.  The one driver action fixing N is a
+    countDistinct over the pass's cached (doc, bucket) aggregate — the
+    corpus itself is never scanned a second time.
     """
-    scores = _dsir_scores_onepass(
+    scores, n_docs = _dsir_scores_onepass(
         docs, target_sql, id_col, text_col, n_buckets, portable
     )
-    n_keep = docs.count() // top_frac_den
+    n_keep = n_docs // top_frac_den
     return scores.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(n_keep)
 
 
@@ -473,9 +491,11 @@ def dsir_sample_gumbel(
     any engine.  Output: the sampled (doc_id, score_fp, key_fp) rows.
 
     Scale: the scoring pass plus two broadcast grid joins and one
-    TakeOrdered — identical shape to :func:`dsir_select`.
+    TakeOrdered — identical shape to :func:`dsir_select`, including the
+    no-second-corpus-scan N fix (count from the pass's cached
+    aggregate).
     """
-    scores = _dsir_scores_onepass(
+    scores, n_docs = _dsir_scores_onepass(
         docs, target_sql, id_col, text_col, n_buckets, portable
     )
     d = scores.withColumn(
@@ -497,7 +517,7 @@ def dsir_sample_gumbel(
         .cast("bigint")
         .alias("key_fp"),
     )
-    n_keep = docs.count() // top_frac_den
+    n_keep = n_docs // top_frac_den
     return d.orderBy(F.desc("key_fp"), F.asc(id_col)).limit(n_keep)
 
 
@@ -790,7 +810,15 @@ def nb_train_classify(
         F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
     )
 
-    train_meta = meta.filter(F.col("split") == "train")
+    # Training is restricted to the DECLARED label space: an
+    # out-of-space label would otherwise train an unreachable ghost
+    # class (its tokens excluded from every scorable class) while still
+    # inflating the n_train prior denominator — a silent model skew the
+    # declared-class contract exists to prevent.  Such docs are still
+    # SCORED (every doc gets a prediction); they just never train.
+    train_meta = meta.filter(
+        (F.col("split") == "train") & F.col(label_col).isin(*classes)
+    )
     cls_counts = (
         doc_bkt.join(
             train_meta.select(id_col, F.col(label_col).alias("cls")), id_col
@@ -921,7 +949,12 @@ def nb_fit(
     ARE the model (the count table is the sufficient statistic), which
     is what makes the streaming gate shape work: freeze these at
     train time, score every arriving micro-batch against them without
-    ever re-reading the history (the stream_dsir_gate dataflow)."""
+    ever re-reading the history (the stream_dsir_gate dataflow).
+
+    As in :func:`nb_train_classify`, training rows are restricted to
+    the declared ``classes`` — out-of-space labels would train ghost
+    classes and inflate the prior denominator."""
+    train_docs = train_docs.filter(F.col(label_col).isin(*classes))
     toks = train_docs.select(
         F.col(label_col).alias("cls"),
         F.explode(tokens_col(text_col)).alias("tok"),

@@ -138,8 +138,27 @@ def q_corpus_merkle_append(spark, sf_dir):
     path = os.path.join(
         wh, f"merkle_store_{os.path.basename(sf_dir.rstrip('/'))}"
     )
+    # Staleness guard: the persisted store is keyed only by the sf_dir
+    # basename, so if the documents table were ever regenerated under
+    # the same path a stale store would silently drive the manifest.
+    # Validate per-key leaf counts (buckets Σn by key) against the live
+    # history slice — cheap (two small aggregates) and catches any
+    # add/remove regeneration; rebuild on mismatch.
     try:
-        assert spark.read.parquet(f"{path}/buckets").count() > 0
+        stored = {
+            r["key"]: r["n"]
+            for r in spark.read.parquet(f"{path}/buckets")
+            .groupBy("key")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        live = {
+            r["source"]: r["n"]
+            for r in hist.groupBy("source").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert stored and stored == live
     except Exception:
         build_merkle_store(hist, path)
     return merkle_manifest_incremental(spark, new, path)

@@ -40,6 +40,7 @@ QUERIES["kmv_distinct"] = q_kmv_distinct
 ORACLES["kmv_distinct"] = f"""
     WITH hx AS (
       SELECT DISTINCT event_type, {_H48} AS h FROM events
+      WHERE user_id IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, h,
@@ -84,6 +85,7 @@ QUERIES["kmv_merge"] = q_kmv_merge
 ORACLES["kmv_merge"] = f"""
     WITH hx AS (
       SELECT DISTINCT event_type AS grp, {_H48} AS h FROM events
+      WHERE user_id IS NOT NULL
     ),
     direct AS (
       SELECT CAST(MAX(rn) AS BIGINT) AS n_kept_d,
@@ -175,7 +177,8 @@ def q_stream_kmv_fold(spark, sf_dir):
 
     def fold(batch, _i):
         sk = (
-            batch.select(
+            batch.filter(F.col("user_id").isNotNull())
+            .select(
                 "event_type", portable_hash48(F.col("user_id")).alias("h")
             )
             .distinct()
@@ -219,6 +222,7 @@ QUERIES["stream_kmv_fold"] = q_stream_kmv_fold
 ORACLES["stream_kmv_fold"] = f"""
     WITH hx AS (
       SELECT DISTINCT event_type, {_H48} AS h FROM events
+      WHERE user_id IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, h,

@@ -1,0 +1,151 @@
+"""Round-9 regression tests for the r8 ADVICE defects.
+
+1. KMV sketches on data WITH NULL values: sha256(NULL) is a NULL hash
+   Spark's ascending window ranks NULLS FIRST, which (before the fix)
+   displaced the true k-th smallest hash and inflated n_kept while
+   countDistinct ignored the NULL — and DuckDB orders NULLS LAST, so
+   the engines diverged on exactly the data the oracle never saw.
+2. NB training with labels outside the declared class space: such docs
+   must neither train ghost classes nor inflate the prior denominator.
+3. corpus_merkle_append's persisted leaf store must be rebuilt when the
+   history it was built from changes under the same sf_dir basename.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators import aggregates as A
+from real_time_data_pipeline_spark.operators import selection as S
+
+
+def _h48(v) -> int:
+    return int(hashlib.sha256(str(v).encode()).hexdigest()[:12], 16)
+
+
+def test_kmv_distinct_ignores_nulls(spark):
+    """NULL value rows are excluded: the sketch over values+NULLs equals
+    the sketch over the non-NULL values, and an all-NULL group emits no
+    row (n_exact would be 0 — no cardinality to estimate)."""
+    k = 4
+    vals = [f"u{i}" for i in range(10)]
+    rows = [("a", v) for v in vals] + [("a", None)] * 3
+    rows += [("b", None)] * 2  # all-NULL group
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r["grp"]: r for r in A.kmv_distinct(df, "grp", "val", k=k).collect()}
+    assert set(out) == {"a"}
+    hs = sorted(_h48(v) for v in vals)[:k]
+    r = out["a"]
+    assert r["n_kept"] == k
+    assert r["kth_hash"] == hs[-1]
+    assert r["n_exact"] == len(vals)
+    est = (k - 1) * A.KMV_SPACE // hs[-1]
+    assert r["est_kmv"] == est
+    assert r["err_bp"] == (est - len(vals)) * 10000 // len(vals)
+
+
+def test_kmv_merge_ignores_nulls(spark):
+    """The merge certificate still holds (and matches the non-NULL-only
+    sketch) when NULL values are interleaved across groups."""
+    vals = [f"v{i}" for i in range(40)]
+    rows = [(f"g{i % 3}", v) for i, v in enumerate(vals)]
+    rows += [("g0", None), ("g1", None), ("g2", None)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    r = A.kmv_merge(df, "grp", "val", k=8).collect()[0]
+    hs = sorted(_h48(v) for v in vals)[:8]
+    assert r["merge_equal"] is True
+    assert r["kth_direct"] == hs[-1]
+    assert r["n_exact"] == len(vals)
+
+
+def test_nb_training_restricted_to_declared_classes(spark):
+    """Docs labeled outside ``classes`` are scored but never trained on:
+    the model (and every prediction) is identical whether the
+    out-of-space docs are present or absent from the training data."""
+    classes = ("x", "y")
+    base = [
+        (i, "x" if i % 2 else "y", "alpha beta gamma" if i % 2 else "delta eps")
+        for i in range(1, 21)
+    ]
+    ghosts = [(100 + i, "zz", "alpha delta omega") for i in range(5)]
+    cols = "doc_id bigint, lab string, text string"
+    with_ghosts = spark.createDataFrame(base + ghosts, cols)
+    clean = spark.createDataFrame(base, cols)
+    kw = dict(label_col="lab", classes=classes, holdout_mod=7)
+    got = {
+        r["doc_id"]: (r["pred_lab"], r["score_fp"], r["margin_fp"])
+        for r in S.nb_train_classify(with_ghosts, **kw).collect()
+    }
+    want = {
+        r["doc_id"]: (r["pred_lab"], r["score_fp"], r["margin_fp"])
+        for r in S.nb_train_classify(clean, **kw).collect()
+    }
+    # ghost docs are scored (present in the output) ...
+    assert set(got) == set(want) | {g[0] for g in ghosts}
+    # ... but contribute nothing to the model: in-space rows identical
+    assert {d: got[d] for d in want} == want
+
+
+def test_nb_fit_filters_out_of_space_labels(spark):
+    """nb_fit's model frames are unchanged by out-of-space rows."""
+    classes = ("x", "y")
+    base = [(i, "x" if i % 2 else "y", "aa bb cc") for i in range(1, 11)]
+    ghosts = [(50, "zz", "aa zz zz")]
+    cols = "doc_id bigint, lab string, text string"
+    wt1, c1 = S.nb_fit(
+        spark.createDataFrame(base + ghosts, cols),
+        label_col="lab", classes=classes,
+    )
+    wt2, c2 = S.nb_fit(
+        spark.createDataFrame(base, cols), label_col="lab", classes=classes,
+    )
+    assert sorted(map(tuple, wt1.collect())) == sorted(map(tuple, wt2.collect()))
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_merkle_store_rebuilt_on_history_change(spark, tmp_path):
+    """A persisted leaf store built from one history must not silently
+    drive the incremental manifest after the history changes: the
+    per-key count validation in q_corpus_merkle_append rebuilds it, so
+    the incremental manifest equals the ground-up manifest of the NEW
+    corpus.  Exercised through the operator pair directly with the same
+    validation recipe the registry query uses."""
+    from real_time_data_pipeline_spark.operators.lineage import (
+        build_merkle_store,
+        merkle_manifest,
+        merkle_manifest_incremental,
+    )
+
+    cols = "doc_id bigint, source string, text string"
+    hist_v1 = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"old text {i}") for i in range(1, 9)], cols
+    )
+    hist_v2 = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"new text {i}") for i in range(1, 13)], cols
+    )
+    new = spark.createDataFrame(
+        [(100, "s0", "increment a"), (101, "s1", "increment b")], cols
+    )
+    path = str(tmp_path / "merkle_store")
+    build_merkle_store(hist_v1, path)
+
+    # the registry query's staleness validation, applied to hist_v2
+    stored = {
+        r["key"]: r["n"]
+        for r in spark.read.parquet(f"{path}/buckets")
+        .groupBy("key").agg(F.sum("n").alias("n")).collect()
+    }
+    live = {
+        r["source"]: r["n"]
+        for r in hist_v2.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert stored != live  # v1 store is stale for v2 history
+    build_merkle_store(hist_v2, path)  # what the query does on mismatch
+
+    inc = merkle_manifest_incremental(spark, new, path)
+    full = merkle_manifest(hist_v2.unionByName(new))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
