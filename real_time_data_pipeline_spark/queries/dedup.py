@@ -102,7 +102,7 @@ def q_dedup_embedding_lsh_pruned(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_lsh(
         emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=4,
-        n_tables=8, probe_hamming=0,
+        n_tables=8, probe_hamming=0, auto_planes_occupancy=64,
     )
 
 
@@ -173,6 +173,7 @@ def q_dedup_pipeline_lsh_pruned(spark, sf_dir):
     return dedup.near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
         embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+        auto_planes_occupancy=64,
     )
 
 

@@ -1179,3 +1179,28 @@ def test_prefix_filter_equals_bruteforce_and_prunes(spark, sf_dir):
     )
     assert cand < all_pairs, (cand, all_pairs)
     assert cand >= len(got)
+
+
+def test_clean_corpus_pruned_is_recall_superset_of_keeps(spark, sf_dir):
+    """The production-plan clean_corpus twin (pruned sign-LSH embedding
+    leg) agrees with the certified composition on the quality gate and
+    on the exact/minhash signals by construction; its dedup edge set is
+    a SUBSET of the exact plan's, so its keeps are a SUPERSET — it can
+    never drop a doc the certified plan ships."""
+    from real_time_data_pipeline_spark.queries.curation import (
+        q_clean_corpus,
+        q_clean_corpus_pruned,
+    )
+
+    exact = {r.doc_id: r for r in q_clean_corpus(spark, sf_dir).collect()}
+    pruned = {
+        r.doc_id: r for r in q_clean_corpus_pruned(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(pruned)
+    for d in exact:
+        assert exact[d].keep_quality == pruned[d].keep_quality
+        # fewer edges -> clusters refine: labels can only grow
+        assert exact[d].cluster_id <= pruned[d].cluster_id
+    kept_exact = {d for d, r in exact.items() if r.keep_final}
+    kept_pruned = {d for d, r in pruned.items() if r.keep_final}
+    assert kept_exact <= kept_pruned
