@@ -2,14 +2,15 @@
 micro-batches (VERDICT r4 item #6 — the closest sandbox-feasible
 stand-in for the env-blocked live-Kafka run).
 
-Two rate-source streams drive NINE concurrent queries — the
+Two rate-source streams drive TEN concurrent queries — the
 transaction side (the S9 partitioned warehouse sink on `enriched`,
 parquet side sinks for `alerts` (S11) and `dead_letter` (S10), and the
 watermarked windowed aggregation) plus, since round 8 (VERDICT r7 #8),
 the round-7 ingest gates on a synthetic document stream (ExactSubstr
 decontamination, the combined curation verdict, and the
 calibration-drift counter fold) and the round-8 late gates (the frozen
-NB classification gate, the KMV distinct-sketch fold) — and the test
+NB classification gate, the KMV distinct-sketch fold) and the round-9
+DSIR ingest gate (frozen importance weights, per-batch scoring) — and the test
 asserts the properties a long-lived production run depends on:
 
 * every query processes >=100 micro-batches with zero exceptions;
@@ -39,7 +40,7 @@ from real_time_data_pipeline_spark.operators import cache
 from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources
 
 TARGET_BATCHES = 100
-# 9 concurrent queries share the one local scheduler; the slowest gate
+# 10 concurrent queries share the one local scheduler; the slowest gate
 # sustains ~8-9 batches/min under full contention (measured r8), so 100
 # batches needs ~12 min of headroom.
 TIMEOUT_S = 900
@@ -207,6 +208,21 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
             batch, nb_wt, nb_consts, classes=nb_classes
         ).count()
 
+    # --- round-9 gate (VERDICT r8 #8): the DSIR ingest gate at the
+    # soak rate — weights frozen once on the same static bootstrap
+    # (target slice = source s0), every micro-batch scored against the
+    # broadcast weight frame (the stream_dsir_gate dataflow).
+    dsir_w = sel_ops.dsir_bucket_weights(
+        boot, target_sql="source = 's0'"
+    ).select("bucket", "weight_fp").cache()
+    dsir_w.count()  # materialize once, before the soak
+    dsir_stats = {"rows": 0}
+
+    def dsir_gate(batch, _i):
+        dsir_stats["rows"] += sel_ops.dsir_score_against(
+            batch, dsir_w
+        ).count()
+
     kmv_state: dict = {}
 
     def kmv_fold(batch, _i):
@@ -314,10 +330,15 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "chk_kmv"))
         .start()
     )
+    q_dsir = (
+        docs_stream.writeStream.foreachBatch(dsir_gate)
+        .option("checkpointLocation", str(tmp_path / "chk_dsir"))
+        .start()
+    )
     queries = {
         "wh": q_wh, "alerts": q_alerts, "dead": q_dead, "agg": q_agg,
         "decon": q_decon, "flags": q_flags, "calib": q_calib,
-        "nb": q_nb, "kmv": q_kmv,
+        "nb": q_nb, "kmv": q_kmv, "dsir": q_dsir,
     }
 
     t0 = time.monotonic()
@@ -415,6 +436,10 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
     assert nb_stats["rows"] > 0
     nb_wt.unpersist()
     nb_consts.unpersist()
+    # round-9 DSIR gate: every doc it saw got a score against the
+    # frozen weight frame (the gate never re-reads history)
+    assert dsir_stats["rows"] > 0
+    dsir_w.unpersist()
     assert set(kmv_state) == {f"s{i}" for i in range(5)}
     assert all(len(hs) == agg_ops.KMV_K for hs in kmv_state.values()), {
         g: len(hs) for g, hs in kmv_state.items()
