@@ -2016,3 +2016,206 @@ def decontaminate_bloom_verified(
         shared_bp.alias("shared_bp"),
         (shared_bp <= F.lit(max_shared_bp)).alias("keep_decontaminated"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_c: int = 300,
+    max_mean_word_len_c: int = 1000,
+    max_symbol_ratio_bp: int = 1000,
+    min_alpha_frac_bp: int = 8000,
+    min_stop_hits: int = 2,
+    max_top_token_bp: int = 2000,
+) -> DataFrame:
+    """Gopher-style rule-set quality filter (Rae et al. 2021 §A1.1 —
+    the published heuristic battery MassiveText shipped with, and the
+    rule form C4/RefinedWeb/Dolma variants reuse), next to the learned
+    scorers (:func:`text.quality_score` / quality_logit_score): one
+    boolean per rule plus the conjunctive ``keep_gopher``, every
+    statistic in exact integer cents/bp so the DuckDB oracle recomputes
+    the whole table.
+
+      r_word_count      min_words <= n_words <= max_words
+      r_mean_word_len   mean word length in [3.00, 10.00] chars (cents)
+      r_symbol_ratio    tokens containing '#'/'...' <= 10% (bp)
+      r_alpha_words     words containing a letter >= 80% (bp)
+      r_stopwords       >= 2 hits from the canonical stopword set
+      r_top_token       most-frequent token <= ``max_top_token_bp`` of
+                        the doc (the paper's repetition family, unigram
+                        grain; the n-gram grains live in
+                        :func:`repetition_stats`)
+
+    Scale shape: ONE tokenize pass -> per-(doc, token) counts with
+    map-side combine -> per-doc aggregate; the top-token statistic
+    folds into the same aggregate as max(count) — no window, no second
+    scan.  Line-grain Gopher rules (bullet/ellipsis line fractions)
+    are deliberately absent: this corpus is single-line; at production
+    add a lines_col sibling with the same shape."""
+    from real_time_data_pipeline_spark.operators.text import EN_STOPWORDS
+
+    tok = (
+        df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    per_doc = tok.groupBy(id_col).agg(
+        F.sum("k").cast("bigint").alias("n_words"),
+        F.max("k").cast("bigint").alias("top_k"),
+        F.sum(F.length("tok") * F.col("k")).cast("bigint").alias("chars"),
+        F.sum(
+            F.when(
+                F.col("tok").contains("#")
+                | F.col("tok").contains("..."),
+                F.col("k"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("sym_words"),
+        F.sum(
+            F.when(F.col("tok").rlike("[a-z]"), F.col("k")).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("alpha_words"),
+        F.sum(
+            F.when(F.col("tok").isin(EN_STOPWORDS), F.col("k")).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("stop_hits"),
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_words",
+        F.expr("100 * chars div n_words").alias("mean_word_len_c"),
+        F.expr("10000 * sym_words div n_words").alias("symbol_ratio_bp"),
+        F.expr("10000 * alpha_words div n_words").alias("alpha_frac_bp"),
+        F.col("stop_hits"),
+        F.expr("10000 * top_k div n_words").alias("top_token_bp"),
+    )
+    r1 = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r2 = (F.col("mean_word_len_c") >= min_mean_word_len_c) & (
+        F.col("mean_word_len_c") <= max_mean_word_len_c
+    )
+    r3 = F.col("symbol_ratio_bp") <= max_symbol_ratio_bp
+    r4 = F.col("alpha_frac_bp") >= min_alpha_frac_bp
+    r5 = F.col("stop_hits") >= min_stop_hits
+    r6 = F.col("top_token_bp") <= max_top_token_bp
+    return stats.select(
+        id_col,
+        "n_words",
+        "mean_word_len_c",
+        "symbol_ratio_bp",
+        "alpha_frac_bp",
+        "stop_hits",
+        "top_token_bp",
+        r1.alias("r_word_count"),
+        r2.alias("r_mean_word_len"),
+        r3.alias("r_symbol_ratio"),
+        r4.alias("r_alpha_words"),
+        r5.alias("r_stopwords"),
+        r6.alias("r_top_token"),
+        (r1 & r2 & r3 & r4 & r5 & r6).alias("keep_gopher"),
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_docs: int,
+    max_epochs: int = 4,
+    group_col: str = "lang",
+) -> DataFrame:
+    """UniMax language-balanced sampling budget (Chung et al. 2023):
+    split a total document budget across languages as UNIFORMLY as
+    possible subject to a per-language epoch cap — the corpus-mixing
+    answer to low-resource languages that proportional sampling
+    starves and temperature sampling over-epochs.  Exact integer
+    water-filling:
+
+      capacity_l = max_epochs * n_l; sort languages by capacity asc;
+      l is CAPPED iff budget - prefix_cap(l) >= capacity_l * n_after(l)
+      (monotone in the sort, so the capped set is a prefix); every
+      uncapped language gets level t = (B - P*) div m plus one of the
+      r = (B - P*) % m remainder docs (smallest language name first).
+
+    Output rows sum EXACTLY to min(budget, total capacity); an
+    uncapped allocation never exceeds its capacity (t+1 <= the
+    smallest uncapped capacity — proof: infeasibility at the first
+    uncapped position gives B - P* < c·m, so t < c).  All arithmetic
+    BIGINT; ties in the capacity sort break by language ascending —
+    engine-reproducible, so the DuckDB oracle recomputes the whole
+    fill.  Output: (lang, n_docs, capacity, alloc_docs, epochs_bp).
+
+    Scale shape: one corpus count aggregate; the water-fill runs on
+    the |languages| frame (tens of rows at any corpus size) — the
+    windows below order THAT frame, never corpus rows."""
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).withColumn(
+        "capacity", (F.col("n_docs") * max_epochs).cast("bigint")
+    )
+    w = Window.orderBy(F.asc("capacity"), F.asc("grp"))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per.select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        F.sum("capacity").over(wall).cast("bigint").alias("pfx"),
+        F.count("*").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n_grps"),
+    )
+    B = int(budget_docs)
+    # capped iff budget minus all capacities up to AND INCLUDING this
+    # one still covers capacity_l for every language after it
+    ranked = ranked.withColumn(
+        "capped",
+        F.lit(B) - F.col("pfx")
+        >= F.col("capacity") * (F.col("n_grps") - F.col("i")),
+    )
+    star = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("capacity"))), F.lit(0)
+        ).cast("bigint").alias("p_star"),
+        F.coalesce(
+            F.sum(F.when(~F.col("capped"), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("m"),
+    ).select(
+        "p_star",
+        "m",
+        F.expr(
+            f"CAST(CASE WHEN m > 0 THEN ({B} - p_star) div m"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("t"),
+        F.expr(
+            f"CAST(CASE WHEN m > 0 THEN ({B} - p_star) % m"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("r"),
+    )
+    wu = Window.partitionBy("capped").orderBy(F.asc("grp"))
+    return (
+        ranked.crossJoin(F.broadcast(star))
+        .withColumn("u_rank", F.row_number().over(wu))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "capacity",
+            F.when(F.col("capped"), F.col("capacity"))
+            .otherwise(
+                F.col("t")
+                + F.when(
+                    (~F.col("capped")) & (F.col("u_rank") <= F.col("r")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_docs"),
+        )
+        .withColumn(
+            "epochs_bp",
+            F.expr("10000 * alloc_docs div n_docs").cast("bigint"),
+        )
+    )

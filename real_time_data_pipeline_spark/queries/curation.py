@@ -2360,3 +2360,162 @@ def q_decontaminate_bloom_verified(spark, sf_dir):
 
 QUERIES["decontaminate_bloom_verified"] = q_decontaminate_bloom_verified
 ORACLES["decontaminate_bloom_verified"] = _DECONTAMINATE_ORACLE
+
+
+# ------------------------------------------------ round 9: Gopher rules
+
+# Thresholds tuned so the rule battery DISCRIMINATES on the synthetic
+# corpus (docs are 8-110 words of a lowercase 31-token vocabulary, one
+# line, no symbols): word-count floor 20 and the 10% top-token cap both
+# fire on real docs; the symbol/alpha rules pass by construction here
+# but stay in the battery (they are the rules that do the work on web
+# text, and the oracle certifies their arithmetic all the same).
+GOPHER_KW = dict(
+    min_words=20, max_words=100_000,
+    min_mean_word_len_c=300, max_mean_word_len_c=1000,
+    max_symbol_ratio_bp=1000, min_alpha_frac_bp=8000,
+    min_stop_hits=2, max_top_token_bp=1000,
+)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-set quality filter (operators/curation.
+    gopher_quality_flags; Rae et al. 2021 §A1.1): six published
+    heuristic rules as exact integer statistics + booleans, one row per
+    doc — the rule-battery sibling of the learned quality scorers."""
+    return curation.gopher_quality_flags(_docs(spark, sf_dir), **GOPHER_KW)
+
+
+QUERIES["gopher_quality"] = q_gopher_quality
+
+ORACLES["gopher_quality"] = f"""
+    WITH tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_words,
+             CAST(MAX(k) AS BIGINT) AS top_k,
+             CAST(SUM(length(tok) * k) AS BIGINT) AS chars,
+             CAST(SUM(CASE WHEN contains(tok, '#')
+                             OR contains(tok, '...')
+                           THEN k ELSE 0 END) AS BIGINT) AS sym_words,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]')
+                           THEN k ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(SUM(CASE WHEN list_contains({_stop_list('en')}, tok)
+                           THEN k ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tok GROUP BY 1
+    ),
+    stats AS (
+      SELECT doc_id, n_words,
+             CAST(100 * chars // n_words AS BIGINT) AS mean_word_len_c,
+             CAST(10000 * sym_words // n_words AS BIGINT)
+                 AS symbol_ratio_bp,
+             CAST(10000 * alpha_words // n_words AS BIGINT)
+                 AS alpha_frac_bp,
+             stop_hits,
+             CAST(10000 * top_k // n_words AS BIGINT) AS top_token_bp
+      FROM per
+    )
+    SELECT doc_id, n_words, mean_word_len_c, symbol_ratio_bp,
+           alpha_frac_bp, stop_hits, top_token_bp,
+           (n_words >= {GOPHER_KW['min_words']}
+            AND n_words <= {GOPHER_KW['max_words']}) AS r_word_count,
+           (mean_word_len_c >= {GOPHER_KW['min_mean_word_len_c']}
+            AND mean_word_len_c <= {GOPHER_KW['max_mean_word_len_c']})
+               AS r_mean_word_len,
+           symbol_ratio_bp <= {GOPHER_KW['max_symbol_ratio_bp']}
+               AS r_symbol_ratio,
+           alpha_frac_bp >= {GOPHER_KW['min_alpha_frac_bp']}
+               AS r_alpha_words,
+           stop_hits >= {GOPHER_KW['min_stop_hits']} AS r_stopwords,
+           top_token_bp <= {GOPHER_KW['max_top_token_bp']} AS r_top_token,
+           (n_words >= {GOPHER_KW['min_words']}
+            AND n_words <= {GOPHER_KW['max_words']}
+            AND mean_word_len_c >= {GOPHER_KW['min_mean_word_len_c']}
+            AND mean_word_len_c <= {GOPHER_KW['max_mean_word_len_c']}
+            AND symbol_ratio_bp <= {GOPHER_KW['max_symbol_ratio_bp']}
+            AND alpha_frac_bp >= {GOPHER_KW['min_alpha_frac_bp']}
+            AND stop_hits >= {GOPHER_KW['min_stop_hits']}
+            AND top_token_bp <= {GOPHER_KW['max_top_token_bp']})
+               AS keep_gopher
+    FROM stats
+"""
+
+
+# --------------------------------------------- round 9: UniMax mixing
+
+UNIMAX_BUDGET = 771
+UNIMAX_EPOCHS = 2
+
+
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax language-balanced sampling budget (operators/curation.
+    unimax_allocation; Chung et al. 2023): exact integer water-filling
+    of a document budget across languages under a per-language epoch
+    cap — uniform where possible, capped where a language is too small.
+    Budget 771 docs / 2-epoch cap exercises every branch on this
+    corpus: small languages CAP at 2 epochs, the rest sit at the water
+    level, and at sf0.001 the integer remainder distributes (r=1)."""
+    docs = _docs(spark, sf_dir)
+    return curation.unimax_allocation(
+        docs, budget_docs=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS
+    )
+
+
+QUERIES["unimax_allocation"] = q_unimax_allocation
+
+ORACLES["unimax_allocation"] = f"""
+    WITH per AS (
+      SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) * {UNIMAX_EPOCHS} AS BIGINT) AS capacity
+      FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY capacity, grp) AS i,
+             CAST(SUM(capacity) OVER (ORDER BY capacity, grp
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_grps
+      FROM per
+    ),
+    flag AS (
+      SELECT *, ({UNIMAX_BUDGET} - pfx) >= capacity * (n_grps - i)
+                    AS capped
+      FROM ranked
+    ),
+    star AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END), 0)
+                  AS BIGINT) AS p_star,
+             CAST(COALESCE(SUM(CASE WHEN NOT capped THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS m
+      FROM flag
+    ),
+    lvl AS (
+      SELECT CAST(CASE WHEN m > 0
+                       THEN ({UNIMAX_BUDGET} - p_star) // m
+                       ELSE 0 END AS BIGINT) AS t,
+             CAST(CASE WHEN m > 0
+                       THEN ({UNIMAX_BUDGET} - p_star) % m
+                       ELSE 0 END AS BIGINT) AS r
+      FROM star
+    ),
+    u AS (
+      SELECT f.*,
+             row_number() OVER (PARTITION BY capped ORDER BY grp)
+                 AS u_rank
+      FROM flag f
+    ),
+    alloc AS (
+      SELECT grp AS lang, n_docs, capacity,
+             CAST(CASE WHEN capped THEN capacity
+                       ELSE t + CASE WHEN u_rank <= r THEN 1 ELSE 0 END
+                  END AS BIGINT) AS alloc_docs
+      FROM u CROSS JOIN lvl
+    )
+    SELECT lang, n_docs, capacity, alloc_docs,
+           CAST(10000 * alloc_docs // n_docs AS BIGINT) AS epochs_bp
+    FROM alloc
+"""

@@ -149,3 +149,113 @@ def test_merkle_store_rebuilt_on_history_change(spark, tmp_path):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_gopher_quality_flags_match_bruteforce(spark):
+    """Sequential replica of every Gopher rule statistic on a corpus
+    hitting all six rules (short doc, long-word doc, symbol doc,
+    numeric doc, stopword-free doc, one-token-spam doc, clean doc)."""
+    from real_time_data_pipeline_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+    from real_time_data_pipeline_spark.operators.text import EN_STOPWORDS
+
+    docs = [
+        (1, "the a " + " ".join(f"w{i}" for i in range(48))),       # clean
+        (2, "the a tiny"),                                           # short
+        (3, "the a " + " ".join(["supercalifragilistic"] * 48)),     # long words
+        (4, "the a " + " ".join(["x#y"] * 10 + [f"w{i}" for i in range(38)])),
+        (5, "the a " + " ".join(["123"] * 20 + [f"w{i}" for i in range(28)])),
+        (6, " ".join(f"w{i}" for i in range(50))),                   # no stopwords
+        (7, "the a " + " ".join(["spam"] * 30 + [f"w{i}" for i in range(18)])),
+    ]
+    kw = dict(
+        min_words=20, max_words=100_000,
+        min_mean_word_len_c=100, max_mean_word_len_c=1000,
+        max_symbol_ratio_bp=1000, min_alpha_frac_bp=8000,
+        min_stop_hits=2, max_top_token_bp=2000,
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(docs, "doc_id bigint, text string"), **kw
+        ).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        n = len(toks)
+        top = max(toks.count(t) for t in set(toks))
+        want = {
+            "n_words": n,
+            "mean_word_len_c": 100 * sum(map(len, toks)) // n,
+            "symbol_ratio_bp": 10000 * sum(
+                1 for t in toks if "#" in t or "..." in t
+            ) // n,
+            "alpha_frac_bp": 10000 * sum(
+                1 for t in toks if any(c.isalpha() for c in t)
+            ) // n,
+            "stop_hits": sum(1 for t in toks if t in EN_STOPWORDS),
+            "top_token_bp": 10000 * top // n,
+        }
+        got = out[doc_id]
+        for k, v in want.items():
+            assert got[k] == v, (doc_id, k, got[k], v)
+        rules = dict(
+            r_word_count=kw["min_words"] <= n <= kw["max_words"],
+            r_mean_word_len=kw["min_mean_word_len_c"]
+            <= want["mean_word_len_c"] <= kw["max_mean_word_len_c"],
+            r_symbol_ratio=want["symbol_ratio_bp"]
+            <= kw["max_symbol_ratio_bp"],
+            r_alpha_words=want["alpha_frac_bp"] >= kw["min_alpha_frac_bp"],
+            r_stopwords=want["stop_hits"] >= kw["min_stop_hits"],
+            r_top_token=want["top_token_bp"] <= kw["max_top_token_bp"],
+        )
+        for k, v in rules.items():
+            assert got[k] == v, (doc_id, k)
+        assert got["keep_gopher"] == all(rules.values()), doc_id
+    # every rule discriminates somewhere on this corpus
+    for rule in ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                 "r_alpha_words", "r_stopwords", "r_top_token"):
+        vals = {out[d][rule] for d, _ in docs}
+        assert vals == {True, False}, rule
+
+
+def test_unimax_allocation_water_filling_invariants(spark):
+    """UniMax fill at many budgets: allocations are integers summing
+    EXACTLY to min(budget, total capacity), never exceed a language's
+    capacity, capped languages are exactly those below the water
+    level, and uncapped allocations differ by at most 1 (uniformity)."""
+    from real_time_data_pipeline_spark.operators.curation import (
+        unimax_allocation,
+    )
+
+    counts = {"aa": 5, "bb": 40, "cc": 12, "dd": 90, "ee": 3}
+    rows = [
+        (f"{lang}{i}", lang) for lang, n in counts.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    E = 3
+    caps = {k: E * v for k, v in counts.items()}
+    for budget in (0, 1, 7, 50, 137, 300, sum(caps.values()), 10_000):
+        out = {
+            r["lang"]: r
+            for r in unimax_allocation(
+                df, budget_docs=budget, max_epochs=E
+            ).collect()
+        }
+        assert set(out) == set(counts)
+        allocs = {k: r["alloc_docs"] for k, r in out.items()}
+        assert all(0 <= allocs[k] <= caps[k] for k in counts)
+        assert sum(allocs.values()) == min(budget, sum(caps.values()))
+        uncapped = [allocs[k] for k in counts if allocs[k] < caps[k]]
+        if uncapped:
+            assert max(uncapped) - min(uncapped) <= 1
+            # every capped language sits at or below the water level
+            lvl = min(uncapped)
+            assert all(
+                caps[k] <= lvl + 1
+                for k in counts
+                if allocs[k] == caps[k]
+            ), (budget, allocs)
+        for k, r in out.items():
+            assert r["epochs_bp"] == 10000 * allocs[k] // counts[k]
