@@ -104,8 +104,11 @@ _R9_PRIORITY = [
     "rollup_order_stats",
     "timeseries_gapfill",
     "user_activity_gaps",
-    "skew_profile",
-    "order_window_ranks",
+    # new r9 oracle-backed entries take the last two slots so nothing
+    # oracle-backed leaves r9 without a driver verdict; skew_profile /
+    # order_window_ranks head the r10 stale queue
+    "gopher_quality",
+    "unimax_allocation",
 ]
 
 
