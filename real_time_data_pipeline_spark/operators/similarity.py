@@ -1538,3 +1538,112 @@ def semdedup_cells(
         F.lit(True).alias("keep"),
     )
     return kept.unionByName(zero)
+
+
+def kmeans_fixedpoint(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 10_000,
+) -> DataFrame:
+    """Euclidean Lloyd's k-means in EXACT fixed-point integers — the
+    oracle-backed upgrade of the float-iterative :func:`kmeans_fit`
+    (whose spherical/float path stays as the iterative-class
+    representative with convergence tests): vectors quantize to BIGINT
+    (floor(x·1e4), the centroid_outliers idiom), distances are integer
+    sums of squares, centroid updates are TRUNCATING integer division
+    (both Spark `div` and DuckDB `//` truncate toward zero — verified),
+    seeds are the k vectors with the smallest portable sha248 hash of
+    their id (rank order = cell id), ties in assignment break by cell —
+    every step reproducible on any engine, so a DuckDB oracle can
+    recompute the whole fit with the iterations unrolled.
+
+    Scale shape identical to kmeans_fit: per iteration one
+    Arrow-batched numpy assignment pass over the corpus (int64
+    matmul-free distance against the broadcast k×dim integer centroid
+    matrix) + one (cell, dim)-grain partial-aggregated shuffle; k×dim
+    centroid state is driver-resident; empty cells keep their previous
+    centroid.  Overflow: |q| ≤ 1e4 ⇒ per-dim squared diff ≤ 4e8,
+    64-dim distance ≤ 2.6e10; per-(cell,dim) sums ≤ 1e4·n — int64 to
+    ~1e14 rows.
+
+    Output: (id, cell, dist) under the FINAL centroids."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.curation import (
+        portable_hash48,
+    )
+
+    quant = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(quant_scale)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    seeds = (
+        quant.select(id_col, "qv", portable_hash48(F.col(id_col)).alias("h"))
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()  # k rows — bounded by design
+    )
+    C = np.array([r["qv"] for r in seeds], dtype=np.int64)
+
+    def trunc_div(s: int, n: int) -> int:
+        return -((-s) // n) if s < 0 else s // n
+
+    def assign_factory(Cm):
+        Cl = Cm.copy()
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+                )
+                # (n, k) int64 squared distances; argmin takes the
+                # FIRST minimal index == ORDER BY dist, cell
+                d = ((V[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cell": d.argmin(axis=1).astype("int64"),
+                        "dist": d.min(axis=1).astype("int64"),
+                    }
+                )
+
+        return assign
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, cell bigint, dist bigint"
+    for _ in range(iters):
+        assigned = quant.mapInPandas(assign_factory(C), out_schema)
+        stats = (
+            assigned.join(quant, id_col)
+            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("x").cast("bigint").alias("s"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+            .collect()  # k x dim rows — bounded by design
+        )
+        new = C.copy()
+        per_cell: dict = {}
+        for r in stats:
+            per_cell.setdefault(r["cell"], []).append(r)
+        for cell, rows in per_cell.items():
+            for r in rows:
+                new[cell, r["pos"]] = trunc_div(int(r["s"]), int(r["n"]))
+        C = new
+    return quant.mapInPandas(assign_factory(C), out_schema).select(
+        id_col, "cell", "dist"
+    )

@@ -198,12 +198,19 @@ def q_semdedup(spark, sf_dir):
 
 
 def q_kmeans_clusters(spark, sf_dir):
-    """Spherical k-means assignments after 3 Lloyd's iterations
-    (rows-only: iterative algorithm, output row count == corpus size;
-    monotone-inertia and blob-recovery properties unit-tested)."""
+    """k-means assignments after 3 Lloyd's iterations, ORACLE-BACKED
+    since round 9 via the fixed-point path
+    (operators/similarity.kmeans_fixedpoint): quantized-integer
+    Euclidean Lloyd's is deterministic on any engine (integer sums are
+    associative, centroid division truncates identically, seeds and
+    ties are hash/rank-pinned), so the DuckDB oracle recomputes the
+    whole fit with the three iterations unrolled.  The float spherical
+    sibling (kmeans_fit) remains the iterative-float-class
+    representative under its numpy-twin/convergence tests — float
+    Lloyd admits no engine-independent exact value to hash, which is
+    exactly what the quantization removes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assigned = similarity.kmeans_fit(emb, k=8, iters=3)
-    return assigned.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+    return similarity.kmeans_fixedpoint(emb, k=8, iters=3)
 
 
 OUTLIER_MIN_COS_BP = 0  # anti-correlated with own-label centroid => outlier
@@ -858,3 +865,89 @@ ORACLES["semdedup"] = f"""
     SELECT vec_id, CAST(-1 AS INT) AS cell, true AS keep
     FROM v WHERE nrm <= 0
 """
+
+
+# ------------------------------------------- round 9: fixed-point kmeans
+
+def _kmeans_fp_oracle(k: int = 8, iters: int = 3, q: int = 10_000) -> str:
+    """Full recompute of kmeans_fixedpoint with the Lloyd iterations
+    UNROLLED as CTE stages: quantize -> hash-ranked seeds -> per round
+    (integer squared-distance argmin with (dist, cell) tie-break ->
+    per-(cell, dim) integer sums -> truncating-division centroid
+    update, empty cells keeping the previous centroid) -> final
+    assignment.  Both engines truncate integer division toward zero
+    (verified), so every stage is value-identical."""
+    from real_time_data_pipeline_spark.queries.dedup import duck_hexfold_n
+
+    h48 = duck_hexfold_n("CAST(vec_id AS VARCHAR)", 12)
+    ctes = [
+        f"""qk AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * {q}) AS BIGINT))
+                     AS qv
+          FROM embeddings
+        )""",
+        """exk AS (
+          SELECT vec_id, u.d - 1 AS pos, qv[u.d] AS x
+          FROM qk, LATERAL (
+            SELECT unnest(range(1, len(qv) + 1)) AS d
+          ) u
+        )""",
+        f"""seeds AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY {h48}, vec_id) - 1 AS cell
+          FROM qk
+          QUALIFY row_number() OVER (ORDER BY {h48}, vec_id) <= {k}
+        )""",
+        """c0 AS (
+          SELECT s.cell, e.pos, e.x AS c
+          FROM seeds s JOIN exk e USING (vec_id)
+        )""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""d{i} AS (
+          SELECT e.vec_id, c.cell,
+                 CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
+          FROM exk e JOIN c{i} c USING (pos)
+          GROUP BY 1, 2
+        )""")
+        ctes.append(f"""a{i} AS (
+          SELECT vec_id, cell, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cell) AS rn
+            FROM d{i}
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""s{i} AS (
+          SELECT a.cell, e.pos, CAST(SUM(e.x) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM exk e JOIN a{i} a USING (vec_id)
+          GROUP BY 1, 2
+        )""")
+        ctes.append(f"""c{i + 1} AS (
+          SELECT c.cell, c.pos,
+                 CAST(COALESCE(
+                     CASE WHEN s.s < 0 THEN -((-s.s) // s.n)
+                          ELSE s.s // s.n END, c.c) AS BIGINT) AS c
+          FROM c{i} c LEFT JOIN s{i} s
+            ON s.cell = c.cell AND s.pos = c.pos
+        )""")
+    ctes.append(f"""dfin AS (
+          SELECT e.vec_id, c.cell,
+                 CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
+          FROM exk e JOIN c{iters} c USING (pos)
+          GROUP BY 1, 2
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cell) AS rn
+          FROM dfin
+        ) WHERE rn = 1
+    """
+    )
+
+
+ORACLES["kmeans_clusters"] = _kmeans_fp_oracle()

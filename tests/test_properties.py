@@ -318,9 +318,11 @@ def test_kmeans_numpy_twin_fixed_seed(spark):
     ASSIGNMENTS must match the reference EXACTLY and the final
     centroids to 1e-9.  Bit-parity is precluded in principle: Spark's
     per-(cell,dim) sums reduce in partition order, numpy's in index
-    order, and IEEE addition is non-associative — which is exactly why
-    kmeans_clusters stays rows-only rather than oracle-backed (no
-    engine-independent exact value exists to hash)."""
+    order, and IEEE addition is non-associative — the float-iterate
+    ceiling.  (Round 9 moved the kmeans_clusters REGISTRY entry to the
+    fixed-point integer path, which removes exactly this obstruction
+    and carries a full DuckDB oracle; kmeans_fit stays the float-class
+    representative under this twin test.)"""
     import numpy as np
 
     from real_time_data_pipeline_spark.operators.similarity import (
