@@ -1647,3 +1647,117 @@ def kmeans_fixedpoint(
     return quant.mapInPandas(assign_factory(C), out_schema).select(
         id_col, "cell", "dist"
     )
+
+
+def pca_power_top1(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 6,
+    quant_scale: int = 10_000,
+    v_scale: int = 1 << 14,
+) -> DataFrame:
+    """Top principal-component projection by EXACT fixed-point power
+    iteration — the oracle-backed contract sibling of the float-LAPACK
+    :func:`pca_fit` (which stays the float-eig class representative
+    for the full top-k decomposition): every quantity an integer, so
+    the DuckDB oracle recomputes the whole fit in HUGEINT with the
+    iterations unrolled.
+
+    Recipe: quantize x -> floor(x·1e4) (BIGINT).  The n-scaled centered
+    scatter S = n·Σ qqᵀ − (Σq)(Σq)ᵀ has the same eigenvectors as the
+    covariance and is INTEGER (no division).  Start v₀ = v_scale·e_d at
+    the max-diagonal dim (tie -> smallest d); iterate w = S·v followed
+    by the max-abs renormalization v' = (w·v_scale) div max|w|
+    (truncating division — identical in Spark/DuckDB/Python ints);
+    after the last iteration fix the sign so the first nonzero
+    component (ascending dim) is positive.  Output: one row per vector,
+    (id, pc1_fp) = the integer dot q·v — the ranking/bucketing
+    projection a curriculum or drift monitor consumes.
+
+    Exactness bounds: |S| entries ≤ n²·quant_scale² per the Cauchy
+    bound (~2.5e15 at n=6000) — int64-safe to collect, while S·v can
+    reach ~2.6e21, so the ITERATION runs in unbounded Python ints on
+    the driver (matching the oracle's int128 HUGEINT); the per-doc
+    projection |q·v| ≤ dim·quant_scale·v_scale ≈ 1e10 is int64.  At
+    corpus scales where n²·quant_scale² nears int64, widen the scatter
+    aggregate to DECIMAL(38,0) — the quantized sums stay exact.
+
+    Scale shape: ONE mapInPandas pass emits per-partition int64 Gram
+    partials (dim² + dim + 1 integers — numpy int64 matmul is exact);
+    the dim×dim iteration is driver-resident; the projection is one
+    JVM fold per row against the broadcast literal component."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    quant = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(quant_scale)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_tot = 0
+        s_tot = np.zeros(dim, dtype=np.int64)
+        g_tot = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            n_tot += len(Q)
+            s_tot += Q.sum(axis=0)
+            g_tot += Q.T @ Q
+        if n_tot:
+            yield pd.DataFrame(
+                {
+                    "n": [n_tot],
+                    "s": [s_tot.tolist()],
+                    "g": [g_tot.flatten().tolist()],
+                }
+            )
+
+    parts = quant.mapInPandas(
+        partials, "n bigint, s array<bigint>, g array<bigint>"
+    ).collect()  # one row per partition — bounded
+    n = sum(int(p["n"]) for p in parts)
+    s = [sum(int(p["s"][d]) for p in parts) for d in range(dim)]
+    g = [
+        sum(int(p["g"][i]) for p in parts) for i in range(dim * dim)
+    ]
+    # n-scaled centered scatter in exact Python ints
+    S = [
+        [n * g[i * dim + j] - s[i] * s[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+
+    def trunc_div(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    start = max(range(dim), key=lambda d: (S[d][d], -d))
+    v = [v_scale if d == start else 0 for d in range(dim)]
+    for _ in range(iters):
+        w = [sum(S[d][j] * v[j] for j in range(dim)) for d in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [trunc_div(x * v_scale, m) for x in w]
+    first = next((d for d in range(dim) if v[d] != 0), None)
+    if first is not None and v[first] < 0:
+        v = [-x for x in v]
+
+    vc = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    return quant.select(
+        id_col,
+        F.aggregate(
+            F.zip_with("qv", vc, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        ).alias("pc1_fp"),
+    )

@@ -951,3 +951,99 @@ def _kmeans_fp_oracle(k: int = 8, iters: int = 3, q: int = 10_000) -> str:
 
 
 ORACLES["kmeans_clusters"] = _kmeans_fp_oracle()
+
+
+# -------------------------------------- round 9: power-iteration PCA
+
+def q_pca_power_top1(spark, sf_dir):
+    """Top principal-component projection by exact fixed-point power
+    iteration (operators/similarity.pca_power_top1) — the oracle-backed
+    contract sibling of the float-LAPACK embedding_pca entry (which
+    stays rows-only: float eigendecomposition admits no
+    engine-independent exact value; the INTEGER scatter + truncating
+    renormalization here does)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_power_top1(emb, "vec_id", "embedding")
+
+
+QUERIES["pca_power_top1"] = q_pca_power_top1
+
+
+def _pca_power_oracle(iters: int = 6, q: int = 10_000, vs: int = 1 << 14) -> str:
+    """HUGEINT recompute of pca_power_top1 with the power iterations
+    unrolled: integer scatter S = n·Σqqᵀ − (Σq)(Σq)ᵀ, max-diagonal
+    start, w = S·v then v' = (w·vs) // max|w| (truncating — verified
+    identical for HUGEINT), first-nonzero-positive sign fix, per-doc
+    integer projection."""
+    ctes = [
+        f"""qp AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * {q}) AS BIGINT))
+                     AS qv
+          FROM embeddings
+        )""",
+        """exp_ AS MATERIALIZED (
+          SELECT vec_id, u.d - 1 AS pos, qv[u.d] AS x
+          FROM qp, LATERAL (
+            SELECT unnest(range(1, len(qv) + 1)) AS d
+          ) u
+        )""",
+        """nn AS (
+          SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n FROM exp_
+        )""",
+        """sv AS (
+          SELECT pos, CAST(SUM(x) AS HUGEINT) AS s FROM exp_ GROUP BY 1
+        )""",
+        """gm AS (
+          SELECT a.pos AS i, b.pos AS j,
+                 CAST(SUM(a.x * b.x) AS HUGEINT) AS gg
+          FROM exp_ a JOIN exp_ b USING (vec_id) GROUP BY 1, 2
+        )""",
+        """scat AS MATERIALIZED (
+          SELECT g.i, g.j, (n.n * g.gg - si.s * sj.s) AS val
+          FROM gm g
+          CROSS JOIN nn n
+          JOIN sv si ON si.pos = g.i
+          JOIN sv sj ON sj.pos = g.j
+        )""",
+        f"""v0 AS (
+          SELECT i AS pos,
+                 CAST(CASE WHEN i = (
+                     SELECT i FROM scat WHERE i = j
+                     ORDER BY val DESC, i LIMIT 1
+                 ) THEN {vs} ELSE 0 END AS HUGEINT) AS v
+          FROM (SELECT DISTINCT i FROM scat)
+        )""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""w{t} AS (
+          SELECT s.i AS pos, SUM(s.val * v.v) AS w
+          FROM scat s JOIN v{t} v ON v.pos = s.j GROUP BY 1
+        )""")
+        ctes.append(f"""m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t})""")
+        ctes.append(f"""v{t + 1} AS (
+          SELECT w.pos,
+                 CAST(CASE WHEN m.m = 0 THEN v.v
+                           WHEN w.w < 0 THEN -(((-w.w) * {vs}) // m.m)
+                           ELSE (w.w * {vs}) // m.m END AS HUGEINT) AS v
+          FROM w{t} w JOIN v{t} v USING (pos) CROSS JOIN m{t} m
+        )""")
+    ctes.append(f"""sgn AS (
+          SELECT CASE WHEN (
+              SELECT v FROM v{iters} WHERE v != 0 ORDER BY pos LIMIT 1
+          ) < 0 THEN -1 ELSE 1 END AS sg
+        )""")
+    ctes.append(f"""vf AS (
+          SELECT pos, v * sg AS v FROM v{iters} CROSS JOIN sgn
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT e.vec_id, CAST(SUM(e.x * f.v) AS BIGINT) AS pc1_fp
+        FROM exp_ e JOIN vf f ON f.pos = e.pos
+        GROUP BY 1
+    """
+    )
+
+
+ORACLES["pca_power_top1"] = _pca_power_oracle()

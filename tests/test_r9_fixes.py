@@ -298,3 +298,46 @@ def test_kmeans_fixedpoint_partitioning_invariant_and_sane(spark):
         by_blob.setdefault(vec_id % 3, set()).add(cell)
     assert all(len(cells) == 1 for cells in by_blob.values())
     assert len({c for s in by_blob.values() for c in s}) == 3
+
+
+def test_pca_power_top1_invariant_and_matches_numpy(spark):
+    """The fixed-point power iteration is EXACTLY partitioning-invariant
+    and its projection direction agrees with numpy's exact top
+    eigenvector (|correlation| > 0.999) on an anisotropic cloud."""
+    import random
+
+    import numpy as np
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pca_power_top1,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        t = rng.gauss(0, 1.0)
+        vec = [0.5 * t, 0.3 * t, 0.0, 0.0] + [
+            rng.gauss(0, 0.05) for _ in range(4)
+        ]
+        rows.append((i, [round(v, 6) for v in vec]))
+    df1 = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(1)
+    df8 = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(8)
+    out1 = dict(
+        (r["vec_id"], r["pc1_fp"]) for r in pca_power_top1(df1).collect()
+    )
+    out8 = dict(
+        (r["vec_id"], r["pc1_fp"]) for r in pca_power_top1(df8).collect()
+    )
+    assert out1 == out8  # exact, not approximate
+
+    X = np.array([v for _, v in rows])
+    Xc = X - X.mean(axis=0)
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    ref = Xc @ vt[0]
+    got = np.array([out1[i] for i in range(200)], dtype=np.float64)
+    corr = abs(np.corrcoef(ref, got)[0, 1])
+    assert corr > 0.999, corr
