@@ -102,13 +102,14 @@ _R9_PRIORITY = [
     "percentiles",
     "scd2_user_state",
     "rollup_order_stats",
-    "timeseries_gapfill",
-    "user_activity_gaps",
-    # new r9 oracle-backed entries take the last two slots so nothing
-    # oracle-backed leaves r9 without a driver verdict; skew_profile /
+    # new r9 oracle-backed entries take the last four slots so nothing
+    # oracle-backed leaves r9 without a driver verdict;
+    # timeseries_gapfill / user_activity_gaps / skew_profile /
     # order_window_ranks head the r10 stale queue
     "gopher_quality",
     "unimax_allocation",
+    "kmeans_clusters",
+    "pca_power_top1",
 ]
 
 
