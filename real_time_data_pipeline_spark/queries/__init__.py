@@ -98,18 +98,19 @@ _R9_PRIORITY = [
     "pivot_daily_activity",
     "unpivot_measures",
     "value_histogram",
-    # (b) stalest r03 verdicts
+    # (b) stalest r03 verdict
     "percentiles",
-    "scd2_user_state",
-    # new r9 oracle-backed entries take the last five slots so nothing
+    # new r9 oracle-backed entries take the last six slots so nothing
     # oracle-backed leaves r9 without a driver verdict;
-    # rollup_order_stats / timeseries_gapfill / user_activity_gaps /
-    # skew_profile / order_window_ranks head the r10 stale queue
+    # scd2_user_state / rollup_order_stats / timeseries_gapfill /
+    # user_activity_gaps / skew_profile / order_window_ranks head the
+    # r10 stale queue
     "gopher_quality",
     "unimax_allocation",
     "kmeans_clusters",
     "pca_power_top1",
     "qdigest_quantiles",
+    "stream_qdigest_fold",
 ]
 
 

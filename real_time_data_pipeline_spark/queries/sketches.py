@@ -373,3 +373,125 @@ def _qdigest_oracle(
 
 
 ORACLES["qdigest_quantiles"] = _qdigest_oracle()
+
+
+def q_stream_qdigest_fold(spark, sf_dir):
+    """Streaming twin of ``qdigest_quantiles`` on the SAME contract
+    (the stream_kmv_fold posture): the event log arrives as 8 real
+    micro-batches; each batch's (cents, count) aggregate — universe-
+    bounded, ≤ 2^16 rows — folds ADDITIVELY into the driver-held
+    histogram, and the digest is built once at drain.  Histogram
+    addition is exact for any batch split (unlike digest-level merge,
+    which is valid-but-not-identical — see the operator docstring), so
+    the drained output is HASH-IDENTICAL to the one-shot sketch and
+    shares its oracle.  State: ≤ 2^16 counters no matter how many rows
+    stream through — the bounded-quantile-monitoring shape at 100 TB."""
+    import os
+
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("value")
+    stage = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        f"stream_qdigest_events_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    events.repartition(8).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    hist: dict = {}
+
+    def fold(batch, _i):
+        rows = (
+            batch.select(
+                F.floor(F.col("value").cast("double") * F.lit(100))
+                .cast("bigint")
+                .alias("cents")
+            )
+            .groupBy("cents")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .collect()  # universe-bounded: <= 2^16 rows per batch
+        )
+        for r in rows:
+            hist[int(r["cents"])] = hist.get(int(r["cents"]), 0) + int(
+                r["cnt"]
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_streaming(q, "stream_qdigest_fold")
+
+    # drained histogram -> the identical one-shot digest + rank ledger
+    # (built directly from the counters; re-exploding rows to reuse the
+    # operator would re-scan what the stream already aggregated)
+    from real_time_data_pipeline_spark.operators.aggregates import (
+        QD_K,
+        QD_L,
+        _qdigest_build,
+    )
+
+    n = sum(hist.values())
+    thr = n // QD_K
+    digest = (
+        _qdigest_build(hist, QD_L, thr)
+        if thr >= 1
+        else {(1 << QD_L) + c: v for c, v in hist.items()}
+    )
+
+    def node_range(idx):
+        lvl = idx.bit_length() - 1
+        span = 1 << (QD_L - lvl)
+        lo = (idx - (1 << lvl)) * span
+        return lo, lo + span - 1
+
+    walk = sorted(
+        ((node_range(i)[1], -node_range(i)[0], c) for i, c in digest.items())
+    )
+    cents_sorted = sorted(hist)
+    cum_before, run = {}, 0
+    for c in cents_sorted:
+        cum_before[c] = run
+        run += hist[c]
+    err_limit = QD_L * thr
+    rows = []
+    for q_bp in (2500, 5000, 7500, 9000, 9900):
+        target = (q_bp * n + 9999) // 10000
+        cum, est = 0, (1 << QD_L) - 1
+        for hi, _nl, c in walk:
+            cum += c
+            if cum >= target:
+                est = hi
+                break
+        lo = 0
+        for c in cents_sorted:
+            if c < est:
+                lo = cum_before[c] + hist[c]
+            else:
+                break
+        r_lo, r_hi = lo + 1, lo + hist.get(est, 0)
+        rank_err = max(0, r_lo - 1 - target, target - r_hi)
+        rows.append(
+            (q_bp, est, target, r_lo, r_hi, rank_err, err_limit,
+             rank_err <= err_limit, len(digest))
+        )
+    return spark.createDataFrame(
+        rows,
+        "q_bp bigint, est_cents bigint, target_rank bigint, "
+        "rank_lo bigint, rank_hi bigint, rank_err bigint, "
+        "err_limit bigint, within_bound boolean, n_nodes bigint",
+    )
+
+
+QUERIES["stream_qdigest_fold"] = q_stream_qdigest_fold
+# histogram addition is exact for any batch split -> same oracle
+ORACLES["stream_qdigest_fold"] = ORACLES["qdigest_quantiles"]
