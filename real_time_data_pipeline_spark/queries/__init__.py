@@ -97,20 +97,19 @@ _R9_PRIORITY = [
     "dq_suite_metrics",
     "pivot_daily_activity",
     "unpivot_measures",
-    "value_histogram",
-    # (b) stalest r03 verdict
-    "percentiles",
-    # new r9 oracle-backed entries take the last six slots so nothing
-    # oracle-backed leaves r9 without a driver verdict;
-    # scd2_user_state / rollup_order_stats / timeseries_gapfill /
-    # user_activity_gaps / skew_profile / order_window_ranks head the
-    # r10 stale queue
+    # new r9 oracle-backed entries take the last eight slots so nothing
+    # oracle-backed leaves r9 without a driver verdict; the r10 stale
+    # queue (in order): value_histogram, percentiles, scd2_user_state,
+    # rollup_order_stats, timeseries_gapfill, user_activity_gaps,
+    # skew_profile, order_window_ranks
     "gopher_quality",
     "unimax_allocation",
     "kmeans_clusters",
     "pca_power_top1",
     "qdigest_quantiles",
     "stream_qdigest_fold",
+    "stream_gopher_gate",
+    "unimax_incremental",
 ]
 
 

@@ -2519,3 +2519,99 @@ ORACLES["unimax_allocation"] = f"""
            CAST(10000 * alloc_docs // n_docs AS BIGINT) AS epochs_bp
     FROM alloc
 """
+
+
+def q_stream_gopher_gate(spark, sf_dir):
+    """Streaming twin of the Gopher rule gate: documents ARRIVE AS A
+    STREAM (8 real micro-batches) and every batch is scored by
+    gopher_quality_flags against the same thresholds.  The rule
+    battery is per-doc STATELESS, so per-batch outputs are disjoint by
+    doc id and their union equals the one-shot pass — shares the
+    gopher_quality oracle end-to-end through readStream→foreachBatch
+    (the stream_dsir_gate posture at the rule tier)."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{sf_dir}/documents*.parquet")
+    out_schema = curation.gopher_quality_flags(
+        _docs(spark, sf_dir).limit(0), **GOPHER_KW
+    ).schema
+    rows: list = []
+
+    def sink(batch, _i):
+        rows.extend(
+            curation.gopher_quality_flags(batch, **GOPHER_KW).collect()
+        )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(
+        availableNow=True
+    ).start()
+    await_streaming(q, "stream_gopher_gate")
+    return spark.createDataFrame(rows, out_schema)
+
+
+QUERIES["stream_gopher_gate"] = q_stream_gopher_gate
+ORACLES["stream_gopher_gate"] = ORACLES["gopher_quality"]
+
+
+def q_unimax_incremental(spark, sf_dir):
+    """Incremental UniMax refresh: per-language doc counts are ADDITIVE
+    sufficient statistics (the dsir_weights_incremental posture), so
+    the daily re-allocation reads the persisted |languages|-row count
+    table, adds the increment's counts, and re-runs the water-fill —
+    history is never re-scanned.  Docs with doc_id % 10 == 0 play the
+    increment; the oracle is the full-corpus unimax_allocation SQL —
+    the fold-equality certificate that the refresh loses nothing."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    path = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        f"unimax_counts_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    stored = hist.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_hist")
+    )
+    stored.write.mode("overwrite").parquet(path)
+    folded = (
+        spark.read.parquet(path)
+        .join(
+            inc.groupBy("lang").agg(
+                F.count("*").cast("bigint").alias("n_inc")
+            ),
+            "lang",
+            "outer",
+        )
+        .select(
+            "lang",
+            (
+                F.coalesce("n_hist", F.lit(0))
+                + F.coalesce("n_inc", F.lit(0))
+            ).cast("bigint").alias("n"),
+        )
+    )
+    # re-run the water-fill on the folded counts: explode each language
+    # to n synthetic rows would rescan nothing but is wasteful — the
+    # operator only needs the counts, so feed it a counts-shaped frame
+    # via explode of a bounded sequence (|langs| rows -> n rows is the
+    # operator's own grouping domain, still corpus-independent).
+    counts_as_rows = folded.select(
+        "lang", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_i")
+    )
+    return curation.unimax_allocation(
+        counts_as_rows, budget_docs=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS
+    )
+
+
+QUERIES["unimax_incremental"] = q_unimax_incremental
+# additive counts + same water-fill == full recompute
+ORACLES["unimax_incremental"] = ORACLES["unimax_allocation"]
