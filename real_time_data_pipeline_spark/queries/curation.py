@@ -1963,6 +1963,60 @@ def q_clean_corpus_pruned(spark, sf_dir):
 QUERIES["clean_corpus_pruned"] = q_clean_corpus_pruned
 
 
+def q_clean_corpus_pruned_certificate(spark, sf_dir):
+    """ORACLE-BACKED certificate for the production-plan twin (VERDICT
+    r9 #4, the decontaminate_bloom treatment): the pruned composition
+    cannot hash-match the exact pass (sign-LSH recall < 1), but its
+    governing contract — pruned keeps ⊇ exact keeps, i.e. the
+    production plan never DROPS a doc the certified plan keeps — is
+    deterministic on both engines.  Output: one row with the corpus
+    size and the violation count the oracle pins to ZERO.
+
+    A violation needs keep_quality AND keep_dedup_exact AND NOT
+    keep_dedup_pruned (the quality leg is shared verbatim, so only the
+    dedup legs can disagree); the pruned leg's dup signals are a
+    recall-subset of the exact leg's, making its keeps a superset —
+    the same containment tests/test_northstar.py property-tests, now
+    driver-visible."""
+    from real_time_data_pipeline_spark.operators.dedup import (
+        near_dup_verdicts,
+    )
+    from real_time_data_pipeline_spark.schemas import load_table
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(docs.source == BENCH_SOURCE)
+    q = curation.quality_verdicts(docs, bench).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_exact = near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4
+    ).select("doc_id", F.col("keep").alias("keep_dedup_exact"))
+    d_pruned = near_dup_verdicts(
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
+        auto_planes_occupancy=64,
+    ).select("doc_id", F.col("keep").alias("keep_dedup_pruned"))
+    return (
+        q.join(d_exact, "doc_id")
+        .join(d_pruned, "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("keep_quality")
+                    & F.col("keep_dedup_exact")
+                    & ~F.col("keep_dedup_pruned"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_violations"),
+        )
+    )
+
+
+QUERIES["clean_corpus_pruned_certificate"] = q_clean_corpus_pruned_certificate
+
+
 def _clean_corpus_oracle() -> str:
     """Composite oracle: the quality leg's oracle joined to the dedup
     leg's oracle on doc_id with the conjunction gate — the same
@@ -1983,6 +2037,15 @@ def _clean_corpus_oracle() -> str:
 
 
 ORACLES["clean_corpus"] = _clean_corpus_oracle()
+
+# The certificate's oracle: |documents| rows examined, ZERO docs the
+# exact composition keeps that the pruned composition drops.  DuckDB
+# needs no LSH replica — the contract itself is the pinned value.
+ORACLES["clean_corpus_pruned_certificate"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_violations
+    FROM documents
+"""
 
 
 def _quality_calibration_oracle() -> str:
@@ -2394,7 +2457,7 @@ ORACLES["gopher_quality"] = f"""
       FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents)
       GROUP BY 1, 2
     ),
-    per AS (
+    per0 AS (
       SELECT doc_id,
              CAST(SUM(k) AS BIGINT) AS n_words,
              CAST(MAX(k) AS BIGINT) AS top_k,
@@ -2408,15 +2471,34 @@ ORACLES["gopher_quality"] = f"""
                            THEN k ELSE 0 END) AS BIGINT) AS stop_hits
       FROM tok GROUP BY 1
     ),
+    -- zero-token docs (unnest yields no rows) keep an n_words=0 row:
+    -- mirrors the Spark side's explode_outer (ADVICE r9)
+    per AS (
+      SELECT d.doc_id,
+             COALESCE(p.n_words, 0) AS n_words,
+             COALESCE(p.top_k, 0) AS top_k,
+             COALESCE(p.chars, 0) AS chars,
+             COALESCE(p.sym_words, 0) AS sym_words,
+             COALESCE(p.alpha_words, 0) AS alpha_words,
+             COALESCE(p.stop_hits, 0) AS stop_hits
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN per0 p USING (doc_id)
+    ),
     stats AS (
       SELECT doc_id, n_words,
-             CAST(100 * chars // n_words AS BIGINT) AS mean_word_len_c,
-             CAST(10000 * sym_words // n_words AS BIGINT)
-                 AS symbol_ratio_bp,
-             CAST(10000 * alpha_words // n_words AS BIGINT)
-                 AS alpha_frac_bp,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(100 * chars // n_words AS BIGINT)
+                  END AS mean_word_len_c,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(10000 * sym_words // n_words AS BIGINT)
+                  END AS symbol_ratio_bp,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(10000 * alpha_words // n_words AS BIGINT)
+                  END AS alpha_frac_bp,
              stop_hits,
-             CAST(10000 * top_k // n_words AS BIGINT) AS top_token_bp
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(10000 * top_k // n_words AS BIGINT)
+                  END AS top_token_bp
       FROM per
     )
     SELECT doc_id, n_words, mean_word_len_c, symbol_ratio_bp,
@@ -2599,16 +2681,14 @@ def q_unimax_incremental(spark, sf_dir):
             ).cast("bigint").alias("n"),
         )
     )
-    # re-run the water-fill on the folded counts: explode each language
-    # to n synthetic rows would rescan nothing but is wasteful — the
-    # operator only needs the counts, so feed it a counts-shaped frame
-    # via explode of a bounded sequence (|langs| rows -> n rows is the
-    # operator's own grouping domain, still corpus-independent).
-    counts_as_rows = folded.select(
-        "lang", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_i")
-    )
+    # re-run the water-fill on the folded counts directly: the
+    # counts-in signature keeps the refresh corpus-independent —
+    # |languages| rows in, no synthetic row per document (the r9
+    # explode(sequence(1, n)) rebuild materialized corpus-size rows
+    # and sequence() caps its length at large n — ADVICE r9).
     return curation.unimax_allocation(
-        counts_as_rows, budget_docs=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS
+        folded, budget_docs=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS,
+        count_col="n",
     )
 
 

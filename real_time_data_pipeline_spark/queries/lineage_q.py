@@ -141,26 +141,52 @@ def q_corpus_merkle_append(spark, sf_dir):
     # Staleness guard: the persisted store is keyed only by the sf_dir
     # basename, so if the documents table were ever regenerated under
     # the same path a stale store would silently drive the manifest.
-    # Validate per-key leaf counts (buckets Σn by key) against the live
-    # history slice — cheap (two small aggregates) and catches any
-    # add/remove regeneration; rebuild on mismatch.
+    # Two checks, no content scan (the point of the incremental path is
+    # NOT re-hashing history):
+    #   1. source-file identity — (path, size, mtime) of every parquet
+    #      part backing the live table, stamped at build time and
+    #      compared on reuse (git's stat-before-hash rule).  Catches
+    #      regeneration even when per-source row counts are identical,
+    #      the hole the r9 count-only guard left (ADVICE r9).
+    #   2. per-key leaf counts vs the live history — a safety net for
+    #      frames whose file listing is unavailable.
+    # Control flow is explicit (no assert: under `python -O` asserts
+    # strip and an assert-based guard silently never rebuilds).
+    import json
+
+    def _file_stamp() -> list[list]:
+        return sorted(
+            [f, os.path.getsize(f[7:] if f.startswith("file://") else f),
+             os.path.getmtime(f[7:] if f.startswith("file://") else f)]
+            for f in docs.inputFiles()
+        )
+
+    stamp_path = os.path.join(path, "_source_stamp.json")
+    fresh = False
     try:
-        stored = {
-            r["key"]: r["n"]
-            for r in spark.read.parquet(f"{path}/buckets")
-            .groupBy("key")
-            .agg(F.sum("n").alias("n"))
-            .collect()
-        }
-        live = {
-            r["source"]: r["n"]
-            for r in hist.groupBy("source").agg(
-                F.count("*").alias("n")
-            ).collect()
-        }
-        assert stored and stored == live
+        with open(stamp_path) as fh:
+            fresh = json.load(fh) == _file_stamp()
+        if fresh:
+            stored = {
+                r["key"]: r["n"]
+                for r in spark.read.parquet(f"{path}/buckets")
+                .groupBy("key")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            }
+            live = {
+                r["source"]: r["n"]
+                for r in hist.groupBy("source").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            fresh = bool(stored) and stored == live
     except Exception:
+        fresh = False
+    if not fresh:
         build_merkle_store(hist, path)
+        with open(stamp_path, "w") as fh:
+            json.dump(_file_stamp(), fh)
     return merkle_manifest_incremental(spark, new, path)
 
 

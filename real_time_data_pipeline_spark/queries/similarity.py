@@ -420,8 +420,11 @@ def q_ann_pq_topk(spark, sf_dir):
 
     ORACLE-BACKED since round 9 (VERDICT r8 #5, the decontaminate_bloom
     re-alias): with the shortlist sized to the certified configuration
-    C = max(100, n/5) — the exact size ``ann_pq_shortlist_superset``
-    pins the membership contract at — the exact re-rank provably equals
+    C = max(100, n/3) — the exact size ``ann_pq_shortlist_superset``
+    pins the membership contract at (raised from n/5 in round 10: the
+    measured worst ADC rank of a true neighbor is ~11% of the corpus,
+    so n/3 carries ~3x margin against codebook/partitioning drift —
+    ADVICE r9) — the exact re-rank provably equals
     brute-force top-k whenever the superset holds: the true top-k rows
     are all in the shortlist, and the re-rank applies cosine_topk's
     identical fold and (cos desc, id asc) tie-break over a superset, so
@@ -431,7 +434,7 @@ def q_ann_pq_topk(spark, sf_dir):
     rows-only: its nprobe=4-of-16 coarse pruning can drop a true
     neighbor whose cell is unprobed — see q_ann_ivfpq_topk.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    shortlist = max(100, emb.count() // 5)
+    shortlist = max(100, emb.count() // 3)
     books = similarity.pq_fit(emb, m=16, k=64, iters=3)
     codes = similarity.pq_encode(emb, books)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -509,11 +512,12 @@ def q_ann_pq_shortlist_superset(spark, sf_dir):
     flips a flag and fails the hash; the exact leg's values
     cross-check against DuckDB as usual.
 
-    Shortlist size: max(100, n/5).  The synthetic near-uniform
+    Shortlist size: max(100, n/3).  The synthetic near-uniform
     embeddings quantize coarsely (measured worst ADC rank of a true
     top-10 neighbor ~11% of the corpus at sf0.01 AND sf0.1 — the
     ratio, not the count, is the stable quantity here), so the
-    certified config sizes C proportionally with ~2x margin; a
+    certified config sizes C proportionally with ~3x margin (raised
+    from n/5 / ~2x in round 10, ADVICE r9); a
     production corpus with cluster structure runs constant C ~
     10-100x k, and the CONTRACT this oracle pins — re-rank recovers
     brute force at the configured C — is the same statement at any C.
@@ -522,7 +526,7 @@ def q_ann_pq_shortlist_superset(spark, sf_dir):
     (m byte-lookups/vector); the shortlist and exact top-k frames are
     k/C-bounded and broadcast."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
-    shortlist = max(100, emb.count() // 5)
+    shortlist = max(100, emb.count() // 3)
     books = similarity.pq_fit(emb, m=16, k=64, iters=3)
     codes = similarity.pq_encode(emb, books)
     exact = similarity.cosine_topk(emb, queries, k=K)

@@ -1123,15 +1123,18 @@ def test_incremental_clusters_merges_bridged_clusters(spark, tmp_path):
 
 def test_prefix_filter_equals_bruteforce_and_prunes(spark, sf_dir):
     """Lossless-prune certificate in pytest terms: the prefix-filter
-    output equals ngram_jaccard_pairs row-for-row, and its candidate
-    set is strictly smaller than the all-shared-shingle pair space."""
+    output equals the NAIVE all-shared-shingle plan row-for-row, and
+    its candidate set is strictly smaller than that pair space.
+    (``naive=True`` is required since round 10: the default
+    ngram_jaccard_pairs now delegates to prefix_filter_pairs, so
+    comparing against the default would be vacuous.)"""
     from real_time_data_pipeline_spark.schemas import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     exact = {
         (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_bp"])
         for r in dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.8
+            docs, "doc_id", "text", n=3, threshold=0.8, naive=True
         ).collect()
     }
     got = {
