@@ -1440,6 +1440,165 @@ def _qdigest_build(hist: dict, level_bits: int, thr: int) -> dict:
     return out
 
 
+def _qdigest_compress(nodes: dict, level_bits: int, thr: int) -> dict:
+    """Recompress a MIXED-LEVEL q-digest node multiset bottom-up — the
+    merge step (Shrivastava et al. 2004 §4.2): per level, a parent
+    whose children-sum plus its own count stays below ``thr`` absorbs
+    the children (the classic c(v)+c(sibling)+c(parent) < thr test;
+    unlike :func:`_qdigest_build`'s leaf-only input, merged digests
+    already hold counts at internal nodes, so the parent term is
+    live).  Pure integer arithmetic, fixed level order — identical in
+    any engine."""
+    cur = dict(nodes)
+    for lvl in range(level_bits, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        parents: dict = {}
+        for i in [j for j in cur if lo <= j < hi]:
+            parents[i >> 1] = parents.get(i >> 1, 0) + cur[i]
+        for p, kid_sum in parents.items():
+            tot = kid_sum + cur.get(p, 0)
+            if tot < thr:
+                cur.pop(2 * p, None)
+                cur.pop(2 * p + 1, None)
+                cur[p] = tot
+    return cur
+
+
+def _qdigest_walk_ledger(
+    digest: dict, hist: dict, level_bits: int, thr: int, quantiles_bp: tuple
+) -> list:
+    """(q_bp, est, target, rank_err, within_bound) rows for a digest
+    against the true histogram — the shared ledger arithmetic of the
+    one-shot and merge-certificate entries (same walk order, same rank
+    interval, same L·thr bound)."""
+    n = sum(hist.values())
+
+    def node_range(idx: int) -> tuple:
+        lvl = idx.bit_length() - 1
+        span = 1 << (level_bits - lvl)
+        lo = (idx - (1 << lvl)) * span
+        return lo, lo + span - 1
+
+    walk = sorted(
+        ((node_range(i)[1], -node_range(i)[0], c) for i, c in digest.items())
+    )
+    cents_sorted = sorted(hist)
+    cum_before = {}
+    run = 0
+    for c in cents_sorted:
+        cum_before[c] = run
+        run += hist[c]
+
+    def ranks(v: int) -> tuple:
+        lo = 0
+        for c in cents_sorted:
+            if c < v:
+                lo = cum_before[c] + hist[c]
+            else:
+                break
+        return lo + 1, lo + hist.get(v, 0)
+
+    err_limit = level_bits * thr
+    out = []
+    for q_bp in quantiles_bp:
+        target = (q_bp * n + 9999) // 10000
+        cum = 0
+        est = (1 << level_bits) - 1
+        for hi, _neg_lo, c in walk:
+            cum += c
+            if cum >= target:
+                est = hi
+                break
+        r_lo, r_hi = ranks(est)
+        rank_err = max(0, r_lo - 1 - target, target - r_hi)
+        out.append((q_bp, est, target, rank_err, rank_err <= err_limit))
+    return out
+
+
+def qdigest_merge(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    k: int = QD_K,
+    level_bits: int = QD_L,
+    quantiles_bp: tuple = (2500, 5000, 7500, 9000, 9900),
+) -> DataFrame:
+    """Q-digest MERGE certificate (VERDICT r9 #7 — kmv_merge's
+    analogue at the quantile tier): per-``group_col`` digests built
+    independently (each with its own n_g div k threshold — the
+    per-shard/per-day sketches a 100 TB rollup persists), merged by
+    nodewise count sum + one recompression at the global n div k
+    threshold, and read through the SAME canonical walk as the
+    one-shot digest.  The ledger carries BOTH digests' estimates with
+    their exact rank errors against the true histogram and pins
+    ``within_bound`` on BOTH sides — the mergeability property
+    (ε preserved under merge) as a driver-checkable row set instead of
+    a property test.  Every step is integer-deterministic; the DuckDB
+    oracle replays the per-group builds (compression unrolled per
+    level), the merge, the recompression, and both walks.
+
+    Output: (q_bp, target_rank, est_merged, rank_err_merged,
+    within_merged, est_oneshot, rank_err_oneshot, within_oneshot,
+    err_limit, n_nodes_merged, n_groups).
+
+    Scale shape: the ONE corpus-scale operation is the (group, cents)
+    hash aggregate; the collected frame is bounded by
+    |groups| · 2^level_bits rows (groups is a tiny enum here), and
+    everything after runs on digest dicts of ≤ ~3k nodes each."""
+    cents_col = F.floor(F.col(value_col).cast("double") * F.lit(100)).cast(
+        "bigint"
+    )
+    rows = (
+        df.select(F.col(group_col).alias("grp"), cents_col.alias("cents"))
+        .groupBy("grp", "cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .collect()  # bounded: <= |groups| * 2^level_bits rows
+    )
+    by_grp: dict = {}
+    hist: dict = {}
+    for r in rows:
+        c, n = int(r["cents"]), int(r["cnt"])
+        assert 0 <= c < (1 << level_bits), (
+            "value outside the configured q-digest universe"
+        )
+        by_grp.setdefault(r["grp"], {})
+        by_grp[r["grp"]][c] = by_grp[r["grp"]].get(c, 0) + n
+        hist[c] = hist.get(c, 0) + n
+    n = sum(hist.values())
+    thr = n // k
+    merged_nodes: dict = {}
+    for g, gh in by_grp.items():
+        g_n = sum(gh.values())
+        gd = _qdigest_build(gh, level_bits, g_n // k)
+        for i, c in gd.items():
+            merged_nodes[i] = merged_nodes.get(i, 0) + c
+    merged = _qdigest_compress(merged_nodes, level_bits, thr)
+    oneshot = (
+        _qdigest_build(hist, level_bits, thr)
+        if thr >= 1
+        else {(1 << level_bits) + c: v for c, v in hist.items()}
+    )
+    lm = _qdigest_walk_ledger(merged, hist, level_bits, thr, quantiles_bp)
+    lo = _qdigest_walk_ledger(oneshot, hist, level_bits, thr, quantiles_bp)
+    err_limit = level_bits * thr
+    out = [
+        (
+            m[0], m[2], m[1], m[3], m[4], o[1], o[3], o[4],
+            err_limit, len(merged), len(by_grp),
+        )
+        for m, o in zip(lm, lo)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "q_bp bigint, target_rank bigint, est_merged bigint, "
+        "rank_err_merged bigint, within_merged boolean, "
+        "est_oneshot bigint, rank_err_oneshot bigint, "
+        "within_oneshot boolean, err_limit bigint, "
+        "n_nodes_merged bigint, n_groups bigint",
+    )
+
+
 def qdigest_quantiles(
     df: DataFrame,
     value_col: str = "value",

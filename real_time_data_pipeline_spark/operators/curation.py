@@ -2147,6 +2147,84 @@ def gopher_quality_flags(
     )
 
 
+def gopher_line_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    max_bullet_bp: int = 9000,
+    max_ellipsis_bp: int = 3000,
+) -> DataFrame:
+    """Line-grain Gopher rules (Rae et al. 2021 §A1.1 — the two rules
+    the token-grain battery in :func:`gopher_quality_flags` can't
+    express): drop docs where >90% of lines start with a bullet or
+    >30% end with an ellipsis.  ``lines_col`` is an ``array<string>``
+    column of the document's lines; fractions are exact integer basis
+    points so the DuckDB oracle recomputes the whole table.
+
+      r_bullet_lines    bullet-start lines <= ``max_bullet_bp`` of doc
+      r_ellipsis_lines  ellipsis-end lines <= ``max_ellipsis_bp``
+      keep_lines        both
+
+    Bullet starts: '- ', '* ', or the Unicode bullet '•'; ellipsis
+    ends: '...' or '…' (the paper's markers).  Zero-line docs keep an
+    explode_outer row — n_lines=0, both ratios 0, keep_lines=false
+    (nothing judged ⇒ nothing kept; consistent with
+    gopher_quality_flags' zero-token rule).
+
+    Scale shape: one explode over the line arrays -> per-doc aggregate
+    with map-side combine; no window, no second scan."""
+    ln = F.col("_line")
+    is_bullet = (
+        ln.startswith("- ") | ln.startswith("* ") | ln.startswith("•")
+    )
+    is_ellipsis = ln.endswith("...") | ln.endswith("…")
+    per_doc = (
+        df.select(
+            F.col(id_col), F.explode_outer(F.col(lines_col)).alias("_line")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(ln.isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(is_bullet, 1).otherwise(0)
+            ).cast("bigint").alias("bullet_lines"),
+            F.sum(
+                F.when(is_ellipsis, 1).otherwise(0)
+            ).cast("bigint").alias("ellipsis_lines"),
+        )
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        F.expr(
+            "CASE WHEN n_lines = 0 THEN 0"
+            " ELSE 10000 * bullet_lines div n_lines END"
+        ).alias("bullet_bp"),
+        F.expr(
+            "CASE WHEN n_lines = 0 THEN 0"
+            " ELSE 10000 * ellipsis_lines div n_lines END"
+        ).alias("ellipsis_bp"),
+    )
+    r1 = F.col("bullet_bp") <= max_bullet_bp
+    r2 = F.col("ellipsis_bp") <= max_ellipsis_bp
+    has = F.col("n_lines") > 0
+    return stats.select(
+        id_col,
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "bullet_bp",
+        "ellipsis_bp",
+        (has & r1).alias("r_bullet_lines"),
+        (has & r2).alias("r_ellipsis_lines"),
+        (has & r1 & r2).alias("keep_lines"),
+    )
+
+
 def unimax_allocation(
     df: DataFrame,
     budget_docs: int,

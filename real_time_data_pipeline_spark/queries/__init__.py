@@ -43,79 +43,80 @@ _MODULES = [
 ]
 
 
-# Round-9 window (VERDICT r8 #1): (a) every oracle-backed query that
-# has NEVER had an independent driver verdict — the 24 round-8
-# additions (selection tier, NB, KMV, Merkle, PPJoin, search/fusion,
-# change-point, attribution, IVF-PQ superset) plus ann_pq_topk (newly
-# oracle-backed in r9 via the certified-shortlist re-alias) — then
-# (b) the stalest green verdicts: the 17 the r8 rotation note queued
-# (r01/r02 entries outside the r8 window) and the 7 stalest r03
-# entries.  After this window lands green, every oracle-backed query
-# in the registry has a driver verdict and nothing is older than r03
-# except queries re-verified in r08.
-_R9_PRIORITY = [
-    # (a) never driver-checked, oracle-backed
-    "dsir_weights",
-    "dsir_select",
-    "dsir_weights_incremental",
-    "dsir_sample_gumbel",
-    "stream_dsir_gate",
-    "ccnet_ppl_buckets",
-    "ccnet_bigram_ppl",
-    "weighted_sample_aes",
-    "nb_classify",
-    "nb_confusion",
-    "stream_nb_gate",
-    "kmv_distinct",
-    "kmv_merge",
-    "stream_kmv_fold",
-    "cms_heavy_hitters",
-    "change_point",
-    "attribution_u_shape",
-    "corpus_merkle",
-    "corpus_merkle_append",
-    "dedup_prefix_filter",
-    "hybrid_rrf",
-    "phrase_search",
-    "proximity_search",
-    "ann_ivfpq_shortlist_superset",
-    "ann_pq_topk",
-    # (b) stalest greens: the r8 rotation note's queue
-    "alerts",
-    "sliding_window_agg",
-    "order_ranking",
-    "rollup_counts",
-    "set_ops",
-    "lineage_summary",
-    "dedup_exact",
-    "dedup_exact_lineitem",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "ann_bruteforce_topk",
-    "validation_summary",
-    "dq_suite_metrics",
-    "pivot_daily_activity",
-    "unpivot_measures",
-    # new r9 oracle-backed entries take the last eight slots so nothing
-    # oracle-backed leaves r9 without a driver verdict; the r10 stale
-    # queue (in order): value_histogram, percentiles, scd2_user_state,
-    # rollup_order_stats, timeseries_gapfill, user_activity_gaps,
-    # skew_profile, order_window_ranks
-    "gopher_quality",
-    "unimax_allocation",
-    "kmeans_clusters",
-    "pca_power_top1",
-    "qdigest_quantiles",
-    "stream_qdigest_fold",
-    "stream_gopher_gate",
-    "unimax_incremental",
+# Round-10 window (VERDICT r9 #2): with every oracle-backed query
+# green in the cumulative union, freshness is the metric — fill the 49
+# slots behind the flagship with (a) the three NEW r10 oracle-backed
+# entries (so nothing oracle-backed leaves r10 without a driver
+# verdict), then (b) the stalest verdicts oldest-first: the single r02
+# entry, all 38 r03 entries, and the first 7 of the r04 queue
+# (alphabetical).  After this window lands green, the best-verdict
+# histogram's tail starts at r04 (23 r04 entries remain for the r11
+# window: doc_quality, ewma_user_value, frequent_pairs,
+# funnel_windowed, hard_negatives, heavy_hitters, impute_median,
+# item_similarity, keyword_search, knn_label_noise, quality_model,
+# rfm_segments, rollup_incremental, salted_join_skew, scd2_pit_join,
+# session_paths, snapshot_diff, step_provenance, stream_enrich_join,
+# stream_rollup_incremental, stream_validate, stream_windowed_agg,
+# value_trend).
+_R10_PRIORITY = [
+    # (a) new r10 oracle-backed entries
+    "gopher_lines",
+    "qdigest_merge",
+    "clean_corpus_pruned_certificate",
+    # (b) stalest greens, oldest-first (r02, then r03 alphabetical)
+    "value_histogram",
+    "balanced_sample",
+    "cdc_snapshot",
+    "chunk_windows",
+    "cohort_retention",
+    "concurrent_events",
+    "corpus_dup_spans",
+    "daily_anomalies",
+    "dataset_mix",
+    "dataset_shuffle",
+    "dataset_split",
+    "dataset_upsample",
+    "decile_bins",
+    "decontaminate",
+    "embedding_outliers",
+    "embedding_quantization",
+    "event_transitions",
+    "funnel_counts",
+    "group_split",
+    "keyword_topk",
+    "mm_frame_sample",
+    "order_window_ranks",
+    "percentiles",
+    "profile_columns",
+    "range_join",
+    "rolling_7d_value",
+    "rollup_order_stats",
+    "running_value_total",
+    "scd2_user_state",
+    "sequence_packing",
+    "skew_profile",
+    "source_overlap",
+    "source_profile",
+    "text_normalize",
+    "text_repetition",
+    "timeseries_gapfill",
+    "token_zipf",
+    "user_activity_gaps",
+    "windowed_distinct_users",
+    # r04 queue, first seven
+    "attribution_last_touch",
+    "blocking_eval",
+    "corpus_report",
+    "curriculum_phases",
+    "daily_last_event",
+    "dedup_editdistance",
+    "dedup_span_scrub",
 ]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query correctness window:
-    _R9_PRIORITY first, then remaining oracle-backed queries, rows-only
+    _R10_PRIORITY first, then remaining oracle-backed queries, rows-only
     queries last (their stronger checks live in pytest)."""
     out: dict = {}
     for m in _MODULES:
@@ -124,24 +125,24 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query keys: {overlap}")
         out.update(m.QUERIES)
     oracles = all_oracles()
-    missing = [k for k in _R9_PRIORITY if k not in out]
+    missing = [k for k in _R10_PRIORITY if k not in out]
     if missing:
-        raise ValueError(f"_R9_PRIORITY names unknown queries: {missing}")
+        raise ValueError(f"_R10_PRIORITY names unknown queries: {missing}")
     # A priority entry without an oracle would be SILENTLY dropped from
     # the front-load below and land outside the driver window — the
     # exact failure this ordering exists to prevent; fail loudly instead.
-    no_oracle = [k for k in _R9_PRIORITY if k not in oracles]
+    no_oracle = [k for k in _R10_PRIORITY if k not in oracles]
     if no_oracle:
-        raise ValueError(f"_R9_PRIORITY entries lack oracles: {no_oracle}")
+        raise ValueError(f"_R10_PRIORITY entries lack oracles: {no_oracle}")
     # The driver checks 50 slots and __spark_entry__ takes slot 1, so a
     # 50th priority entry would silently land OUTSIDE the window — the
     # exact failure this ordering exists to prevent; fail loudly.
-    if len(_R9_PRIORITY) > 49:
+    if len(_R10_PRIORITY) > 49:
         raise ValueError(
-            f"_R9_PRIORITY has {len(_R9_PRIORITY)} entries; only 49 fit "
+            f"_R10_PRIORITY has {len(_R10_PRIORITY)} entries; only 49 fit "
             "the driver's 50-slot window behind the flagship"
         )
-    ordered = {k: out[k] for k in _R9_PRIORITY}
+    ordered = {k: out[k] for k in _R10_PRIORITY}
     ordered.update({k: v for k, v in out.items() if k in oracles})
     ordered.update({k: v for k, v in out.items() if k not in oracles})
     return ordered

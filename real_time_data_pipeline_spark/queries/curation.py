@@ -2527,6 +2527,100 @@ ORACLES["gopher_quality"] = f"""
 """
 
 
+# ------------------------------------- round 10: line-grain Gopher rules
+
+
+def q_gopher_lines(spark, sf_dir):
+    """Line-grain Gopher rules (operators/curation.gopher_line_flags;
+    Rae et al. 2021 §A1.1 — bullet-line fraction <= 90%, ellipsis-line
+    fraction <= 30%) over a DETERMINISTIC multi-line fixture: the
+    synthetic corpus is single-line, so each doc's tokens become its
+    lines, bullet-prefixed when (i + doc_id) % 10 < doc_id % 11 and
+    ellipsis-suffixed when (3i + doc_id) % 10 < doc_id % 7 — per-doc
+    bullet fractions sweep ~0..100% (doc_id % 11 == 10 fails the 90%
+    rule) and ellipsis fractions ~0..60% (doc_id % 7 >= 4 fails the
+    30% rule), so both rules discriminate.  The oracle rebuilds the
+    fixture and the whole integer-bp ledger."""
+    docs = _docs(spark, sf_dir)
+    from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+    lines = F.transform(
+        tokens_col("text"),
+        lambda t, i: F.concat(
+            F.when(
+                ((i + F.col("doc_id")) % 10) < (F.col("doc_id") % 11),
+                F.lit("- "),
+            ).otherwise(F.lit("")),
+            t,
+            F.when(
+                ((i * 3 + F.col("doc_id")) % 10) < (F.col("doc_id") % 7),
+                F.lit("..."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    staged = docs.select("doc_id", lines.alias("lines"))
+    return curation.gopher_line_flags(staged)
+
+
+QUERIES["gopher_lines"] = q_gopher_lines
+
+ORACLES["gopher_lines"] = f"""
+    WITH base AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, i - 1 AS i0, toks[CAST(i AS INTEGER)] AS tok
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+    ),
+    lines AS (
+      SELECT doc_id,
+             (CASE WHEN (i0 + doc_id) % 10 < doc_id % 11
+                   THEN '- ' ELSE '' END)
+             || tok ||
+             (CASE WHEN (i0 * 3 + doc_id) % 10 < doc_id % 7
+                   THEN '...' ELSE '' END) AS line
+      FROM tl
+    ),
+    per0 AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN starts_with(line, '- ')
+                             OR starts_with(line, '* ')
+                             OR starts_with(line, '•')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bullet_lines,
+             CAST(SUM(CASE WHEN ends_with(line, '...')
+                             OR ends_with(line, '…')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ellipsis_lines
+      FROM lines GROUP BY 1
+    ),
+    per AS (
+      SELECT d.doc_id,
+             COALESCE(p.n_lines, 0) AS n_lines,
+             COALESCE(p.bullet_lines, 0) AS bullet_lines,
+             COALESCE(p.ellipsis_lines, 0) AS ellipsis_lines
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN per0 p USING (doc_id)
+    ),
+    stats AS (
+      SELECT doc_id, n_lines, bullet_lines, ellipsis_lines,
+             CASE WHEN n_lines = 0 THEN 0
+                  ELSE CAST(10000 * bullet_lines // n_lines AS BIGINT)
+                  END AS bullet_bp,
+             CASE WHEN n_lines = 0 THEN 0
+                  ELSE CAST(10000 * ellipsis_lines // n_lines AS BIGINT)
+                  END AS ellipsis_bp
+      FROM per
+    )
+    SELECT doc_id, n_lines, bullet_lines, ellipsis_lines,
+           bullet_bp, ellipsis_bp,
+           (n_lines > 0 AND bullet_bp <= 9000) AS r_bullet_lines,
+           (n_lines > 0 AND ellipsis_bp <= 3000) AS r_ellipsis_lines,
+           (n_lines > 0 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000)
+               AS keep_lines
+    FROM stats
+"""
+
+
 # --------------------------------------------- round 9: UniMax mixing
 
 UNIMAX_BUDGET = 771

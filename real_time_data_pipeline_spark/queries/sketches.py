@@ -375,6 +375,199 @@ def _qdigest_oracle(
 ORACLES["qdigest_quantiles"] = _qdigest_oracle()
 
 
+def q_qdigest_merge(spark, sf_dir):
+    """Q-digest MERGE certificate (operators/aggregates.qdigest_merge;
+    VERDICT r9 #7 — kmv_merge's quantile analogue): per-event-type
+    digests built at their own n_g div 256 thresholds, merged by
+    nodewise sum + one recompression at the global threshold, ledgered
+    against the true histogram NEXT TO the one-shot digest — the
+    oracle replays both builds (compression unrolled), the merge, and
+    both walks, pinning within_bound on both sides."""
+    events = load_table(spark, sf_dir, "events")
+    return A.qdigest_merge(events, "value", "event_type")
+
+
+QUERIES["qdigest_merge"] = q_qdigest_merge
+
+
+def _qdigest_merge_oracle(
+    k: int = A.QD_K,
+    level_bits: int = A.QD_L,
+    quantiles_bp: tuple = (2500, 5000, 7500, 9000, 9900),
+) -> str:
+    """Grouped q-digest build (per-group compression unrolled, `grp`
+    carried through every stage), nodewise-sum merge, one unrolled
+    recompression at the global threshold with the FULL
+    kids+parent < thr test (merged digests hold counts at internal
+    nodes, unlike the leaf-only one-shot build), both canonical walks,
+    and the exact rank ledger for each — the one-shot side reuses
+    :func:`_qdigest_oracle` verbatim as a subquery."""
+    L = level_bits
+    stages = [
+        """ghist AS MATERIALIZED (
+          SELECT event_type AS grp,
+                 CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                     AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        )""",
+        f"""gparams AS MATERIALIZED (
+          SELECT grp, CAST(SUM(cnt) // {k} AS BIGINT) AS thr
+          FROM ghist GROUP BY 1
+        )""",
+        f"""gst{L} AS MATERIALIZED (
+          SELECT grp, {1 << L} + cents AS idx, cnt FROM ghist
+        )""",
+    ]
+    gkeeps = []
+    for lvl in range(L, 0, -1):
+        stages.append(f"""gp{lvl} AS (
+          SELECT grp, idx // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS sc
+          FROM gst{lvl} GROUP BY 1, 2
+        )""")
+        stages.append(f"""gkeep{lvl} AS (
+          SELECT s.grp, s.idx, s.cnt
+          FROM gst{lvl} s
+          JOIN gp{lvl} q ON q.grp = s.grp AND q.p = s.idx // 2
+          JOIN gparams t ON t.grp = s.grp
+          WHERE q.sc >= t.thr
+        )""")
+        stages.append(f"""gst{lvl - 1} AS MATERIALIZED (
+          SELECT q.grp, q.p AS idx, q.sc AS cnt
+          FROM gp{lvl} q JOIN gparams t ON t.grp = q.grp
+          WHERE q.sc < t.thr
+        )""")
+        gkeeps.append(f"SELECT grp, idx, cnt FROM gkeep{lvl}")
+    gkeeps.append("SELECT grp, idx, cnt FROM gst0")
+    stages.append("gdigest AS (" + " UNION ALL ".join(gkeeps) + ")")
+    stages.append(f"""mparams AS MATERIALIZED (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt) // {k} AS BIGINT) AS thr
+          FROM ghist
+        )""")
+    stages.append(f"""mst{L + 1} AS MATERIALIZED (
+          SELECT idx, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM gdigest GROUP BY 1
+        )""")
+    # recompression: mst{L+1} holds the merged (mixed-level) multiset;
+    # one stage triple per level, full kids+parent test
+    for lvl in range(L, 0, -1):
+        lo_i, hi_i = 1 << lvl, 1 << (lvl + 1)
+        src = f"mst{lvl + 1}"
+        stages.append(f"""mp{lvl} AS MATERIALIZED (
+          SELECT idx // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS kid_sum
+          FROM {src} WHERE idx >= {lo_i} AND idx < {hi_i} GROUP BY 1
+        )""")
+        stages.append(f"""mdec{lvl} AS MATERIALIZED (
+          SELECT m.p, m.kid_sum + COALESCE(s.cnt, 0) AS tot
+          FROM mp{lvl} m LEFT JOIN {src} s ON s.idx = m.p
+        )""")
+        stages.append(f"""mst{lvl} AS MATERIALIZED (
+          SELECT s.idx, s.cnt
+          FROM {src} s JOIN mdec{lvl} d ON d.p = s.idx // 2
+          CROSS JOIN mparams
+          WHERE s.idx >= {lo_i} AND s.idx < {hi_i}
+            AND d.tot >= mparams.thr
+          UNION ALL
+          SELECT d.p AS idx, CAST(d.tot AS BIGINT) AS cnt
+          FROM mdec{lvl} d CROSS JOIN mparams
+          WHERE d.tot < mparams.thr
+          UNION ALL
+          SELECT s.idx, s.cnt FROM {src} s
+          WHERE (s.idx < {lo_i} OR s.idx >= {hi_i})
+            AND NOT EXISTS (
+              SELECT 1 FROM mdec{lvl} d CROSS JOIN mparams
+              WHERE d.p = s.idx AND d.tot < mparams.thr)
+        )""")
+    stages.append("mdigest AS MATERIALIZED (SELECT idx, cnt FROM mst1)")
+    lvl_rows = ", ".join(
+        f"({lvl}, {1 << lvl}, {(1 << (lvl + 1)) - 1}, {1 << (L - lvl)})"
+        for lvl in range(L + 1)
+    )
+    qs = ", ".join(f"({q})" for q in quantiles_bp)
+    stages.append(f"""mlvls AS MATERIALIZED (
+          SELECT * FROM (VALUES {lvl_rows}) t(lvl, lo_idx, hi_idx, span)
+        )""")
+    stages.append("""mnodesr AS MATERIALIZED (
+          SELECT d.idx, d.cnt,
+                 (d.idx - l.lo_idx) * l.span AS r_lo,
+                 (d.idx - l.lo_idx + 1) * l.span - 1 AS r_hi
+          FROM mdigest d
+          JOIN mlvls l ON d.idx BETWEEN l.lo_idx AND l.hi_idx
+        )""")
+    stages.append("""mwalk AS MATERIALIZED (
+          SELECT *, SUM(cnt) OVER (ORDER BY r_hi, r_lo DESC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM mnodesr
+        )""")
+    stages.append(f"""mtgt AS MATERIALIZED (
+          SELECT q_bp,
+                 CAST((q_bp * mparams.n + 9999) // 10000 AS BIGINT)
+                     AS target
+          FROM (VALUES {qs}) q(q_bp) CROSS JOIN mparams
+        )""")
+    stages.append(f"""mest AS MATERIALIZED (
+          SELECT t.q_bp, t.target,
+                 CAST(COALESCE((SELECT w.r_hi FROM mwalk w
+                                WHERE w.cum >= t.target
+                                ORDER BY w.r_hi, w.r_lo DESC LIMIT 1),
+                               {(1 << L) - 1}) AS BIGINT) AS est_merged
+          FROM mtgt t
+        )""")
+    stages.append("""thist AS MATERIALIZED (
+          SELECT cents, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM ghist GROUP BY 1
+        )""")
+    stages.append("""tpf AS MATERIALIZED (
+          SELECT cents, cnt,
+                 SUM(cnt) OVER (ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum_thru
+          FROM thist
+        )""")
+    stages.append("""mrk AS MATERIALIZED (
+          SELECT e.q_bp, e.target, e.est_merged,
+                 CAST(COALESCE((SELECT MAX(cum_thru) FROM tpf
+                                WHERE cents < e.est_merged), 0) + 1
+                      AS BIGINT) AS rank_lo,
+                 CAST(COALESCE((SELECT MAX(cum_thru) FROM tpf
+                                WHERE cents < e.est_merged), 0)
+                      + COALESCE((SELECT cnt FROM tpf
+                                  WHERE cents = e.est_merged), 0)
+                      AS BIGINT) AS rank_hi
+          FROM mest e
+        )""")
+    oneshot = _qdigest_oracle(k, level_bits, quantiles_bp)
+    stages.append(f"""oneshot AS MATERIALIZED (
+          SELECT q_bp, est_cents AS est_oneshot,
+                 rank_err AS rank_err_oneshot,
+                 within_bound AS within_oneshot
+          FROM ({oneshot})
+        )""")
+    return (
+        "WITH " + ",\n".join(stages) + f"""
+        SELECT m.q_bp, m.target AS target_rank, m.est_merged,
+               CAST(GREATEST(0, m.rank_lo - 1 - m.target,
+                             m.target - m.rank_hi) AS BIGINT)
+                   AS rank_err_merged,
+               (GREATEST(0, m.rank_lo - 1 - m.target,
+                         m.target - m.rank_hi)
+                <= {L} * mparams.thr) AS within_merged,
+               o.est_oneshot, o.rank_err_oneshot, o.within_oneshot,
+               CAST({L} * mparams.thr AS BIGINT) AS err_limit,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mdigest)
+                   AS n_nodes_merged,
+               (SELECT CAST(COUNT(DISTINCT grp) AS BIGINT) FROM ghist)
+                   AS n_groups
+        FROM mrk m
+        JOIN oneshot o ON o.q_bp = m.q_bp
+        CROSS JOIN mparams
+    """
+    )
+
+
+ORACLES["qdigest_merge"] = _qdigest_merge_oracle()
+
+
 def q_stream_qdigest_fold(spark, sf_dir):
     """Streaming twin of ``qdigest_quantiles`` on the SAME contract
     (the stream_kmv_fold posture): the event log arrives as 8 real
