@@ -23,11 +23,13 @@ run once at sf0.1 and once at the scaled dir in the same session, cache
 released between runs.  Prints one JSON line per (query, sf) plus a
 final ratio line per query.
 
-The exact-embedding leg of dedup_pipeline is all-pairs QUADRATIC by
-construction (the correctness baseline; the scale configuration is
-dedup_pipeline_lsh_pruned) — its ratio is expected and documented to exceed
-the linear band, which is itself a useful measurement: it shows the
-probe can tell a linear plan from a quadratic one.
+Round-10 note: dedup_pipeline's QUADRATIC_OK flag is RETIRED.  Its
+exact-embedding leg is still all-pairs by construction, but the
+blocked-GEMM prefilter + exact verify (operators/dedup.
+embedding_near_dup) turned the per-pair cost from an interpreted
+Catalyst fold into one BLAS flop per (pair, dim): the 10x probe fell
+from 17.8x (r9) to 1.77x, inside the linear band, so the entry is now
+held to it like everything else.
 
 Usage: python tools/sf1_probe.py [--queries q1 q2 ...] [--keep-dir D]
 """
@@ -62,7 +64,7 @@ DEFAULT_QUERIES = [
 ]
 # Quadratic by design (documented exact baselines, not scale paths):
 # their ratios are reported but not held to the linear band.
-QUADRATIC_OK = {"dedup_pipeline"}
+QUADRATIC_OK: set = set()  # r10: dedup_pipeline retired (10x probe 17.8x -> 1.77x)
 
 
 def build_sf1(spark, sf_dir: str, out_dir: str, factor: int = FACTOR) -> str:
