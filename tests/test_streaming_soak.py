@@ -2,15 +2,19 @@
 micro-batches (VERDICT r4 item #6 — the closest sandbox-feasible
 stand-in for the env-blocked live-Kafka run).
 
-Two rate-source streams drive TEN concurrent queries — the
+Two rate-source streams drive TWELVE concurrent queries — the
 transaction side (the S9 partitioned warehouse sink on `enriched`,
 parquet side sinks for `alerts` (S11) and `dead_letter` (S10), and the
 watermarked windowed aggregation) plus, since round 8 (VERDICT r7 #8),
 the round-7 ingest gates on a synthetic document stream (ExactSubstr
 decontamination, the combined curation verdict, and the
-calibration-drift counter fold) and the round-8 late gates (the frozen
-NB classification gate, the KMV distinct-sketch fold) and the round-9
-DSIR ingest gate (frozen importance weights, per-batch scoring) — and the test
+calibration-drift counter fold), the round-8 late gates (the frozen
+NB classification gate, the KMV distinct-sketch fold), the round-9
+DSIR ingest gate (frozen importance weights, per-batch scoring), and —
+round 10 (VERDICT r9 #9) — the Gopher rule gate (per-batch stateless
+rule battery) and the q-digest histogram fold (per-batch
+universe-bounded (value, count) aggregates folded additively into
+driver state, the stream_qdigest_fold shape) — and the test
 asserts the properties a long-lived production run depends on:
 
 * every query processes >=100 micro-batches with zero exceptions;
@@ -40,10 +44,11 @@ from real_time_data_pipeline_spark.operators import cache
 from real_time_data_pipeline_spark.streaming import pipeline, sinks, sources
 
 TARGET_BATCHES = 100
-# 10 concurrent queries share the one local scheduler; the slowest gate
-# sustains ~8-9 batches/min under full contention (measured r8), so 100
-# batches needs ~12 min of headroom.
-TIMEOUT_S = 900
+# 12 concurrent queries share the one local scheduler; the slowest gate
+# sustains ~5-8 batches/min under full contention (measured r10 — the
+# two added gates cost the slowest gate ~20% cadence), so 100 batches
+# needs ~20 min of headroom.
+TIMEOUT_S = 1560
 
 
 class _InputRowCounter(StreamingQueryListener):
@@ -252,6 +257,43 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
                 : agg_ops.KMV_K
             ]
 
+    # --- round-10 gates (VERDICT r9 #9): the Gopher rule gate (the
+    # stream_gopher_gate dataflow — per-doc STATELESS battery, one
+    # tokenize pass per micro-batch, nothing held between batches) and
+    # the q-digest histogram fold (the stream_qdigest_fold dataflow —
+    # each batch reduces to a (value, count) aggregate bounded by the
+    # VALUE UNIVERSE, not the batch size, and folds additively into a
+    # driver-held histogram; histogram addition is exact for any batch
+    # split, which is what makes the drained digest one-shot-identical).
+    gopher_stats = {"rows": 0, "kept": 0}
+
+    def gopher_gate(batch, _i):
+        agg = (
+            cur_ops.gopher_quality_flags(batch, min_words=10)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep_gopher").cast("long")).alias("k"),
+            )
+            .collect()[0]
+        )
+        gopher_stats["rows"] += agg["n"] or 0
+        gopher_stats["kept"] += agg["k"] or 0
+
+    qd_hist: dict = {}
+    qd_stats = {"rows": 0}
+
+    def qd_fold(batch, _i):
+        rows = (
+            batch.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .collect()  # universe-bounded: |distinct n_chars| rows
+        )
+        for r in rows:
+            qd_hist[int(r["v"])] = qd_hist.get(int(r["v"]), 0) + int(
+                r["cnt"]
+            )
+            qd_stats["rows"] += int(r["cnt"])
+
     calib_partials: dict = {}
 
     def calib_fold(batch, _i):
@@ -335,10 +377,21 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "chk_dsir"))
         .start()
     )
+    q_gopher = (
+        docs_stream.writeStream.foreachBatch(gopher_gate)
+        .option("checkpointLocation", str(tmp_path / "chk_gopher"))
+        .start()
+    )
+    q_qd = (
+        docs_stream.writeStream.foreachBatch(qd_fold)
+        .option("checkpointLocation", str(tmp_path / "chk_qd"))
+        .start()
+    )
     queries = {
         "wh": q_wh, "alerts": q_alerts, "dead": q_dead, "agg": q_agg,
         "decon": q_decon, "flags": q_flags, "calib": q_calib,
         "nb": q_nb, "kmv": q_kmv, "dsir": q_dsir,
+        "gopher": q_gopher, "qd": q_qd,
     }
 
     t0 = time.monotonic()
@@ -440,6 +493,26 @@ def test_streaming_soak_two_sink_dag(spark, tmp_path):
     # frozen weight frame (the gate never re-reads history)
     assert dsir_stats["rows"] > 0
     dsir_w.unpersist()
+    # --- round-10 gates under sustained load ---------------------------
+    # The Gopher gate judged every doc it saw (stateless battery — the
+    # only state is the two counters); the rule split actually FIRED
+    # both ways (docs quoting the stopword-bearing benchmark pass
+    # r_stopwords, pure synthetic-token docs fail it), so the gate is
+    # discriminating, not constant.  The q-digest fold's held state is
+    # bounded by the n_chars VALUE UNIVERSE (~200 distinct lengths for
+    # 20 tokens of 2-4 chars), not by how many rows streamed through —
+    # the same windows-x-keys contract as the aggregation state bound —
+    # and the histogram total covers every row the listener observed
+    # (listener totals are a lower bound; see the warehouse note above).
+    assert gopher_stats["rows"] > 0
+    assert 0 < gopher_stats["kept"] < gopher_stats["rows"]
+    assert qd_stats["rows"] > 0
+    assert len(qd_hist) <= 400, (
+        f"qdigest histogram unbounded: {len(qd_hist)} keys"
+    )
+    assert sum(qd_hist.values()) == qd_stats["rows"]
+    assert qd_stats["rows"] >= listener.rows.get(str(q_qd.id), 0)
+
     assert set(kmv_state) == {f"s{i}" for i in range(5)}
     assert all(len(hs) == agg_ops.KMV_K for hs in kmv_state.values()), {
         g: len(hs) for g, hs in kmv_state.items()
