@@ -2225,6 +2225,112 @@ def gopher_line_flags(
     )
 
 
+def c4_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 heuristic cleaning battery (Raffel et al. 2020 §2.2 — the
+    published rule set the C4 corpus shipped with), the second
+    canonical filter battery next to the Gopher rules
+    (:func:`gopher_quality_flags` / :func:`gopher_line_flags`):
+
+      line grain (a line is KEPT iff all three hold):
+        terminal punctuation  line ends with '.', '!', '?' or '"'
+        >= ``min_line_words`` whitespace words
+        no 'javascript'       (the paper drops the line, not the doc)
+      doc grain:
+        r_min_lines   kept lines >= ``min_kept_lines`` (the paper's
+                      "fewer than 3 sentences" page drop, kept-line
+                      approximation)
+        r_lorem       no line contains 'lorem ipsum'
+        r_brace       no line contains '{' (code pages)
+        r_policy      no line contains 'privacy policy' / 'terms of
+                      use' / 'cookie policy' / 'uses cookies'
+        keep_c4       all four
+
+    Everything is an exact integer count or a substring test, so the
+    DuckDB oracle recomputes the whole table.  Zero-line docs keep an
+    explode_outer row and come out n_lines=0 / keep_c4=false
+    (r_min_lines fails) — the gopher_quality_flags zero-token rule.
+
+    Scale shape: one explode over the line arrays -> per-line
+    expressions -> per-doc hash aggregate with map-side combine; no
+    window, no second scan, no UDF.  The paper's remaining step
+    (three-sentence-span dedup) is span-grain dedup, which lives in
+    :func:`operators.curation.dup_substr_stats` / dedup_span_scrub."""
+    ln = F.col("_line")
+    lnl = F.lower(ln)
+    words = F.size(F.filter(F.split(ln, " "), lambda w: w != F.lit("")))
+    terminal = (
+        ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+        | ln.endswith('"')
+    )
+    keep_line = (
+        terminal
+        & (words >= min_line_words)
+        & ~lnl.contains("javascript")
+    )
+    policy = (
+        lnl.contains("privacy policy")
+        | lnl.contains("terms of use")
+        | lnl.contains("cookie policy")
+        | lnl.contains("uses cookies")
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col), F.explode_outer(F.col(lines_col)).alias("_line")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(ln.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lines"),
+            F.sum(F.when(keep_line, 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_lines"),
+            F.max(
+                F.when(lnl.contains("lorem ipsum"), True).otherwise(False)
+            ).alias("_lorem"),
+            F.max(F.when(ln.contains("{"), True).otherwise(False)).alias(
+                "_brace"
+            ),
+            F.max(F.when(policy, True).otherwise(False)).alias("_policy"),
+        )
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_lines",
+        "kept_lines",
+        F.expr(
+            "CASE WHEN n_lines = 0 THEN 0"
+            " ELSE 10000 * kept_lines div n_lines END"
+        ).alias("kept_bp"),
+        (F.col("kept_lines") >= min_kept_lines).alias("r_min_lines"),
+        (~F.col("_lorem")).alias("r_lorem"),
+        (~F.col("_brace")).alias("r_brace"),
+        (~F.col("_policy")).alias("r_policy"),
+    )
+    return stats.select(
+        id_col,
+        "n_lines",
+        "kept_lines",
+        "kept_bp",
+        "r_min_lines",
+        "r_lorem",
+        "r_brace",
+        "r_policy",
+        (
+            F.col("r_min_lines")
+            & F.col("r_lorem")
+            & F.col("r_brace")
+            & F.col("r_policy")
+        ).alias("keep_c4"),
+    )
+
+
 def unimax_allocation(
     df: DataFrame,
     budget_docs: int,

@@ -45,24 +45,26 @@ _MODULES = [
 
 # Round-10 window (VERDICT r9 #2): with every oracle-backed query
 # green in the cumulative union, freshness is the metric — fill the 49
-# slots behind the flagship with (a) the three NEW r10 oracle-backed
+# slots behind the flagship with (a) the four NEW r10 oracle-backed
 # entries (so nothing oracle-backed leaves r10 without a driver
 # verdict), then (b) the stalest verdicts oldest-first: the single r02
-# entry, all 38 r03 entries, and the first 7 of the r04 queue
-# (alphabetical).  After this window lands green, the best-verdict
-# histogram's tail starts at r04 (23 r04 entries remain for the r11
-# window: doc_quality, ewma_user_value, frequent_pairs,
-# funnel_windowed, hard_negatives, heavy_hitters, impute_median,
-# item_similarity, keyword_search, knn_label_noise, quality_model,
-# rfm_segments, rollup_incremental, salted_join_skew, scd2_pit_join,
-# session_paths, snapshot_diff, step_provenance, stream_enrich_join,
-# stream_rollup_incremental, stream_validate, stream_windowed_agg,
-# value_trend).
+# entry, all 38 r03 entries, and the first 6 of the r04 queue
+# (alphabetical; dedup_span_scrub yielded its slot to the late
+# c4_quality addition and rejoins the r11 queue).  After this window
+# lands green, the best-verdict histogram's tail starts at r04 (24 r04
+# entries remain for the r11 window: dedup_span_scrub, doc_quality,
+# ewma_user_value, frequent_pairs, funnel_windowed, hard_negatives,
+# heavy_hitters, impute_median, item_similarity, keyword_search,
+# knn_label_noise, quality_model, rfm_segments, rollup_incremental,
+# salted_join_skew, scd2_pit_join, session_paths, snapshot_diff,
+# step_provenance, stream_enrich_join, stream_rollup_incremental,
+# stream_validate, stream_windowed_agg, value_trend).
 _R10_PRIORITY = [
     # (a) new r10 oracle-backed entries
     "gopher_lines",
     "qdigest_merge",
     "clean_corpus_pruned_certificate",
+    "c4_quality",
     # (b) stalest greens, oldest-first (r02, then r03 alphabetical)
     "value_histogram",
     "balanced_sample",
@@ -110,7 +112,6 @@ _R10_PRIORITY = [
     "curriculum_phases",
     "daily_last_event",
     "dedup_editdistance",
-    "dedup_span_scrub",
 ]
 
 

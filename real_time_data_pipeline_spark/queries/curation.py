@@ -2789,3 +2789,120 @@ def q_unimax_incremental(spark, sf_dir):
 QUERIES["unimax_incremental"] = q_unimax_incremental
 # additive counts + same water-fill == full recompute
 ORACLES["unimax_incremental"] = ORACLES["unimax_allocation"]
+
+
+# ------------------------------------------------ round 10: C4 rules
+
+
+def q_c4_quality(spark, sf_dir):
+    """C4 heuristic cleaning battery (operators/curation.
+    c4_quality_flags; Raffel et al. 2020 §2.2) over a DETERMINISTIC
+    multi-line fixture: the synthetic corpus is single-line, so line
+    i0 of a doc is its token i0 repeated m = (i0 + doc_id) % 7 + 1
+    times (word-count sweep), terminal-'.'-suffixed when
+    (i0 + doc_id) % 3 == 0, with 'javascript' appended when
+    (5·i0 + doc_id) % 13 == 0 (line-grain drop), and the doc-grain
+    trip-phrases planted on fixed lines of every 17th / 19th / 23rd
+    doc ('lorem ipsum' on line 0, '{' on line 1, 'privacy policy' on
+    line 2).  The joint (mod 3, mod 7) residue keeps ~1/7 of lines,
+    so r_min_lines (>= 3 kept) splits the 10-99-token corpus both
+    ways; every other rule fires on its planted subset.  The oracle
+    rebuilds the fixture and the whole integer ledger."""
+    docs = _docs(spark, sf_dir)
+    from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+    d = F.col("doc_id")
+    lines = F.transform(
+        tokens_col("text"),
+        lambda t, i: F.concat(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), (i + d) % 7 + 1), lambda _: t
+                ),
+            ),
+            F.when(((i * 5 + d) % 13) == 0, F.lit(" javascript"))
+            .otherwise(F.lit("")),
+            F.when((d % 17 == 0) & (i == 0), F.lit(" lorem ipsum"))
+            .otherwise(F.lit("")),
+            F.when((d % 19 == 0) & (i == 1), F.lit(" {"))
+            .otherwise(F.lit("")),
+            F.when((d % 23 == 0) & (i == 2), F.lit(" privacy policy"))
+            .otherwise(F.lit("")),
+            F.when(((i + d) % 3) == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    staged = docs.select("doc_id", lines.alias("lines"))
+    return curation.c4_quality_flags(staged)
+
+
+QUERIES["c4_quality"] = q_c4_quality
+
+ORACLES["c4_quality"] = f"""
+    WITH base AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, i - 1 AS i0, toks[CAST(i AS INTEGER)] AS tok
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+    ),
+    lines AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, CAST((i0 + doc_id) % 7 + 2 AS INTEGER)),
+                              x -> tok), ' ')
+             || CASE WHEN (i0 * 5 + doc_id) % 13 = 0
+                     THEN ' javascript' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 AND i0 = 0
+                     THEN ' lorem ipsum' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0 AND i0 = 1
+                     THEN ' {{' ELSE '' END
+             || CASE WHEN doc_id % 23 = 0 AND i0 = 2
+                     THEN ' privacy policy' ELSE '' END
+             || CASE WHEN (i0 + doc_id) % 3 = 0
+                     THEN '.' ELSE '' END AS line
+      FROM tl
+    ),
+    per0 AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN
+                   (ends_with(line, '.') OR ends_with(line, '!')
+                    OR ends_with(line, '?') OR ends_with(line, '"'))
+                   AND len(list_filter(string_split(line, ' '),
+                                       w -> w <> '')) >= 5
+                   AND NOT contains(lower(line), 'javascript')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+             MAX(CASE WHEN contains(lower(line), 'lorem ipsum')
+                      THEN 1 ELSE 0 END) AS has_lorem,
+             MAX(CASE WHEN contains(line, '{{')
+                      THEN 1 ELSE 0 END) AS has_brace,
+             MAX(CASE WHEN contains(lower(line), 'privacy policy')
+                       OR contains(lower(line), 'terms of use')
+                       OR contains(lower(line), 'cookie policy')
+                       OR contains(lower(line), 'uses cookies')
+                      THEN 1 ELSE 0 END) AS has_policy
+      FROM lines GROUP BY 1
+    ),
+    per AS (
+      SELECT d.doc_id,
+             COALESCE(p.n_lines, 0) AS n_lines,
+             COALESCE(p.kept_lines, 0) AS kept_lines,
+             COALESCE(p.has_lorem, 0) AS has_lorem,
+             COALESCE(p.has_brace, 0) AS has_brace,
+             COALESCE(p.has_policy, 0) AS has_policy
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN per0 p USING (doc_id)
+    )
+    SELECT doc_id, n_lines, kept_lines,
+           CASE WHEN n_lines = 0 THEN 0
+                ELSE CAST(10000 * kept_lines // n_lines AS BIGINT)
+                END AS kept_bp,
+           (kept_lines >= 3) AS r_min_lines,
+           (has_lorem = 0) AS r_lorem,
+           (has_brace = 0) AS r_brace,
+           (has_policy = 0) AS r_policy,
+           (kept_lines >= 3 AND has_lorem = 0 AND has_brace = 0
+            AND has_policy = 0) AS keep_c4
+    FROM per
+"""
