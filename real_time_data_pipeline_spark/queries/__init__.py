@@ -45,14 +45,15 @@ _MODULES = [
 
 # Round-10 window (VERDICT r9 #2): with every oracle-backed query
 # green in the cumulative union, freshness is the metric — fill the 49
-# slots behind the flagship with (a) the four NEW r10 oracle-backed
+# slots behind the flagship with (a) the five NEW r10 oracle-backed
 # entries (so nothing oracle-backed leaves r10 without a driver
 # verdict), then (b) the stalest verdicts oldest-first: the single r02
-# entry, all 38 r03 entries, and the first 6 of the r04 queue
-# (alphabetical; dedup_span_scrub yielded its slot to the late
-# c4_quality addition and rejoins the r11 queue).  After this window
-# lands green, the best-verdict histogram's tail starts at r04 (24 r04
-# entries remain for the r11 window: dedup_span_scrub, doc_quality,
+# entry, all 38 r03 entries, and the first 5 of the r04 queue
+# (alphabetical; dedup_span_scrub and dedup_editdistance yielded
+# their slots to the late c4_quality / stream_c4_gate additions and
+# rejoin the r11 queue).  After this window lands green, the
+# best-verdict histogram's tail starts at r04 (25 r04 entries remain
+# for the r11 window: dedup_editdistance, dedup_span_scrub, doc_quality,
 # ewma_user_value, frequent_pairs, funnel_windowed, hard_negatives,
 # heavy_hitters, impute_median, item_similarity, keyword_search,
 # knn_label_noise, quality_model, rfm_segments, rollup_incremental,
@@ -65,6 +66,7 @@ _R10_PRIORITY = [
     "qdigest_merge",
     "clean_corpus_pruned_certificate",
     "c4_quality",
+    "stream_c4_gate",
     # (b) stalest greens, oldest-first (r02, then r03 alphabetical)
     "value_histogram",
     "balanced_sample",
@@ -105,13 +107,12 @@ _R10_PRIORITY = [
     "token_zipf",
     "user_activity_gaps",
     "windowed_distinct_users",
-    # r04 queue, first seven
+    # r04 queue, first five
     "attribution_last_touch",
     "blocking_eval",
     "corpus_report",
     "curriculum_phases",
     "daily_last_event",
-    "dedup_editdistance",
 ]
 
 

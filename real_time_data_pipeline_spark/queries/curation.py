@@ -2794,25 +2794,16 @@ ORACLES["unimax_incremental"] = ORACLES["unimax_allocation"]
 # ------------------------------------------------ round 10: C4 rules
 
 
-def q_c4_quality(spark, sf_dir):
-    """C4 heuristic cleaning battery (operators/curation.
-    c4_quality_flags; Raffel et al. 2020 §2.2) over a DETERMINISTIC
-    multi-line fixture: the synthetic corpus is single-line, so line
-    i0 of a doc is its token i0 repeated m = (i0 + doc_id) % 7 + 1
-    times (word-count sweep), terminal-'.'-suffixed when
-    (i0 + doc_id) % 3 == 0, with 'javascript' appended when
-    (5·i0 + doc_id) % 13 == 0 (line-grain drop), and the doc-grain
-    trip-phrases planted on fixed lines of every 17th / 19th / 23rd
-    doc ('lorem ipsum' on line 0, '{' on line 1, 'privacy policy' on
-    line 2).  The joint (mod 3, mod 7) residue keeps ~1/7 of lines,
-    so r_min_lines (>= 3 kept) splits the 10-99-token corpus both
-    ways; every other rule fires on its planted subset.  The oracle
-    rebuilds the fixture and the whole integer ledger."""
-    docs = _docs(spark, sf_dir)
+def _c4_lines_col():
+    """The deterministic C4 fixture lines (shared by the batch entry,
+    the streaming gate, and — in SQL form — the oracle): line i0 = tok
+    i0 repeated (i0 + doc_id) % 7 + 1 times, '.'-terminal on the mod-3
+    residue, 'javascript' on the mod-13 residue, and the doc-grain
+    trip-phrases planted on lines 0/1/2 of every 17th/19th/23rd doc."""
     from real_time_data_pipeline_spark.operators.dedup import tokens_col
 
     d = F.col("doc_id")
-    lines = F.transform(
+    return F.transform(
         tokens_col("text"),
         lambda t, i: F.concat(
             F.concat_ws(
@@ -2832,7 +2823,24 @@ def q_c4_quality(spark, sf_dir):
             F.when(((i + d) % 3) == 0, F.lit(".")).otherwise(F.lit("")),
         ),
     )
-    staged = docs.select("doc_id", lines.alias("lines"))
+
+
+def q_c4_quality(spark, sf_dir):
+    """C4 heuristic cleaning battery (operators/curation.
+    c4_quality_flags; Raffel et al. 2020 §2.2) over a DETERMINISTIC
+    multi-line fixture: the synthetic corpus is single-line, so line
+    i0 of a doc is its token i0 repeated m = (i0 + doc_id) % 7 + 1
+    times (word-count sweep), terminal-'.'-suffixed when
+    (i0 + doc_id) % 3 == 0, with 'javascript' appended when
+    (5·i0 + doc_id) % 13 == 0 (line-grain drop), and the doc-grain
+    trip-phrases planted on fixed lines of every 17th / 19th / 23rd
+    doc ('lorem ipsum' on line 0, '{' on line 1, 'privacy policy' on
+    line 2).  The joint (mod 3, mod 7) residue keeps ~1/7 of lines,
+    so r_min_lines (>= 3 kept) splits the 10-99-token corpus both
+    ways; every other rule fires on its planted subset.  The oracle
+    rebuilds the fixture and the whole integer ledger."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.select("doc_id", _c4_lines_col().alias("lines"))
     return curation.c4_quality_flags(staged)
 
 
@@ -2906,3 +2914,42 @@ ORACLES["c4_quality"] = f"""
             AND has_policy = 0) AS keep_c4
     FROM per
 """
+
+
+def q_stream_c4_gate(spark, sf_dir):
+    """Streaming twin of the C4 cleaning battery: documents ARRIVE AS
+    A STREAM (8 real micro-batches), every batch is staged through the
+    same deterministic line fixture and scored by c4_quality_flags.
+    The battery is per-doc STATELESS, so per-batch outputs are
+    disjoint by doc id and their union equals the one-shot pass —
+    shares the c4_quality oracle end-to-end through
+    readStream→foreachBatch (the stream_gopher_gate posture)."""
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        await_streaming,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{sf_dir}/documents*.parquet")
+
+    lines = _c4_lines_col()
+    out_schema = curation.c4_quality_flags(
+        _docs(spark, sf_dir).limit(0).select("doc_id", lines.alias("lines"))
+    ).schema
+    rows: list = []
+
+    def sink(batch, _i):
+        staged = batch.select("doc_id", lines.alias("lines"))
+        rows.extend(curation.c4_quality_flags(staged).collect())
+
+    q = stream.writeStream.foreachBatch(sink).trigger(
+        availableNow=True
+    ).start()
+    await_streaming(q, "stream_c4_gate")
+    return spark.createDataFrame(rows, out_schema)
+
+
+QUERIES["stream_c4_gate"] = q_stream_c4_gate
+# per-doc stateless battery: union of batches == one-shot pass
+ORACLES["stream_c4_gate"] = ORACLES["c4_quality"]
