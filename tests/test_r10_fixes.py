@@ -178,3 +178,74 @@ def test_unimax_counts_in_matches_row_grain(spark):
         ).collect()
     }
     assert by_rows == by_counts and len(by_rows) == 4
+
+
+def test_c4_battery_thresholds(spark):
+    """Hand-computed goldens for every C4 rule (Raffel et al. 2020
+    §2.2) at its threshold boundary: terminal-punct variants, the
+    exactly-5-words line, case-insensitive 'javascript', each
+    doc-grain trip phrase, and the zero-line doc (explode_outer row,
+    keep_c4=false)."""
+    from real_time_data_pipeline_spark.operators.curation import (
+        c4_quality_flags,
+    )
+
+    rows = [
+        # 1: three keepable lines (>=5 words, terminal '.', '!', '"')
+        (1, ["one two three four five.",
+             "a b c d e f!",
+             'x y z w v"']),
+        # 2: only two keepable lines (third has 4 words) -> fails min
+        (2, ["one two three four five.",
+             "a b c d e f?",
+             "w x y z."]),
+        # 3: keepable count ok but a line trips JAVASCRIPT (case-insens)
+        #    -> that line dropped -> 2 kept -> fails min_lines
+        (3, ["one two three four five.",
+             "uses JavaScript here today ok.",
+             "p q r s t."]),
+        # 4: three kept lines but 'lorem ipsum' on a non-kept line
+        (4, ["one two three four five.",
+             "a b c d e f!",
+             "p q r s t.",
+             "lorem ipsum"]),
+        # 5: brace doc
+        (5, ["one two three four five.",
+             "a b c d e f!",
+             "p q r s t.",
+             "function() {"]),
+        # 6: policy doc ('Privacy Policy', case-insensitive)
+        (6, ["one two three four five.",
+             "a b c d e f!",
+             "p q r s t.",
+             "see our Privacy Policy"]),
+        # 7: clean doc, all three lines kept
+        (7, ["one two three four five.",
+             "a b c d e f!",
+             "p q r s t."]),
+        # 8: zero-line doc
+        (8, []),
+        # 9: non-terminal lines only -> 0 kept
+        (9, ["one two three four five",
+             "a b c d e f",
+             "p q r s t"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in c4_quality_flags(df).collect()
+    }
+    assert len(out) == 9  # explode_outer kept the zero-line doc
+    assert out[1]["kept_lines"] == 3 and out[1]["keep_c4"]
+    assert out[2]["kept_lines"] == 2 and not out[2]["r_min_lines"]
+    assert out[3]["kept_lines"] == 2 and not out[3]["keep_c4"]
+    assert out[4]["r_min_lines"] and not out[4]["r_lorem"]
+    assert not out[4]["keep_c4"]
+    assert out[5]["r_min_lines"] and not out[5]["r_brace"]
+    assert out[6]["r_min_lines"] and not out[6]["r_policy"]
+    assert out[7]["keep_c4"] and out[7]["r_lorem"] and out[7]["r_brace"]
+    assert out[8]["n_lines"] == 0 and not out[8]["keep_c4"]
+    assert out[8]["r_lorem"] and out[8]["r_brace"] and out[8]["r_policy"]
+    assert out[9]["kept_lines"] == 0 and not out[9]["keep_c4"]
+    # kept_bp ledger: doc 2 kept 2/3 -> 6666 bp exact integer div
+    assert out[2]["kept_bp"] == 6666
