@@ -697,3 +697,69 @@ def test_spearman_matches_midrank_reference(spark, pts):
     my = mr2([y for _, y in pts])
     want = sum((mx[x] - my[y]) ** 2 for x, y in pts)
     assert r["sum_d2"] == want, pts
+
+
+_c4_words = st.sampled_from(
+    ["alpha", "beta", "it.", "x!", "ok?", 'q"', "javascript",
+     "lorem", "ipsum", "{", "privacy", "policy", "uses", "cookies",
+     "the", "a", ""]
+)
+_c4_lines = st.lists(
+    st.lists(_c4_words, min_size=0, max_size=9).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+_c4_docs = st.lists(_c4_lines, min_size=1, max_size=12)
+
+
+def _c4_ref(lines: list[str]) -> dict:
+    """Independent pure-Python replay of the C4 battery (Raffel et al.
+    2020 §2.2) with the operator's exact thresholds."""
+    n = len(lines)
+    kept = 0
+    lorem = brace = policy = False
+    for ln in lines:
+        low = ln.lower()
+        words = [w for w in ln.split(" ") if w != ""]
+        if (
+            ln.endswith((".", "!", "?", '"'))
+            and len(words) >= 5
+            and "javascript" not in low
+        ):
+            kept += 1
+        lorem = lorem or "lorem ipsum" in low
+        brace = brace or "{" in ln
+        policy = policy or any(
+            p in low
+            for p in ("privacy policy", "terms of use",
+                      "cookie policy", "uses cookies")
+        )
+    return {
+        "n_lines": n,
+        "kept_lines": kept,
+        "kept_bp": 0 if n == 0 else 10000 * kept // n,
+        "r_min_lines": kept >= 3,
+        "r_lorem": not lorem,
+        "r_brace": not brace,
+        "r_policy": not policy,
+        "keep_c4": kept >= 3 and not lorem and not brace and not policy,
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(_c4_docs)
+def test_c4_battery_matches_python_reference(spark, docs):
+    from real_time_data_pipeline_spark.operators.curation import (
+        c4_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lines) for i, lines in enumerate(docs)],
+        "doc_id long, lines array<string>",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_quality_flags(df).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, lines in enumerate(docs):
+        want = _c4_ref(lines)
+        have = {k: got[i][k] for k in want}
+        assert have == want, (i, lines, have, want)
