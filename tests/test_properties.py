@@ -763,3 +763,56 @@ def test_c4_battery_matches_python_reference(spark, docs):
         want = _c4_ref(lines)
         have = {k: got[i][k] for k in want}
         assert have == want, (i, lines, have, want)
+
+
+_gl_lines = st.lists(
+    st.sampled_from(
+        ["- item one", "* item two", "•bullet", "plain text",
+         "trails off...", "unicode ellipsis…", "- both...", "", "-nospace"]
+    ),
+    min_size=0,
+    max_size=10,
+)
+_gl_docs = st.lists(_gl_lines, min_size=1, max_size=12)
+
+
+def _gl_ref(lines: list[str]) -> dict:
+    """Independent pure-Python replay of the line-grain Gopher rules
+    (Rae et al. 2021 §A1.1) with the operator's exact thresholds."""
+    n = len(lines)
+    bullets = sum(
+        1 for ln in lines
+        if ln.startswith(("- ", "* ", "•"))
+    )
+    ellipses = sum(1 for ln in lines if ln.endswith(("...", "…")))
+    b_bp = 0 if n == 0 else 10000 * bullets // n
+    e_bp = 0 if n == 0 else 10000 * ellipses // n
+    return {
+        "n_lines": n,
+        "bullet_lines": bullets,
+        "ellipsis_lines": ellipses,
+        "bullet_bp": b_bp,
+        "ellipsis_bp": e_bp,
+        "r_bullet_lines": n > 0 and b_bp <= 9000,
+        "r_ellipsis_lines": n > 0 and e_bp <= 3000,
+        "keep_lines": n > 0 and b_bp <= 9000 and e_bp <= 3000,
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(_gl_docs)
+def test_gopher_lines_matches_python_reference(spark, docs):
+    from real_time_data_pipeline_spark.operators.curation import (
+        gopher_line_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lines) for i, lines in enumerate(docs)],
+        "doc_id long, lines array<string>",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_line_flags(df).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, lines in enumerate(docs):
+        want = _gl_ref(lines)
+        have = {k: got[i][k] for k in want}
+        assert have == want, (i, lines, have, want)
