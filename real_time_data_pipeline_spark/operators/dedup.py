@@ -1134,6 +1134,66 @@ def embedding_near_dup(
 
 # --------------------------------------------- end-to-end cleaning pass
 
+def near_dup_text_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> dict:
+    """The TEXT-grain half of :func:`near_dup_verdicts` (exact-hash
+    flags/edges + verified MinHash pairs), factored out so callers
+    that compose SEVERAL verdict passes over the same corpus — the
+    exact-vs-pruned certificate (queries/curation.
+    q_clean_corpus_pruned_certificate) composes two, differing only in
+    the embedding leg — compute the tokenize/shingle prep, the
+    exact-dup window, and the LSH candidate-verify ONCE instead of
+    once per pass.  Returns ``{"exact_flags", "exact_edges",
+    "mh_pairs"}``; every frame is content-identical to what
+    near_dup_verdicts builds inline (same expressions, same persists),
+    so sharing cannot change any downstream verdict."""
+    from pyspark.sql import Window
+
+    # sha256 of the normalized text, not the text itself, is the exact
+    # dedup key (collision odds ~2^-128 — the standard trade at scale).
+    # One pass over the raw text produces everything every leg needs.
+    prep = cache.track(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256).alias("_nh"),
+            shingles_col(text_col, n).alias("sh"),
+        )
+    )
+    labeled = (
+        prep.select(F.col("id").alias(id_col), "_nh")
+        .withColumn("_gmin", F.min(id_col).over(Window.partitionBy("_nh")))
+        .drop("_nh")
+    )
+    exact_flags = labeled.select(
+        id_col, (F.col(id_col) != F.col("_gmin")).alias("is_exact_dup")
+    )
+    exact_edges = labeled.filter(F.col(id_col) != F.col("_gmin")).select(
+        F.col("_gmin").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    # Each pair leg feeds BOTH its per-doc flag set and the cluster edge
+    # set; persist the (tiny) pair output so the expensive candidate
+    # generation runs once, not once per consumer.
+    mh_pairs = cache.track(
+        minhash_lsh_candidates(
+            docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+            verify_threshold=jaccard_threshold,
+            shingled=prep.select("id", "sh"),
+        ).select("id_a", "id_b")
+    )
+    return {
+        "exact_flags": exact_flags,
+        "exact_edges": exact_edges,
+        "mh_pairs": mh_pairs,
+    }
+
+
 def near_dup_verdicts(
     docs: DataFrame,
     emb: DataFrame,
@@ -1147,6 +1207,7 @@ def near_dup_verdicts(
     num_perm: int = 128,
     bands: int = 32,
     embedding_scale_path: bool = False,
+    text_signals: dict | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """The full LLM-data-cleaning dedup pass as ONE verdict table: for
@@ -1192,42 +1253,21 @@ def near_dup_verdicts(
     scale AQE broadcasts them, so the verdict assembly adds no extra
     shuffle of the corpus itself.  Persisted intermediates are tracked
     (operators/cache.py); callers release them with cache.release_all()
-    after evaluating the result."""
-    from pyspark.sql import Window
-
+    after evaluating the result.  ``text_signals`` (from
+    :func:`near_dup_text_signals`) lets callers composing several
+    verdict passes over the same corpus share the text-grain legs —
+    the frames are built by the same code either way, so the output is
+    bit-identical."""
     from real_time_data_pipeline_spark.operators import graph
 
-    # sha256 of the normalized text, not the text itself, is the exact
-    # dedup key (collision odds ~2^-128 — the standard trade at scale).
-    # One pass over the raw text produces everything every leg needs.
-    prep = cache.track(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256).alias("_nh"),
-            shingles_col(text_col, n).alias("sh"),
+    if text_signals is None:
+        text_signals = near_dup_text_signals(
+            docs, id_col, text_col, jaccard_threshold=jaccard_threshold,
+            n=n, num_perm=num_perm, bands=bands,
         )
-    )
-    labeled = (
-        prep.select(F.col("id").alias(id_col), "_nh")
-        .withColumn("_gmin", F.min(id_col).over(Window.partitionBy("_nh")))
-        .drop("_nh")
-    )
-    exact_flags = labeled.select(
-        id_col, (F.col(id_col) != F.col("_gmin")).alias("is_exact_dup")
-    )
-    exact_edges = labeled.filter(F.col(id_col) != F.col("_gmin")).select(
-        F.col("_gmin").alias("id_a"), F.col(id_col).alias("id_b")
-    )
-    # Each pair leg feeds BOTH its per-doc flag set and the cluster edge
-    # set; persist the (tiny) pair output so the expensive candidate
-    # generation runs once, not once per consumer.
-    mh_pairs = cache.track(
-        minhash_lsh_candidates(
-            docs, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
-            verify_threshold=jaccard_threshold,
-            shingled=prep.select("id", "sh"),
-        ).select("id_a", "id_b")
-    )
+    exact_flags = text_signals["exact_flags"]
+    exact_edges = text_signals["exact_edges"]
+    mh_pairs = text_signals["mh_pairs"]
     mh_dup = (
         mh_pairs.select(F.col("id_b").alias(id_col))
         .distinct()

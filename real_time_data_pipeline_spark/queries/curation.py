@@ -1979,6 +1979,7 @@ def q_clean_corpus_pruned_certificate(spark, sf_dir):
     the same containment tests/test_northstar.py property-tests, now
     driver-visible."""
     from real_time_data_pipeline_spark.operators.dedup import (
+        near_dup_text_signals,
         near_dup_verdicts,
     )
     from real_time_data_pipeline_spark.schemas import load_table
@@ -1989,13 +1990,20 @@ def q_clean_corpus_pruned_certificate(spark, sf_dir):
         "doc_id", F.col("keep").alias("keep_quality")
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    # The two compositions differ ONLY in the embedding leg; share the
+    # text-grain signals (tokenize/shingle prep, exact-dup window,
+    # MinHash candidate-verify) so the certificate pays for them once —
+    # the frames are built by the same operator code, so both verdict
+    # tables are bit-identical to independent passes.
+    sig = near_dup_text_signals(docs, jaccard_threshold=0.8)
     d_exact = near_dup_verdicts(
-        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        text_signals=sig,
     ).select("doc_id", F.col("keep").alias("keep_dedup_exact"))
     d_pruned = near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
         embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
-        auto_planes_occupancy=64,
+        auto_planes_occupancy=64, text_signals=sig,
     ).select("doc_id", F.col("keep").alias("keep_dedup_pruned"))
     return (
         q.join(d_exact, "doc_id")
