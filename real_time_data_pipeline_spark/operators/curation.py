@@ -39,30 +39,55 @@ TOP_NGRAM_MAX_BP = 2000
 DUP_NGRAM_MAX_BP = 3000
 
 
-def ngrams_col(text_col: str, n: int) -> F.Column:
-    """Word n-grams as space-joined strings; docs shorter than n tokens
-    yield their whole token list as one gram (mirrors dedup.shingles_col's
-    short-doc padding so no document silently drops out)."""
-    toks = tokens_col(text_col)
+def ngrams_from_tokens(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams over an already-tokenized array column — the same
+    slice/concat expression :func:`ngrams_col` builds, factored out so
+    consumers holding a shared tokenized frame (quality_verdicts' fused
+    prep) derive grams without re-running the tokenizer regex."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
 
 
-def _gram_hist(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def ngrams_col(text_col: str, n: int) -> F.Column:
+    """Word n-grams as space-joined strings; docs shorter than n tokens
+    yield their whole token list as one gram (mirrors dedup.shingles_col's
+    short-doc padding so no document silently drops out)."""
+    return ngrams_from_tokens(tokens_col(text_col), n)
+
+
+def _gram_hist(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    tokens_frame: DataFrame | None = None,
+) -> DataFrame:
     """(id, gram, count) histogram: one explode so the tokenizer runs
     once, then a codegen'd count with map-side combine — the shuffle
-    carries one row per distinct (doc, gram), bounded by doc length."""
-    return (
-        df.select(F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
+    carries one row per distinct (doc, gram), bounded by doc length.
+    ``tokens_frame`` (id_col, toks) substitutes a shared pre-tokenized
+    frame for the per-call tokenizer pass — the gram expression is the
+    same slice/concat over the same token arrays, so output is
+    bit-identical."""
+    if tokens_frame is not None:
+        grams = tokens_frame.select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("gram"),
+        )
+    else:
+        grams = df.select(
+            F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
+        )
+    return grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document repetition profile (Gopher-style):
 
@@ -77,7 +102,7 @@ def repetition_stats(
     groupBy, so the join is co-partitioned — no extra shuffle.
     """
     g2 = (
-        _gram_hist(df, id_col, text_col, 2)
+        _gram_hist(df, id_col, text_col, 2, tokens_frame=tokens_frame)
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n2"),
@@ -85,7 +110,7 @@ def repetition_stats(
         )
     )
     g5 = (
-        _gram_hist(df, id_col, text_col, 5)
+        _gram_hist(df, id_col, text_col, 5, tokens_frame=tokens_frame)
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n5"),
@@ -116,6 +141,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     max_shared_bp: int = 1000,
+    tokens_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs that share word
     ``n``-grams with an eval/benchmark corpus (the GPT-3/PaLM-style
@@ -129,10 +155,20 @@ def decontaminate(
     corpus), so Spark broadcasts it via the threshold — the corpus-side
     explode never shuffles; the per-doc aggregate is the only exchange.
     """
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
-    )
+    if tokens_frame is not None:
+        # Same slice/concat gram expression over the shared token arrays
+        # — bit-identical grams without a second tokenizer pass.
+        doc_grams = tokens_frame.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("toks"), n))
+            ).alias("gram"),
+        )
+    else:
+        doc_grams = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"),
+        )
     bench_grams = (
         benchmark.select(F.explode(ngrams_col(text_col, n)).alias("gram"))
         .distinct()
@@ -993,6 +1029,7 @@ def quality_verdicts(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_frame: DataFrame | None = None,
 ) -> DataFrame:
     """The document-quality twin of ``dedup.near_dup_verdicts``: one row
     per doc unioning the four independent quality signals with the final
@@ -1007,19 +1044,36 @@ def quality_verdicts(
     Each signal reduces to a per-doc frame hash-partitioned by the doc id
     from its own aggregate, so the assembly joins are co-partitioned (and
     at scale AQE broadcasts the smaller verdict sides); nothing here
-    re-shuffles the corpus.  The four tokenizer passes are independent
-    scans — at 100 TB fuse them by persisting a shared explode if scan
-    cost dominates (the dedup pass demonstrates that pattern)."""
+    re-shuffles the corpus.  Since round 10 the four signals share ONE
+    persisted tokenized prep frame (id, n_chars, toks) instead of four
+    independent scan+tokenize passes (guide §2.3 "project before" / §5
+    persist-reused-input: the corpus text is scanned and regex-tokenized
+    once; every gram/token expression downstream slices the same arrays,
+    so each signal's output is bit-identical to its standalone form)."""
+    from real_time_data_pipeline_spark.operators import cache
     from real_time_data_pipeline_spark.operators import text as T
 
-    q = T.quality_score(df, id_col, text_col)
-    s = T.unigram_surprisal(df, id_col, text_col).select(
-        id_col, "mean_info_bp"
+    toksf = (
+        tokens_frame
+        if tokens_frame is not None
+        else cache.track(
+            df.select(
+                F.col(id_col),
+                F.length(F.col(text_col)).alias("n_chars"),
+                tokens_col(text_col).alias("toks"),
+            )
+        )
     )
-    r = repetition_stats(df, id_col, text_col).select(id_col, "keep_repetition")
-    d = decontaminate(df, benchmark, id_col, text_col).select(
-        id_col, "keep_decontaminated"
-    )
+    q = T.quality_score(df, id_col, text_col, tokens_frame=toksf)
+    s = T.unigram_surprisal(
+        df, id_col, text_col, tokens_frame=toksf
+    ).select(id_col, "mean_info_bp")
+    r = repetition_stats(
+        df, id_col, text_col, tokens_frame=toksf
+    ).select(id_col, "keep_repetition")
+    d = decontaminate(
+        df, benchmark, id_col, text_col, tokens_frame=toksf
+    ).select(id_col, "keep_decontaminated")
     return (
         q.join(s, id_col).join(r, id_col).join(d, id_col)
         .select(

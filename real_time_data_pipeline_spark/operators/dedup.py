@@ -53,16 +53,23 @@ def tokens_col(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
 
 
-def shingles_col(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as array<string> (JVM-side
-    transform over a token slice; no UDF)."""
-    toks = tokens_col(text_col)
+def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles over an already-tokenized array —
+    the same slice/concat expression :func:`shingles_col` builds,
+    factored out so consumers holding a shared tokenized frame derive
+    shingles without re-running the tokenizer regex."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def shingles_col(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as array<string> (JVM-side
+    transform over a token slice; no UDF)."""
+    return shingles_from_tokens(tokens_col(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -1142,6 +1149,7 @@ def near_dup_text_signals(
     n: int = 3,
     num_perm: int = 128,
     bands: int = 32,
+    tokens_frame: DataFrame | None = None,
 ) -> dict:
     """The TEXT-grain half of :func:`near_dup_verdicts` (exact-hash
     flags/edges + verified MinHash pairs), factored out so callers
@@ -1159,13 +1167,27 @@ def near_dup_text_signals(
     # sha256 of the normalized text, not the text itself, is the exact
     # dedup key (collision odds ~2^-128 — the standard trade at scale).
     # One pass over the raw text produces everything every leg needs.
-    prep = cache.track(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256).alias("_nh"),
-            shingles_col(text_col, n).alias("sh"),
+    # ``tokens_frame`` (id_col, toks) substitutes a caller-shared
+    # tokenized prep (r10: the clean_corpus compositions tokenize ONCE
+    # for the quality legs and these dedup legs); the hash/shingle
+    # expressions are the same concat/slice over the same token arrays,
+    # so prep is bit-identical either way.
+    if tokens_frame is not None:
+        prep = cache.track(
+            tokens_frame.select(
+                F.col(id_col).alias("id"),
+                F.sha2(F.concat_ws(" ", F.col("toks")), 256).alias("_nh"),
+                shingles_from_tokens(F.col("toks"), n).alias("sh"),
+            )
         )
-    )
+    else:
+        prep = cache.track(
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.sha2(F.concat_ws(" ", tokens_col(text_col)), 256).alias("_nh"),
+                shingles_col(text_col, n).alias("sh"),
+            )
+        )
     labeled = (
         prep.select(F.col("id").alias(id_col), "_nh")
         .withColumn("_gmin", F.min(id_col).over(Window.partitionBy("_nh")))
@@ -1208,6 +1230,7 @@ def near_dup_verdicts(
     bands: int = 32,
     embedding_scale_path: bool = False,
     text_signals: dict | None = None,
+    tokens_frame: DataFrame | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """The full LLM-data-cleaning dedup pass as ONE verdict table: for
@@ -1264,6 +1287,7 @@ def near_dup_verdicts(
         text_signals = near_dup_text_signals(
             docs, id_col, text_col, jaccard_threshold=jaccard_threshold,
             n=n, num_perm=num_perm, bands=bands,
+            tokens_frame=tokens_frame,
         )
     exact_flags = text_signals["exact_flags"]
     exact_edges = text_signals["exact_edges"]

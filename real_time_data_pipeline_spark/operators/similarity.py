@@ -1075,7 +1075,17 @@ def pq_fit(
     # (m, k, dsub): subspace j starts from the sampled vectors' slices
     books = np.stack([init[:, j * dsub : (j + 1) * dsub] for j in range(m)])
 
-    vecs = corpus.select(vec_col)
+    from real_time_data_pipeline_spark.operators import cache
+
+    # The Lloyd loop reads the SAME projection once per iteration; persist
+    # it so iterations 2..n scan cached columnar batches instead of
+    # re-running the upstream plan (for ivfpq_build's residual codebooks
+    # that plan is itself two Arrow passes — assign + residual — per
+    # re-read).  Caching never changes values: same rows, same partitions,
+    # same per-batch partial sums (guide §5: persist reused iterative
+    # inputs; the tracked handle is released by the caller's
+    # cache.release_all()).
+    vecs = cache.track(corpus.select(vec_col))
     for _ in range(iters):
         B = books  # rebind for closure capture per round
 
@@ -1281,6 +1291,227 @@ def pq_topk_rerank(
     return ranked
 
 
+def pq_topk_multi(
+    codes_df: DataFrame,
+    books,
+    probes: list,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-probe :func:`pq_topk`: score EVERY probe in ONE Arrow pass
+    over the codes instead of one corpus scan per probe (the pre-r10
+    per-leg loop shape — 5 probes paid 5 scans + 5 global sorts).
+
+    ``probes`` is ``[(query_id, query_vec), ...]``.  Per probe the ADC
+    table build, the m-lookup scoring, and the per-batch ``stable``
+    argsort truncation are expression-for-expression the single-probe
+    code, so each probe's candidate union — and therefore the final
+    (adc_d2 asc, id asc) top-k — is bit-identical to calling
+    :func:`pq_topk` once per probe; the global per-probe selection runs
+    as one window over the bounded candidate union instead of one
+    orderBy().limit() job per probe.
+
+    Output: (query_id bigint, id, adc_d2), k rows per probe.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(books, dtype=np.float64)
+    m, kk, dsub = B.shape
+    tabs = []
+    for qid, query_vec in probes:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        tab = np.empty((m, kk))
+        for j in range(m):
+            S = qv[j * dsub : (j + 1) * dsub]
+            tab[j] = ((B[j] - S[None, :]) ** 2).sum(-1)
+        tabs.append((int(qid), tab))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            frames = []
+            for qid, tab in tabs:
+                d2 = tab[np.arange(m)[None, :], C].sum(1)
+                top = np.argsort(d2, kind="stable")[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "id": pdf["id"].iloc[top],
+                            "adc_d2": d2[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    id_t = codes_df.schema["id"].dataType.simpleString()
+    scored = codes_df.mapInPandas(
+        score, f"query_id bigint, id {id_t}, adc_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def ivfpq_topk_multi(
+    codes_df: DataFrame,
+    coarse,
+    books,
+    probes: list,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Multi-probe :func:`ivfpq_topk` — one Arrow pass scores every
+    probe (``[(query_id, query_vec), ...]``) instead of one cell-filtered
+    corpus scan per probe.  Per-probe cell ranking, residual ADC tables,
+    per-cell masking and the per-batch ``stable`` argsort truncation are
+    the single-probe expressions verbatim, so each probe's output rows
+    are bit-identical to its own :func:`ivfpq_topk` call PROVIDED every
+    probe scans the same row set — enforced here by requiring the probed
+    cell sets to be equal across probes (the full-probe certification
+    config, nprobe == n_cells, always satisfies it); otherwise the
+    per-batch truncation could see different batch contents than the
+    single-probe filter and the caller must fall back to per-probe calls.
+
+    Output: (query_id bigint, id, cell, adc_d2), k rows per probe.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    Cm = np.asarray(coarse, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    m, kk, dsub = B.shape
+    per_probe = []
+    for qid, query_vec in probes:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        d2cells = ((Cm - qv[None, :]) ** 2).sum(1)
+        probe_cells = np.argsort(d2cells, kind="stable")[:nprobe]
+        tabs = {}
+        for c in probe_cells:
+            r = qv - Cm[c]
+            tabs[int(c)] = np.stack(
+                [
+                    ((B[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(-1)
+                    for j in range(m)
+                ]
+            )
+        per_probe.append((int(qid), [int(c) for c in probe_cells], tabs))
+
+    cell_sets = {frozenset(cells) for _, cells, _ in per_probe}
+    if len(cell_sets) != 1:
+        raise ValueError(
+            "ivfpq_topk_multi requires identical probed-cell sets per "
+            "probe (batch equivalence with the per-probe plan); use "
+            "ivfpq_topk per probe for divergent nprobe selections"
+        )
+    probe_list = per_probe[0][1]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            frames = []
+            for qid, plist, tabs in per_probe:
+                d2 = np.empty(len(C))
+                for c in plist:
+                    mask = cells == c
+                    if mask.any():
+                        d2[mask] = tabs[c][
+                            np.arange(m)[None, :], C[mask]
+                        ].sum(1)
+                top = np.argsort(d2, kind="stable")[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "id": pdf["id"].iloc[top],
+                            "cell": cells[top],
+                            "adc_d2": d2[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    id_t = codes_df.schema["id"].dataType.simpleString()
+    scored = codes_df.filter(F.col("cell").isin(probe_list)).mapInPandas(
+        score, f"query_id bigint, id {id_t}, cell int, adc_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def pq_topk_rerank_multi(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    books,
+    probes: list,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe :func:`pq_topk_rerank`: ONE ADC pass shortlists every
+    probe (via :func:`pq_topk_multi`), then ONE candidate-bounded exact
+    re-rank scores all shortlists together.  The re-rank cosine is the
+    same sequential double fold over the same (vector, query) values —
+    the query vector arrives via a broadcast (query_id, vec) join rather
+    than per-leg literals, which changes nothing about the fold — and
+    the per-query (cos desc, id asc) row_number selection is exactly the
+    per-leg orderBy().limit(k) row set, so output rows are bit-identical
+    to unioning one :func:`pq_topk_rerank` call per probe.
+
+    Output matches the per-leg union shape: (query_id, rank,
+    neighbor_id, cos_bp); the probe row itself is excluded per leg.
+    """
+    spark = corpus.sparkSession
+    cands = pq_topk_multi(codes_df, books, probes, k=shortlist).select(
+        "query_id", F.col("id").alias(id_col)
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in probes],
+            "query_id bigint, _qv array<double>",
+        )
+    )
+    sub = (
+        corpus.join(F.broadcast(cands), id_col, "inner")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(qdf, "query_id")
+    )
+    cos = _dot(F.col(vec_col), F.col("_qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        sub.select("query_id", F.col(id_col), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id"),
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(F.lit(1e4) * F.col("cos")).cast("bigint").alias("cos_bp"),
+        )
+    )
+
+
 def ivfpq_build(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -1331,8 +1562,16 @@ def ivfpq_build(
                 }
             )
 
-    residuals = assigned.mapInPandas(
-        residual, f"{id_col} {id_t}, cell int, residual array<double>"
+    from real_time_data_pipeline_spark.operators import cache
+
+    # The residual frame feeds every pq_fit Lloyd round AND the encode
+    # pass; uncached, each consumer re-ran the assign + residual Arrow
+    # passes from the parquet scan (guide §5: persist reused iterative
+    # inputs — released by the caller's cache.release_all()).
+    residuals = cache.track(
+        assigned.mapInPandas(
+            residual, f"{id_col} {id_t}, cell int, residual array<double>"
+        )
     )
     # pq_fit/encode L2-normalize their input; residuals are NOT unit
     # vectors, so route through a pre-normalized proxy is wrong — use

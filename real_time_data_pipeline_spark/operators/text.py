@@ -30,7 +30,12 @@ STOPWORDS = {
 EN_STOPWORDS = STOPWORDS["en"]
 
 
-def _token_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _token_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_frame: DataFrame | None = None,
+) -> DataFrame:
     """Shared explode + hash-aggregate over tokens.
 
     Expression-level forms (size/filter/aggregate over the token array)
@@ -38,12 +43,21 @@ def _token_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-tokenizations per row (see operators/dedup.minhash_signatures for
     the pathology).  One explode runs it once; the aggregate is codegen'd
     with map-side combine.  tokens_col never yields an empty array (empty
-    text → [""]), so no rows drop."""
-    ex = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.explode(tokens_col(text_col)).alias("tok"),
-    )
+    text → [""]), so no rows drop.  ``tokens_frame`` (id_col, n_chars,
+    toks) substitutes a shared pre-tokenized frame — same token arrays,
+    same n_chars expression, bit-identical output."""
+    if tokens_frame is not None:
+        ex = tokens_frame.select(
+            F.col(id_col),
+            F.col("n_chars"),
+            F.explode(F.col("toks")).alias("tok"),
+        )
+    else:
+        ex = df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
     return ex.groupBy(id_col, "n_chars").agg(
         F.count("*").alias("n_tokens"),
         F.sum(F.length("tok")).alias("total_tok_chars"),
@@ -68,7 +82,12 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_frame: DataFrame | None = None,
+) -> DataFrame:
     """Heuristic quality score in [0,100]: rewards reasonable length and
     stopword presence — the standard cheap pre-filter before expensive
     model-based scoring.  Integer arithmetic end-to-end (oracle-stable).
@@ -76,7 +95,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
       score = min(40, n_tokens) + min(30, 100*stopwords/tokens)
               + (30 if 3.00 <= avg_token_len <= 8.00 else 10)
     """
-    agg = _token_agg(df, id_col, text_col)
+    agg = _token_agg(df, id_col, text_col, tokens_frame=tokens_frame)
     return agg.select(
         F.col(id_col),
         quality_score_expr().alias("quality_score"),
@@ -449,7 +468,10 @@ def bm25_topk(
 
 
 def unigram_surprisal(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Perplexity-proxy quality score from a corpus-trained unigram LM:
     each token occurrence carries information floor(log2(T div cf)) bits
@@ -464,9 +486,14 @@ def unigram_surprisal(
     corpus total rides a 1-row broadcast.  Two shuffles total (term agg,
     doc agg) regardless of corpus size.  The persist is tracked via
     operators/cache.py — callers release with ``cache.release_all()``."""
-    ex = cache.track(df.select(
-        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
-    ))
+    if tokens_frame is not None:
+        ex = cache.track(tokens_frame.select(
+            F.col(id_col).alias("id"), F.explode(F.col("toks")).alias("term")
+        ))
+    else:
+        ex = cache.track(df.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+        ))
     cf = ex.groupBy("term").agg(F.count("*").cast("bigint").alias("cf"))
     total = ex.agg(F.count("*").cast("bigint").alias("total_toks"))
     info = (
@@ -862,6 +889,7 @@ def quality_logit_score(
     text_col: str = "text",
     weights: dict | None = None,
     threshold: int | None = None,
+    tokens_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Model-based quality scoring (the step after `quality_score`'s
     heuristics in a production curation stack): a linear classifier over
@@ -875,7 +903,7 @@ def quality_logit_score(
     """
     w = weights or QUALITY_LOGIT_WEIGHTS
     th = QUALITY_LOGIT_THRESHOLD if threshold is None else threshold
-    agg = _token_agg(df, id_col, text_col)
+    agg = _token_agg(df, id_col, text_col, tokens_frame=tokens_frame)
     n_tokens = F.col("n_tokens").cast("bigint")
     x_len = F.least(F.lit(1000), n_tokens)
     x_stop = F.floor(

@@ -39,6 +39,24 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _doc_tokens(docs):
+    """Persisted (doc_id, n_chars, toks) tokenize prep — ONE tokenizer
+    pass shared by every quality/dedup text leg of a composite query
+    (r10, guide §2.3/§5).  Downstream gram/shingle/hash expressions
+    slice the same arrays the standalone operators would build, so
+    sharing cannot change any output."""
+    from real_time_data_pipeline_spark.operators import cache
+    from real_time_data_pipeline_spark.operators.dedup import tokens_col
+
+    return cache.track(
+        docs.select(
+            F.col("doc_id"),
+            F.length(F.col("text")).alias("n_chars"),
+            tokens_col("text").alias("toks"),
+        )
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     return curation.repetition_stats(_docs(spark, sf_dir))
 
@@ -159,6 +177,26 @@ def q_decontaminate_scrub(spark, sf_dir):
     return curation.scrub_contaminated_spans(corpus, bench, n=DUP_SPAN_N)
 
 
+def _quality_scores_and_labels(docs, bench):
+    """Shared front of the calibration queries: the linear-model scores
+    and the heuristic-gate labels, both fed from ONE persisted tokenize
+    prep (r10, guide §2.3/§5 — previously the scorer and the four
+    verdict signals ran five independent scan+tokenize passes over the
+    corpus text; every downstream expression slices the same token
+    arrays, so each leg's output is bit-identical to its standalone
+    form)."""
+    from real_time_data_pipeline_spark.operators.text import (
+        quality_logit_score,
+    )
+
+    toksf = _doc_tokens(docs)
+    scores = quality_logit_score(docs, tokens_frame=toksf)
+    labels = curation.quality_verdicts(
+        docs, bench, tokens_frame=toksf
+    ).select("doc_id", F.col("keep").alias("keep_heuristic"))
+    return scores, labels
+
+
 def q_quality_calibration(spark, sf_dir):
     """Classifier-calibration audit: corpus-wide deciles of the linear
     quality model's score vs the heuristic quality gate — per decile,
@@ -178,16 +216,10 @@ def q_quality_calibration(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from real_time_data_pipeline_spark.operators import cache
-    from real_time_data_pipeline_spark.operators.text import (
-        quality_logit_score,
-    )
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
-    scores = quality_logit_score(docs)
-    labels = curation.quality_verdicts(docs, bench).select(
-        "doc_id", F.col("keep").alias("keep_heuristic")
-    )
+    scores, labels = _quality_scores_and_labels(docs, bench)
     joined = cache.track(scores.join(labels, "doc_id"))
     qs = [i / 10 for i in range(1, 10)]
     bounds = joined.agg(
@@ -481,16 +513,10 @@ def _calibration_binned(spark, sf_dir):
     recipe); the binned frame is persisted because the reference
     aggregate and the windowed aggregate both consume it."""
     from real_time_data_pipeline_spark.operators import cache
-    from real_time_data_pipeline_spark.operators.text import (
-        quality_logit_score,
-    )
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
-    scores = quality_logit_score(docs)
-    labels = curation.quality_verdicts(docs, bench).select(
-        "doc_id", F.col("keep").alias("keep_heuristic")
-    )
+    scores, labels = _quality_scores_and_labels(docs, bench)
     # Persisted (the quality_calibration plan-diet lesson): the bounds
     # percentile aggregate AND the decile binning both consume this
     # frame — without the persist the whole quality_model + doc_quality
@@ -1899,12 +1925,18 @@ def q_clean_corpus(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
-    q = curation.quality_verdicts(docs, bench).select(
-        "doc_id", F.col("keep").alias("keep_quality")
-    )
+    # r10: ONE persisted tokenize prep shared by the quality legs AND
+    # the dedup text legs (guide §2.3/§5 — previously six independent
+    # scan+tokenize passes; every downstream gram/shingle/hash slices
+    # the same token arrays, so both verdict tables are bit-identical).
+    toksf = _doc_tokens(docs)
+    q = curation.quality_verdicts(
+        docs, bench, tokens_frame=toksf
+    ).select("doc_id", F.col("keep").alias("keep_quality"))
     emb = load_table(spark, sf_dir, "embeddings")
     d = near_dup_verdicts(
-        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4
+        docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
+        tokens_frame=toksf,
     ).select("doc_id", F.col("keep").alias("keep_dedup"), "cluster_id")
     return q.join(d, "doc_id").select(
         "doc_id",
@@ -1942,14 +1974,17 @@ def q_clean_corpus_pruned(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
-    q = curation.quality_verdicts(docs, bench).select(
-        "doc_id", F.col("keep").alias("keep_quality")
-    )
+    # r10: one shared tokenize prep for quality + dedup text legs (see
+    # q_clean_corpus).
+    toksf = _doc_tokens(docs)
+    q = curation.quality_verdicts(
+        docs, bench, tokens_frame=toksf
+    ).select("doc_id", F.col("keep").alias("keep_quality"))
     emb = load_table(spark, sf_dir, "embeddings")
     d = near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
         embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
-        auto_planes_occupancy=64,
+        auto_planes_occupancy=64, tokens_frame=toksf,
     ).select("doc_id", F.col("keep").alias("keep_dedup"), "cluster_id")
     return q.join(d, "doc_id").select(
         "doc_id",
@@ -1986,16 +2021,21 @@ def q_clean_corpus_pruned_certificate(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(docs.source == BENCH_SOURCE)
-    q = curation.quality_verdicts(docs, bench).select(
-        "doc_id", F.col("keep").alias("keep_quality")
-    )
+    # r10: one shared tokenize prep for the quality legs AND the shared
+    # dedup text signals (see q_clean_corpus).
+    toksf = _doc_tokens(docs)
+    q = curation.quality_verdicts(
+        docs, bench, tokens_frame=toksf
+    ).select("doc_id", F.col("keep").alias("keep_quality"))
     emb = load_table(spark, sf_dir, "embeddings")
     # The two compositions differ ONLY in the embedding leg; share the
     # text-grain signals (tokenize/shingle prep, exact-dup window,
     # MinHash candidate-verify) so the certificate pays for them once —
     # the frames are built by the same operator code, so both verdict
     # tables are bit-identical to independent passes.
-    sig = near_dup_text_signals(docs, jaccard_threshold=0.8)
+    sig = near_dup_text_signals(
+        docs, jaccard_threshold=0.8, tokens_frame=toksf
+    )
     d_exact = near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
         text_signals=sig,

@@ -473,23 +473,21 @@ def q_ann_pq_topk_rerank(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()  # N_QUERIES probe vectors — bounded by design
     )
-    legs = []
-    for r in sorted(qrows, key=lambda r: r["vec_id"]):
-        legs.append(
-            similarity.pq_topk_rerank(
-                emb,
-                codes,
-                books,
-                r["embedding"],
-                k=K,
-                shortlist=1 << 30,  # full corpus: shortlist == exact
-                query_id=r["vec_id"],
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    probes = [
+        (r["vec_id"], r["embedding"])
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    # One ADC pass + one exact re-rank for ALL probes (r10 optimization:
+    # the per-probe leg loop paid 5 corpus scans + 5 global sorts for
+    # bit-identical rows — see operators/similarity.pq_topk_rerank_multi).
+    return similarity.pq_topk_rerank_multi(
+        emb,
+        codes,
+        books,
+        probes,
+        k=K,
+        shortlist=1 << 30,  # full corpus: shortlist == exact
+    )
 
 
 QUERIES["ann_pq_topk_rerank"] = q_ann_pq_topk_rerank
@@ -535,18 +533,17 @@ def q_ann_pq_shortlist_superset(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()  # N_QUERIES probe vectors — bounded by design
     )
-    legs = []
-    for r in sorted(qrows, key=lambda r: r["vec_id"]):
-        legs.append(
-            similarity.pq_topk(codes, books, r["embedding"], k=shortlist).select(
-                F.lit(r["vec_id"]).cast("bigint").alias("query_id"),
-                F.col("id").alias("neighbor_id"),
-                F.lit(True).alias("_in_sl"),
-            )
-        )
-    sl = legs[0]
-    for leg in legs[1:]:
-        sl = sl.unionByName(leg)
+    probes = [
+        (r["vec_id"], r["embedding"])
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    # One ADC pass for ALL probes (r10: the per-probe leg loop paid 5
+    # corpus scans + 5 global sorts for bit-identical shortlists).
+    sl = similarity.pq_topk_multi(codes, books, probes, k=shortlist).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.lit(True).alias("_in_sl"),
+    )
     return exact.join(
         F.broadcast(sl), ["query_id", "neighbor_id"], "left"
     ).select(
@@ -780,21 +777,22 @@ def q_ann_ivfpq_shortlist_superset(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()  # N_QUERIES probe vectors — bounded by design
     )
-    legs = []
-    for r in sorted(qrows, key=lambda r: r["vec_id"]):
-        legs.append(
-            similarity.ivfpq_topk(
-                codes, Cm, books, r["embedding"], k=shortlist,
-                nprobe=n_cells,
-            ).select(
-                F.lit(r["vec_id"]).cast("bigint").alias("query_id"),
-                F.col("id").alias("neighbor_id"),
-                F.lit(True).alias("_in_sl"),
-            )
-        )
-    sl = legs[0]
-    for leg in legs[1:]:
-        sl = sl.unionByName(leg)
+    probes = [
+        (r["vec_id"], r["embedding"])
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    # One full-probe ADC pass for ALL probes (r10: the per-probe leg
+    # loop re-ran the ENTIRE uncached assign→residual→encode chain per
+    # probe — 5x the index build — for bit-identical shortlists; at
+    # nprobe == n_cells every probe scans the same row set, the
+    # batch-equivalence precondition ivfpq_topk_multi enforces).
+    sl = similarity.ivfpq_topk_multi(
+        codes, Cm, books, probes, k=shortlist, nprobe=n_cells,
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.lit(True).alias("_in_sl"),
+    )
     return exact.join(
         F.broadcast(sl), ["query_id", "neighbor_id"], "left"
     ).select(
