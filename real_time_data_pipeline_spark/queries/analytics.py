@@ -1626,6 +1626,7 @@ def q_stream_distribution_drift(spark, sf_dir):
     )
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
+        stream_state_scope,
     )
 
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
@@ -1667,22 +1668,24 @@ def q_stream_distribution_drift(spark, sf_dir):
             .sum()
         )
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .select("event_type", "ts", "value")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # Finalizing over PARTIAL state while foreachBatch still mutates
-        # it would hand a nondeterministic, silently-wrong result to the
-        # oracle; stop the straggler and fail loudly instead.
-        q.stop()
-        raise TimeoutError(
-            "stream_distribution_drift: availableNow stream did not "
-            "finish within 300s; refusing to finalize partial state"
+    with stream_state_scope(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .select("event_type", "ts", "value")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            # Finalizing over PARTIAL state while foreachBatch still
+            # mutates it would hand a nondeterministic, silently-wrong
+            # result to the oracle; stop the straggler and fail loudly
+            # instead.
+            q.stop()
+            raise TimeoutError(
+                "stream_distribution_drift: availableNow stream did not "
+                "finish within 300s; refusing to finalize partial state"
+            )
     cur_binned = spark.createDataFrame(
         state["binned"], "event_type string, bin bigint, n long"
     )
@@ -1797,6 +1800,7 @@ def q_stream_category_drift(spark, sf_dir):
     )
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
+        stream_state_scope,
     )
 
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
@@ -1817,19 +1821,20 @@ def q_stream_category_drift(spark, sf_dir):
             .sum()
         )
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .select("event_type", "ts")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stream_category_drift: availableNow stream did not finish "
-            "within 300s; refusing to finalize partial state"
+    with stream_state_scope(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .select("event_type", "ts")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_category_drift: availableNow stream did not "
+                "finish within 300s; refusing to finalize partial state"
+            )
     cur_counts = spark.createDataFrame(
         state["counts"], "cat string, n long"
     ).withColumnRenamed("n", "n_cur")
@@ -2169,6 +2174,7 @@ def q_stream_cdc_apply(spark, sf_dir):
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
         await_streaming,
+        stream_state_scope,
     )
 
     cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
@@ -2189,14 +2195,15 @@ def q_stream_cdc_apply(spark, sf_dir):
             merged.collect(), merged.schema
         )
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .select("user_id", "event_id", "ts", "event_type", "value")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_cdc_apply")
+    with stream_state_scope(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_cdc_apply")
     return _cdc_present(holder["state"])
 
 

@@ -575,6 +575,7 @@ def q_stream_ohlc(spark, sf_dir):
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
         await_streaming,
+        stream_state_scope,
     )
 
     # Seed with an EMPTY summary of the right schema so a stream that
@@ -613,14 +614,15 @@ def q_stream_ohlc(spark, sf_dir):
             merged.collect(), merged.schema
         )
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .select("event_type", "ts", "event_id", "value")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_ohlc")
+    with stream_state_scope(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .select("event_type", "ts", "event_id", "value")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_ohlc")
     state = holder["state"]
     return state.select(
         "event_type",
@@ -828,6 +830,7 @@ def q_stream_wasserstein_drift(spark, sf_dir):
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
         await_streaming,
+        stream_state_scope,
     )
 
     cutoff = F.lit(_SPLIT_CUTOFF).cast("timestamp")
@@ -850,14 +853,15 @@ def q_stream_wasserstein_drift(spark, sf_dir):
             merged.groupby(["g", "bin"], as_index=False)["n"].sum()
         )
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .select("event_type", "ts", "value")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_wasserstein_drift")
+    with stream_state_scope(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .select("event_type", "ts", "value")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_wasserstein_drift")
 
     from real_time_data_pipeline_spark.operators.quality import (
         wasserstein_from_binned,
@@ -1909,6 +1913,7 @@ def q_stream_join_view_incremental(spark, sf_dir):
     view table instead of holding them on the driver."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     cust = load_table(spark, sf_dir, "customer").select(
@@ -1951,14 +1956,15 @@ def q_stream_join_view_incremental(spark, sf_dir):
         )
 
     schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf_dir}/orders*.parquet")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_join_view_incremental")
+    with stream_state_scope(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/orders*.parquet")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_join_view_incremental")
     return holder["state"]
 
 

@@ -638,6 +638,7 @@ def q_stream_clamped_balance(spark, sf_dir):
 
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
     from real_time_data_pipeline_spark.streaming.stateful import (
         CLAMPED_BALANCE_OUTPUT,
@@ -677,14 +678,15 @@ def q_stream_clamped_balance(spark, sf_dir):
         for r in batch.collect():
             holder[r["user_id"]] = r
 
-    q = (
-        clamped_balance_stateful(stream)
-        .writeStream.foreachBatch(cap)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_clamped_balance")
+    with stream_state_scope(spark):
+        q = (
+            clamped_balance_stateful(stream)
+            .writeStream.foreachBatch(cap)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_clamped_balance")
     return spark.createDataFrame(
         list(holder.values()), CLAMPED_BALANCE_OUTPUT
     )

@@ -471,6 +471,7 @@ def q_stream_curation_flags(spark, sf_dir):
     the driver gate)."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
     from real_time_data_pipeline_spark.streaming.pipeline import (
         curation_foreach_batch,
@@ -489,14 +490,15 @@ def q_stream_curation_flags(spark, sf_dir):
     def sink(flags, _batch_id):
         rows.extend(flags.collect())
 
-    q = (
-        stream.writeStream.foreachBatch(
-            curation_foreach_batch(bench, sink)
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                curation_foreach_batch(bench, sink)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_curation_flags")
+        await_streaming(q, "stream_curation_flags")
     return spark.createDataFrame(rows, out_schema)
 
 
@@ -635,6 +637,7 @@ def q_stream_calibration_drift(spark, sf_dir):
 
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     binned, ref = _calibration_binned(spark, sf_dir)
@@ -671,12 +674,13 @@ def q_stream_calibration_drift(spark, sf_dir):
                 cur[3] + r["n_agree"],
             )
 
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_calibration_drift")
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_calibration_drift")
     rows = [
         (w, d, n, nm, nh, na)
         for (w, d), (n, nm, nh, na) in partials.items()
@@ -1815,6 +1819,7 @@ def q_stream_decontaminate_substr(spark, sf_dir):
     not at the next corpus sweep."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1838,12 +1843,13 @@ def q_stream_decontaminate_substr(spark, sf_dir):
             ).collect()
         )
 
-    q = (
-        stream.writeStream.foreachBatch(check)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_decontaminate_substr")
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(check)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_decontaminate_substr")
     return spark.createDataFrame(rows, out_schema)
 
 
@@ -2755,6 +2761,7 @@ def q_stream_gopher_gate(spark, sf_dir):
     (the stream_dsir_gate posture at the rule tier)."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2771,10 +2778,11 @@ def q_stream_gopher_gate(spark, sf_dir):
             curation.gopher_quality_flags(batch, **GOPHER_KW).collect()
         )
 
-    q = stream.writeStream.foreachBatch(sink).trigger(
-        availableNow=True
-    ).start()
-    await_streaming(q, "stream_gopher_gate")
+    with stream_state_scope(spark):
+        q = stream.writeStream.foreachBatch(sink).trigger(
+            availableNow=True
+        ).start()
+        await_streaming(q, "stream_gopher_gate")
     return spark.createDataFrame(rows, out_schema)
 
 
@@ -2974,6 +2982,7 @@ def q_stream_c4_gate(spark, sf_dir):
     readStream→foreachBatch (the stream_gopher_gate posture)."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2991,10 +3000,11 @@ def q_stream_c4_gate(spark, sf_dir):
         staged = batch.select("doc_id", lines.alias("lines"))
         rows.extend(curation.c4_quality_flags(staged).collect())
 
-    q = stream.writeStream.foreachBatch(sink).trigger(
-        availableNow=True
-    ).start()
-    await_streaming(q, "stream_c4_gate")
+    with stream_state_scope(spark):
+        q = stream.writeStream.foreachBatch(sink).trigger(
+            availableNow=True
+        ).start()
+        await_streaming(q, "stream_c4_gate")
     return spark.createDataFrame(rows, out_schema)
 
 

@@ -249,16 +249,18 @@ def q_stream_dedup_incremental(spark, sf_dir):
         # micro-batch so a long-running stream holds no stale cache
         cache.release_all()
 
-    q = (
-        stream.writeStream.foreachBatch(probe)
-        .trigger(availableNow=True)
-        .start()
-    )
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
-    await_streaming(q, "stream_dedup_incremental")
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_dedup_incremental")
     return spark.createDataFrame(rows, out_schema)
 
 

@@ -114,6 +114,7 @@ def q_stream_range_join(spark, sf_dir):
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
         await_streaming,
+        stream_state_scope,
     )
 
     # Watermarks require TIMESTAMP (with zone); the parquet ts surfaces
@@ -139,13 +140,14 @@ def q_stream_range_join(spark, sf_dir):
         left_ts="error_ts", right_ts="click_ts", within="30 minutes",
     )
     rows: list = []
-    q = (
-        joined.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_range_join")
+    with stream_state_scope(spark):
+        q = (
+            joined.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_range_join")
     matches = spark.createDataFrame(rows, joined.schema)
     return matches.groupBy(
         "error_id",

@@ -8,6 +8,9 @@ event_type≈transaction_type.  Every query here has a DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -287,14 +290,15 @@ def q_stream_rollup_incremental(spark, sf_dir):
             merged.collect(), merged.schema
         )
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .select("user_id", "ts", "value")
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "streaming query")
+    with stream_state_scope(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .select("user_id", "ts", "value")
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "streaming query")
     return holder["state"].select(
         "year",
         "month",
@@ -358,13 +362,14 @@ def q_stream_session_agg(spark, sf_dir):
         rows.clear()
         rows.extend(b.collect())
 
-    q = (
-        agg.writeStream.foreachBatch(_cap)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "streaming query")
+    with stream_state_scope(spark):
+        q = (
+            agg.writeStream.foreachBatch(_cap)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -396,13 +401,14 @@ def q_stream_sliding_window_agg(spark, sf_dir):
         rows.clear()
         rows.extend(b.collect())
 
-    q = (
-        agg.writeStream.foreachBatch(_cap)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "streaming query")
+    with stream_state_scope(spark):
+        q = (
+            agg.writeStream.foreachBatch(_cap)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -800,13 +806,14 @@ def q_stream_windowed_agg(spark, sf_dir):
         rows.clear()
         rows.extend(b.collect())
 
-    q = (
-        agg.writeStream.foreachBatch(_capture_snapshot)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "streaming query")
+    with stream_state_scope(spark):
+        q = (
+            agg.writeStream.foreachBatch(_capture_snapshot)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -878,15 +885,16 @@ def q_stream_enrich_join(spark, sf_dir):
         "region_name",
     )
     rows: list = []
-    q = (
-        joined.writeStream.foreachBatch(
-            lambda b, _i: rows.extend(b.collect())
+    with stream_state_scope(spark):
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: rows.extend(b.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "streaming query")
+        await_streaming(q, "streaming query")
     return spark.createDataFrame(rows, joined.schema)
 
 
@@ -913,6 +921,46 @@ def _stream_events(spark, sf_dir):
     return stream
 
 
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextmanager
+def stream_state_scope(spark):
+    """Run a streaming query with a state-partition count sized to its
+    STATE, not to the batch shuffle width (r10 optimization, guide
+    §2.2/§1.2: fixed cost per micro-batch scales with the number of
+    state-store instances = shuffle partitions at stream start × stores
+    per stateful operator — each instance pays commit/maintenance file
+    I/O every batch regardless of data volume).
+
+    The bench streams carry KB-scale bounded state, where 32 partitions
+    are pure overhead: measured on stream_range_join at sf0.1, the
+    stream run drops 39.9 s → 9.7 s (batch-0 addBatch 22.3 → 4.5 s, the
+    zero-row watermark-finalization batch 12.9 → 2.3 s) with output
+    row-identical.  Partitioning never changes WHAT a stateful operator
+    computes — keys still hash to exactly one partition; per-key fold
+    order is enforced by the operators' explicit sorts — so results are
+    unchanged (oracle parity re-verified per stream query).
+
+    Production sizing: state partitions should grow with state volume
+    (hundreds for TB-scale state), set via
+    $SPARK_GRAFT_STREAM_STATE_PARTITIONS; the default 8 is a
+    deliberately CONSTANT local floor (not derived from the core count)
+    so bench runs at different $SPARK_GRAFT_CPUS keep identical stream
+    plans and stay comparable.  The conf is restored on exit, so batch
+    queries in the same session keep the session's shuffle width.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def await_streaming(q, name: str, timeout_s: int = 300) -> None:
     """availableNow streams must COMPLETE before their driver-side state
     is finalized: awaitTermination returning False means foreachBatch is
@@ -929,13 +977,16 @@ def await_streaming(q, name: str, timeout_s: int = 300) -> None:
 
 def _collect_stream(df):
     rows: list = []
-    q = (
-        df.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "streaming query")
+    with stream_state_scope(df.sparkSession):
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _i: rows.extend(b.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "streaming query")
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 

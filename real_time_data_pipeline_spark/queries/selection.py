@@ -331,6 +331,7 @@ def q_stream_dsir_gate(spark, sf_dir):
     readStream→foreachBatch cycle."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     docs = _docs(spark, sf_dir)
@@ -349,12 +350,13 @@ def q_stream_dsir_gate(spark, sf_dir):
     def sink(batch, _batch_id):
         rows.extend(SEL.dsir_score_against(batch, w).collect())
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_dsir_gate")
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_dsir_gate")
     return spark.createDataFrame(rows, out_schema)
 
 
@@ -679,6 +681,7 @@ def q_stream_nb_gate(spark, sf_dir):
     pins end-to-end."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     docs = _docs_with_speed_label(spark, sf_dir)
@@ -708,12 +711,13 @@ def q_stream_nb_gate(spark, sf_dir):
             ).collect()
         )
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_nb_gate")
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_nb_gate")
     wt.unpersist()
     consts.unpersist()
     return spark.createDataFrame(rows, out_schema)

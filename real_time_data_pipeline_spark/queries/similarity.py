@@ -142,6 +142,7 @@ def q_stream_ann_ivf_append(spark, sf_dir):
 
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     emb, queries = _corpus_and_queries(spark, sf_dir)
@@ -168,12 +169,13 @@ def q_stream_ann_ivf_append(spark, sf_dir):
         # of double-appending (exactly-once fold; ADVICE r7)
         similarity.ivf_index_append(batch, path, batch_id=i)
 
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_ann_ivf_append")
+    with stream_state_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_ann_ivf_append")
     return similarity.ivf_index_topk(spark, path, queries, k=K, nprobe=16)
 
 

@@ -157,6 +157,7 @@ def q_stream_kmv_fold(spark, sf_dir):
     )
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     events = load_table(spark, sf_dir, "events").select(
@@ -193,15 +194,16 @@ def q_stream_kmv_fold(spark, sf_dir):
         for g, hs in per.items():
             state[g] = sorted(set(state.get(g, [])) | set(hs))[: A.KMV_K]
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_kmv_fold")
+    with stream_state_scope(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_kmv_fold")
 
     rows = []
     for g, hs in sorted(state.items()):
@@ -583,6 +585,7 @@ def q_stream_qdigest_fold(spark, sf_dir):
 
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     events = load_table(spark, sf_dir, "events").select("value")
@@ -614,15 +617,16 @@ def q_stream_qdigest_fold(spark, sf_dir):
                 r["cnt"]
             )
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_qdigest_fold")
+    with stream_state_scope(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_qdigest_fold")
 
     # drained histogram -> the identical one-shot digest + rank ledger
     # (built directly from the counters; re-exploding rows to reuse the

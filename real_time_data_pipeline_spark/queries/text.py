@@ -456,6 +456,7 @@ def q_stream_heavy_hitters(spark, sf_dir):
     from real_time_data_pipeline_spark.operators.dedup import tokens_col
     from real_time_data_pipeline_spark.queries.reference_parity import (
         await_streaming,
+        stream_state_scope,
     )
 
     k = math.ceil(10_000 / HH_THRESHOLD_BP)
@@ -479,15 +480,16 @@ def q_stream_heavy_hitters(spark, sf_dir):
             k,
         )
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_streaming(q, "stream_heavy_hitters")
+    with stream_state_scope(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_streaming(q, "stream_heavy_hitters")
 
     n_total = state["n_total"]
     cand = spark.createDataFrame(
