@@ -755,6 +755,173 @@ def simhash_near_pairs(
 
 # ---------------------------------------------------- embedding near-dup
 
+def _vec_norm(c: F.Column) -> F.Column:
+    """L2 norm as the sequential double fold — the IEEE-reproducible
+    expression both embedding legs have always used (verbatim the
+    former per-function local def; factored in r11 so the legs can
+    share ONE persisted (id, v, nrm) projection)."""
+    return F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def _vec_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product (same provenance as :func:`_vec_norm`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_base(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """ONE persisted (id, v, nrm) projection for composers that run
+    SEVERAL embedding legs over the same corpus (r11, guide §5
+    persist-reused-input; VERDICT r10 item 3): the exact and sign-LSH
+    legs each built this identical projection independently — the
+    certificate query paid the vector scan + norm fold once per leg per
+    side.  The expressions are verbatim the legs' own, so sharing
+    cannot change any value.  Tracked via operators/cache.py; the
+    caller releases with cache.release_all() after evaluating."""
+    return cache.track(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _vec_norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    probe_hamming: int = 0,
+    auto_planes_occupancy: int | None = None,
+    base_frame: DataFrame | None = None,
+) -> DataFrame:
+    """The CANDIDATE-GENERATION half of :func:`embedding_near_dup_lsh`
+    (numpy plane pack → per-table bucket join → mask perturbation →
+    cross-table distinct), factored out in r11 so composers that
+    already hold the exact pair set (the certificate runs BOTH legs)
+    can derive the sign-LSH leg's pairs as ``exact ∩ candidates``
+    instead of re-scoring every candidate: the LSH leg's cos_bp is the
+    same sequential fold over the same vectors at the same threshold,
+    so its output is EXACTLY the exact leg's pairs restricted to the
+    candidate set — a semi-join, no second scoring pass.  Used verbatim
+    by :func:`embedding_near_dup_lsh` itself, so the factoring cannot
+    change candidate membership.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.similarity import make_planes
+
+    if auto_planes_occupancy is not None:
+        assert probe_hamming == 0, (
+            "auto_planes_occupancy is a probe_hamming=0 production knob "
+            "(multi-probe masks explode 2^planes)"
+        )
+        n_rows = df.count()
+        if n_rows > auto_planes_occupancy:
+            n_planes = max(
+                n_planes,
+                min(
+                    24,  # int32 bucket ids; 2^24 buckets/table is plenty
+                    math.ceil(math.log2(n_rows / auto_planes_occupancy)),
+                ),
+            )
+
+    P = np.array(
+        [p for t in range(n_tables) for p in make_planes(dim, n_planes, seed + 7919 * t)],
+        dtype=np.float64,
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            S = (V @ P.T) >= 0  # (n, n_tables*n_planes)
+            out = {"id": pdf[id_col]}
+            for t in range(n_tables):
+                out[f"b{t}"] = (
+                    S[:, t * n_planes : (t + 1) * n_planes] @ weights
+                ).astype("int32")
+            yield pd.DataFrame(out)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    bucket_schema = "id " + id_t + ", " + ", ".join(
+        f"b{t} int" for t in range(n_tables)
+    )
+    src = (
+        base_frame.select(
+            F.col("id").alias(id_col), F.col("v").alias(vec_col)
+        )
+        if base_frame is not None
+        else df.select(id_col, vec_col)
+    )
+    # r11 (VERDICT r10 item 4): persist the (tiny — one int per table
+    # per id) bucket table.  It feeds BOTH sides of every per-table
+    # bucket join; uncached, the plan inlined the numpy assign
+    # mapInPandas subtree once per side (2 Python passes over the full
+    # vector column instead of 1 — visible as duplicated MapInPandas
+    # nodes in plans/r11/dedup_pipeline_lsh_before.txt).
+    bucketed = cache.track(src.mapInPandas(assign, bucket_schema))
+    keyed = bucketed.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
+                for t in range(n_tables)
+            ])
+        ).alias("k"),
+    ).select("id", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
+
+    # Candidate pairs carry IDS ONLY through the bucket join, and are
+    # deduped across tables BEFORE scoring: a pair colliding in k of the
+    # OR-ed tables would otherwise ship its two vectors k times through
+    # the shuffle and pay the (interpreted-HOF) dot product k times.
+    # Distinct-first means one shuffle of bare id pairs, then one join
+    # per side to attach vectors, then exactly one score per pair.
+    l = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
+    if probe_hamming > 0:
+        # Distinct masks of popcount <= r flip distinct bucket ids, so
+        # the explode adds no duplicate (tbl, bkt, id) probe rows.
+        masks = [
+            m
+            for m in range(1 << n_planes)
+            if bin(m).count("1") <= probe_hamming
+        ]
+        l = l.withColumn(
+            "bkt",
+            F.explode(
+                F.array(*[F.col("bkt").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    r = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
+    return (
+        l.join(r, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -766,6 +933,7 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     probe_hamming: int = 0,
     auto_planes_occupancy: int | None = None,
+    base_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-table sign-LSH embedding near-dup — the 100 TB path.
 

@@ -678,7 +678,17 @@ def q_stream_clamped_balance(spark, sf_dir):
         for r in batch.collect():
             holder[r["user_id"]] = r
 
-    with stream_state_scope(spark):
+    # r11 (VERDICT r10 item 2): this is the one Python-stateful stream —
+    # applyInPandasWithState hands EVERY active user's state to a Python
+    # worker each micro-batch, so its per-batch cost is Python CPU, not
+    # state-store commits.  Run it at the session's batch shuffle width
+    # (= $SPARK_GRAFT_CPUS in the bench session) instead of the
+    # state-sized constant floor that fits the JVM-stateful streams;
+    # partitioning never changes the per-key sequential fold (keys hash
+    # to one partition; arrival order within a key is preserved).
+    with stream_state_scope(
+        spark, partitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ):
         q = (
             clamped_balance_stateful(stream)
             .writeStream.foreachBatch(cap)

@@ -470,6 +470,7 @@ def q_stream_curation_flags(spark, sf_dir):
     pair; this entry puts the full readStream→foreachBatch cycle under
     the driver gate)."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
+        _capture_stage,
         await_streaming,
         stream_state_scope,
     )
@@ -485,10 +486,13 @@ def q_stream_curation_flags(spark, sf_dir):
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents*.parquet"
     )
-    rows: list = []
+    # r11: the sink appends each batch's verdicts to a parquet capture
+    # dir instead of collecting rows through the driver (guide §5; same
+    # rows, JVM-side — see reference_parity.stream_capture).
+    stage = _capture_stage("stream_curation_flags")
 
     def sink(flags, _batch_id):
-        rows.extend(flags.collect())
+        flags.write.mode("append").parquet(stage)
 
     with stream_state_scope(spark):
         q = (
@@ -499,7 +503,7 @@ def q_stream_curation_flags(spark, sf_dir):
             .start()
         )
         await_streaming(q, "stream_curation_flags")
-    return spark.createDataFrame(rows, out_schema)
+    return spark.read.schema(out_schema).parquet(stage)
 
 
 CALIBRATION_WINDOWS = 4
@@ -1818,8 +1822,7 @@ def q_stream_decontaminate_substr(spark, sf_dir):
     contamination gate: a quoted doc is flagged the moment it lands,
     not at the next corpus sweep."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
-        await_streaming,
-        stream_state_scope,
+        stream_capture,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1833,24 +1836,19 @@ def q_stream_decontaminate_substr(spark, sf_dir):
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents*.parquet"
     )
-    rows: list = []
 
-    def check(batch, _i):
-        rows.extend(
-            curation.decontaminate_substr(
-                batch, bench, min_len=SUBSTR_MIN_LEN,
-                max_covered_bp=SUBSTR_MAX_COVERED_BP,
-            ).collect()
+    # r11: per-batch check writes to the parquet capture sink instead of
+    # collecting rows through the driver (see stream_capture).
+    def check(batch):
+        return curation.decontaminate_substr(
+            batch, bench, min_len=SUBSTR_MIN_LEN,
+            max_covered_bp=SUBSTR_MAX_COVERED_BP,
         )
 
-    with stream_state_scope(spark):
-        q = (
-            stream.writeStream.foreachBatch(check)
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_streaming(q, "stream_decontaminate_substr")
-    return spark.createDataFrame(rows, out_schema)
+    return stream_capture(
+        stream, "stream_decontaminate_substr",
+        transform=check, schema=out_schema,
+    )
 
 
 _CONTAMINATION_PAIRS_ORACLE = f"""
@@ -2760,8 +2758,7 @@ def q_stream_gopher_gate(spark, sf_dir):
     gopher_quality oracle end-to-end through readStream→foreachBatch
     (the stream_dsir_gate posture at the rule tier)."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
-        await_streaming,
-        stream_state_scope,
+        stream_capture,
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2771,19 +2768,13 @@ def q_stream_gopher_gate(spark, sf_dir):
     out_schema = curation.gopher_quality_flags(
         _docs(spark, sf_dir).limit(0), **GOPHER_KW
     ).schema
-    rows: list = []
-
-    def sink(batch, _i):
-        rows.extend(
-            curation.gopher_quality_flags(batch, **GOPHER_KW).collect()
-        )
-
-    with stream_state_scope(spark):
-        q = stream.writeStream.foreachBatch(sink).trigger(
-            availableNow=True
-        ).start()
-        await_streaming(q, "stream_gopher_gate")
-    return spark.createDataFrame(rows, out_schema)
+    # r11: per-batch flags go to the parquet capture sink instead of
+    # collecting rows through the driver (see stream_capture).
+    return stream_capture(
+        stream, "stream_gopher_gate",
+        transform=lambda b: curation.gopher_quality_flags(b, **GOPHER_KW),
+        schema=out_schema,
+    )
 
 
 QUERIES["stream_gopher_gate"] = q_stream_gopher_gate
@@ -2981,8 +2972,7 @@ def q_stream_c4_gate(spark, sf_dir):
     shares the c4_quality oracle end-to-end through
     readStream→foreachBatch (the stream_gopher_gate posture)."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
-        await_streaming,
-        stream_state_scope,
+        stream_capture,
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2994,18 +2984,17 @@ def q_stream_c4_gate(spark, sf_dir):
     out_schema = curation.c4_quality_flags(
         _docs(spark, sf_dir).limit(0).select("doc_id", lines.alias("lines"))
     ).schema
-    rows: list = []
 
-    def sink(batch, _i):
-        staged = batch.select("doc_id", lines.alias("lines"))
-        rows.extend(curation.c4_quality_flags(staged).collect())
+    # r11: per-batch flags go to the parquet capture sink instead of
+    # collecting rows through the driver (see stream_capture).
+    def score(batch):
+        return curation.c4_quality_flags(
+            batch.select("doc_id", lines.alias("lines"))
+        )
 
-    with stream_state_scope(spark):
-        q = stream.writeStream.foreachBatch(sink).trigger(
-            availableNow=True
-        ).start()
-        await_streaming(q, "stream_c4_gate")
-    return spark.createDataFrame(rows, out_schema)
+    return stream_capture(
+        stream, "stream_c4_gate", transform=score, schema=out_schema
+    )
 
 
 QUERIES["stream_c4_gate"] = q_stream_c4_gate

@@ -237,22 +237,27 @@ def q_stream_dedup_incremental(spark, sf_dir):
         .parquet(f"{sf_dir}/documents*.parquet")
         .filter(F.col("doc_id") % 10 == 0)
     )
-    rows: list = []
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        _capture_stage,
+        await_streaming,
+        stream_state_scope,
+    )
+
+    # r11: per-batch probe output appends to the parquet capture sink
+    # instead of collecting rows through the driver (see
+    # reference_parity.stream_capture; inlined here because the probe
+    # must release its tracked per-batch persist after each write).
+    stage = _capture_stage("stream_dedup_incremental")
 
     def probe(batch, _i):
         out = dedup.incremental_minhash_pairs(
             spark, batch, corpus, path,
             num_perm=128, bands=32, verify_threshold=0.8,
         )
-        rows.extend(out.collect())
+        out.write.mode("append").parquet(stage)
         # the probe tracks a per-batch persist; free it before the next
         # micro-batch so a long-running stream holds no stale cache
         cache.release_all()
-
-    from real_time_data_pipeline_spark.queries.reference_parity import (
-        await_streaming,
-        stream_state_scope,
-    )
 
     with stream_state_scope(spark):
         q = (
@@ -261,7 +266,7 @@ def q_stream_dedup_incremental(spark, sf_dir):
             .start()
         )
         await_streaming(q, "stream_dedup_incremental")
-    return spark.createDataFrame(rows, out_schema)
+    return spark.read.schema(out_schema).parquet(stage)
 
 
 def q_source_dup_matrix(spark, sf_dir):

@@ -113,8 +113,6 @@ def q_stream_range_join(spark, sf_dir):
     )
     from real_time_data_pipeline_spark.queries.reference_parity import (
         _stream_events,
-        await_streaming,
-        stream_state_scope,
     )
 
     # Watermarks require TIMESTAMP (with zone); the parquet ts surfaces
@@ -139,16 +137,13 @@ def q_stream_range_join(spark, sf_dir):
         errors, clicks, key="user_id",
         left_ts="error_ts", right_ts="click_ts", within="30 minutes",
     )
-    rows: list = []
-    with stream_state_scope(spark):
-        q = (
-            joined.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_streaming(q, "stream_range_join")
-    matches = spark.createDataFrame(rows, joined.schema)
+    from real_time_data_pipeline_spark.queries.reference_parity import (
+        stream_capture,
+    )
+
+    # r11: parquet capture sink instead of the driver row round-trip
+    # (see stream_capture) — identical match rows, JVM-side.
+    matches = stream_capture(joined, "stream_range_join")
     return matches.groupBy(
         "error_id",
         "user_id",

@@ -330,8 +330,7 @@ def q_stream_dsir_gate(spark, sf_dir):
     property the oracle pins end-to-end through the
     readStream→foreachBatch cycle."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
-        await_streaming,
-        stream_state_scope,
+        stream_capture,
     )
 
     docs = _docs(spark, sf_dir)
@@ -345,19 +344,13 @@ def q_stream_dsir_gate(spark, sf_dir):
         .parquet(f"{sf_dir}/documents*.parquet")
         .filter(F.col("doc_id") % 10 == 0)
     )
-    rows: list = []
-
-    def sink(batch, _batch_id):
-        rows.extend(SEL.dsir_score_against(batch, w).collect())
-
-    with stream_state_scope(spark):
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_streaming(q, "stream_dsir_gate")
-    return spark.createDataFrame(rows, out_schema)
+    # r11: per-batch scores go to the parquet capture sink instead of
+    # collecting rows through the driver (see stream_capture).
+    return stream_capture(
+        stream, "stream_dsir_gate",
+        transform=lambda b: SEL.dsir_score_against(b, w),
+        schema=out_schema,
+    )
 
 
 QUERIES["stream_dsir_gate"] = q_stream_dsir_gate
@@ -680,8 +673,7 @@ def q_stream_nb_gate(spark, sf_dir):
     oracle (a ground-up batch recompute of model + increment scores)
     pins end-to-end."""
     from real_time_data_pipeline_spark.queries.reference_parity import (
-        await_streaming,
-        stream_state_scope,
+        stream_capture,
     )
 
     docs = _docs_with_speed_label(spark, sf_dir)
@@ -702,25 +694,18 @@ def q_stream_nb_gate(spark, sf_dir):
         .parquet(f"{sf_dir}/documents*.parquet")
         .filter(F.col("doc_id") % 10 == 0)
     )
-    rows: list = []
-
-    def sink(batch, _batch_id):
-        rows.extend(
-            SEL.nb_score_against(
-                batch, wt, consts, classes=NB_SPEED_CLASSES
-            ).collect()
-        )
-
-    with stream_state_scope(spark):
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_streaming(q, "stream_nb_gate")
+    # r11: per-batch scores go to the parquet capture sink instead of
+    # collecting rows through the driver (see stream_capture).
+    out = stream_capture(
+        stream, "stream_nb_gate",
+        transform=lambda b: SEL.nb_score_against(
+            b, wt, consts, classes=NB_SPEED_CLASSES
+        ),
+        schema=out_schema,
+    )
     wt.unpersist()
     consts.unpersist()
-    return spark.createDataFrame(rows, out_schema)
+    return out
 
 
 QUERIES["stream_nb_gate"] = q_stream_nb_gate
