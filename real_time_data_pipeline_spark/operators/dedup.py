@@ -987,112 +987,35 @@ def embedding_near_dup_lsh(
     analysis/codegen time by seconds run-to-run.  Scoring still uses the
     sequential-fold HOF over the ORIGINAL vectors, so cos_bp stays
     bit-identical to the exact operator; only candidate membership (a
-    recall knob by construction) depends on the numpy sign."""
-    import math
+    recall knob by construction) depends on the numpy sign.
 
-    import numpy as np
-    import pandas as pd
-
-    from real_time_data_pipeline_spark.operators.similarity import make_planes
-
-    if auto_planes_occupancy is not None:
-        assert probe_hamming == 0, (
-            "auto_planes_occupancy is a probe_hamming=0 production knob "
-            "(multi-probe masks explode 2^planes)"
-        )
-        n_rows = df.count()
-        if n_rows > auto_planes_occupancy:
-            n_planes = max(
-                n_planes,
-                min(
-                    24,  # int32 bucket ids; 2^24 buckets/table is plenty
-                    math.ceil(math.log2(n_rows / auto_planes_occupancy)),
-                ),
-            )
-
-    def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
+    ``base_frame`` (r11): a caller-shared persisted (id, v, nrm)
+    projection from :func:`embedding_base` — composers running several
+    embedding legs over the same corpus pass one copy so the vector
+    scan and the norm fold run once; expressions are identical either
+    way.  Candidate generation lives in :func:`lsh_candidate_pairs`
+    (factored in r11, code unchanged) so the certificate can derive
+    this operator's output as ``exact pairs ∩ candidates`` without a
+    second scoring pass."""
+    cand = lsh_candidate_pairs(
+        df, id_col, vec_col, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, probe_hamming=probe_hamming,
+        auto_planes_occupancy=auto_planes_occupancy,
+        base_frame=base_frame,
     )
-
-    P = np.array(
-        [p for t in range(n_tables) for p in make_planes(dim, n_planes, seed + 7919 * t)],
-        dtype=np.float64,
-    )  # (n_tables*n_planes, dim)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-
-    def assign(batches):
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            S = (V @ P.T) >= 0  # (n, n_tables*n_planes)
-            out = {"id": pdf[id_col]}
-            for t in range(n_tables):
-                out[f"b{t}"] = (
-                    S[:, t * n_planes : (t + 1) * n_planes] @ weights
-                ).astype("int32")
-            yield pd.DataFrame(out)
-
-    id_t = df.schema[id_col].dataType.simpleString()
-    bucket_schema = "id " + id_t + ", " + ", ".join(
-        f"b{t} int" for t in range(n_tables)
-    )
-    bucketed = df.select(id_col, vec_col).mapInPandas(assign, bucket_schema)
-    keyed = bucketed.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
-                for t in range(n_tables)
-            ])
-        ).alias("k"),
-    ).select("id", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
-
-    # Candidate pairs carry IDS ONLY through the bucket join, and are
-    # deduped across tables BEFORE scoring: a pair colliding in k of the
-    # OR-ed tables would otherwise ship its two vectors k times through
-    # the shuffle and pay the (interpreted-HOF) dot product k times.
-    # Distinct-first means one shuffle of bare id pairs, then one join
-    # per side to attach vectors, then exactly one score per pair.
-    l = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
-    if probe_hamming > 0:
-        # Distinct masks of popcount <= r flip distinct bucket ids, so
-        # the explode adds no duplicate (tbl, bkt, id) probe rows.
-        masks = [
-            m
-            for m in range(1 << n_planes)
-            if bin(m).count("1") <= probe_hamming
-        ]
-        l = l.withColumn(
-            "bkt",
-            F.explode(
-                F.array(*[F.col("bkt").bitwiseXOR(F.lit(m)) for m in masks])
-            ),
+    base = (
+        base_frame
+        if base_frame is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _vec_norm(F.col(vec_col)).alias("nrm"),
         )
-    r = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
-    cand = (
-        l.join(r, ["tbl", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = _vec_dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cos_bp", F.floor(F.lit(1e4) * cos).cast("bigint"))
         .filter(F.col("cos_bp") >= int(threshold * 10000))
@@ -1130,6 +1053,7 @@ def embedding_near_dup(
     naive: bool = False,
     block_rows: int = 2048,
     gemm_min_rows: int = 4096,
+    base_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs over an embedding column.
 
@@ -1183,24 +1107,22 @@ def embedding_near_dup(
     import math
 
     t_bp = int(threshold * 10000)
-
-    def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    dot = _vec_dot
 
     # Norms are computed once per vector BEFORE the pair join (computing
     # them per-pair doubles the interpreted higher-order-function work on
     # the quadratic side).  Same float expression → same IEEE result.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
+    # ``base_frame`` (r11): caller-shared persisted projection from
+    # :func:`embedding_base` — same expressions, scanned once per
+    # composition instead of once per leg.
+    base = (
+        base_frame
+        if base_frame is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _vec_norm(F.col(vec_col)).alias("nrm"),
+        )
     )
     if not naive:
         # Size the input to pick the plan.  Parquet footer row counts
@@ -1399,6 +1321,8 @@ def near_dup_verdicts(
     embedding_scale_path: bool = False,
     text_signals: dict | None = None,
     tokens_frame: DataFrame | None = None,
+    embedding_pairs: DataFrame | None = None,
+    emb_base: DataFrame | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """The full LLM-data-cleaning dedup pass as ONE verdict table: for
@@ -1465,13 +1389,24 @@ def near_dup_verdicts(
         .distinct()
         .withColumn("_mh", F.lit(True))
     )
-    if embedding_scale_path:
-        epairs = embedding_near_dup_lsh(
-            emb, vec_id_col, vec_col, threshold=cos_threshold, **lsh_kw
-        )
+    if embedding_pairs is not None:
+        # r11: caller-computed embedding pair set (the certificate
+        # derives the pruned leg's pairs as exact ∩ candidates — see
+        # lsh_candidate_pairs); the caller persists it, and only the
+        # bare (id_a, id_b) set ever mattered downstream.
+        epairs = embedding_pairs.select("id_a", "id_b")
     else:
-        epairs = embedding_near_dup(emb, vec_id_col, vec_col, threshold=cos_threshold)
-    epairs = cache.track(epairs.select("id_a", "id_b"))
+        if embedding_scale_path:
+            epairs = embedding_near_dup_lsh(
+                emb, vec_id_col, vec_col, threshold=cos_threshold,
+                base_frame=emb_base, **lsh_kw
+            )
+        else:
+            epairs = embedding_near_dup(
+                emb, vec_id_col, vec_col, threshold=cos_threshold,
+                base_frame=emb_base,
+            )
+        epairs = cache.track(epairs.select("id_a", "id_b"))
     emb_dup = (
         epairs.select(F.col("id_b").alias(id_col))
         .distinct()

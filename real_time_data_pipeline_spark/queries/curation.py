@@ -2017,7 +2017,11 @@ def q_clean_corpus_pruned_certificate(spark, sf_dir):
     recall-subset of the exact leg's, making its keeps a superset —
     the same containment tests/test_northstar.py property-tests, now
     driver-visible."""
+    from real_time_data_pipeline_spark.operators import cache
     from real_time_data_pipeline_spark.operators.dedup import (
+        embedding_base,
+        embedding_near_dup,
+        lsh_candidate_pairs,
         near_dup_text_signals,
         near_dup_verdicts,
     )
@@ -2040,14 +2044,38 @@ def q_clean_corpus_pruned_certificate(spark, sf_dir):
     sig = near_dup_text_signals(
         docs, jaccard_threshold=0.8, tokens_frame=toksf
     )
+    # r11 (VERDICT r10 item 3, guide §5/§2.4): the embedding tier of the
+    # two legs now shares work instead of running twice —
+    #   1. ONE persisted (id, v, nrm) projection feeds both legs
+    #      (embedding_base: the legs built it independently before);
+    #   2. the pruned leg's pairs are derived as exact ∩ LSH-candidates
+    #      (a semi-join) instead of re-scoring every candidate: the
+    #      sign-LSH leg scores candidates with the SAME sequential fold
+    #      over the SAME vectors at the SAME threshold as the exact
+    #      leg, so its pair set is exactly the exact pair set
+    #      restricted to candidate membership (pinned by
+    #      tests/test_r11_opt.py against an independent
+    #      embedding_near_dup_lsh run).
+    eb = embedding_base(emb)
+    epairs_exact = cache.track(
+        embedding_near_dup(
+            emb, "vec_id", "embedding", threshold=0.4, base_frame=eb
+        ).select("id_a", "id_b")
+    )
+    cand = lsh_candidate_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=8,
+        probe_hamming=0, auto_planes_occupancy=64, base_frame=eb,
+    )
+    epairs_pruned = cache.track(
+        epairs_exact.join(cand, ["id_a", "id_b"], "left_semi")
+    )
     d_exact = near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
-        text_signals=sig,
+        text_signals=sig, embedding_pairs=epairs_exact,
     ).select("doc_id", F.col("keep").alias("keep_dedup_exact"))
     d_pruned = near_dup_verdicts(
         docs, emb, jaccard_threshold=0.8, cos_threshold=0.4,
-        embedding_scale_path=True, dim=64, n_planes=4, n_tables=8,
-        auto_planes_occupancy=64, text_signals=sig,
+        text_signals=sig, embedding_pairs=epairs_pruned,
     ).select("doc_id", F.col("keep").alias("keep_dedup_pruned"))
     return (
         q.join(d_exact, "doc_id")
