@@ -17,6 +17,8 @@ Scale discipline (the repo-wide rules):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,29 +108,47 @@ def co_occurrence_lift(
     )
 
 
-def distributed_ranks(df: DataFrame) -> DataFrame:
-    """Two-phase fully-distributed per-group ranks (the
-    gap_sla_quantiles recipe factored out): input must carry columns
-    ``g`` (group), ``v`` (bigint value), ``s`` (tie-break seq); output
-    adds ``r`` (1-based rank of v within g by (v, s)) and ``n`` (group
-    size), plus ``pid``.  Range-repartition on (g, v, s), per-PARTITION
-    row_number (each window sees one partition's slice), partition-count
-    offsets folded by a broadcast triangular join — no single-partition
-    window at any scale.  The repartitioned frame is persisted
-    (cache.track) because it feeds both the rank window and the offset
-    counts."""
+RANK_PARTITIONS = int(os.environ.get("SPARK_GRAFT_RANK_PARTITIONS", "32"))
+
+
+def _ranks_pair(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """:func:`distributed_ranks` plus the persisted repartitioned source
+    it is built from — callers that need a second pass over the SAME
+    rows (median_mad's deviation pass, winsorized_stats' clamp pass)
+    read ``parted`` directly instead of re-deriving it through the rank
+    joins (r11, guide §5: the select-through-ranked shape recomputed the
+    rank assembly once per extra consumer because Catalyst cannot prune
+    inner joins it cannot prove key-unique)."""
     from real_time_data_pipeline_spark.operators import cache
 
+    # ONE full-data exchange (the range partition), then a LOCAL sort;
+    # in-partition row numbers come from monotonically_increasing_id
+    # over the sorted, persisted frame (consecutive per partition by
+    # construction: pid * 2^33 + local row index) instead of a
+    # row_number window — the window's ClusteredDistribution(pid, g)
+    # requirement hash-repartitioned the ENTIRE frame a second time
+    # (r11, guide §2.4; plan evidence: Exchange hashpartitioning(pid, g)
+    # in plans/r11/price_median_mad_before.txt, gone in the after plan).
+    # Determinism: (v, s) is unique per group (s is the tie-break seq —
+    # the operator contract), so the local sort order, hence every id,
+    # is reproducible on recompute; group rows are contiguous within a
+    # sorted partition, so j = _mid - min(_mid over pid, g) + 1 is
+    # exactly the old per-(pid, g) row_number.  (2^33 rows per partition
+    # bound the id scheme — far beyond any real partition.)
     parted = cache.track(
-        df.repartitionByRange(32, "g", "v", "s").withColumn(
-            "pid", F.spark_partition_id()
+        df.repartitionByRange(RANK_PARTITIONS, "g", "v", "s")
+        .sortWithinPartitions("g", "v", "s")
+        .select(
+            "*",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("_mid"),
         )
     )
-    local = parted.withColumn(
-        "j",
-        F.row_number().over(Window.partitionBy("pid", "g").orderBy("v", "s")),
+    # One tiny aggregate serves the in-partition id base, the
+    # cross-partition offsets, and the group totals.
+    cnts = parted.groupBy("pid", "g").agg(
+        F.count("*").alias("cnt"), F.min("_mid").alias("_mn")
     )
-    cnts = parted.groupBy("pid", "g").agg(F.count("*").alias("cnt"))
     lower = cnts.select(
         F.col("pid").alias("lo_pid"),
         F.col("g").alias("lo_g"),
@@ -140,15 +160,34 @@ def distributed_ranks(df: DataFrame) -> DataFrame:
             (F.col("lo_g") == F.col("g")) & (F.col("lo_pid") < F.col("pid")),
             "left",
         )
-        .groupBy("pid", "g")
+        .groupBy("pid", "g", "_mn")
         .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("offset"))
     )
     totals = cnts.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
-    return (
-        local.join(F.broadcast(offsets), ["pid", "g"])
+    ranked = (
+        parted.join(F.broadcast(offsets), ["pid", "g"])
+        .withColumn("j", F.col("_mid") - F.col("_mn") + F.lit(1))
         .withColumn("r", F.col("offset") + F.col("j"))
+        .drop("_mid", "_mn")
         .join(F.broadcast(totals), "g")
     )
+    return ranked, parted
+
+
+def distributed_ranks(df: DataFrame) -> DataFrame:
+    """Two-phase fully-distributed per-group ranks (the
+    gap_sla_quantiles recipe factored out): input must carry columns
+    ``g`` (group), ``v`` (bigint value), ``s`` (tie-break seq); output
+    adds ``r`` (1-based rank of v within g by (v, s)) and ``n`` (group
+    size), plus ``pid``.  ONE range-repartition on (g, v, s) + local
+    sort, in-partition row numbers from the persisted frame's
+    monotonic ids, partition-count offsets folded by a broadcast
+    triangular join — no single-partition window and (since r11) no
+    second full-data exchange at any scale.  ``RANK_PARTITIONS``
+    (env $SPARK_GRAFT_RANK_PARTITIONS, default 32) sizes the range
+    partitioning; ranks are partitioning-independent by construction,
+    so production sizes it to data volume without changing results."""
+    return _ranks_pair(df)[0]
 
 
 def winsorized_stats(
@@ -176,10 +215,12 @@ def winsorized_stats(
         F.col(value_col).cast("bigint").alias("v"),
         F.col(seq_col).alias("s"),
     )
-    ranked = distributed_ranks(src)
-    # distributed_ranks persisted the repartitioned source; reuse it for
-    # the clamp pass instead of re-shuffling the raw frame.
-    parted = ranked.select("g", "v")
+    ranked, src_parted = _ranks_pair(src)
+    # The clamp pass needs only the raw (g, v) rows — read them from the
+    # PERSISTED repartitioned source instead of through the rank
+    # assembly (r11: select-through-ranked re-ran the rank joins for
+    # the exact same rows because Catalyst cannot prune them).
+    parted = src_parted.select("g", "v")
     lo_expr = f"(n * {lo_pct} + 99) div 100"
     hi_expr = f"(n * {hi_pct} + 99) div 100"
     bounds = (
@@ -318,19 +359,21 @@ def median_mad(
         F.col(value_col).cast("bigint").alias("v"),
         F.col(seq_col).alias("s"),
     )
-    ranked = distributed_ranks(src)
+    ranked, parted = _ranks_pair(src)
     med = (
         ranked.filter(F.col("r") == F.expr("(n + 1) div 2"))
         .select("g", F.col("n").alias("n_rows"), F.col("v").alias("median_c"))
     )
-    dev = ranked.select("g", "v", "s").join(F.broadcast(med), "g").select(
+    # The deviation pass needs only the raw (g, v, s) rows — read them
+    # from the PERSISTED repartitioned source instead of through the
+    # rank assembly (r11: select-through-ranked re-ran the rank joins a
+    # second time for the exact same rows).
+    dev = parted.select("g", "v", "s").join(F.broadcast(med), "g").select(
         "g",
         F.abs(F.col("v") - F.col("median_c")).alias("v"),
         "s",
-        "n_rows",
-        "median_c",
     )
-    dev_ranked = distributed_ranks(dev.select("g", "v", "s"))
+    dev_ranked = distributed_ranks(dev)
     mad = dev_ranked.filter(F.col("r") == F.expr("(n + 1) div 2")).select(
         "g", F.col("v").alias("mad_c")
     )
