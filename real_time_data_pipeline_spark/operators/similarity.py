@@ -1075,17 +1075,17 @@ def pq_fit(
     # (m, k, dsub): subspace j starts from the sampled vectors' slices
     books = np.stack([init[:, j * dsub : (j + 1) * dsub] for j in range(m)])
 
-    from real_time_data_pipeline_spark.operators import cache
-
     # The Lloyd loop reads the SAME projection once per iteration; persist
     # it so iterations 2..n scan cached columnar batches instead of
     # re-running the upstream plan (for ivfpq_build's residual codebooks
     # that plan is itself two Arrow passes — assign + residual — per
     # re-read).  Caching never changes values: same rows, same partitions,
     # same per-batch partial sums (guide §5: persist reused iterative
-    # inputs; the tracked handle is released by the caller's
-    # cache.release_all()).
-    vecs = cache.track(corpus.select(vec_col))
+    # inputs).  r11 (ADVICE r10): pq_fit fully CONSUMES the projection
+    # before returning (its result is numpy codebooks, not a lazy frame),
+    # so the persist is released here instead of tracked for the caller —
+    # a long-lived session no longer accumulates one leaked cache per fit.
+    vecs = corpus.select(vec_col).persist()
     for _ in range(iters):
         B = books  # rebind for closure capture per round
 
@@ -1140,6 +1140,7 @@ def pq_fit(
                     np.array(r["s"]) / r["n"]
                 )
         books = new
+    vecs.unpersist()
     return books
 
 
@@ -1317,6 +1318,11 @@ def pq_topk_multi(
     import numpy as np
     import pandas as pd
 
+    if not probes:
+        # Fail on the driver with a real message; an empty probe list
+        # would otherwise surface as an opaque executor-side
+        # pd.concat([]) ValueError (ADVICE r10).
+        raise ValueError("pq_topk_multi: probes must be non-empty")
     B = np.asarray(books, dtype=np.float64)
     m, kk, dsub = B.shape
     tabs = []
@@ -1388,6 +1394,9 @@ def ivfpq_topk_multi(
     import numpy as np
     import pandas as pd
 
+    if not probes:
+        # Driver-side guard (ADVICE r10) — see pq_topk_multi.
+        raise ValueError("ivfpq_topk_multi: probes must be non-empty")
     Cm = np.asarray(coarse, dtype=np.float64)
     B = np.asarray(books, dtype=np.float64)
     m, kk, dsub = B.shape
@@ -1490,8 +1499,18 @@ def pq_topk_rerank_multi(
             "query_id bigint, _qv array<double>",
         )
     )
+    # The candidate set is len(probes)·shortlist rows — broadcast-hint it
+    # only while that is small by construction.  In the full-corpus
+    # exact-rerank configuration (shortlist >= corpus, e.g. 1<<30) the
+    # shortlist IS the corpus per probe; a forced broadcast there is
+    # ~|probes|x the corpus in one relation and hits the broadcast/driver
+    # ceiling long before the join needs help — let the planner (AQE)
+    # decide instead (ADVICE r10).
+    cands_small = len(probes) * shortlist <= 1_000_000
     sub = (
-        corpus.join(F.broadcast(cands), id_col, "inner")
+        corpus.join(
+            F.broadcast(cands) if cands_small else cands, id_col, "inner"
+        )
         .filter(F.col(id_col) != F.col("query_id"))
         .join(qdf, "query_id")
     )
