@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -232,6 +234,7 @@ wh_batches = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(wh_batches)
 def test_warehouse_publish_idempotent_random_batches(spark, tmp_path_factory, batches):
@@ -411,6 +414,7 @@ def test_lsh_tuning_recovers_package_default(spark):
     assert low["inflection"] <= 0.4 and got["inflection"] <= 0.8
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
@@ -580,6 +584,7 @@ def test_clamped_balance_matches_sequential_reference(spark, key_deltas):
         ) == (b, peak, clamps, mincum), (k, ds)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=9), min_size=0, max_size=8),
@@ -629,6 +634,7 @@ def test_fifo_match_matches_queue_reference(spark, bqs, sqs):
     )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
@@ -659,6 +665,7 @@ def test_mw_and_ks_match_bruteforce_pairs(spark, xs, ys):
     assert k["d_num"] == d_brute, (xs, ys)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators.aggregates import (
@@ -534,6 +536,7 @@ def test_wasserstein_single_bin_group_reports_zero(spark):
     assert (rows[0].n_ref, rows[0].n_cur, rows[0].w1_cents) == (2, 1, 0)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(
     deltas=st.lists(st.integers(-500, 500), min_size=1, max_size=20),
