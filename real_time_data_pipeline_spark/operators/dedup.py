@@ -825,7 +825,6 @@ def lsh_candidate_pairs(
     import math
 
     import numpy as np
-    import pandas as pd
 
     from real_time_data_pipeline_spark.operators.similarity import make_planes
 
@@ -850,19 +849,33 @@ def lsh_candidate_pairs(
     )  # (n_tables*n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
+    # r11: mapInArrow + flat-buffer reshape (operators/arrowvec, guide
+    # §4.2) — one buffer view per batch instead of one numpy object per
+    # row; identical float64 matmul and sign, bit-identical buckets.
     def assign(batches):
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+        import pyarrow as pa
+
+        from real_time_data_pipeline_spark.operators.arrowvec import (
+            list_matrix,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            V = list_matrix(rb.column(1))
             S = (V @ P.T) >= 0  # (n, n_tables*n_planes)
-            out = {"id": pdf[id_col]}
+            cols = [rb.column(0)]
             for t in range(n_tables):
-                out[f"b{t}"] = (
-                    S[:, t * n_planes : (t + 1) * n_planes] @ weights
-                ).astype("int32")
-            yield pd.DataFrame(out)
+                cols.append(
+                    pa.array(
+                        (
+                            S[:, t * n_planes : (t + 1) * n_planes] @ weights
+                        ).astype(np.int32)
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                cols, ["id"] + [f"b{t}" for t in range(n_tables)]
+            )
 
     id_t = df.schema[id_col].dataType.simpleString()
     bucket_schema = "id " + id_t + ", " + ", ".join(
@@ -878,10 +891,10 @@ def lsh_candidate_pairs(
     # r11 (VERDICT r10 item 4): persist the (tiny — one int per table
     # per id) bucket table.  It feeds BOTH sides of every per-table
     # bucket join; uncached, the plan inlined the numpy assign
-    # mapInPandas subtree once per side (2 Python passes over the full
-    # vector column instead of 1 — visible as duplicated MapInPandas
-    # nodes in plans/r11/dedup_pipeline_lsh_before.txt).
-    bucketed = cache.track(src.mapInPandas(assign, bucket_schema))
+    # subtree once per side (2 Python passes over the full vector
+    # column instead of 1 — visible as duplicated MapInPandas nodes in
+    # plans/r11/dedup_pipeline_lsh_before.txt).
+    bucketed = cache.track(src.mapInArrow(assign, bucket_schema))
     keyed = bucketed.select(
         "id",
         F.explode(

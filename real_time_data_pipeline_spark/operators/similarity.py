@@ -120,10 +120,7 @@ def cosine_topk_gemm(
     flag the raw GEMM scores are emitted (rows-only registration; the
     unit test pins neighbor-set equality vs the exact path).
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
     # zero-norm queries have no defined cosine to anything — excluded,
@@ -141,12 +138,21 @@ def cosine_topk_gemm(
     cid_t = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {qid_t}, neighbor_id {cid_t}, cos double"
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # r11: mapInArrow + flat-buffer reshape (guide §4.2) — same
+    # argpartition over the same float64 GEMM scores, bit-identical
+    # candidate rows.
+    def score(batches):
+        import pyarrow as pa
+
+        from real_time_data_pipeline_spark.operators.arrowvec import (
+            list_matrix,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            ids = pdf[id_col].to_numpy()
+            C = list_matrix(rb.column(1))
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
             norms = np.linalg.norm(C, axis=1, keepdims=True)
             # zero-norm corpus vectors excluded, matching cosine_topk
             # (their NaN score would otherwise silently fall out of
@@ -159,21 +165,28 @@ def cosine_topk_gemm(
             Cn = C / norms
             S = Cn @ Qn.T  # (batch, n_queries)
             take = min(sel + 1, len(ids))  # +1 in case self is in the batch
-            out_q, out_n, out_c = [], [], []
+            out_q, out_rows, out_c = [], [], []
             for j, qid in enumerate(qids):
                 idx = np.argpartition(-S[:, j], take - 1)[:take]
-                for i in idx:
-                    if ids[i] == qid:
-                        continue
-                    out_q.append(qid)
-                    out_n.append(ids[i])
-                    out_c.append(float(S[i, j]))
-            yield pd.DataFrame(
-                {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
+                m = ids[idx] != qid
+                idx = idx[m]
+                out_q.extend([qid] * len(idx))
+                out_rows.append(idx)
+                out_c.append(S[idx, j])
+            allidx = np.concatenate(out_rows)
+            if not len(allidx):
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q),
+                    pa.array(ids[allidx]),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                [query_id_col, "neighbor_id", "cos"],
             )
 
     sel = k + rerank_margin if exact_rerank else k
-    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    local = corpus.select(id_col, vec_col).mapInArrow(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
@@ -389,34 +402,38 @@ def _ivf_assign(corpus, Cm, id_col, vec_col):
     centroid.  Pass-through columns keep their input types (an
     array<double> corpus must not be truncated to float32 — scores are
     documented bit-identical to the exact path)."""
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    from real_time_data_pipeline_spark.operators.arrowvec import list_matrix
+
+    # r11: mapInArrow + flat-buffer reshape (guide §4.2); the vector
+    # column passes through untouched (same buffers), surviving rows via
+    # one take() — same float64 math, bit-identical cells.
+    def assign(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V = list_matrix(rb.column(1))
             norms = np.linalg.norm(V, axis=1, keepdims=True)
             # zero-norm vectors have no defined cell (or cosine) —
             # excluded from the index, matching cosine_topk's rule
             keep = norms[:, 0] > 0
             if not keep.all():
-                pdf = pdf.loc[keep].copy()
+                rb = rb.take(pa.array(np.nonzero(keep)[0]))
                 V, norms = V[keep], norms[keep]
-            else:
-                pdf = pdf.copy()
-            if not len(pdf):
+            if rb.num_rows == 0:
                 continue
             Vn = V / norms
-            pdf["cell"] = np.argmax(Vn @ Cm.T, axis=1).astype("int32")
-            yield pdf
+            cell = np.argmax(Vn @ Cm.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(cell)],
+                [id_col, vec_col, "cell"],
+            )
 
     cid_t = corpus.schema[id_col].dataType.simpleString()
     cvec_t = corpus.schema[vec_col].dataType.simpleString()
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInArrow(
         assign, f"{id_col} {cid_t}, {vec_col} {cvec_t}, cell int"
     )
 
@@ -1047,10 +1064,7 @@ def pq_fit(
     centroid.  Vectors are L2-normalized first so ADC L2 order matches
     cosine order.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
 
     if normalize:
         init = _ivf_centroid_matrix(corpus, k, seed, id_col, vec_col)
@@ -1086,18 +1100,26 @@ def pq_fit(
     # so the persist is released here instead of tracked for the caller —
     # a long-lived session no longer accumulates one leaked cache per fit.
     vecs = corpus.select(vec_col).persist()
+    from real_time_data_pipeline_spark.operators.arrowvec import (
+        list_array,
+        list_matrix,
+    )
+
     for _ in range(iters):
         B = books  # rebind for closure capture per round
 
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r11: mapInArrow + flat-buffer reshape (guide §4.2) — one
+        # buffer view per batch instead of one numpy object per row;
+        # identical float64 values, identical partial sums.
+        def partials(batches):
+            import pyarrow as pa
+
             sums = np.zeros((m, k, dsub))
             counts = np.zeros((m, k), dtype=np.int64)
-            for pdf in batches:
-                if not len(pdf):
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                V = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
+                V = list_matrix(rb.column(0))
                 if normalize:
                     V = V / np.linalg.norm(V, axis=1, keepdims=True)
                 for j in range(m):
@@ -1107,21 +1129,20 @@ def pq_fit(
                     cell = d2.argmin(1)
                     np.add.at(sums[j], cell, S)
                     np.add.at(counts[j], cell, 1)
-            subs, cells, ns, ss = [], [], [], []
-            for j in range(m):
-                for c in range(k):
-                    if counts[j, c]:
-                        subs.append(j)
-                        cells.append(c)
-                        ns.append(int(counts[j, c]))
-                        ss.append(sums[j, c].tolist())
-            if subs:
-                yield pd.DataFrame(
-                    {"sub": subs, "cell": cells, "n": ns, "s": ss}
+            nz_j, nz_c = np.nonzero(counts)
+            if len(nz_j):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(nz_j.astype(np.int32)),
+                        pa.array(nz_c.astype(np.int32)),
+                        pa.array(counts[nz_j, nz_c].astype(np.int64)),
+                        list_array(sums[nz_j, nz_c], pa.float64()),
+                    ],
+                    ["sub", "cell", "n", "s"],
                 )
 
         rows = (
-            vecs.mapInPandas(
+            vecs.mapInArrow(
                 partials, "sub int, cell int, n long, s array<double>"
             )
             .groupBy("sub", "cell")
@@ -1154,24 +1175,32 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as its m nearest-codebook-entry codes
     (array<int>, one Arrow-batched pass, codebooks in the task
-    closure — m·k·dsub floats)."""
+    closure — m·k·dsub floats).  r11: ``mapInArrow`` + flat-buffer
+    reshape (operators/arrowvec) — the vector column converts to the
+    (n, dim) matrix in one buffer view instead of one numpy object per
+    row, and the codes come back as one flat buffer (guide §4.2); same
+    float64 bytes, bit-identical codes."""
     from collections.abc import Iterator
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+
+    from real_time_data_pipeline_spark.operators.arrowvec import (
+        list_array,
+        list_matrix,
+    )
 
     B = np.asarray(books, dtype=np.float64)
     m, k, dsub = B.shape
 
     extra = extra_cols or []
+    n_lead = 1 + len(extra)  # id + extras precede the vector column
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            V = list_matrix(rb.column(n_lead))
             if normalize:
                 V = V / np.linalg.norm(V, axis=1, keepdims=True)
             codes = np.empty((len(V), m), dtype=np.int32)
@@ -1179,16 +1208,16 @@ def pq_encode(
                 S = V[:, j * dsub : (j + 1) * dsub]
                 d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            out = {"id": pdf[id_col]}
-            for c in extra:
-                out[c] = pdf[c]
-            out["codes"] = list(codes.tolist())
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(n_lead)]
+                + [list_array(codes, pa.int32())],
+                ["id", *extra, "codes"],
+            )
 
     extra_schema = "".join(
         f", {c} {corpus.schema[c].dataType.simpleString()}" for c in extra
     )
-    return corpus.select(id_col, *extra, vec_col).mapInPandas(
+    return corpus.select(id_col, *extra, vec_col).mapInArrow(
         encode,
         f"id {corpus.schema[id_col].dataType.simpleString()}"
         f"{extra_schema}, codes array<int>",
@@ -1208,10 +1237,10 @@ def pq_topk(
     sees a bounded candidate union, never the corpus.  Output
     (id, adc_d2) ascending, deterministic tie-break on id.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+
+    from real_time_data_pipeline_spark.operators.arrowvec import list_matrix
 
     B = np.asarray(books, dtype=np.float64)
     m, kk, dsub = B.shape
@@ -1222,18 +1251,25 @@ def pq_topk(
         S = qv[j * dsub : (j + 1) * dsub]
         tab[j] = ((B[j] - S[None, :]) ** 2).sum(-1)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # r11: mapInArrow — the codes column converts via one flat-buffer
+    # reshape, the surviving ids come back via one take() (guide §4.2);
+    # same int codes, same float64 table lookups, bit-identical rows.
+    def score(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            C = list_matrix(rb.column(0), dtype=np.int64)
             d2 = tab[np.arange(m)[None, :], C].sum(1)
             top = np.argsort(d2, kind="stable")[:k]
-            yield pd.DataFrame(
-                {"id": pdf["id"].iloc[top], "adc_d2": d2[top]}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(1).take(pa.array(top)),
+                    pa.array(d2[top], type=pa.float64()),
+                ],
+                ["id", "adc_d2"],
             )
 
-    scored = codes_df.mapInPandas(
+    scored = codes_df.select("codes", "id").mapInArrow(
         score, f"id {codes_df.schema['id'].dataType.simpleString()}, adc_d2 double"
     )
     return scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
@@ -1313,15 +1349,14 @@ def pq_topk_multi(
 
     Output: (query_id bigint, id, adc_d2), k rows per probe.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.arrowvec import list_matrix
 
     if not probes:
         # Fail on the driver with a real message; an empty probe list
-        # would otherwise surface as an opaque executor-side
-        # pd.concat([]) ValueError (ADVICE r10).
+        # would otherwise surface as an opaque executor-side error
+        # (ADVICE r10).
         raise ValueError("pq_topk_multi: probes must be non-empty")
     B = np.asarray(books, dtype=np.float64)
     m, kk, dsub = B.shape
@@ -1335,28 +1370,36 @@ def pq_topk_multi(
             tab[j] = ((B[j] - S[None, :]) ** 2).sum(-1)
         tabs.append((int(qid), tab))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # r11: mapInArrow — one flat-buffer reshape of the codes column per
+    # batch, surviving ids via one take() over the concatenated per-probe
+    # top indices (guide §4.2); batch boundaries and per-probe argsorts
+    # are unchanged, so the candidate union is bit-identical.
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            frames = []
+            C = list_matrix(rb.column(0), dtype=np.int64)
+            qids, tops, d2s = [], [], []
             for qid, tab in tabs:
                 d2 = tab[np.arange(m)[None, :], C].sum(1)
                 top = np.argsort(d2, kind="stable")[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "id": pdf["id"].iloc[top],
-                            "adc_d2": d2[top],
-                        }
-                    )
-                )
-            yield pd.concat(frames)
+                qids.append(np.full(len(top), qid, dtype=np.int64))
+                tops.append(top)
+                d2s.append(d2[top])
+            idx = pa.array(np.concatenate(tops))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(qids)),
+                    rb.column(1).take(idx),
+                    pa.array(np.concatenate(d2s), type=pa.float64()),
+                ],
+                ["query_id", "id", "adc_d2"],
+            )
 
     id_t = codes_df.schema["id"].dataType.simpleString()
-    scored = codes_df.mapInPandas(
+    scored = codes_df.select("codes", "id").mapInArrow(
         score, f"query_id bigint, id {id_t}, adc_d2 double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
@@ -1389,10 +1432,9 @@ def ivfpq_topk_multi(
 
     Output: (query_id bigint, id, cell, adc_d2), k rows per probe.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.arrowvec import list_matrix
 
     if not probes:
         # Driver-side guard (ADVICE r10) — see pq_topk_multi.
@@ -1426,13 +1468,18 @@ def ivfpq_topk_multi(
         )
     probe_list = per_probe[0][1]
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # r11: mapInArrow + flat-buffer reshape (guide §4.2) — identical
+    # per-probe masking/argsort over identical batch contents, so the
+    # candidate union is bit-identical to the pandas pass.
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            cells = pdf["cell"].to_numpy()
-            frames = []
+            C = list_matrix(rb.column(0), dtype=np.int64)
+            cells = rb.column(1).to_numpy()
+            qids, tops, out_cells, d2s = [], [], [], []
             for qid, plist, tabs in per_probe:
                 d2 = np.empty(len(C))
                 for c in plist:
@@ -1442,20 +1489,27 @@ def ivfpq_topk_multi(
                             np.arange(m)[None, :], C[mask]
                         ].sum(1)
                 top = np.argsort(d2, kind="stable")[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "id": pdf["id"].iloc[top],
-                            "cell": cells[top],
-                            "adc_d2": d2[top],
-                        }
-                    )
-                )
-            yield pd.concat(frames)
+                qids.append(np.full(len(top), qid, dtype=np.int64))
+                tops.append(top)
+                out_cells.append(cells[top])
+                d2s.append(d2[top])
+            idx = pa.array(np.concatenate(tops))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(qids)),
+                    rb.column(2).take(idx),
+                    pa.array(
+                        np.concatenate(out_cells).astype(np.int32)
+                    ),
+                    pa.array(np.concatenate(d2s), type=pa.float64()),
+                ],
+                ["query_id", "id", "cell", "adc_d2"],
+            )
 
     id_t = codes_df.schema["id"].dataType.simpleString()
-    scored = codes_df.filter(F.col("cell").isin(probe_list)).mapInPandas(
+    scored = codes_df.filter(F.col("cell").isin(probe_list)).select(
+        "codes", "cell", "id"
+    ).mapInArrow(
         score, f"query_id bigint, id {id_t}, cell int, adc_d2 double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
@@ -1554,31 +1608,33 @@ def ivfpq_build(
     encode pass — all Arrow-batched, state bounded by
     n_cells·dim + m·k·dim/m floats.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+
+    from real_time_data_pipeline_spark.operators.arrowvec import (
+        list_array,
+        list_matrix,
+    )
 
     Cm = _ivf_centroid_matrix(corpus, n_cells, seed, id_col, vec_col)
     assigned = _ivf_assign(corpus.select(id_col, vec_col), Cm, id_col, vec_col)
 
     id_t = corpus.schema[id_col].dataType.simpleString()
 
-    def residual(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # r11: mapInArrow + flat-buffer reshape on both edges (guide §4.2);
+    # same float64 normalization/subtraction, bit-identical residuals.
+    # _ivf_assign emits (id, vec, cell) — consumed positionally.
+    def residual(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            V = list_matrix(rb.column(1))
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
-            R = V - Cm[pdf["cell"].to_numpy()]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cell": pdf["cell"],
-                    "residual": list(R.tolist()),
-                }
+            cells = rb.column(2).to_numpy()
+            R = V - Cm[cells]
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(2), list_array(R, pa.float64())],
+                [id_col, "cell", "residual"],
             )
 
     from real_time_data_pipeline_spark.operators import cache
@@ -1588,7 +1644,7 @@ def ivfpq_build(
     # passes from the parquet scan (guide §5: persist reused iterative
     # inputs — released by the caller's cache.release_all()).
     residuals = cache.track(
-        assigned.mapInPandas(
+        assigned.mapInArrow(
             residual, f"{id_col} {id_t}, cell int, residual array<double>"
         )
     )
@@ -1622,10 +1678,10 @@ def ivfpq_topk(
     with m lookups each, emitting per-batch top-k.  Output
     (id, cell, adc_d2) ascending, tie-break on id.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+
+    from real_time_data_pipeline_spark.operators.arrowvec import list_matrix
 
     Cm = np.asarray(coarse, dtype=np.float64)
     B = np.asarray(books, dtype=np.float64)
@@ -1646,12 +1702,14 @@ def ivfpq_topk(
 
     probe_list = [int(c) for c in probe]
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # r11: mapInArrow + flat-buffer reshape (guide §4.2) — identical
+    # masking/argsort over identical batch contents, bit-identical rows.
+    def score(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            cells = pdf["cell"].to_numpy()
+            C = list_matrix(rb.column(0), dtype=np.int64)
+            cells = rb.column(1).to_numpy()
             d2 = np.empty(len(C))
             for c in probe_list:
                 mask = cells == c
@@ -1660,18 +1718,20 @@ def ivfpq_topk(
                         np.arange(m)[None, :], C[mask]
                     ].sum(1)
             top = np.argsort(d2, kind="stable")[:k]
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].iloc[top],
-                    "cell": cells[top],
-                    "adc_d2": d2[top],
-                }
+            idx = pa.array(top)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(2).take(idx),
+                    pa.array(cells[top].astype(np.int32)),
+                    pa.array(d2[top], type=pa.float64()),
+                ],
+                ["id", "cell", "adc_d2"],
             )
 
     id_t = codes_df.schema["id"].dataType.simpleString()
-    scored = codes_df.filter(
-        F.col("cell").isin(probe_list)
-    ).mapInPandas(score, f"id {id_t}, cell int, adc_d2 double")
+    scored = codes_df.filter(F.col("cell").isin(probe_list)).select(
+        "codes", "cell", "id"
+    ).mapInArrow(score, f"id {id_t}, cell int, adc_d2 double")
     return scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
 
 

@@ -75,6 +75,35 @@ def test_embedding_near_dup_base_frame_identical(spark, emb):
     cache.release_all()
 
 
+def test_arrowvec_roundtrip_matches_rowwise_parse(spark, emb):
+    """list_matrix == the row-wise np.array([...]) parse, and
+    list_array round-trips the matrix bit-for-bit — the identity every
+    r11 mapInArrow conversion rests on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from real_time_data_pipeline_spark.operators.arrowvec import (
+        list_array,
+        list_matrix,
+    )
+
+    tbl = pa.Table.from_batches(
+        emb.limit(257)._collect_as_arrow()  # odd size: exercises slices
+    )
+    col = tbl.column("embedding").combine_chunks()
+    M = list_matrix(col)
+    rowwise = np.array(
+        [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+    )
+    assert M.shape == rowwise.shape
+    assert (M == rowwise).all()  # bit-identical, not allclose
+    back = list_array(M, pa.float64())
+    assert back.equals(col.cast(pa.list_(pa.float64())))
+    # sliced view (non-zero offset) parses identically
+    sl = col.slice(3, 100)
+    assert (list_matrix(sl) == rowwise[3:103]).all()
+
+
 def test_embedding_near_dup_lsh_base_frame_identical(spark, emb):
     eb = embedding_base(emb)
     kw = dict(threshold=0.4, dim=64, n_planes=4, n_tables=2, probe_hamming=4)
