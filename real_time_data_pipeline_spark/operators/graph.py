@@ -48,10 +48,18 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators import cache
+
+# PageRank eager-checkpoint cadence (iterations per checkpoint).
+# Results are cadence-independent (integer fixpoint); see pagerank().
+PR_CHECKPOINT_EVERY = max(
+    1, int(os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "2"))
+)
 
 __all__ = [
     "connected_components",
@@ -341,16 +349,22 @@ def pagerank(
             .cast("bigint")
             .alias("rank_micro"),
         )
-        # Eager checkpoint every SECOND iteration (and always on the
-        # last): truncates lineage and keeps Catalyst from re-analyzing
-        # an iters-deep plan tree on the final action (measured 3-4x on
-        # a 600k-edge graph vs lazy checkpoints), while halving the
-        # number of rank-frame materializations vs per-iteration
-        # checkpoints — a 2-iteration lineage tail (two joins + one agg)
-        # re-analyzes in ms and re-computes from the previous checkpoint
-        # on failure, so the cadence trades nothing structural.  Values
-        # are integer arithmetic: checkpoint cadence cannot change them.
-        if i % 2 == 1 or i == iters - 1:
+        # Eager checkpoint every PR_CHECKPOINT_EVERY iterations (and
+        # always on the last): truncates lineage and keeps Catalyst from
+        # re-analyzing an iters-deep plan tree on the final action
+        # (measured 3-4x on a 600k-edge graph vs lazy checkpoints),
+        # while dividing the number of rank-frame materializations vs
+        # per-iteration checkpoints — a short lineage tail (two joins +
+        # one agg per iteration) re-analyzes in ms and re-computes from
+        # the previous checkpoint on failure, so the cadence trades
+        # nothing structural.  Values are integer arithmetic: checkpoint
+        # cadence cannot change them.  Default stays at 2 — the r11
+        # cadence experiment (OPTIMIZATION_r11.md: 1 vs 2 vs 3 measured
+        # same-window at sf0.1) confirmed 2 as the plateau; the env knob
+        # ($SPARK_GRAFT_PR_CHECKPOINT_EVERY) exists because the right
+        # cadence grows with cluster recompute cost, not with this
+        # sandbox.
+        if i % PR_CHECKPOINT_EVERY == PR_CHECKPOINT_EVERY - 1 or i == iters - 1:
             ranks = chk(ranks)
             # The new eager checkpoint supersedes the previous one —
             # release its blocks so the loop holds at most one resident
